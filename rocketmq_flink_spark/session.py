@@ -1,0 +1,96 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on local[N]; production assumes a multi-executor
+cluster. Every config below is cluster-safe: AQE handles runtime
+re-planning (skew joins, partition coalescing) at any scale, the UTC
+session timezone pins timestamp semantics for the DuckDB oracle, and
+Arrow is enabled for the (rare) Python hops.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "rocketmq_flink_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Defaults are sized for local[N] testing but are the same knobs a
+    1000-executor deployment would set: AQE on, advisory partition sizes,
+    UTC timestamps, Arrow for Python interchange.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet stores ts as TIMESTAMP(NANOS); Spark reads it as
+        # LongType nanos under this flag (load_tables converts to
+        # TimestampType — lossless, the fixture has micro precision).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Load the fixture tables from a scale-factor directory.
+
+    Parquet scans get predicate pushdown + column pruning from Catalyst
+    for free; callers should select only what they need.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    out = {}
+    for name in TABLE_NAMES:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+            # TIMESTAMP(NANOS) read as long nanos; integer-divide to micros
+            # (NOT float `/`: 1.7e18 ns overflows double's 2^53 mantissa).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        out[name] = df
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each fixture table as a temp view for spark.sql use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
