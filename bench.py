@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Benchmark the headline queries.
+
+Runs each headline query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is measured with the noop sink (full plan runs, no driver-side
+result transfer), after one warm-up query to absorb JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rocketmq_flink_spark.plans.catalog import REGISTRY  # noqa: E402
+from rocketmq_flink_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "topk_orders_per_segment",
+    "running_customer_spend",
+    "range_join_ship_lag",
+    "distinct_counts_lineitem",
+    "codec_roundtrip_agg",
+    "dirty_data_skip",
+    "asof_purchase_after_click",
+    "sessionization_gap30m",
+]
+
+
+def run_once(spark, name: str, sf_dir: str) -> float:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark(app_name="bench")
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    run_once(spark, names[0], sf_dir)  # warm-up
+
+    queries = {}
+    for name in names:
+        queries[name] = round(run_once(spark, name, sf_dir), 3)
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -75,7 +75,9 @@ def coerce_string(
             F.lit(None).cast(dt)
         )
     if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
-        return raw.cast(dt)
+        # try_cast: unparseable -> NULL (ANSI mode is on in Spark 4; the
+        # dirty-data policy decides what happens to the NULL).
+        return raw.try_cast(dt)
     if isinstance(dt, T.DateType):
         return F.try_to_timestamp(raw, F.lit("yyyy-MM-dd")).cast(T.DateType())
     if isinstance(dt, T.TimestampType):

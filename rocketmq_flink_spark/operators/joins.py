@@ -1,0 +1,62 @@
+"""Join operators Spark lacks natively.
+
+The reference itself has no joins (SURVEY.md §2.5) — these cover the
+"as-of-style enrichment" its users get from the host engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str] | None = None,
+    suffix: str = "",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the value columns of
+    the latest right row with right_time <= left_time, matched on `on`.
+
+    Implementation: union the two sides tagged by origin, then a single
+    `last(..., ignorenulls=True)` running window per key, ordered by
+    (time, origin) so a right row at exactly left_time is visible
+    (inclusive semantics, like DuckDB's ASOF JOIN with >=).
+
+    Scale: ONE shuffle on the join keys, no per-key fan-out, no cross
+    product, no driver state. At 100 TB this is the only as-of strategy
+    that doesn't need range bucketing; skewed keys can be pre-salted by
+    splitting left_time ranges if one key dominates.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in keys and c != right_time]
+    out_vals = [f"{c}{suffix}" for c in value_cols]
+
+    lt = left.select(
+        *left.columns,
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(o)
+          for c, o in zip(value_cols, out_vals)],
+    )
+    rt = right.select(
+        *keys,
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(o) for c, o in zip(value_cols, out_vals)],
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for o in out_vals:
+        unioned = unioned.withColumn(o, F.last(F.col(o), ignorenulls=True).over(w))
+    return unioned.where(F.col("_is_left") == 1).drop("_t", "_is_left")

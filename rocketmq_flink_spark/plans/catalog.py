@@ -1,0 +1,817 @@
+"""The query catalog: every implemented capability as (spark fn, oracle SQL).
+
+Each Spark query is written so its result is BIT-EXACTLY reproducible by
+the DuckDB oracle:
+
+- money arithmetic goes through DECIMAL casts (the fixture's doubles carry
+  exactly 2 decimal places, so DECIMAL(12,2) casts are lossless and sums
+  are exact/associative in both engines);
+- double division results are rounded explicitly;
+- every ranking/limit has a total-order tie-break;
+- integer sums are CAST(... AS BIGINT) in DuckDB (its SUM yields HUGEINT,
+  which pandas would render as float).
+
+The relational surface itself is Catalyst's (SURVEY.md §2.5) — these
+queries exercise it the way the reference's host engine (Flink SQL) would
+be exercised by its users, plus the codec/message-log semantics that ARE
+the reference's own logic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rocketmq_flink_spark.session import load_tables
+
+FD = "\x01"
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn, oracle, (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def _dec2(col, p=12):
+    return col.cast(T.DecimalType(p, 2))
+
+
+def _one():
+    return F.lit(1).cast(T.DecimalType(3, 2))
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY.md §2.5 — delegated to Catalyst, as the
+# reference delegates to Flink SQL)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+               * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+      ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + hash agg with 8 aggregates.
+    Scale: partial aggregation map-side; 6 output groups — no skew."""
+    l = load_tables(spark, sf_dir)["lineitem"]
+    qty, ep = _dec2(F.col("l_quantity")), _dec2(F.col("l_extendedprice"))
+    disc = F.col("l_discount").cast(T.DecimalType(4, 2))
+    tax = F.col("l_tax").cast(T.DecimalType(4, 2))
+    n = F.count(F.lit(1))
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(ep * (_one() - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(ep * (_one() - disc) * (_one() + tax)).cast("double").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / n, 6).alias("avg_qty"),
+            F.round(F.sum(disc).cast("double") / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + top-10.
+    Scale: customer filter broadcast into orders; lineitem shuffles once on
+    l_orderkey; global top-10 via TakeOrderedAndProject (no full sort)."""
+    t = load_tables(spark, sf_dir)
+    cut = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ords = t["orders"].where(F.col("o_orderdate") < cut)
+    line = t["lineitem"].where(F.col("l_shipdate") > cut)
+    ep = _dec2(F.col("l_extendedprice"))
+    disc = F.col("l_discount").cast(T.DecimalType(4, 2))
+    return (
+        line.join(ords, line.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(ep * (_one() - disc)).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "q5_region_revenue",
+    """
+    SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with dimension broadcast.
+    Scale: region/nation/supplier broadcast (tiny dims); the only big
+    shuffle is lineitem<->orders on orderkey."""
+    t = load_tables(spark, sf_dir)
+    ep = _dec2(F.col("l_extendedprice"))
+    disc = F.col("l_discount").cast(T.DecimalType(4, 2))
+    ords = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    dim = (
+        t["supplier"]
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        t["lineitem"]
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(dim),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(ep * (_one() - disc)).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "semi_join_shipped_orders",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > TIMESTAMP '2001-06-01 00:00:00')
+    GROUP BY o_orderstatus
+    """,
+)
+def semi_join_shipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS). Scale: semi join short-circuits per key;
+    shuffle on orderkey only."""
+    t = load_tables(spark, sf_dir)
+    recent = t["lineitem"].where(
+        F.col("l_shipdate") > F.lit("2001-06-01 00:00:00").cast("timestamp")
+    )
+    return (
+        t["orders"]
+        .join(recent, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec2(F.col("o_totalprice"))).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
+    "anti_join_customers_without_orders",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    GROUP BY c_mktsegment
+    """,
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no large order."""
+    t = load_tables(spark, sf_dir)
+    big = t["orders"].where(F.col("o_totalprice") > 300000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "topk_orders_per_segment",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 5
+    """,
+)
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window + filter (SURVEY §2.5).
+    Scale: rank filter is pushed into a windowed TopK by AQE; one shuffle
+    on the partition key."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    joined = t["orders"].join(
+        F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "running_customer_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_spend,
+      CAST(LAG(CAST(o_totalprice AS DECIMAL(12,2)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+        AS prev_price
+    FROM orders
+    """,
+)
+def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: running sum + lag with deterministic ordering."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = _dec2(F.col("o_totalprice"))
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(price)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+        F.lag(price).over(w).cast("double").alias("prev_price"),
+    )
+
+
+@query(
+    "rollup_lineitem_status",
+    """
+    SELECT COALESCE(l_returnflag, '<ALL>') AS returnflag,
+           COALESCE(l_linestatus, '<ALL>') AS linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (fixture columns are non-null, so the
+    COALESCE sentinel unambiguously marks subtotal rows)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec2(F.col("l_quantity"))).cast("double").alias("qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<ALL>")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<ALL>")).alias("linestatus"),
+            "n",
+            "qty",
+        )
+    )
+
+
+@query(
+    "cube_orders",
+    """
+    SELECT COALESCE(o_orderstatus, '<ALL>') AS status,
+           COALESCE(o_orderpriority, '<ALL>') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec2(F.col("o_totalprice"))).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<ALL>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<ALL>")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "set_ops_customer_cohorts",
+    """
+    SELECT
+      (SELECT COUNT(*) FROM (
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS n_union,
+      (SELECT COUNT(*) FROM (
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS n_intersect,
+      (SELECT COUNT(*) FROM (
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS n_except
+    """,
+)
+def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer cohorts."""
+    t = load_tables(spark, sf_dir)
+    a = t["customer"].where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    b = t["orders"].where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    n_union = a.union(b).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+    n_intersect = a.intersect(b).agg(F.count(F.lit(1)).alias("n_intersect"))
+    n_except = a.exceptAll(b).distinct().agg(F.count(F.lit(1)).alias("n_except"))
+    return n_union.crossJoin(n_intersect).crossJoin(n_except)
+
+
+@query(
+    "pivot_priority_by_status",
+    """
+    SELECT o_orderpriority,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "F",
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "O",
+      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit value list keeps the plan a single agg pass)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .withColumn("price", _dec2(F.col("o_totalprice")))
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("price").cast("double"))
+    )
+
+
+@query(
+    "distinct_counts_lineitem",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_counts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg under the hood)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_distinct(F.col("l_partkey")).alias("n_parts"),
+            F.count_distinct(F.col("l_suppkey")).alias("n_supps"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "range_join_ship_lag",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <  o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderstatus
+    """,
+)
+def range_join_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: equi-key + range predicate (the range filter
+    rides the equi-join shuffle — no cross product)."""
+    t = load_tables(spark, sf_dir)
+    cond = (
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], cond)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec2(F.col("l_quantity"))).cast("double").alias("qty"),
+        )
+    )
+
+
+@query(
+    "filter_pushdown_parts",
+    """
+    SELECT p_brand, COUNT(*) AS n,
+      CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS retail
+    FROM part
+    WHERE p_size BETWEEN 10 AND 20 AND p_name LIKE '%a%'
+    GROUP BY p_brand
+    """,
+)
+def filter_pushdown_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + predicate pushdown + column pruning (verify with
+    .explain: PushedFilters on p_size, ReadSchema of 3 columns)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .where(F.col("p_size").between(10, 20) & F.col("p_name").like("%a%"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec2(F.col("p_retailprice"))).cast("double").alias("retail"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Message-log / codec semantics (the reference's OWN logic: SURVEY.md
+# §2.2-§2.4 — serde, header projection, property filter, metadata,
+# dirty-data policies, queue allocation)
+# ---------------------------------------------------------------------------
+
+
+def _events_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["events"]
+
+
+@query(
+    "codec_roundtrip_agg",
+    """
+    SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      MIN(event_id) AS min_id, MAX(event_id) AS max_id
+    FROM events GROUP BY event_type
+    """,
+)
+def codec_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full connector round trip: typed rows -> sink encoder (keys +
+    dynamic property routing, D11/R5) -> source decoder (delimited parse +
+    header projection, D1/D3/P3) -> relational agg. The oracle sees only
+    the original table: a hash match proves losslessness."""
+    from rocketmq_flink_spark.functions import decode_envelope, encode_rows
+
+    ev = _events_typed(spark, sf_dir).select(
+        "event_id", "user_id", "value", "ts", "event_type"
+    )
+    env = encode_rows(
+        ev,
+        options={
+            "topic": "events",
+            "keyColumns": "event_id",
+            "writeKeysToBody": "true",
+            "isDynamicProperty": "true",
+            "dynamicPropertyColumns": "event_type",
+        },
+        born_ts_col="ts",
+    )
+    decoded = decode_envelope(
+        env,
+        "event_id BIGINT, user_id BIGINT, value DOUBLE, ts TIMESTAMP, event_type STRING",
+        options={"headerFields": "event_type"},
+    )
+    return decoded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec2(F.col("value"))).cast("double").alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+@query(
+    "header_fields_projection",
+    """
+    SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def header_fields_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-header-fields layout (D1 layout 2): every declared column comes
+    from the user-property bag; body is ignored."""
+    from rocketmq_flink_spark.functions import decode_envelope
+
+    ev = _events_typed(spark, sf_dir)
+    env = ev.select(
+        F.from_json(
+            F.col("props"), T.MapType(T.StringType(), T.StringType())
+        ).alias("props"),
+        F.encode(F.lit(""), "UTF-8").alias("value"),
+        F.col("event_type").alias("_et"),
+    ).withColumn(
+        "props",
+        F.map_concat(
+            F.col("props"),
+            F.create_map(F.lit("event_type"), F.col("_et")),
+        ),
+    )
+    decoded = decode_envelope(
+        env,
+        "event_type STRING, k INT",
+        options={"headerFields": "event_type,k"},
+    )
+    return decoded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+@query(
+    "sql92_property_filter",
+    """
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) BETWEEN 10 AND 50
+    GROUP BY event_type
+    """,
+)
+def sql92_property_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL92 property-filter semantics (P2): predicate over the
+    user-property map, evaluated by Catalyst (the reference evaluates it
+    broker-side; same visible result)."""
+    ev = _events_typed(spark, sf_dir)
+    props = F.from_json(F.col("props"), T.MapType(T.StringType(), T.StringType()))
+    k = props.getItem("k").cast(T.IntegerType())
+    return (
+        ev.withColumn("k", k)
+        .where(F.col("k").between(10, 50))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "queue_offsets_metadata",
+    """
+    WITH q AS (
+      SELECT user_id % 8 AS queue_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS off,
+             event_id
+      FROM events
+    )
+    SELECT queue_id, COUNT(*) AS n, MAX(off) AS max_offset,
+           MIN(event_id) AS first_event, MAX(event_id) AS last_event
+    FROM q GROUP BY queue_id
+    """,
+)
+def queue_offsets_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queue allocation + per-queue monotone offsets (R6/S5 analog):
+    partition = hash(key) % numQueues, offset = arrival order within the
+    queue. Metadata columns are then queryable like any other column."""
+    from pyspark.sql import Window as W
+
+    ev = _events_typed(spark, sf_dir)
+    w = W.partitionBy("queue_id").orderBy("event_id")
+    return (
+        ev.select("event_id", (F.col("user_id") % 8).alias("queue_id"))
+        .withColumn("off", F.row_number().over(w) - 1)
+        .groupBy("queue_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("off").alias("max_offset"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )
+
+
+def _dirty_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically corrupted bodies over the events table:
+    event_id % 13 == 0 -> value field unparseable ('xx');
+    event_id % 17 == 0 -> last field missing (truncated body)."""
+    ev = _events_typed(spark, sf_dir)
+    full = F.concat_ws(
+        FD,
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("value").cast("string"),
+    )
+    corrupt_val = F.concat_ws(
+        FD, F.col("event_id").cast("string"), F.col("user_id").cast("string"),
+        F.lit("xx"),
+    )
+    truncated = F.concat_ws(
+        FD, F.col("event_id").cast("string"), F.col("user_id").cast("string")
+    )
+    body = (
+        F.when(F.col("event_id") % 17 == 0, truncated)
+        .when(F.col("event_id") % 13 == 0, corrupt_val)
+        .otherwise(full)
+    )
+    return ev.select(F.encode(body, "UTF-8").alias("value"))
+
+
+@query(
+    "dirty_data_skip",
+    """
+    SELECT COUNT(*) AS n_rows,
+      CAST(SUM(user_id) AS BIGINT) AS sum_user,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_id % 13 != 0 AND event_id % 17 != 0
+    """,
+)
+def dirty_data_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lengthCheck=SKIP (D2): rows with missing fields or unparseable
+    values are dropped; the oracle replays the policy in SQL."""
+    from rocketmq_flink_spark.functions import decode_envelope
+
+    decoded = decode_envelope(
+        _dirty_envelope(spark, sf_dir),
+        "event_id BIGINT, user_id BIGINT, value DOUBLE",
+        options={"lengthCheck": "SKIP"},
+    )
+    return decoded.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("user_id").alias("sum_user"),
+        F.sum(_dec2(F.col("value"))).cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "dirty_data_pad",
+    """
+    SELECT COUNT(*) AS n_rows,
+      CAST(SUM(user_id) AS BIGINT) AS sum_user,
+      CAST(SUM(CASE WHEN event_id % 13 = 0 OR event_id % 17 = 0 THEN NULL
+                    ELSE CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_value,
+      COUNT(CASE WHEN event_id % 13 = 0 OR event_id % 17 = 0 THEN 1 END) AS n_null_value
+    FROM events
+    """,
+)
+def dirty_data_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lengthCheck=PAD (D2): missing fields null-padded, unparseable
+    fields nulled, extra fields cut — every row survives."""
+    from rocketmq_flink_spark.functions import decode_envelope
+
+    decoded = decode_envelope(
+        _dirty_envelope(spark, sf_dir),
+        "event_id BIGINT, user_id BIGINT, value DOUBLE",
+        options={"lengthCheck": "PAD"},
+    )
+    return decoded.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("user_id").alias("sum_user"),
+        F.sum(_dec2(F.col("value"))).cast("double").alias("sum_value"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null_value"),
+    )
+
+
+@query(
+    "asof_purchase_after_click",
+    """
+    SELECT p.event_id,
+           c.event_id AS click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of enrichment (SURVEY §2.5): each purchase joined to the user's
+    latest preceding click. Spark-side: union + running-window operator
+    (operators.joins.asof_join) — one shuffle, no range fan-out."""
+    from rocketmq_flink_spark.operators import asof_join
+
+    ev = _events_typed(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="click_ts",
+        value_cols=["click_id", "click_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "click_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts"))).alias(
+            "lag_us"
+        ),
+    )
+
+
+@query(
+    "sessionization_gap30m",
+    """
+    WITH x AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN prev_ts IS NULL
+                          OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM x GROUP BY user_id
+    """,
+)
+def sessionization_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + gap threshold (batch analog of
+    session_window W11). One shuffle on user_id."""
+    from pyspark.sql import Window as W
+
+    ev = _events_typed(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+    return (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_ts").isNull() | (gap > 30 * 60), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_new").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

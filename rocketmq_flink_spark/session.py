@@ -79,6 +79,11 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # events.parquet stores TIMESTAMP(NANOS): unreadable by stock Spark.
+    # This legacy conf is runtime-settable, so set it here rather than at
+    # session build time — callers (e.g. the verification driver) may hand
+    # us a session we didn't configure.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for name in TABLE_NAMES:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

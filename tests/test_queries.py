@@ -1,0 +1,27 @@
+"""Every catalog query must match its DuckDB oracle (driver-style
+order-insensitive bit-exact compare) at the smoke scale factor."""
+
+from __future__ import annotations
+
+import pytest
+
+from rocketmq_flink_spark.plans.catalog import REGISTRY
+from rocketmq_flink_spark.plans.oracle import check_query
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(spark, name):
+    report = check_query(spark, name, SF)
+    assert report.ok, str(report)
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 20
