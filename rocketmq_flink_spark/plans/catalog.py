@@ -815,3 +815,67 @@ def sessionization_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@query(
+    "broker_source_roundtrip",
+    """
+    SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events GROUP BY event_type
+    """,
+)
+def broker_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full connector slice S1-S14: typed rows -> sink encoder ->
+    broker write (queue routing, offset assignment, epoch commit) ->
+    batch source read (partition discovery, offset ranges, Arrow
+    batches) -> decoder -> relational agg. Oracle sees only the original
+    table; a hash match proves the whole path is lossless."""
+    import tempfile
+
+    from rocketmq_flink_spark.functions import decode_envelope, encode_rows
+    from rocketmq_flink_spark.sources import register
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="rocketmq_broker_")
+    ev = _events_typed(spark, sf_dir).select("event_id", "user_id", "value", "ts",
+                                             "event_type")
+    env = encode_rows(
+        ev,
+        options={
+            "topic": "events_rt",
+            "keyColumns": "event_id",
+            "writeKeysToBody": "true",
+            "isDynamicTag": "true",
+            "dynamicTagColumn": "event_type",
+        },
+        born_ts_col="ts",
+    )
+    (
+        env.write.format("rocketmq")
+        .option("path", root)
+        .option("topic", "events_rt")
+        .option("numQueues", "8")
+        .mode("append")
+        .save()
+    )
+    envelope = (
+        spark.read.format("rocketmq")
+        .option("path", root)
+        .option("topic", "events_rt")
+        .load()
+    )
+    decoded = decode_envelope(
+        envelope,
+        "event_id BIGINT, user_id BIGINT, value DOUBLE, ts TIMESTAMP",
+        metadata_columns=["tags"],
+    )
+    return (
+        decoded.groupBy(F.col("tags").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec2(F.col("value"))).cast("double").alias("sum_value"),
+            F.sum("event_id").alias("sum_id"),
+        )
+    )
