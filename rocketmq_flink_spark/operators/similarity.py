@@ -1,0 +1,215 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force exact kNN as the correctness baseline, random-hyperplane
+LSH as the scale path, plus embedding near-duplicate detection.
+
+Numerics: distances are computed in DECIMAL, not double. Float32
+inputs cast to DECIMAL(12,10) round identically in every engine (an
+exact decimal .5 tie is impossible for a binary fraction), and decimal
+subtract/multiply/sum are exact — so distances, and therefore ranks,
+are bit-identical between Spark and any SQL oracle. This is what makes
+ANN/kNN results hash-checkable.
+
+Scale design:
+- knn_bruteforce: corpus scanned once per query batch via broadcast
+  cross join; O(|Q| * |C|) compute but ONE pass over the corpus, no
+  shuffle of the corpus itself. Top-k per query via ranking window on
+  the (small) |Q| x |C| result — at 100 TB you shard the corpus and
+  take per-shard top-k before the final merge (AQE handles the
+  two-level TakeOrdered automatically here).
+- lsh buckets: 16 hyperplane signs -> 4 bands of 4 bits; candidates
+  join on band values, exact distance only within buckets.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dec(col) -> Column:
+    # float -> double -> decimal: the double hop matters for oracle
+    # parity (DuckDB's direct FLOAT->DECIMAL cast is lossy; via DOUBLE
+    # both engines round the exact binary value identically).
+    return col.cast("array<double>").cast("array<decimal(12,10)>")
+
+
+def l2_sq(a: Column, b: Column) -> Column:
+    """Exact squared L2 distance between two decimal vectors.
+
+    The fold re-casts each partial sum to DECIMAL(30,20): same scale, so
+    no rounding ever happens — the result is exact and engine-agnostic.
+    (Spark requires the merge lambda's type to equal the zero's type.)"""
+    acc_t = T.DecimalType(30, 20)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast(acc_t),
+        lambda acc, x: (acc + x).cast(acc_t),
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity in double (display metric; ranking should use
+    l2_sq for cross-engine determinism)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    return dot / (na * nb)
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k nearest neighbors (L2) of each query vector.
+
+    Output: (qid, vec_id, dist2 double, rank), self-matches excluded,
+    ties broken by vec_id. Queries are broadcast; the corpus is scanned
+    once without shuffling."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), _dec(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _dec(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", l2_sq(F.col("qv"), F.col("cv")).alias("d2"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid", "vec_id", F.round(F.col("d2"), 12).cast("double").alias("dist2"), "rank"
+        )
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (pure-python LCG so the
+    operator has no numpy dependency and is reproducible everywhere)."""
+    state = seed
+    planes = []
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            # Park-Miller LCG -> uniform(-1, 1)
+            state = (state * 48271) % 2147483647
+            u = state / 2147483647
+            row.append(2.0 * u - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucketed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Attach LSH band columns band_0..band_{bands-1} (each an int built
+    from num_planes/bands hyperplane signs)."""
+    planes = _hyperplanes(dim, num_planes, seed)
+    per_band = num_planes // bands
+    vec = F.col(vec_col)
+    bits = []
+    for p in planes:
+        plane_lit = F.array(*[F.lit(float(v)) for v in p])
+        dot = F.aggregate(
+            F.zip_with(vec, plane_lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+    out = df
+    for b in range(bands):
+        code = F.lit(0)
+        for r in range(per_band):
+            code = F.shiftleft(code, 1).bitwiseOR(bits[b * per_band + r])
+        out = out.withColumn(f"band_{b}", code)
+    return out
+
+
+def ann_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share at least one LSH band with
+    the query; exact decimal L2 ranks within candidates. Recall vs
+    knn_bruteforce is measured in tests (not 100% by construction)."""
+    qb = lsh_bucketed(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
+        "qv", dim,
+    )
+    cb = lsh_bucketed(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")),
+        "cv", dim,
+    )
+    cond = F.lit(False)
+    for b in range(4):
+        cond = cond | (F.col(f"q.band_{b}") == F.col(f"c.band_{b}"))
+    cand = (
+        cb.alias("c")
+        .join(F.broadcast(qb.alias("q")), cond)
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            l2_sq(_dec(F.col("qv")), _dec(F.col("cv"))).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "vec_id", F.round(F.col("d2"), 12).cast("double").alias("dist2"), "rank")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_dist2: float = 0.01,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate vector pairs (exact decimal L2^2 <= max_dist2),
+    candidates generated by shared LSH bands (id_a < id_b)."""
+    b = lsh_bucketed(df.select(id_col, vec_col), vec_col, dim)
+    a1, a2 = b.alias("a"), b.alias("b")
+    cond = F.lit(False)
+    for i in range(4):
+        cond = cond | (F.col(f"a.band_{i}") == F.col(f"b.band_{i}"))
+    cond = cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    return (
+        a1.join(a2, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            l2_sq(_dec(F.col(f"a.{vec_col}")), _dec(F.col(f"b.{vec_col}")))
+            .alias("d2"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("d2") <= F.lit(max_dist2).cast(T.DecimalType(30, 20)))
+        .select("id_a", "id_b", F.round(F.col("d2"), 12).cast("double").alias("dist2"))
+    )

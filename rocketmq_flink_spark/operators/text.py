@@ -1,0 +1,86 @@
+"""Text analysis operators for training-data pipelines: tokenization,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure Catalyst expressions (split/regexp/higher-order functions) —
+whole-stage-codegen'd, no Python in the row path. Each operator has an
+exact SQL twin so the DuckDB oracle can verify it."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Order matters: ties broken by list order (documented, deterministic).
+STOPWORDS = {
+    "en": ["the", "a", "of", "to", "and", "in", "is"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "es": ["el", "la", "los", "que", "y", "es"],
+    "fr": ["le", "la", "les", "et", "des", "est"],
+    "zh": ["de", "le", "shi", "zai", "he"],
+}
+
+
+def tokens(text_col: str) -> Column:
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def token_count(text_col: str) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    return F.when(
+        F.trim(F.col(text_col)) == "", F.lit(0)
+    ).otherwise(F.size(tokens(text_col)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: token count, mean token length,
+    alpha ratio, whitespace ratio, uppercase-start ratio."""
+    toks = tokens(text_col)
+    n_tok = token_count(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    n_space = F.length(F.regexp_replace(F.col(text_col), r"[^\s]", ""))
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "mean_token_len": F.round(
+                (n_chars - n_space) / F.greatest(n_tok, F.lit(1)), 6
+            ),
+            "alpha_ratio": F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6),
+            "space_ratio": F.round(n_space / F.greatest(n_chars, F.lit(1)), 6),
+        }
+    )
+
+
+def stopword_score(text_col: str, words: list[str]) -> Column:
+    """Number of tokens that are in the stopword list (with repeats)."""
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return F.expr(
+        f"size(filter(split(trim(lower({text_col})), '\\\\s+'),"
+        f" t -> t IN ({in_list})))"
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of stopword-hit counts, ties broken
+    by STOPWORDS declaration order. Adds `pred_lang` and per-language
+    score columns (score_<lang>)."""
+    out = df
+    for lang, words in STOPWORDS.items():
+        out = out.withColumn(f"score_{lang}", stopword_score(text_col, words))
+    langs = list(STOPWORDS)
+    pred = F.lit(langs[0])
+    best = F.col(f"score_{langs[0]}")
+    for lang in langs[1:]:
+        cond = F.col(f"score_{lang}") > best
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        best = F.when(cond, F.col(f"score_{lang}")).otherwise(best)
+    return out.withColumn("pred_lang", pred)
+
+
+def fingerprint(text_col: str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercase, punctuation stripped, whitespace collapsed)."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    return F.md5(F.expr(normalize_sql(text_col)))

@@ -879,3 +879,382 @@ def broker_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event_id").alias("sum_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# North-star operators (BASELINE.json: dedup / similarity search /
+# multimodal / text analysis — designed for 100 TB)
+# ---------------------------------------------------------------------------
+
+_NORM_SQL_DUCK = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+_SHINGLES_DUCK = f"""
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(arr) - 4, 1) + 1),
+           i -> array_to_string(arr[i:i+4], ' ')))) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+') AS arr
+        FROM documents)
+"""
+
+
+@query(
+    "dedup_exact_docs",
+    f"""
+    SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_dups
+    FROM documents
+    GROUP BY {_NORM_SQL_DUCK}
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text with deterministic representative
+    (min id). One shuffle on the normalized key."""
+    from rocketmq_flink_spark.operators.dedup import exact_dedup, normalize_text
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return exact_dedup(docs, "doc_id", normalize_text(F.col("text"))).select(
+        "rep_id", "n_dups"
+    )
+
+
+@query(
+    "ngram_jaccard_dedup",
+    f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 100),
+    shr AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shr GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+             AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+)
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-5-shingle Jaccard near-dup pairs, rare-shingle blocked
+    (doc-freq cap stops O(d^2) blowup on hot shingles at scale)."""
+    from rocketmq_flink_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.5)
+
+
+@query("minhash_dedup_groups", None)
+def minhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands) near-dup groups. Not SQL-expressible
+    (xxhash64 signatures) -> rows-only driver check; recall vs the exact
+    jaccard operator is asserted in tests/test_operators.py."""
+    from rocketmq_flink_spark.operators.dedup import minhash_dedup
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return minhash_dedup(docs, "doc_id", "text", threshold=0.7).orderBy("doc_id")
+
+
+@query("simhash_near_pairs", None)
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-pairs with pigeonhole-exact banding.
+    Rows-only check (xxhash64-based); coverage vs exact jaccard asserted
+    in tests."""
+    from rocketmq_flink_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_pairs,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    fps = simhash_fingerprints(docs, "doc_id", "text")
+    return simhash_near_pairs(fps, "doc_id", max_hamming=6).orderBy("id_a", "id_b")
+
+
+@query(
+    "knn_exact_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, CAST(CAST(embedding AS DOUBLE[]) AS DECIMAL(12,10)[]) AS qv
+               FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, CAST(CAST(embedding AS DOUBLE[]) AS DECIMAL(12,10)[]) AS cv
+               FROM embeddings),
+    scored AS (
+      SELECT qid, vec_id,
+             CAST(ROUND(list_sum(list_transform(list_zip(qv, cv),
+                  p -> (p[1]-p[2])*(p[1]-p[2]))), 12) AS DOUBLE) AS dist2
+      FROM q, c WHERE vec_id != qid
+    )
+    SELECT qid, vec_id, dist2, rank FROM (
+      SELECT qid, vec_id, dist2,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def knn_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact kNN (top-5, L2) for 8 query vectors. Distances
+    computed in DECIMAL so ranks are bit-identical across engines. One
+    corpus pass, queries broadcast, no corpus shuffle."""
+    from rocketmq_flink_spark.operators.similarity import knn_bruteforce
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return knn_bruteforce(emb.where(F.col("vec_id") < 8), emb, k=5)
+
+
+@query("ann_topk_lsh", None)
+def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets (rows-only:
+    bucketing uses engine-side hyperplane dots; recall vs exact kNN is
+    asserted in tests)."""
+    from rocketmq_flink_spark.operators.similarity import ann_topk_lsh
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return ann_topk_lsh(emb.where(F.col("vec_id") < 8), emb, k=5).orderBy(
+        "qid", "rank"
+    )
+
+
+@query(
+    "embedding_near_dups",
+    """
+    WITH planted AS (
+      SELECT vec_id + 10000 AS vec_id,
+             list_prepend(CAST(embedding[1] + CAST(0.001 AS FLOAT) AS FLOAT),
+                          embedding[2:]) AS embedding
+      FROM embeddings WHERE vec_id < 10
+    ),
+    corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL SELECT vec_id, embedding FROM planted
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(ROUND(list_sum(list_transform(
+                    list_zip(CAST(CAST(a.embedding AS DOUBLE[]) AS DECIMAL(12,10)[]),
+                             CAST(CAST(b.embedding AS DOUBLE[]) AS DECIMAL(12,10)[])),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), 12) AS DOUBLE) AS dist2
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, dist2 FROM pairs WHERE dist2 <= 0.01
+    """,
+)
+def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs over a corpus with 10 planted
+    perturbed copies. Spark side uses LSH-bucketed candidates + exact
+    decimal distance; the oracle brute-forces all pairs — a match proves
+    the LSH recall is complete on this corpus."""
+    from rocketmq_flink_spark.operators.similarity import embedding_near_dups
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    planted = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "concat(array(CAST(embedding[0] + CAST(0.001 AS FLOAT) AS FLOAT)),"
+            " slice(embedding, 2, size(embedding) - 1))"
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").union(planted)
+    return embedding_near_dups(corpus, max_dist2=0.01)
+
+
+@query(
+    "text_quality_by_lang",
+    """
+    WITH per_doc AS (
+      SELECT lang,
+        len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tok,
+        length(text) AS n_chars,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        length(regexp_replace(text, '[^\\s]', '', 'g')) AS n_space
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+      ROUND(CAST(SUM(n_alpha) AS DOUBLE) / SUM(n_chars), 6) AS alpha_ratio,
+      ROUND(CAST(SUM(n_chars) - SUM(n_space) AS DOUBLE) / SUM(n_tok), 6)
+        AS mean_token_len
+    FROM per_doc GROUP BY lang
+    """,
+)
+def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring aggregated per language. Ratios are computed
+    from exact integer sums (one double division at the end) so the
+    result is order-independent and oracle-exact."""
+    from rocketmq_flink_spark.operators.text import token_count
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    n_chars = F.length(F.col("text"))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    n_space = F.length(F.regexp_replace(F.col("text"), r"[^\s]", ""))
+    per = docs.select(
+        "lang",
+        token_count("text").alias("n_tok"),
+        n_chars.alias("n_chars"),
+        n_alpha.alias("n_alpha"),
+        n_space.alias("n_space"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.sum("n_alpha").cast("double") / F.sum("n_chars"), 6).alias(
+            "alpha_ratio"
+        ),
+        F.round(
+            (F.sum("n_chars") - F.sum("n_space")).cast("double") / F.sum("n_tok"), 6
+        ).alias("mean_token_len"),
+    )
+
+
+def _stopword_duck(words):
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return (
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+        f" t -> t IN ({in_list})))"
+    )
+
+
+def _lang_id_oracle():
+    from rocketmq_flink_spark.operators.text import STOPWORDS
+
+    scores = ",\n        ".join(
+        f"{_stopword_duck(w)} AS s_{lang}" for lang, w in STOPWORDS.items()
+    )
+    langs = list(STOPWORDS)
+    all_scores = ", ".join(f"s_{lang}" for lang in langs)
+    pred = "CASE " + " ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+    WITH scored AS (
+      SELECT lang, {scores}
+      FROM documents
+    ), best AS (
+      SELECT lang, greatest({all_scores}) AS m, {all_scores} FROM scored
+    )
+    SELECT lang, {pred} AS pred_lang, COUNT(*) AS n
+    FROM best GROUP BY 1, 2
+    """
+
+
+@query("lang_id_confusion", None)  # oracle attached below (generated SQL)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-hit argmax, ties to declaration
+    order) cross-tabulated against the labeled lang column. The fixture
+    text is synthetic word-salad, so the confusion matrix is the
+    deliverable — the oracle checks the heuristic computes identically,
+    not that it recovers the label."""
+    from rocketmq_flink_spark.operators.text import lang_id
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        lang_id(docs, "text")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+REGISTRY["lang_id_confusion"].oracle = _lang_id_oracle()
+
+
+@query(
+    "fingerprint_docs",
+    f"""
+    WITH fp AS (SELECT source, md5({_NORM_SQL_DUCK}) AS f FROM documents)
+    SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT f) AS n_unique,
+           MIN(f) AS min_fp
+    FROM fp GROUP BY source
+    """,
+)
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (md5 over normalized text) per source."""
+    from rocketmq_flink_spark.operators.text import fingerprint
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select("source", fingerprint("text").alias("f"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("f")).alias("n_unique"),
+            F.min("f").alias("min_fp"),
+        )
+    )
+
+
+@query(
+    "token_stats_by_source",
+    """
+    WITH t AS (
+      SELECT source,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tok
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           MIN(n_tok) AS min_tokens, MAX(n_tok) AS max_tokens
+    FROM t GROUP BY source
+    """,
+)
+def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over the corpus, aggregated per source."""
+    from rocketmq_flink_spark.operators.text import token_count
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select("source", token_count("text").alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("n_tok").alias("min_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+    )
+
+
+@query(
+    "multimodal_features",
+    """
+    SELECT source, COUNT(*) AS n,
+      CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      CAST(SUM(CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT)) AS BIGINT)
+        AS total_chunks,
+      MIN(ascii(substr(text, 1, 1))) AS min_head,
+      MAX(ascii(substr(text, 1, 1))) AS max_head
+    FROM documents GROUP BY source
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents as opaque binary payloads ->
+    Arrow-batched mapInPandas feature extraction (deterministic fake
+    decoder; real codecs slot into decode_media) -> per-source agg. The
+    oracle recomputes the same features from SQL byte functions."""
+    from rocketmq_flink_spark.operators.multimodal import (
+        attach_media,
+        extract_features,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    media = attach_media(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+        "doc_id",
+        "payload",
+        "text/plain",
+    )
+    feats = extract_features(media)
+    src = docs.select(F.col("doc_id").alias("media_id"), "source")
+    return (
+        feats.join(F.broadcast(src), "media_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("byte_len").alias("total_bytes"),
+            F.sum("n_chunks").alias("total_chunks"),
+            F.min("head_byte").alias("min_head"),
+            F.max("head_byte").alias("max_head"),
+        )
+    )

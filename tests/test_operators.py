@@ -1,0 +1,146 @@
+"""Operator-level tests: dedup family (on the fixture's planted
+near-dups), similarity search (ANN recall vs exact), text analysis,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rocketmq_flink_spark.operators import dedup as D
+from rocketmq_flink_spark.operators import multimodal as M
+from rocketmq_flink_spark.operators import similarity as S
+from rocketmq_flink_spark.operators import text as TX
+from rocketmq_flink_spark.session import load_tables
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_tables(spark, SF)["documents"].cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_tables(spark, SF)["embeddings"].cache()
+
+
+def test_exact_dedup_deterministic_rep(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world!"), (3, "other text")],
+        "id INT, text STRING",
+    )
+    out = D.exact_dedup(df, "id", D.normalize_text(F.col("text"))).collect()
+    by_key = {r.dedup_key: (r.rep_id, r.n_dups) for r in out}
+    assert by_key["hello world"] == (1, 2)
+    assert by_key["other text"] == (3, 1)
+
+
+def test_ngram_jaccard_finds_planted_pairs(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # fixture has 25 planted near-dup pairs at jaccard >= 0.87 (measured
+    # offline); the 0.5-threshold exact-jaccard join must find them all
+    assert len(got) >= 25
+    assert (8, 245) in got and (70, 447) in got
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, docs):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    rep = {
+        r.doc_id: r.rep_id
+        for r in D.minhash_dedup(docs, "doc_id", "text", threshold=0.7).collect()
+    }
+    # every high-jaccard pair must land in the same dedup group
+    split = [(a, b) for a, b in exact if rep[a] != rep[b]]
+    assert not split, f"LSH split groups {split}"
+    assert any(r != d for d, r in rep.items())  # something was deduped
+
+
+def test_simhash_near_pairs_on_planted(spark, docs):
+    fps = D.simhash_fingerprints(docs, "doc_id", "text")
+    pairs = D.simhash_near_pairs(fps, "doc_id", max_hamming=6)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.9).collect()
+    }
+    # simhash(hamming<=3) should cover the very-high-jaccard planted pairs
+    assert exact and exact <= got
+
+
+def test_knn_bruteforce_shape_and_selfexclusion(spark, emb):
+    q = emb.where(F.col("vec_id") < 3)
+    out = S.knn_bruteforce(q, emb, k=5).collect()
+    assert len(out) == 15
+    assert all(r.vec_id != r.qid for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append((r.rank, r.dist2))
+    for ranks in by_q.values():
+        ds = [d for _, d in sorted(ranks)]
+        assert ds == sorted(ds)
+
+
+def test_ann_recall_vs_exact(spark, emb):
+    q = emb.where(F.col("vec_id") < 20)
+    exact = S.knn_bruteforce(q, emb, k=5)
+    ann = S.ann_topk_lsh(q, emb, k=5)
+    e = {(r.qid, r.vec_id) for r in exact.collect()}
+    a = {(r.qid, r.vec_id) for r in ann.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_embedding_near_dups_planted(spark, emb):
+    planted = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "concat(array(CAST(embedding[0] + CAST(0.001 AS FLOAT) AS FLOAT)),"
+            " slice(embedding, 2, size(embedding) - 1))"
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").union(planted)
+    pairs = S.embedding_near_dups(corpus, max_dist2=0.01)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(i, i + 10000) for i in range(10)}
+
+
+def test_lang_id_and_quality(spark, docs):
+    out = TX.lang_id(TX.quality_features(docs), "text")
+    row = out.select("n_tokens", "alpha_ratio", "pred_lang").first()
+    assert row.n_tokens > 0 and 0 < row.alpha_ratio <= 1
+    assert row.pred_lang in TX.STOPWORDS
+
+
+def test_fingerprint_stable(spark, docs):
+    fp1 = docs.select(TX.fingerprint("text").alias("fp")).collect()
+    fp2 = docs.select(TX.fingerprint("text").alias("fp")).collect()
+    assert fp1 == fp2
+    assert all(len(r.fp) == 32 for r in fp1)
+
+
+def test_multimodal_stub_and_features(spark, docs):
+    with pytest.raises(NotImplementedError, match="no codec"):
+        M.decode_media(b"\x89PNG", "image/png")
+
+    media = M.attach_media(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+        "doc_id",
+        "payload",
+        "text/plain",
+    )
+    feats = M.extract_features(media)
+    joined = feats.join(
+        docs.select("doc_id", "n_chars"), feats.media_id == F.col("doc_id")
+    )
+    bad = joined.where(F.col("byte_len") != F.col("n_chars")).count()
+    assert bad == 0  # ascii text: bytes == chars
+
+    sampled = M.frame_sample(media, every_n=4)
+    r = sampled.where(F.col("media_id") == 0).orderBy("chunk_idx").collect()
+    assert [row.chunk_idx for row in r] == list(range(0, (len(r) - 1) * 4 + 1, 4))
