@@ -1258,3 +1258,98 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("head_byte").alias("max_head"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows + delay levels (SURVEY.md §2.6 W11 / §2.4 R8) — the
+# batch-mode view of the streaming helpers; streaming parity is asserted
+# in tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tumbling_window_events",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (W11). Same helper the
+    streaming path uses; map-side partial agg keeps the shuffle at one
+    row per (window, type, partition)."""
+    from rocketmq_flink_spark.streaming.ops import tumbling_window_agg
+
+    ev = _events_typed(spark, sf_dir)
+    out = tumbling_window_agg(
+        ev, "ts", "1 hour", ["event_type"],
+        {"n": F.count(F.lit(1)),
+         "sum_value": F.sum(_dec2(F.col("value"))).cast("double")},
+    )
+    return out.select(F.col("window.start").alias("ws"), "event_type", "n",
+                      "sum_value")
+
+
+@query(
+    "sliding_window_events",
+    """
+    WITH w AS (
+      SELECT event_type, value,
+             unnest(list_value(time_bucket(INTERVAL 30 MINUTE, ts),
+                    time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE))
+               AS ws
+      FROM events
+    )
+    SELECT ws, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/30-minute windows (W11): every event lands in
+    exactly two windows (oracle expands them explicitly)."""
+    from rocketmq_flink_spark.streaming.ops import sliding_window_agg
+
+    ev = _events_typed(spark, sf_dir)
+    out = sliding_window_agg(
+        ev, "ts", "1 hour", "30 minutes", ["event_type"],
+        {"n": F.count(F.lit(1)),
+         "sum_value": F.sum(_dec2(F.col("value"))).cast("double")},
+    )
+    return out.select(F.col("window.start").alias("ws"), "event_type", "n",
+                      "sum_value")
+
+
+@query(
+    "delay_level_visibility",
+    """
+    WITH d AS (
+      SELECT event_id % 19 AS delay_level,
+             ts + to_seconds(list_value(0,1,5,10,30,60,120,180,240,300,360,
+                  420,480,540,600,1200,1800,3600,7200)[(event_id % 19) + 1])
+               AS deliver_ts
+      FROM events
+    )
+    SELECT delay_level, COUNT(*) AS n_visible
+    FROM d WHERE deliver_ts <= TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY delay_level
+    """,
+)
+def delay_level_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Message delay levels (R8): each event gets delay level
+    event_id % 19; the consumer view at a fixed as-of excludes messages
+    still in the delay queue."""
+    from rocketmq_flink_spark.streaming.ops import filter_deliverable
+
+    ev = _events_typed(spark, sf_dir).withColumn(
+        "delay_level", (F.col("event_id") % 19).cast("int")
+    )
+    vis = filter_deliverable(
+        ev,
+        F.to_timestamp(F.lit("2024-01-15 00:00:00")),
+        born_ts="ts",
+        delay_level="delay_level",
+    )
+    return vis.groupBy("delay_level").agg(F.count(F.lit(1)).alias("n_visible"))

@@ -339,8 +339,14 @@ class RocketMQBatchWriter(DataSourceWriter):
 
     def commit(self, messages):
         staged = [s for m in messages if m for s in m.staged]
+        # `_epoch` (underscore-passthrough option) lets foreachBatch sinks
+        # reuse the stream writer's idempotent-epoch commit (W9): a retried
+        # epoch with the same id is a no-op instead of a duplicate.
         Broker(self.root).commit_tmp(
-            self.topic, staged, store_ts_us=int(time.time() * 1_000_000)
+            self.topic,
+            staged,
+            store_ts_us=int(time.time() * 1_000_000),
+            epoch_id=self.opts.get("_epoch"),
         )
 
     def abort(self, messages):

@@ -1,0 +1,67 @@
+"""SQL surface (SURVEY.md §7 M4).
+
+The reference's Table/SQL integration is `CREATE TABLE ... WITH
+('connector'='rocketmq', ...)` (README.md:144-156), resolved through the
+DynamicTableSource/SinkFactory SPI. The Spark analog registers the
+message log as a (temp) view over the DataSource, after which the full
+Catalyst SQL surface — joins, windows, aggregates — applies, exactly as
+Flink SQL applies to the reference's tables.
+
+Why views and not `CREATE TABLE ... USING rocketmq`: this Spark build
+does not forward the OPTIONS clause of a SQL-created table to a Python
+DataSource (the scan arrives with an empty options map), so persistent
+SQL tables over Python sources cannot carry connector options. The
+helpers below are the supported path; they accept the same option
+surface as `spark.read.format("rocketmq")`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rocketmq_flink_spark.config import normalize_options, require
+from rocketmq_flink_spark.functions.codec import decode_envelope
+
+
+def create_table(
+    spark: SparkSession,
+    name: str,
+    options: dict,
+    schema: str | None = None,
+) -> DataFrame:
+    """Register a bounded message-log scan as a temp view `name`.
+
+    With `schema`, the view exposes decoded typed rows (header/data field
+    projection, dirty-data policies — the deserializer path D1-D3);
+    without it, the raw envelope (topic, queue_id, offset, keys, tags,
+    props, born_ts, store_ts, value).
+
+    The DDL analog (reference README.md:144-156):
+        CREATE TABLE orders (...) WITH ('connector'='rocketmq', ...)
+        -> create_table(spark, "orders", {...}, schema="...")
+    """
+    opts = normalize_options(options)
+    require(opts, "path", "topic")
+    df = spark.read.format("rocketmq").options(**options).load()
+    if schema is not None:
+        df = decode_envelope(df, schema=schema, options=options)
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def create_stream_table(
+    spark: SparkSession,
+    name: str,
+    options: dict,
+    schema: str | None = None,
+) -> DataFrame:
+    """Streaming variant of create_table: the view is a streaming
+    relation usable from `spark.sql` (windowed aggs need a watermark,
+    added by the caller via with_event_time on the returned frame)."""
+    opts = normalize_options(options)
+    require(opts, "path", "topic")
+    df = spark.readStream.format("rocketmq").options(**options).load()
+    if schema is not None:
+        df = decode_envelope(df, schema=schema, options=options)
+    df.createOrReplaceTempView(name)
+    return df

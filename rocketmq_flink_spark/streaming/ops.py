@@ -1,0 +1,160 @@
+"""Event-time operators: watermarks, windows, dedup, delay levels.
+
+Reference parity map (paths under src/main/java/org/apache/rocketmq/flink):
+- with_event_time      <- BoundedOutOfOrdernessGenerator.java:25-59 (W1) and
+  the per-queue variant BoundedOutOfOrdernessGeneratorPerQueue.java:28-69
+  (W2): Spark's watermark is already min-across-partitions of per-partition
+  max event time minus the delay, which is exactly W2's semantics.
+- tumbling/sliding/session windows <- not in the connector (host-engine
+  Flink windows, SURVEY.md §2.6 W11); Spark built-ins window()/
+  session_window().
+- streaming_dedup      <- W12; dropDuplicates[WithinWatermark].
+- delay levels         <- legacy/RocketMQConfig.java:95-114 MSG_DELAY_LEVEL
+  (R8): 18 broker-fixed delay levels, level 0 = immediate delivery.
+
+All helpers are DataFrame -> DataFrame and work identically on batch and
+streaming frames (watermarks are a no-op in batch), so the same pipeline
+definition can be oracle-checked in batch mode and deployed streaming.
+
+Scale notes: windowed aggregations shuffle on (key, window) — Spark
+computes partial aggregates map-side first, so the shuffle carries one
+row per (key, window, partition), not per event. State store size is
+bounded by the watermark; at 100 TB/day the knobs that matter are the
+watermark delay (state retention) and shuffle partition count, both left
+to the caller's session config.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+DEFAULT_MAX_OUT_OF_ORDERNESS = "5 seconds"  # W1 default, 5000 ms
+
+# RocketMQ broker delay levels (public: store config messageDelayLevel
+# "1s 5s 10s 30s 1m 2m 3m 4m 5m 6m 7m 8m 9m 10m 20m 30m 1h 2h"); the
+# reference exposes them as sink option MSG_DELAY_LEVEL00..18
+# (legacy/RocketMQConfig.java:95-114). Index = level, [0] = no delay.
+MSG_DELAY_LEVEL_SECONDS = (
+    0,
+    1, 5, 10, 30,
+    60, 120, 180, 240, 300, 360, 420, 480, 540, 600,
+    1200, 1800,
+    3600, 7200,
+)
+
+
+def with_event_time(
+    df: DataFrame,
+    ts_col: str = "born_ts",
+    max_out_of_orderness: str = DEFAULT_MAX_OUT_OF_ORDERNESS,
+) -> DataFrame:
+    """Declare event time + bounded out-of-orderness (W1/W2).
+
+    On a streaming frame this is `withWatermark`; on a batch frame
+    Spark accepts and ignores it, keeping pipelines dual-mode.
+    """
+    return df.withWatermark(ts_col, max_out_of_orderness)
+
+
+def _grouped_agg(df, window_col, keys, aggs):
+    named = [c.alias(n) if n else c for n, c in aggs.items()] if isinstance(
+        aggs, dict
+    ) else list(aggs)
+    return df.groupBy(window_col, *[F.col(k) for k in keys]).agg(*named)
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: list[str],
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Tumbling event-time window aggregation (W11).
+
+    Output has `window.start`/`window.end` struct + keys + aggregates.
+    """
+    return _grouped_agg(df, F.window(F.col(ts_col), duration), keys, aggs)
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: list[str],
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Sliding event-time window aggregation (W11). Each event lands in
+    duration/slide windows; Spark expands them map-side before the
+    partial aggregation, so the shuffle stays one row per (key, window,
+    partition)."""
+    return _grouped_agg(df, F.window(F.col(ts_col), duration, slide), keys, aggs)
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str],
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Session (gap-based) window aggregation (W11). Sessions merge at
+    aggregation time; on streams a watermark is required upstream."""
+    return _grouped_agg(df, F.session_window(F.col(ts_col), gap), keys, aggs)
+
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    max_out_of_orderness: str = DEFAULT_MAX_OUT_OF_ORDERNESS,
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Exact dedup on key columns (W12).
+
+    With `ts_col`, a watermark bounds the dedup state; `within_watermark`
+    switches to dropDuplicatesWithinWatermark (state per key is dropped
+    once the watermark passes it — the only state-size-bounded variant,
+    and the right one at 100 TB where the key space is unbounded).
+    """
+    out = df
+    if ts_col is not None:
+        out = out.withWatermark(ts_col, max_out_of_orderness)
+    if within_watermark:
+        return out.dropDuplicatesWithinWatermark(keys)
+    return out.dropDuplicates(keys)
+
+
+def delivery_time(
+    born_ts: Column | str, delay_level: Column | str
+) -> Column:
+    """Deliver-at timestamp for a message given its delay level (R8).
+
+    Levels outside [0, 18] clamp to the nearest valid level, mirroring
+    broker behavior (a too-large level is treated as the max level).
+    """
+    born = F.col(born_ts) if isinstance(born_ts, str) else born_ts
+    level = F.col(delay_level) if isinstance(delay_level, str) else delay_level
+    level = F.greatest(
+        F.lit(0), F.least(level.cast("int"), F.lit(len(MSG_DELAY_LEVEL_SECONDS) - 1))
+    )
+    seconds = F.element_at(
+        F.array(*[F.lit(s) for s in MSG_DELAY_LEVEL_SECONDS]), level + 1
+    )
+    return F.timestamp_add("SECOND", seconds, born)
+
+
+def filter_deliverable(
+    df: DataFrame,
+    as_of: Column,
+    born_ts: str = "born_ts",
+    delay_level: str = "delay_level",
+) -> DataFrame:
+    """Keep messages whose delay-level delivery time has arrived (R8).
+
+    The broker-sim analog of delayed delivery: the consumer view at
+    `as_of` excludes messages still in the delay queue. Plain filter —
+    pushed past scans by Catalyst where possible.
+    """
+    return df.filter(delivery_time(born_ts, delay_level) <= as_of)

@@ -1,0 +1,302 @@
+"""M3/M4 tests: event-time windows, streaming dedup, foreachBatch sink,
+observe() metrics, delay levels, and the SQL view surface — streaming
+results cross-checked against the identical batch computation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rocketmq_flink_spark.functions import decode_envelope, encode_rows
+from rocketmq_flink_spark.session import load_tables
+from rocketmq_flink_spark.sources import register
+from rocketmq_flink_spark.sql import create_stream_table, create_table
+from rocketmq_flink_spark.streaming import (
+    MSG_DELAY_LEVEL_SECONDS,
+    ThroughputListener,
+    delivery_time,
+    filter_deliverable,
+    observe_throughput,
+    session_window_agg,
+    sliding_window_agg,
+    streaming_dedup,
+    tumbling_window_agg,
+    with_event_time,
+    write_stream_foreach_batch,
+)
+
+SF = "/root/testdata/sf0.001"
+EVENT_SCHEMA = (
+    "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, ts TIMESTAMP"
+)
+
+
+@pytest.fixture(scope="module")
+def broker_root(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("broker_m3"))
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_tables(spark, SF)["events"].select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+
+
+@pytest.fixture(scope="module")
+def event_topic(spark, broker_root, events):
+    register(spark)
+    env = encode_rows(
+        events,
+        options={"topic": "t_m3", "keyColumns": "event_id", "writeKeysToBody": "true"},
+        born_ts_col="ts",
+    )
+    (
+        env.write.format("rocketmq")
+        .options(path=broker_root, topic="t_m3", numQueues=4)
+        .mode("append")
+        .save()
+    )
+    return "t_m3"
+
+
+def _stream_decoded(spark, broker_root, topic):
+    env = (
+        spark.readStream.format("rocketmq")
+        .options(path=broker_root, topic=topic)
+        .load()
+    )
+    return decode_envelope(env, EVENT_SCHEMA).withColumn(
+        "born_ts", F.col("ts")
+    )
+
+
+def _run_to_memory(df, name, tmp_path, output_mode="append"):
+    """Drain the stream with the default trigger + processAllAvailable —
+    unlike a single availableNow batch, this runs the follow-up batch in
+    which the advanced watermark finalizes append-mode windows."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
+def test_tumbling_window_stream_matches_batch(
+    spark, broker_root, event_topic, events, tmp_path
+):
+    aggs = {
+        "n": F.count(F.lit(1)),
+        "sum_value": F.round(F.sum("value"), 6),
+    }
+    stream = with_event_time(
+        _stream_decoded(spark, broker_root, event_topic), "born_ts", "10 minutes"
+    )
+    _run_to_memory(
+        tumbling_window_agg(stream, "born_ts", "1 hour", ["event_type"], aggs),
+        "tumble_out",
+        tmp_path,
+    )
+    got = spark.sql(
+        "SELECT window.start AS ws, event_type, n, sum_value FROM tumble_out"
+    )
+    expect = tumbling_window_agg(
+        events.withColumn("born_ts", F.col("ts")), "born_ts", "1 hour",
+        ["event_type"], aggs,
+    ).select(
+        F.col("window.start").alias("ws"),
+        F.col("window.end").alias("we"),
+        "event_type", "n", "sum_value",
+    )
+    # append mode emits a window only once the watermark (max event time
+    # - delay) passes its end — the trailing open window is withheld
+    final_wm = events.agg(
+        F.timestamp_add("MINUTE", F.lit(-10), F.max("ts"))
+    ).first()[0]
+    closed = expect.filter(F.col("we") < F.lit(final_wm)).drop("we")
+    open_ = expect.filter(F.col("we") >= F.lit(final_wm)).drop("we")
+    assert got.count() > 0 and open_.count() > 0
+    assert got.exceptAll(closed).count() == 0
+    assert closed.exceptAll(got).count() == 0
+
+
+def test_sliding_and_session_windows_batch_semantics(events):
+    slid = sliding_window_agg(
+        events, "ts", "1 hour", "30 minutes", ["event_type"],
+        {"n": F.count(F.lit(1))},
+    )
+    total = slid.agg(F.sum("n")).first()[0]
+    assert total == 2 * events.count()  # each event in exactly 2 windows
+
+    sess = session_window_agg(
+        events, "ts", "30 minutes", ["user_id"], {"n": F.count(F.lit(1))}
+    )
+    n_sessions = sess.count()
+    # must agree with the lag-based batch sessionization in the catalog
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+    lag_based = REGISTRY["sessionization_gap30m"].fn(events.sparkSession, SF)
+    assert n_sessions == lag_based.agg(F.sum("n_sessions")).first()[0]
+
+
+def test_streaming_dedup_within_watermark(spark, broker_root, event_topic, tmp_path):
+    decoded = _stream_decoded(spark, broker_root, event_topic)
+    # planted duplicates: read the topic twice and union -> every key twice
+    doubled = decoded.unionByName(_stream_decoded(spark, broker_root, event_topic))
+    deduped = streaming_dedup(
+        doubled, ["event_id"], ts_col="born_ts",
+        max_out_of_orderness="1 minute", within_watermark=True,
+    )
+    _run_to_memory(deduped, "dedup_out", tmp_path)
+    n = spark.sql("SELECT count(*) AS n FROM dedup_out").first().n
+    n_src = spark.sql("SELECT count(DISTINCT event_id) AS n FROM dedup_out").first().n
+    assert n == n_src == 1000
+
+
+def test_foreach_batch_sink_roundtrip_and_idempotence(
+    spark, broker_root, events, tmp_path
+):
+    stream = _stream_decoded(spark, broker_root, "t_m3").drop("born_ts")
+    q = write_stream_foreach_batch(
+        stream,
+        options={
+            "path": broker_root,
+            "topic": "t_m3_out",
+            "keyColumns": "event_id",
+            "writeKeysToBody": "true",
+        },
+        checkpoint_location=str(tmp_path / "ckpt_feb"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(180)
+    out = (
+        spark.read.format("rocketmq")
+        .options(path=broker_root, topic="t_m3_out")
+        .load()
+    )
+    assert out.count() == 1000
+    decoded = decode_envelope(out, EVENT_SCHEMA).select(*events.columns)
+    assert decoded.exceptAll(events).count() == 0
+    assert events.exceptAll(decoded).count() == 0
+
+    # replaying the same epoch id must be a no-op (idempotent commit)
+    env = encode_rows(
+        events.limit(7),
+        options={"topic": "t_m3_out", "keyColumns": "event_id",
+                 "writeKeysToBody": "true"},
+    )
+    (
+        env.write.format("rocketmq")
+        .options(path=broker_root, topic="t_m3_out", _epoch="0")
+        .mode("append")
+        .save()
+    )
+    assert (
+        spark.read.format("rocketmq")
+        .options(path=broker_root, topic="t_m3_out")
+        .load()
+        .count()
+        == 1000
+    )
+
+
+def test_observe_metrics_listener(spark, broker_root, event_topic, tmp_path):
+    listener = ThroughputListener()
+    spark.streams.addListener(listener)
+    try:
+        env = (
+            spark.readStream.format("rocketmq")
+            .options(path=broker_root, topic=event_topic)
+            .load()
+        )
+        q = _run_to_memory(
+            observe_throughput(env).select("offset"), "metrics_out", tmp_path
+        )
+        # listener delivery is async; progress arrives after termination
+        import time
+
+        for _ in range(50):
+            if listener.totals["n_rows"] >= 1000:
+                break
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    totals = listener.totals
+    assert totals["n_rows"] == 1000
+    assert totals["n_bytes"] > 0
+    assert all(r["tps"] > 0 for r in listener.rates if r["n_rows"])
+
+
+def test_delay_levels(spark):
+    rows = spark.createDataFrame(
+        [(i, ) for i in range(-1, 20)], "delay_level int"
+    ).withColumn("born_ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    got = rows.select(
+        "delay_level",
+        F.unix_timestamp(delivery_time("born_ts", "delay_level")).alias("ts_s"),
+    ).collect()
+    base = 1767225600  # 2026-01-01 UTC
+    for r in got:
+        lvl = min(max(r.delay_level, 0), 18)
+        assert r.ts_s - base == MSG_DELAY_LEVEL_SECONDS[lvl]
+
+    as_of = F.to_timestamp(F.lit("2026-01-01 00:05:00"))  # +300s
+    visible = filter_deliverable(rows, as_of).count()
+    # levels with delay <= 300s: 0..9 (0,1,5,10,30,60,...,300) plus the
+    # clamped -1 -> level 0
+    assert visible == 11
+
+
+def test_sql_view_surface(spark, broker_root, event_topic):
+    create_table(
+        spark,
+        "msgs_raw",
+        {"path": broker_root, "topic": event_topic},
+    )
+    assert spark.sql("SELECT count(*) AS n FROM msgs_raw").first().n == 1000
+
+    create_table(
+        spark,
+        "msgs_typed",
+        {"path": broker_root, "topic": event_topic},
+        schema=EVENT_SCHEMA,
+    )
+    got = spark.sql(
+        "SELECT event_type, count(*) AS n, round(sum(value), 4) AS s "
+        "FROM msgs_typed GROUP BY event_type"
+    )
+    expect = (
+        load_tables(spark, SF)["events"]
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("s"))
+    )
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+
+
+def test_sql_streaming_view(spark, broker_root, event_topic, tmp_path):
+    create_stream_table(
+        spark,
+        "msgs_stream",
+        {"path": broker_root, "topic": event_topic},
+        schema=EVENT_SCHEMA,
+    )
+    agg = spark.sql(
+        "SELECT event_type, count(*) AS n FROM msgs_stream GROUP BY event_type"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sql_stream_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sqlstream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    n = spark.sql("SELECT sum(n) AS total FROM sql_stream_out").first().total
+    assert n == 1000
