@@ -191,6 +191,7 @@ def encode_rows(
     df: DataFrame,
     options: dict | None = None,
     born_ts_col: str | None = None,
+    topic_col: Column | str | None = None,
 ) -> DataFrame:
     """Encode typed rows into the message envelope for the sink.
 
@@ -204,6 +205,11 @@ def encode_rows(
     - body = remaining columns stringified and joined by fieldDelimiter,
       encoded with `encoding` (lines 207-217). NULLs are written as the
       null sentinel so field positions survive the round trip.
+
+    `topic_col` is the TopicSelector surface (legacy/common/selector/
+    TopicSelector.java:21-26): a per-row topic expression — see
+    functions.selectors for the Default/Simple selector equivalents. The
+    multi-topic sink routes each row to its envelope topic.
     """
     opts = normalize_options(options or {})
     field_delim = _unescape(opts["fieldDelimiter"])
@@ -265,11 +271,53 @@ def encode_rows(
         else F.current_timestamp()
     )
 
+    if topic_col is not None:
+        topic = (
+            F.col(topic_col) if isinstance(topic_col, str) else topic_col
+        ).cast(T.StringType())
+    else:
+        topic = F.lit(opts.get("topic", ""))
+
     return df.select(
-        F.lit(opts.get("topic", "")).alias("topic"),
+        topic.alias("topic"),
         keys.alias("keys"),
         tags.alias("tags"),
         props.alias("props"),
         value.alias("value"),
         born_ts.alias("born_ts"),
+    )
+
+
+def decode_simple_key_value(
+    df: DataFrame,
+    key_field: str = "key",
+    value_field: str = "value",
+    encoding: str = "UTF-8",
+) -> DataFrame:
+    """SimpleKeyValueDeserializationSchema (D7): message keys + UTF-8
+    body as two string columns
+    (legacy/common/serialization/SimpleKeyValueDeserializationSchema.java:25-66).
+    The tuple variant (D8, SimpleTupleDeserializationSchema.java:26-40)
+    is the same projection with positional names."""
+    return df.select(
+        F.col("keys").alias(key_field),
+        F.decode(F.col("value"), encoding).alias(value_field),
+    )
+
+
+def encode_simple_key_value(
+    df: DataFrame,
+    key_field: str = "key",
+    value_field: str = "value",
+    encoding: str = "UTF-8",
+) -> DataFrame:
+    """SimpleKeyValueSerializationSchema (D9): two string columns back to
+    the envelope (keys + encoded body); deserialize∘serialize = identity
+    (the reference's SimpleKeyValueSerializationSchemaTest)."""
+    return df.select(
+        F.col(key_field).cast(T.StringType()).alias("keys"),
+        F.lit(None).cast(T.StringType()).alias("tags"),
+        F.lit(None).cast(T.MapType(T.StringType(), T.StringType())).alias("props"),
+        F.encode(F.col(value_field).cast(T.StringType()), encoding).alias("value"),
+        F.current_timestamp().alias("born_ts"),
     )

@@ -213,3 +213,57 @@ def embedding_near_dups(
         .where(F.col("d2") <= F.lit(max_dist2).cast(T.DecimalType(30, 20)))
         .select("id_a", "id_b", F.round(F.col("d2"), 12).cast("double").alias("dist2"))
     )
+
+
+def knn_cosine(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine similarity.
+
+    Deterministic across engines despite the sqrt: dot product and both
+    squared norms are computed EXACTLY in decimal, then the final
+    cos = dot / (sqrt(na2) * sqrt(nb2)) runs in IEEE double — sqrt,
+    multiply and divide are correctly rounded, so identical exact inputs
+    give bit-identical doubles in Spark and any SQL oracle. Same
+    broadcast/no-corpus-shuffle shape as knn_bruteforce.
+    """
+    acc_t = T.DecimalType(30, 20)
+
+    def dot_dec(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast(acc_t),
+            lambda acc, x: (acc + x).cast(acc_t),
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("qid"), _dec(F.col(vec_col)).alias("qv")
+    ).withColumn("qn2", dot_dec(F.col("qv"), F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _dec(F.col(vec_col)).alias("cv")
+    ).withColumn("cn2", dot_dec(F.col("cv"), F.col("cv")))
+    # round in decimal space before the double cast (12 digits ≈ 40 bits
+    # of fraction) so both engines convert the identical exact value —
+    # the same trick l2-based operators use for hash parity.
+    cos = (
+        F.round(dot_dec(F.col("qv"), F.col("cv")), 12).cast("double")
+        / (
+            F.sqrt(F.round(F.col("qn2"), 12).cast("double"))
+            * F.sqrt(F.round(F.col("cn2"), 12).cast("double"))
+        )
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "vec_id", "cos_sim", "rank")
+    )

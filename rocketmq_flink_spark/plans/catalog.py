@@ -1353,3 +1353,161 @@ def delay_level_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
         delay_level="delay_level",
     )
     return vis.groupBy("delay_level").agg(F.count(F.lit(1)).alias("n_visible"))
+
+
+# ---------------------------------------------------------------------------
+# Round 1 additions: cosine kNN, topic-selector routing (R1-R3),
+# fixed-width binary codec (D4), simple key-value schema (D7-D9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "knn_cosine_topk",
+    """
+    WITH v AS (SELECT vec_id,
+                      CAST(CAST(embedding AS DOUBLE[]) AS DECIMAL(12,10)[]) AS ve
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, ve AS qv,
+                 CAST(ROUND(list_sum(list_transform(ve, x -> x*x)), 12) AS DOUBLE) AS qn2
+          FROM v WHERE vec_id < 8),
+    c AS (SELECT vec_id, ve AS cv,
+                 CAST(ROUND(list_sum(list_transform(ve, x -> x*x)), 12) AS DOUBLE) AS cn2
+          FROM v),
+    scored AS (
+      SELECT qid, vec_id,
+             CAST(ROUND(list_sum(list_transform(list_zip(qv, cv),
+                  p -> p[1]*p[2])), 12) AS DOUBLE) / (sqrt(qn2) * sqrt(cn2))
+               AS cos_sim
+      FROM q, c WHERE vec_id != qid
+    )
+    SELECT qid, vec_id, ROUND(cos_sim, 9) AS cos_sim, rank FROM (
+      SELECT qid, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id)
+               AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 8 query vectors: decimal-exact dot/norms,
+    IEEE-double sqrt/divide — deterministic ranks across engines."""
+    from rocketmq_flink_spark.operators.similarity import knn_cosine
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    out = knn_cosine(emb.where(F.col("vec_id") < 8), emb, k=5)
+    return out.withColumn("cos_sim", F.round(F.col("cos_sim"), 9))
+
+
+@query(
+    "topic_routing_roundtrip",
+    """
+    SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def topic_routing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopicSelector surface (R1-R3): rows routed per-record to
+    topic_<event_type> by a SimpleTopicSelector expression, multi-topic
+    sink write, then two topics read back independently and re-agged.
+    The oracle sees only the original table — a match proves routing is
+    lossless and exhaustive."""
+    import tempfile
+
+    from rocketmq_flink_spark.functions.codec import decode_envelope, encode_rows
+    from rocketmq_flink_spark.functions.selectors import simple_topic_selector
+    from rocketmq_flink_spark.sources.datasource import register
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="broker_route_")
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "event_type")
+        .withColumn("route", F.concat(F.lit("topic_"), F.col("event_type")))
+    )
+    env = encode_rows(
+        ev.select("event_id", "event_type", "route"),
+        options={"keyColumns": "event_id", "writeKeysToBody": "true"},
+        topic_col=simple_topic_selector("route", "topic_other"),
+    )
+    # `route` rides along in the body; drop it at decode by declaring it
+    env.write.format("rocketmq").options(
+        path=root, topic="topic_other", numQueues=4
+    ).mode("append").save()
+
+    schema = "event_id BIGINT, event_type STRING, route STRING"
+    parts = []
+    for t in ("topic_click", "topic_purchase"):
+        raw = spark.read.format("rocketmq").options(path=root, topic=t).load()
+        parts.append(decode_envelope(raw, schema))
+    both = parts[0].unionByName(parts[1])
+    return both.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("sum_id")
+    )
+
+
+@query(
+    "binary_codec_roundtrip",
+    """
+    SELECT user_id, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events WHERE user_id < 50 GROUP BY user_id
+    """,
+)
+def binary_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width big-endian binary codec (D4, ByteSerializer/ByteUtils
+    parity): typed rows -> packed binary bodies -> decode -> agg. One
+    Arrow-batched mapInPandas pass each way (numpy buffer reshape, no
+    per-row Python). Oracle sees only the original table."""
+    from rocketmq_flink_spark.functions.binary import (
+        decode_fixed_width,
+        encode_fixed_width,
+    )
+
+    layout = [
+        ("event_id", "bigint"),
+        ("user_id", "bigint"),
+        ("value", "double"),
+        ("ts", "timestamp"),
+    ]
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .where(F.col("user_id") < 50)
+        .select("event_id", "user_id", "value", "ts")
+    )
+    packed = encode_fixed_width(ev, layout)
+    decoded = decode_fixed_width(packed, layout)
+    return decoded.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec2(F.col("value"))).cast("double").alias("sum_value"),
+        F.sum("event_id").alias("sum_id"),
+    )
+
+
+@query(
+    "simple_key_value_roundtrip",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS key, text AS value
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def simple_key_value_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple key/value schema (D7-D9): (key, value) strings -> envelope
+    -> back; serialize∘deserialize = identity (the reference's
+    SimpleKeyValueSerializationSchemaTest)."""
+    from rocketmq_flink_spark.functions.codec import (
+        decode_simple_key_value,
+        encode_simple_key_value,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .where(F.col("doc_id") < 100)
+        .select(
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("text").alias("value"),
+        )
+    )
+    return decode_simple_key_value(encode_simple_key_value(docs))

@@ -45,6 +45,7 @@ from pyspark.sql.datasource import (
 
 from rocketmq_flink_spark.config import normalize_options, require
 from rocketmq_flink_spark.sources.broker import SEGMENT_SCHEMA, Broker
+from rocketmq_flink_spark.sources.retry import call_with_retry, retry_params
 
 ENVELOPE_DDL = (
     "topic string, queue_id int, offset bigint, msg_id string, keys string, "
@@ -81,7 +82,9 @@ class QueueRange(InputPartition):
 def _read_partition(part: QueueRange):
     """Executor-side scan of one queue offset-range -> Arrow batches."""
     broker = Broker(part.root)
-    tbl = broker.read_range(part.topic, part.queue_id, part.start, part.end)
+    tbl = call_with_retry(
+        lambda: broker.read_range(part.topic, part.queue_id, part.start, part.end)
+    )
     if tbl.num_rows == 0:
         return
     if part.tag and part.tag != "*":
@@ -262,24 +265,28 @@ class RocketMQStreamReader(DataSourceStreamReader):
 
 
 class StagedBatch(WriterCommitMessage):
-    def __init__(self, staged: list[tuple[int, str]]):
-        self.staged = staged
+    def __init__(self, staged: list[tuple[str, int, str]]):
+        self.staged = staged  # (topic, queue_id, tmp_path)
 
 
 def _write_rows(root: str, topic: str, num_queues: int, iterator):
-    """Task-side write: group rows by queue, stage one parquet per queue.
+    """Task-side write: group rows by (topic, queue), stage one parquet
+    per bucket.
 
     Input rows follow the encode_rows envelope (keys, tags, props, value,
-    born_ts [, queue_id]). Queue routing: explicit queue_id column if
-    present, else hash(keys) % numQueues, else a per-task round-robin —
-    mirroring the reference's MessageQueueSelector usage.
+    born_ts [, queue_id]). A non-empty `topic` column overrides the
+    option topic per row — the TopicSelector surface (R1-R3), Kafka-sink
+    style. Queue routing: explicit queue_id column if present, else
+    hash(keys) % numQueues, else a per-task round-robin — mirroring the
+    reference's MessageQueueSelector usage.
     """
     from pyspark.sql import Row  # noqa: F401
 
-    buckets: dict[int, dict[str, list]] = {}
+    buckets: dict[tuple[str, int], dict[str, list]] = {}
     rr = 0
     for row in iterator:
         d = row.asDict() if hasattr(row, "asDict") else dict(row)
+        row_topic = d.get("topic") or topic
         qid = d.get("queue_id")
         if qid is None:
             keys = d.get("keys")
@@ -291,7 +298,7 @@ def _write_rows(root: str, topic: str, num_queues: int, iterator):
                 rr += 1
         qid = int(qid)
         b = buckets.setdefault(
-            qid,
+            (row_topic, qid),
             {"born_ts": [], "keys": [], "tags": [], "props": [], "body": []},
         )
         born = d.get("born_ts")
@@ -307,7 +314,7 @@ def _write_rows(root: str, topic: str, num_queues: int, iterator):
 
     broker = Broker(root)
     staged = []
-    for qid, b in buckets.items():
+    for (btopic, qid), b in buckets.items():
         n = len(b["body"])
         tbl = pa.Table.from_arrays(
             [
@@ -322,8 +329,33 @@ def _write_rows(root: str, topic: str, num_queues: int, iterator):
             ],
             schema=SEGMENT_SCHEMA,
         )
-        staged.append((qid, broker.write_tmp(topic, tbl)))
+        staged.append((btopic, qid, broker.write_tmp(btopic, tbl)))
     return StagedBatch(staged)
+
+
+def _commit_staged(
+    root: str,
+    staged: list[tuple[str, int, str]],
+    epoch_id: str | None,
+    retry_opts: dict | None = None,
+) -> None:
+    """Commit staged batches grouped per topic (multi-topic sink).
+
+    Commits retry with backoff (O1/RetryUtil; retryTimes/sleepTimeMs
+    options override the exponential defaults, RocketMQSink-style)."""
+    broker = Broker(root)
+    store_ts_us = int(time.time() * 1_000_000)
+    by_topic: dict[str, list[tuple[int, str]]] = {}
+    for btopic, qid, path in staged:
+        by_topic.setdefault(btopic, []).append((qid, path))
+    kwargs = retry_params(retry_opts or {})
+    for btopic, items in by_topic.items():
+        call_with_retry(
+            lambda t=btopic, i=items: broker.commit_tmp(
+                t, i, store_ts_us=store_ts_us, epoch_id=epoch_id
+            ),
+            **kwargs,
+        )
 
 
 class RocketMQBatchWriter(DataSourceWriter):
@@ -342,16 +374,12 @@ class RocketMQBatchWriter(DataSourceWriter):
         # `_epoch` (underscore-passthrough option) lets foreachBatch sinks
         # reuse the stream writer's idempotent-epoch commit (W9): a retried
         # epoch with the same id is a no-op instead of a duplicate.
-        Broker(self.root).commit_tmp(
-            self.topic,
-            staged,
-            store_ts_us=int(time.time() * 1_000_000),
-            epoch_id=self.opts.get("_epoch"),
-        )
+        _commit_staged(self.root, staged, epoch_id=self.opts.get("_epoch"),
+                       retry_opts=self.opts)
 
     def abort(self, messages):
         staged = [s for m in messages if m for s in m.staged]
-        Broker(self.root).abort_tmp(staged)
+        Broker(self.root).abort_tmp([(q, p) for _, q, p in staged])
 
 
 class RocketMQStreamWriter(DataSourceStreamWriter):
@@ -370,16 +398,12 @@ class RocketMQStreamWriter(DataSourceStreamWriter):
 
     def commit(self, messages, batchId):
         staged = [s for m in messages if m for s in m.staged]
-        Broker(self.root).commit_tmp(
-            self.topic,
-            staged,
-            store_ts_us=int(time.time() * 1_000_000),
-            epoch_id=str(batchId),
-        )
+        _commit_staged(self.root, staged, epoch_id=str(batchId),
+                       retry_opts=self.opts)
 
     def abort(self, messages, batchId):
         staged = [s for m in messages if m for s in m.staged]
-        Broker(self.root).abort_tmp(staged)
+        Broker(self.root).abort_tmp([(q, p) for _, q, p in staged])
 
 
 class RocketMQDataSource(DataSource):
