@@ -37,6 +37,7 @@ SOURCE_OPTIONS = {
     "nullValues",
     "headerFields",
     "maxOffsetsPerTrigger",
+    "maxRecordsPerPartition",
     "path",  # broker root dir (local simulation of nameServerAddress)
 }
 

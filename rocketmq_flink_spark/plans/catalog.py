@@ -1511,3 +1511,69 @@ def simple_key_value_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return decode_simple_key_value(encode_simple_key_value(docs))
+
+
+@query(
+    "stateful_sessionization",
+    """
+    WITH x AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1
+                      ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    ), agg AS (
+      SELECT user_id AS key, sid,
+             epoch_us(MIN(ts)) AS session_start_us,
+             epoch_us(MAX(ts)) AS session_end_us,
+             COUNT(*) AS n_events
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT key, session_start_us, session_end_us, n_events
+    FROM agg
+    WHERE session_end_us // 1000 + 30*60*1000
+          < (SELECT epoch_us(max(ts)) // 1000 FROM events)
+    """,
+)
+def stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (W12): applyInPandasWithState
+    session aggregator with event-time timeouts, driven end-to-end as a
+    real streaming query (file source, watermark 0s, availableNow). The
+    oracle is lag-based SQL sessionization restricted to sessions the
+    final watermark closed — per-row state semantics proven against a
+    set-based formulation."""
+    import uuid
+
+    from rocketmq_flink_spark.streaming.stateful import sessionize_with_state
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    typed = stream.select(
+        "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+    ).withWatermark("ts", "0 seconds")
+    sess = sessionize_with_state(typed, "user_id", "ts", "30 minutes")
+    qname = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)

@@ -43,7 +43,11 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-from rocketmq_flink_spark.config import normalize_options, require
+from rocketmq_flink_spark.config import (
+    normalize_options,
+    parse_datetime_ms,
+    require,
+)
 from rocketmq_flink_spark.sources.broker import SEGMENT_SCHEMA, Broker
 from rocketmq_flink_spark.sources.retry import call_with_retry, retry_params
 
@@ -113,6 +117,34 @@ def _read_partition(part: QueueRange):
     yield pa.RecordBatch.from_arrays(arrays, schema=ARROW_ENVELOPE)
 
 
+def _starting_offsets_spec(opts: dict) -> str:
+    """Resolve the starting-position option precedence (reference:
+    RocketMQDynamicTableSourceFactory.java:114-148 + legacy initOffset,
+    RocketMQSourceFunction.java:330-365): an explicit startingOffsets
+    wins, then startMessageOffset, then startTimeMs, then startTime
+    ('yyyy-MM-dd HH:mm:ss' in timeZone)."""
+    spec = opts.get("startingOffsets")
+    if spec and spec != "earliest":
+        return spec
+    if opts.get("startMessageOffset"):
+        return '{"*": %d}' % int(opts["startMessageOffset"])
+    if opts.get("startTimeMs"):
+        return f"timestamp:{int(opts['startTimeMs'])}"
+    if opts.get("startTime"):
+        ms = parse_datetime_ms(opts["startTime"], opts.get("timeZone"))
+        return f"timestamp:{ms}"
+    return spec or "earliest"
+
+
+def _ending_ts_ms(opts: dict) -> int | None:
+    """endingTimestamp (epoch ms) or endTime datetime -> stopInMs (W6)."""
+    if opts.get("endingTimestamp"):
+        return int(opts["endingTimestamp"])
+    if opts.get("endTime"):
+        return parse_datetime_ms(opts["endTime"], opts.get("timeZone"))
+    return None
+
+
 def _resolve_start(broker: Broker, topic: str, queue_id: int, spec: str) -> int:
     spec = (spec or "earliest").strip()
     if spec == "earliest":
@@ -124,7 +156,7 @@ def _resolve_start(broker: Broker, topic: str, queue_id: int, spec: str) -> int:
         return broker.offset_for_timestamp(topic, queue_id, ts_ms * 1000)
     if spec.startswith("{"):
         explicit = json.loads(spec)
-        return int(explicit.get(str(queue_id), 0))
+        return int(explicit.get(str(queue_id), explicit.get("*", 0)))
     raise ValueError(f"invalid startingOffsets: {spec!r}")
 
 
@@ -149,15 +181,14 @@ class RocketMQBatchReader(DataSourceReader):
 
     def partitions(self):
         broker = Broker(self.root)
-        ending_ts = self.opts.get("endingTimestamp")
+        ending_ts = _ending_ts_ms(self.opts)
+        start_spec = _starting_offsets_spec(self.opts)
         parts = []
         for q in broker.queues(self.topic):
-            start = _resolve_start(
-                broker, self.topic, q, self.opts.get("startingOffsets")
-            )
-            if ending_ts:
+            start = _resolve_start(broker, self.topic, q, start_spec)
+            if ending_ts is not None:
                 end = broker.offset_for_timestamp(
-                    self.topic, q, (int(ending_ts) + 1) * 1000
+                    self.topic, q, (ending_ts + 1) * 1000
                 )
             else:
                 end = broker.latest_offset(self.topic, q)
@@ -193,7 +224,7 @@ class RocketMQStreamReader(DataSourceStreamReader):
         broker = self._broker()
         init = {
             str(q): _resolve_start(
-                broker, self.topic, q, self.opts.get("startingOffsets")
+                broker, self.topic, q, _starting_offsets_spec(self.opts)
             )
             for q in broker.queues(self.topic)
         }
@@ -223,7 +254,7 @@ class RocketMQStreamReader(DataSourceStreamReader):
             broker2 = self._broker()
             cursor = {
                 str(q): _resolve_start(
-                    broker2, self.topic, q, self.opts.get("startingOffsets")
+                    broker2, self.topic, q, _starting_offsets_spec(self.opts)
                 )
                 for q in broker2.queues(self.topic)
             }

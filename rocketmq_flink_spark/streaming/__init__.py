@@ -21,6 +21,7 @@ from rocketmq_flink_spark.streaming.ops import (
     with_event_time,
 )
 from rocketmq_flink_spark.streaming.sink import write_stream_foreach_batch
+from rocketmq_flink_spark.streaming.stateful import sessionize_with_state
 
 __all__ = [
     "MSG_DELAY_LEVEL_SECONDS",
@@ -29,6 +30,7 @@ __all__ = [
     "filter_deliverable",
     "observe_throughput",
     "session_window_agg",
+    "sessionize_with_state",
     "sliding_window_agg",
     "streaming_dedup",
     "tumbling_window_agg",

@@ -202,3 +202,49 @@ def test_knn_cosine_agrees_with_numpy(spark):
         )
         for rank in (1, 2, 3):
             assert got[(int(ids[qpos]), rank)] == order[rank - 1][1]
+
+
+def test_datetime_and_offset_options(spark, broker_root):
+    register(spark)
+    ev = load_tables(spark, SF)["events"].select("event_id", "ts")
+    env = encode_rows(
+        ev,
+        options={"keyColumns": "event_id", "writeKeysToBody": "true"},
+        born_ts_col="ts",
+    )
+    env.write.format("rocketmq").options(
+        path=broker_root, topic="t_times", numQueues=2
+    ).mode("append").save()
+
+    # endTime (datetime string, reference factory format) bounds the scan
+    # by store timestamp; everything was stored "now", so a past endTime
+    # reads nothing and a future one reads all
+    past = (
+        spark.read.format("rocketmq")
+        .options(path=broker_root, topic="t_times", endTime="2020-01-01 00:00:00")
+        .load()
+    )
+    assert past.count() == 0
+    future = (
+        spark.read.format("rocketmq")
+        .options(path=broker_root, topic="t_times", endTime="2090-01-01 00:00:00")
+        .load()
+    )
+    assert future.count() == 1000
+
+    # timeZone shifts the parsed instant (endTime in a UTC+14 zone is 14h
+    # earlier as an instant than the same text in UTC)
+    from rocketmq_flink_spark.config import parse_datetime_ms
+
+    utc = parse_datetime_ms("2024-06-01 00:00:00")
+    kiritimati = parse_datetime_ms("2024-06-01 00:00:00", "Pacific/Kiritimati")
+    assert utc - kiritimati == 14 * 3600 * 1000
+
+    # startMessageOffset skips the first N messages of every queue
+    skip3 = (
+        spark.read.format("rocketmq")
+        .options(path=broker_root, topic="t_times", startMessageOffset="3")
+        .load()
+    )
+    assert skip3.count() == 1000 - 2 * 3  # 2 queues x 3 skipped
+    assert skip3.agg(F.min("offset")).first()[0] == 3

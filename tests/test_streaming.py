@@ -300,3 +300,52 @@ def test_sql_streaming_view(spark, broker_root, event_topic, tmp_path):
     q.awaitTermination(180)
     n = spark.sql("SELECT sum(n) AS total FROM sql_stream_out").first().total
     assert n == 1000
+
+
+def test_stateful_sessionization_via_broker(spark, broker_root, event_topic, tmp_path):
+    from pyspark.sql import Window as W
+
+    from rocketmq_flink_spark.streaming import sessionize_with_state
+
+    decoded = _stream_decoded(spark, broker_root, event_topic).withWatermark(
+        "born_ts", "0 seconds"
+    )
+    sess = sessionize_with_state(decoded, "user_id", "born_ts", "30 minutes")
+    # default trigger, not availableNow: the Python DataSource falls back
+    # to single-batch execution under availableNow, which skips the
+    # no-data batch where event-time timeouts fire
+    _run_to_memory(sess, "stateful_sess_out", tmp_path)
+    got = spark.table("stateful_sess_out")
+
+    # expected: lag-based batch sessionization restricted to sessions the
+    # final watermark (max ts, 0s delay, ms-truncated) closed
+    ev = load_tables(spark, SF)["events"].select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    sessions = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev").isNull()
+                | (F.unix_micros("ts") - F.unix_micros("prev") > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    max_ms = ev.agg((F.unix_micros(F.max("ts")) / 1000).cast("long")).first()[0]
+    expect = sessions.where(
+        (F.col("session_end_us") / 1000).cast("long") + 30 * 60 * 1000 < max_ms
+    ).select(
+        F.col("user_id").alias("key"), "session_start_us", "session_end_us",
+        "n_events",
+    )
+    assert got.count() == expect.count() > 0
+    assert got.exceptAll(expect).count() == 0
