@@ -123,27 +123,67 @@ def lsh_bucketed(
     bands: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Attach LSH band columns band_0..band_{bands-1} (each an int built
-    from num_planes/bands hyperplane signs)."""
-    planes = _hyperplanes(dim, num_planes, seed)
+    """Attach LSH band columns band_0..band_{bands-1} (each a long built
+    from num_planes/bands hyperplane signs).
+
+    The plane projections run as ONE Arrow-batched pandas_udf doing a
+    (batch x dim) @ (dim x planes) numpy matmul — vectorized BLAS, no
+    per-element Catalyst lambdas (the higher-order-function formulation
+    costs ~dim*planes interpreted evals per row, which dominated the
+    whole operator at 100k rows and would be hopeless at 100 TB).
+
+    Parameter guidance: band width = num_planes/bands trades recall for
+    bucket size. Cross-corpus top-k (few queries) wants narrow bands
+    (high recall; candidate volume is bounded by |Q|); corpus self-join
+    near-dup wants wide bands (16+ bits) so bucket sizes — and the
+    O(sum bucket^2) pair count — stay small."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(_hyperplanes(dim, num_planes, seed))  # (P, dim)
     per_band = num_planes // bands
-    vec = F.col(vec_col)
-    bits = []
-    for p in planes:
-        plane_lit = F.array(*[F.lit(float(v)) for v in p])
-        dot = F.aggregate(
-            F.zip_with(vec, plane_lit, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    weights = 1 << np.arange(per_band - 1, -1, -1, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def band_codes(v):
+        mat = np.vstack(v.to_numpy())  # (n, dim) float
+        bits = (mat @ planes.T) >= 0.0  # (n, P)
+        codes = np.stack(
+            [
+                bits[:, b * per_band : (b + 1) * per_band].astype(np.int64) @ weights
+                for b in range(bands)
+            ],
+            axis=1,
         )
-        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
-    out = df
+        return pd.Series(list(codes))
+
+    out = df.withColumn("_bands", band_codes(F.col(vec_col)))
     for b in range(bands):
-        code = F.lit(0)
-        for r in range(per_band):
-            code = F.shiftleft(code, 1).bitwiseOR(bits[b * per_band + r])
-        out = out.withColumn(f"band_{b}", code)
-    return out
+        out = out.withColumn(f"band_{b}", F.col("_bands").getItem(b))
+    return out.drop("_bands")
+
+
+def _explode_bands(df: DataFrame, bands: int = 4) -> DataFrame:
+    """(cols..., band_0..band_{n-1}) -> (cols..., band_idx, band_val).
+
+    Banding as rows instead of an OR-of-bands join condition: an OR
+    disjunction cannot hash-partition, so Catalyst would fall back to a
+    nested-loop join — O(n^2) at scale. Exploded bands make candidate
+    generation a plain equi-join on (band_idx, band_val): one hash
+    shuffle, AQE-skew-splittable, the standard distributed-LSH shape."""
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_val")
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("bk")
+    keep = [c for c in df.columns if not c.startswith("band_")]
+    return df.select(*keep, pairs).select(*keep, "bk.band_idx", "bk.band_val")
 
 
 def ann_topk_lsh(
@@ -156,22 +196,26 @@ def ann_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: candidates share at least one LSH band with
     the query; exact decimal L2 ranks within candidates. Recall vs
-    knn_bruteforce is measured in tests (not 100% by construction)."""
-    qb = lsh_bucketed(
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
-        "qv", dim,
+    knn_bruteforce is measured in tests (not 100% by construction).
+
+    Candidate generation is an equi-join on exploded (band_idx,
+    band_val) — hash-joinable, corpus shuffled once."""
+    qb = _explode_bands(
+        lsh_bucketed(
+            queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
+            "qv", dim,
+        )
     )
-    cb = lsh_bucketed(
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")),
-        "cv", dim,
+    cb = _explode_bands(
+        lsh_bucketed(
+            corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")),
+            "cv", dim,
+        )
     )
-    cond = F.lit(False)
-    for b in range(4):
-        cond = cond | (F.col(f"q.band_{b}") == F.col(f"c.band_{b}"))
     cand = (
-        cb.alias("c")
-        .join(F.broadcast(qb.alias("q")), cond)
+        cb.join(F.broadcast(qb), ["band_idx", "band_val"])
         .where(F.col("vec_id") != F.col("qid"))
+        .dropDuplicates(["qid", "vec_id"])
         .select(
             "qid",
             "vec_id",
@@ -194,22 +238,34 @@ def embedding_near_dups(
     dim: int = 64,
 ) -> DataFrame:
     """Near-duplicate vector pairs (exact decimal L2^2 <= max_dist2),
-    candidates generated by shared LSH bands (id_a < id_b)."""
-    b = lsh_bucketed(df.select(id_col, vec_col), vec_col, dim)
-    a1, a2 = b.alias("a"), b.alias("b")
-    cond = F.lit(False)
-    for i in range(4):
-        cond = cond | (F.col(f"a.band_{i}") == F.col(f"b.band_{i}"))
-    cond = cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    candidates generated by shared LSH bands (id_a < id_b).
+
+    Self-equi-join on exploded (band_idx, band_val) — hash-partitioned,
+    never nested-loop; pairs dedup BEFORE the exact distance so each
+    candidate pair pays for one decimal L2, not one per shared band.
+    Bands are 16-bit (64 planes / 4 bands): near-identical vectors still
+    collide with probability ~1, while random pairs land in ~65k buckets
+    per band, keeping the O(sum bucket^2) candidate count linear-ish in
+    corpus size."""
+    b = _explode_bands(
+        lsh_bucketed(df.select(id_col, vec_col), vec_col, dim, num_planes=64)
+    )
+    a1 = b.select(
+        "band_idx", "band_val",
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+    )
+    a2 = b.select(
+        "band_idx", "band_val",
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+    )
     return (
-        a1.join(a2, cond)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            l2_sq(_dec(F.col(f"a.{vec_col}")), _dec(F.col(f"b.{vec_col}")))
-            .alias("d2"),
-        )
+        a1.join(a2, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a", "id_b",
+            l2_sq(_dec(F.col("va")), _dec(F.col("vb"))).alias("d2"),
+        )
         .where(F.col("d2") <= F.lit(max_dist2).cast(T.DecimalType(30, 20)))
         .select("id_a", "id_b", F.round(F.col("d2"), 12).cast("double").alias("dist2"))
     )
