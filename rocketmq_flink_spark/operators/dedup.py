@@ -58,13 +58,18 @@ def exact_dedup(
     )
 
 
-def word_shingles(text_col: str, k: int = 5) -> Column:
-    """Distinct word k-shingles of normalize_text(text)."""
-    toks = f"split({normalize_sql(text_col)}, '\\\\s+')"
-    return F.expr(
-        f"array_distinct(transform("
-        f"  sequence(0, greatest(size({toks}) - {k}, 0)),"
-        f"  i -> concat_ws(' ', slice({toks}, i + 1, {k}))))"
+def word_shingles(toks_col: Column, k: int = 5) -> Column:
+    """Distinct word k-shingles from a TOKENS column.
+
+    Takes an already-projected token array, not the raw text: inlining
+    the split+regex normalization into the transform lambda would make
+    Catalyst re-evaluate it per shingle index — O(tokens^2) regex work
+    per document (it dominated the whole shingling stage when measured)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks_col) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks_col, i + 1, F.lit(k))),
+        )
     )
 
 
@@ -83,8 +88,9 @@ def exploded_shingles(
     """(id, shingle) pairs; optionally drops shingles whose document
     frequency exceeds max_doc_freq (stop-shingle blocking — prevents
     O(d^2) pair blowup on hot shingles at scale)."""
-    out = df.select(
-        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("sh")
+    toks = F.split(F.expr(normalize_sql(text_col)), r"\s+")
+    out = df.select(F.col(id_col).alias("doc"), toks.alias("_toks")).select(
+        "doc", F.explode(word_shingles(F.col("_toks"), k)).alias("sh")
     )
     if max_doc_freq is not None:
         rare = (
