@@ -176,6 +176,9 @@ def minhash_lsh_pairs(
     estimator); pairs below threshold are dropped."""
     num_hashes = 64
     rows_per = num_hashes // bands
+    # cache: the banded self-join would recompute the signature
+    # aggregation per alias (K longs per doc cached)
+    signatures = signatures.cache()
     banded = signatures.select(
         F.col(id_col).alias("doc"),
         F.col("sig"),
@@ -295,6 +298,10 @@ def simhash_near_pairs(
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     mask = (1 << width) - 1
+    # materialize before the self-join: both aliases would otherwise
+    # recompute the 64-bit-sum aggregation (one long per doc cached —
+    # ~8 bytes/doc cluster-wide, fine at any corpus size)
+    fingerprints = fingerprints.cache()
     chunks = fingerprints.select(
         F.col(id_col).alias("doc"),
         F.col("simhash"),

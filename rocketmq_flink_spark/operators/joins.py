@@ -60,3 +60,39 @@ def asof_join(
     for o in out_vals:
         unioned = unioned.withColumn(o, F.last(F.col(o), ignorenulls=True).over(w))
     return unioned.where(F.col("_is_left") == 1).drop("_t", "_is_left")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join with key salting for skewed keys.
+
+    The hot-key problem: one giant key hashes every matching row into a
+    single reducer, so one task runs while the cluster idles. Salting
+    splits each left key into `salt` sub-keys and replicates the right
+    side once per sub-key — the hot key's rows spread over `salt` tasks.
+
+    Use when AQE skew-join splitting isn't enough (it splits oversized
+    partitions, not a single oversized KEY GROUP — a join key with half
+    the table still lands in one group). Cost: right side duplicated
+    `salt` times, so keep the right side the small one. Salting is
+    crc32-deterministic, no UDFs, and composes with broadcast when the
+    replicated right side still fits.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lsalt = (
+        F.crc32(F.concat_ws("\x00", *[F.col(k).cast("string") for k in keys],
+                            F.monotonically_increasing_id().cast("string")))
+        % salt
+    ).cast("int")
+    l2 = left.withColumn("_salt", lsalt)
+    r2 = right.crossJoin(
+        F.broadcast(
+            left.sparkSession.range(salt).select(F.col("id").cast("int").alias("_salt"))
+        )
+    )
+    return l2.join(r2, [*keys, "_salt"], how).drop("_salt")

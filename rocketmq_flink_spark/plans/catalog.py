@@ -1577,3 +1577,85 @@ def stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(qname)
+
+
+@query(
+    "dirty_data_cut",
+    """
+    SELECT COUNT(*) AS n_rows,
+      CAST(SUM(user_id) AS BIGINT) AS sum_user,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    """,
+)
+def dirty_data_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extra-field CUT strategy (D2 default, lengthCheck=NONE presets
+    SKIP/SKIP/CUT): every body carries one trailing junk field beyond
+    the declared schema; CUT truncates it and every row decodes
+    cleanly — the oracle never sees the junk."""
+    from rocketmq_flink_spark.functions import decode_envelope
+
+    ev = _events_typed(spark, sf_dir)
+    body = F.concat_ws(
+        FD,
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("value").cast("string"),
+        F.lit("junk-extra-field"),
+    )
+    env = ev.select(F.encode(body, "UTF-8").alias("value"))
+    decoded = decode_envelope(
+        env, "event_id BIGINT, user_id BIGINT, value DOUBLE", options={}
+    )
+    return decoded.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("user_id").alias("sum_user"),
+        F.sum(_dec2(F.col("value"))).cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "tag_filter_scan",
+    """
+    SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events WHERE event_type IN ('click', 'view')
+    GROUP BY event_type
+    """,
+)
+def tag_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broker-side tag filter (P1): messages tagged by event_type at
+    write, scan subscribes 'click || view' — the filter runs inside the
+    source's read() before rows reach Spark, like consumer.pull(mq, tag)
+    (RocketMQPartitionSplitReader.java:161-163)."""
+    import tempfile
+
+    from rocketmq_flink_spark.functions import decode_envelope, encode_rows
+    from rocketmq_flink_spark.sources.datasource import register
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="broker_tag_")
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "event_type"
+    )
+    env = encode_rows(
+        ev,
+        options={
+            "keyColumns": "event_id",
+            "writeKeysToBody": "true",
+            "isDynamicTag": "true",
+            "dynamicTagColumn": "event_type",
+            "dynamicTagColumnWriteIncluded": "true",
+        },
+    )
+    env.write.format("rocketmq").options(
+        path=root, topic="tagged", numQueues=4
+    ).mode("append").save()
+    raw = (
+        spark.read.format("rocketmq")
+        .options(path=root, topic="tagged", tag="click || view")
+        .load()
+    )
+    decoded = decode_envelope(raw, "event_id BIGINT, event_type STRING")
+    return decoded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("sum_id")
+    )

@@ -144,3 +144,27 @@ def test_multimodal_stub_and_features(spark, docs):
     sampled = M.frame_sample(media, every_n=4)
     r = sampled.where(F.col("media_id") == 0).orderBy("chunk_idx").collect()
     assert [row.chunk_idx for row in r] == list(range(0, (len(r) - 1) * 4 + 1, 4))
+
+
+def test_salted_join_matches_plain_join(spark):
+    from rocketmq_flink_spark.operators.joins import salted_join
+    from rocketmq_flink_spark.session import load_tables
+
+    li = load_tables(spark, "/root/testdata/sf0.001")["lineitem"].select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load_tables(spark, "/root/testdata/sf0.001")["orders"].select(
+        "o_orderkey", "o_custkey"
+    )
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_quantity", "o_custkey"
+    )
+    salted = salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        orders.withColumnRenamed("o_orderkey", "k"),
+        on="k",
+        salt=8,
+    ).select(F.col("k").alias("l_orderkey"), "l_quantity", "o_custkey")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
