@@ -1,7 +1,8 @@
 """Similarity search over embedding columns (array<float>).
 
-Brute-force exact kNN as the correctness baseline, random-hyperplane
-LSH as the scale path, plus embedding near-duplicate detection.
+Brute-force exact kNN (L2 and cosine) as the correctness baseline, with
+two scale paths — random-hyperplane LSH banding and IVF (inverted-file
+centroid cells) — plus embedding near-duplicate detection.
 
 Numerics: distances are computed in DECIMAL, not double. Float32
 inputs cast to DECIMAL(12,10) round identically in every engine (an
@@ -322,4 +323,133 @@ def knn_cosine(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("qid", "vec_id", "cos_sim", "rank")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    iters: int = 2,
+) -> list[list[float]]:
+    """Deterministic IVF centroid training (distributed Lloyd steps).
+
+    Init: the n_centroids vectors with the smallest xxhash64(id) — a
+    deterministic uniform sample computed with one top-k, no RNG state.
+    Refinement: `iters` Lloyd iterations; assignment is a vectorized
+    numpy argmin per Arrow batch, the mean-update is a groupBy over
+    (centroid, dim) partial sums. Only the centroid table (n_centroids x
+    dim floats — model parameters, not data) ever reaches the driver.
+    """
+    seed_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", F.xxhash64(F.col(id_col)))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [list(r[vec_col]) for r in seed_rows]
+
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, centroids, vec_col)
+        sums = (
+            assigned.select(
+                "_centroid", F.posexplode(F.col(vec_col)).alias("_d", "_x")
+            )
+            .groupBy("_centroid", "_d")
+            .agg(F.sum("_x").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        dim = len(centroids[0])
+        acc = {}
+        for r in sums:
+            acc.setdefault(r._centroid, [[0.0] * dim, 0])
+            acc[r._centroid][0][r._d] = r.s
+            acc[r._centroid][1] = r.c
+        centroids = [
+            [v / max(cnt, 1) for v in vec] if cnt else centroids[ci]
+            for ci, (vec, cnt) in (
+                (i, acc.get(i, ([0.0] * dim, 0))) for i in range(len(centroids))
+            )
+        ]
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach `_centroid` = argmin L2 over the centroid table (one numpy
+    matmul per Arrow batch; centroids broadcast in the udf closure)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.array(centroids)  # (C, dim)
+    c_norm2 = (cents * cents).sum(axis=1)
+
+    @pandas_udf("int")
+    def nearest(v):
+        mat = np.vstack(v.to_numpy())
+        # argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c); ||x||^2 constant per row
+        scores = c_norm2[None, :] - 2.0 * (mat @ cents.T)
+        return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
+
+    return df.withColumn("_centroid", nearest(F.col(vec_col)))
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into centroid cells,
+    each query probes its n_probe nearest cells, exact decimal L2 ranks
+    within the probed candidates.
+
+    Scale shape: the corpus is assigned once (one vectorized pass) and
+    hash-joined on the cell id — candidates per query ~= n_probe/C of
+    the corpus. Raising n_probe trades cost for recall; n_probe = C is
+    exact search. Centroids are model parameters (C x dim), broadcast.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    centroids = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    cents = np.array(centroids)
+    c_norm2 = (cents * cents).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def probe_cells(v):
+        mat = np.vstack(v.to_numpy())
+        scores = c_norm2[None, :] - 2.0 * (mat @ cents.T)
+        order = np.argsort(scores, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).withColumn("_centroid", F.explode(probe_cells(F.col("qv"))))
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")),
+        centroids,
+        "cv",
+    )
+    cand = (
+        c.join(F.broadcast(q), "_centroid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", l2_sq(_dec(F.col("qv")), _dec(F.col("cv"))).alias("d2"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid", "vec_id",
+            F.round(F.col("d2"), 12).cast("double").alias("dist2"), "rank",
+        )
     )

@@ -1659,3 +1659,16 @@ def tag_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("sum_id")
     )
+
+
+@query("ivf_topk", None)
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (rows-only check: centroid training is
+    engine-side numpy). Full-probe degeneration to exact search and
+    recall vs knn_bruteforce are asserted in tests/test_operators.py."""
+    from rocketmq_flink_spark.operators.similarity import ivf_topk
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return ivf_topk(
+        emb.where(F.col("vec_id") < 8), emb, k=5, n_centroids=32, n_probe=8
+    ).orderBy("qid", "rank")

@@ -168,3 +168,22 @@ def test_salted_join_matches_plain_join(spark):
     assert salted.count() == plain.count()
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_ivf_recall_vs_exact(spark, emb):
+    q = emb.where(F.col("vec_id") < 20)
+    exact = S.knn_bruteforce(q, emb, k=5)
+    ivf = S.ivf_topk(q, emb, k=5, n_centroids=32, n_probe=8)
+    e = {(r.qid, r.vec_id) for r in exact.collect()}
+    a = {(r.qid, r.vec_id) for r in ivf.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_full_probe_is_exact(spark, emb):
+    q = emb.where(F.col("vec_id") < 5)
+    exact = S.knn_bruteforce(q, emb, k=5)
+    ivf = S.ivf_topk(q, emb, k=5, n_centroids=16, n_probe=16)
+    e = {(r.qid, r.rank, r.vec_id) for r in exact.collect()}
+    a = {(r.qid, r.rank, r.vec_id) for r in ivf.collect()}
+    assert e == a  # probing every cell degenerates to exact search
