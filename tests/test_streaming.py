@@ -349,3 +349,60 @@ def test_stateful_sessionization_via_broker(spark, broker_root, event_topic, tmp
     )
     assert got.count() == expect.count() > 0
     assert got.exceptAll(expect).count() == 0
+
+
+def test_stream_stream_interval_join(spark, broker_root, event_topic, tmp_path):
+    """Stream-stream interval join (SURVEY §2.5): purchases joined to the
+    same user's clicks within the preceding 30 minutes, both sides read
+    from the broker source with watermarks; verified against the batch
+    range join on the same data."""
+    decoded = _stream_decoded(spark, broker_root, event_topic)
+    clicks = (
+        decoded.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("born_ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 minute")
+    )
+    purchases = (
+        _stream_decoded(spark, broker_root, event_topic)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("born_ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 minute")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND click_ts BETWEEN purchase_ts - INTERVAL 30 MINUTES"
+            " AND purchase_ts"
+        ),
+    ).select("purchase_id", "click_id")
+    _run_to_memory(joined, "ssjoin_out", tmp_path)
+    got = spark.table("ssjoin_out")
+
+    ev = load_tables(spark, SF)["events"]
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    expect = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    ).select("purchase_id", "click_id")
+    assert got.count() == expect.count() > 0
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
