@@ -84,3 +84,44 @@ def fingerprint(text_col: str) -> Column:
     from rocketmq_flink_spark.operators.dedup import normalize_sql
 
     return F.md5(F.expr(normalize_sql(text_col)))
+
+
+# GPT-2-style pretokenizer pattern (public: the regex from the GPT-2 BPE
+# paper/code), minus possessive-quantifier syntax Java/RE2 lack:
+# contractions, letter runs (with optional leading space), digit runs,
+# non-space-non-alnum punctuation runs, whitespace runs.
+BPE_PRETOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_pretoken_count(text_col: str) -> Column:
+    """BPE-ish token count: number of GPT-2-style pretokens, excluding
+    pure-whitespace matches. A practical "how many tokens will the
+    tokenizer see" estimator that runs as one JVM-side regexp per row —
+    the real BPE merge table isn't needed for counting pretokens."""
+    return F.size(
+        F.filter(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), F.lit(0)),
+            lambda t: ~t.rlike(r"^\s+$"),
+        )
+    )
+
+
+def rolling_hash_fingerprint(text_col: str, window: int = 8) -> Column:
+    """Winnowing-style rolling fingerprint: min xxhash64 over the
+    character k-gram windows of the normalized text. A single-value
+    document sketch that is robust to content reordering at the edges
+    (complements the exact md5 fingerprint)."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    norm = F.expr(normalize_sql(text_col))
+    grams = F.transform(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.length(norm) - window + 1, F.lit(1)),
+        ),
+        lambda i: F.xxhash64(norm.substr(i, F.lit(window))),
+    )
+    return F.array_min(grams)

@@ -1672,3 +1672,55 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb.where(F.col("vec_id") < 8), emb, k=5, n_centroids=32, n_probe=8
     ).orderBy("qid", "rank")
+
+
+@query(
+    "bpe_token_stats",
+    r"""
+    WITH t AS (
+      SELECT source,
+             len(list_filter(
+               regexp_extract_all(text,
+                 '''s|''t|''re|''ve|''m|''ll|''d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'),
+               x -> NOT regexp_matches(x, '^\s+$'))) AS n_tok
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_pretokens,
+           MIN(n_tok) AS min_pretokens, MAX(n_tok) AS max_pretokens
+    FROM t GROUP BY source
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (GPT-2 pretokenizer regex, whitespace
+    matches excluded) aggregated per source — one JVM-side regexp pass;
+    the oracle replays the identical RE2-compatible pattern."""
+    from rocketmq_flink_spark.operators.text import bpe_pretoken_count
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select("source", bpe_pretoken_count("text").alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_pretokens"),
+            F.min("n_tok").alias("min_pretokens"),
+            F.max("n_tok").alias("max_pretokens"),
+        )
+    )
+
+
+@query("rolling_fingerprint_docs", None)
+def rolling_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprints (min xxhash64 over
+    8-char windows of normalized text) — rows-only check (xxhash64 is
+    engine-side); stability asserted in tests."""
+    from rocketmq_flink_spark.operators.text import rolling_hash_fingerprint
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select(
+            "doc_id", rolling_hash_fingerprint("text").alias("rfp")
+        )
+        .orderBy("doc_id")
+    )

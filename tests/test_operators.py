@@ -187,3 +187,40 @@ def test_ivf_full_probe_is_exact(spark, emb):
     e = {(r.qid, r.rank, r.vec_id) for r in exact.collect()}
     a = {(r.qid, r.rank, r.vec_id) for r in ivf.collect()}
     assert e == a  # probing every cell degenerates to exact search
+
+
+def test_bpe_pretoken_count_examples(spark):
+    from rocketmq_flink_spark.operators.text import bpe_pretoken_count
+
+    rows = spark.createDataFrame(
+        [
+            ("Hello, world!",),   # Hello | , | _world | !
+            ("it's 2026",),       # it | 's | _2026
+            ("",),
+            ("   ",),
+            ("a b c",),           # a | _b | _c
+        ],
+        "text STRING",
+    ).select(bpe_pretoken_count("text").alias("n")).collect()
+    assert [r.n for r in rows] == [4, 3, 0, 0, 3]
+
+
+def test_rolling_fingerprint_deterministic_and_near_dup_stable(spark, docs):
+    from rocketmq_flink_spark.operators.text import rolling_hash_fingerprint
+
+    a = docs.select("doc_id", rolling_hash_fingerprint("text").alias("f"))
+    b = docs.select("doc_id", rolling_hash_fingerprint("text").alias("f"))
+    assert a.exceptAll(b).count() == 0  # deterministic across runs
+    # the fixture is word-salad over a small shared vocabulary, so many
+    # docs share their minimal 8-gram — the sketch still separates dozens
+    # of groups (real corpora with distinct content separate far more)
+    n = docs.count()
+    assert a.select("f").distinct().count() > 50
+    # a small tail edit keeps the min-window sketch with high probability
+    edited = docs.withColumn("text2", F.concat(F.col("text"), F.lit(" zz")))
+    e = edited.select(
+        "doc_id", rolling_hash_fingerprint("text2").alias("f2")
+    )
+    joined = a.join(e, "doc_id")
+    same = joined.where(F.col("f") == F.col("f2")).count()
+    assert same > n * 0.8, f"sketch not edit-robust: {same}/{n}"
