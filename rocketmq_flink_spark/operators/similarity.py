@@ -345,11 +345,54 @@ def knn_cosine(
             lambda acc, x: (acc + x).cast(acc_t),
         )
 
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # double-precision prefilter (same margin-superset argument as
+    # knn_bruteforce: double cosine is within ~1e-14 of exact, so keeping
+    # everything within 1e-9 of the k-th best provably contains the true
+    # top-k); exact decimal arithmetic re-ranks only the survivors.
+    margin = 1e-9
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qids_l = [r[id_col] for r in q_rows]
+    qmat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    qunit = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qid_arr = F.array(*[F.lit(i) for i in qids_l])
+
+    @pandas_udf("array<double>")
+    def cos_all(v):
+        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        return pd.Series(list(unit @ qunit.T))
+
+    pre = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+        .withColumn("_cs", cos_all(F.col("cvec")))
+        .select(
+            "vec_id", "cvec", F.posexplode(F.col("_cs")).alias("_qpos", "_cosd")
+        )
+        .select(
+            F.element_at(qid_arr, F.col("_qpos") + 1).alias("qid"),
+            "vec_id", "cvec", "_cosd",
+        )
+        .where(F.col("vec_id") != F.col("qid"))
+    )
+    wq = Window.partitionBy("qid")
+    wd = wq.orderBy(F.col("_cosd").desc(), F.col("vec_id"))
+    kept = (
+        pre.withColumn("_rn", F.row_number().over(wd))
+        .withColumn(
+            "_kth", F.min(F.when(F.col("_rn") <= k, F.col("_cosd"))).over(wq)
+        )
+        .where(F.col("_cosd") >= F.col("_kth") - margin)
+    )
+
     q = queries.select(
         F.col(id_col).alias("qid"), _dec(F.col(vec_col)).alias("qv")
     ).withColumn("qn2", dot_dec(F.col("qv"), F.col("qv")))
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), _dec(F.col(vec_col)).alias("cv")
+    c = kept.select(
+        "qid", "vec_id", _dec(F.col("cvec")).alias("cv")
     ).withColumn("cn2", dot_dec(F.col("cv"), F.col("cv")))
     # round in decimal space before the double cast (12 digits ≈ 40 bits
     # of fraction) so both engines convert the identical exact value —
@@ -361,10 +404,8 @@ def knn_cosine(
             * F.sqrt(F.round(F.col("cn2"), 12).cast("double"))
         )
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", cos.alias("cos_sim"))
+    scored = c.join(F.broadcast(q), "qid").select(
+        "qid", "vec_id", cos.alias("cos_sim")
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (

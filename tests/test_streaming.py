@@ -406,3 +406,29 @@ def test_stream_stream_interval_join(spark, broker_root, event_topic, tmp_path):
     assert got.count() == expect.count() > 0
     assert got.exceptAll(expect).count() == 0
     assert expect.exceptAll(got).count() == 0
+
+
+def test_stream_static_dimension_join(spark, broker_root, event_topic, tmp_path):
+    """Stream-static join (SURVEY §2.5): the event stream enriched with a
+    static dimension (user -> nation via customer), broadcast per
+    microbatch; verified against the batch join."""
+    static_dim = (
+        load_tables(spark, SF)["customer"]
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+    )
+    stream = _stream_decoded(spark, broker_root, event_topic)
+    enriched = (
+        stream.join(F.broadcast(static_dim), "user_id", "left")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _run_to_memory(enriched, "ssdim_out", tmp_path, output_mode="complete")
+    got = spark.table("ssdim_out")
+    expect = (
+        load_tables(spark, SF)["events"]
+        .join(F.broadcast(static_dim), "user_id", "left")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
