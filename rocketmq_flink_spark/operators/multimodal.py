@@ -99,3 +99,29 @@ def frame_sample(df: DataFrame, every_n: int = 4) -> DataFrame:
             F.expr("substr(payload, chunk_idx * 256 + 1, 256)").alias("chunk"),
         )
     )
+
+
+def resize_media(df: DataFrame, factor: int = 4) -> DataFrame:
+    """'Resize' for binary media — STUB decode, real plumbing.
+
+    A real implementation decodes pixels, resamples, re-encodes (codec
+    libraries unavailable here); the deterministic stand-in keeps every
+    factor-th byte, preserving the exact pipeline shape: binary in,
+    smaller binary out, one vectorized mapInPandas hop, metadata updated
+    with the resize factor."""
+    from collections.abc import Iterator
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [
+                bytes(bytes(p)[::factor]) if p is not None else None
+                for p in pdf["payload"]
+            ]
+            out["meta"] = [
+                {**(dict(m) if m is not None else {}), "resize_factor": str(factor)}
+                for m in pdf["meta"]
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -1724,3 +1724,81 @@ def rolling_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted to the fixture's columns: returned-item
+    orders instead of late-commit) — EXISTS subquery as a left-semi join (Catalyst
+    plans the decorrelation; semi join broadcasts/hashes like any
+    equi-join, no row duplication from multi-match lineitems)."""
+    t = load_tables(spark, sf_dir)
+    late = t["lineitem"].where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        t["orders"]
+        .where(
+            (F.col("o_orderdate") >= "1997-07-01")
+            & (F.col("o_orderdate") < "1997-10-01")
+        )
+        .join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    WITH caps AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+             COUNT(*) AS c
+      FROM lineitem GROUP BY 1
+    )
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / 7.0, 6) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN caps ON pk = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND 5 * CAST(l_quantity AS DECIMAL(12,2)) * c < sq
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery expressed as a
+    per-part aggregate joined back (Catalyst's decorrelation of the SQL
+    form). The `qty < 0.2*avg` threshold is cross-multiplied to
+    `5*qty*count < sum` so the comparison stays in exact decimal/integer
+    arithmetic — no engine-specific average rounding at the boundary."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    part = t["part"].where(F.col("p_brand") == "Brand#13").select("p_partkey")
+    caps = li.groupBy("l_partkey").agg(
+        F.sum(_dec2(F.col("l_quantity"))).alias("sq"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    filtered = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(caps, "l_partkey")
+        .where(F.lit(5) * _dec2(F.col("l_quantity")) * F.col("c") < F.col("sq"))
+    )
+    return filtered.agg(
+        F.round(
+            F.sum(_dec2(F.col("l_extendedprice"))).cast("double") / 7.0, 6
+        ).alias("avg_yearly")
+    )

@@ -224,3 +224,22 @@ def test_rolling_fingerprint_deterministic_and_near_dup_stable(spark, docs):
     joined = a.join(e, "doc_id")
     same = joined.where(F.col("f") == F.col("f2")).count()
     assert same > n * 0.8, f"sketch not edit-robust: {same}/{n}"
+
+
+def test_resize_media_stub(spark, docs):
+    from rocketmq_flink_spark.operators.multimodal import attach_media, resize_media
+
+    media = attach_media(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+        "doc_id", "payload", "text/plain",
+    )
+    small = resize_media(media, factor=4)
+    joined = (
+        media.select("media_id", F.octet_length("payload").alias("full"))
+        .join(small.select("media_id", F.octet_length("payload").alias("small"),
+                           F.col("meta")["resize_factor"].alias("rf")), "media_id")
+    )
+    bad = joined.where(
+        (F.col("small") != F.ceil(F.col("full") / 4)) | (F.col("rf") != "4")
+    ).count()
+    assert bad == 0
