@@ -1802,3 +1802,34 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec2(F.col("l_extendedprice"))).cast("double") / 7.0, 6
         ).alias("avg_yearly")
     )
+
+
+@query(
+    "percentiles_by_returnflag",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                 AS DOUBLE), 0.5), 6) AS p50,
+           ROUND(quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                 AS DOUBLE), 0.9), 6) AS p90,
+           quantile_disc(CAST(l_extendedprice AS DECIMAL(12,2)), 0.99) AS p99_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed percentiles (continuous-interpolation p50/p90 +
+    discrete p99) per group. Spark's percentile() is the exact
+    (sort-based) aggregate, not the sketch. Interpolation runs in double
+    in BOTH engines (DuckDB's quantile_cont on DECIMAL rounds the
+    midpoint to the input scale); the discrete p99 stays decimal."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    price = _dec2(F.col("l_extendedprice"))
+    price_d = price.cast("double")  # interpolate in double in BOTH engines
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(price_d, F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(price_d, F.lit(0.9)), 6).alias("p90"),
+        F.expr(
+            "percentile_disc(0.99) WITHIN GROUP (ORDER BY"
+            " CAST(l_extendedprice AS DECIMAL(12,2)))"
+        ).alias("p99_disc"),
+    )
