@@ -12,19 +12,19 @@ are bit-identical between Spark and any SQL oracle. This is what makes
 ANN/kNN results hash-checkable.
 
 Scale design:
-- knn_bruteforce: corpus scanned once per query batch via broadcast
-  cross join; O(|Q| * |C|) compute but ONE pass over the corpus, no
-  shuffle of the corpus itself. Top-k per query via ranking window on
-  the (small) |Q| x |C| result — at 100 TB you shard the corpus and
-  take per-shard top-k before the final merge (AQE handles the
-  two-level TakeOrdered automatically here).
-- lsh buckets: 16 hyperplane signs -> 4 bands of 4 bits; candidates
-  join on band values, exact distance only within buckets.
+- knn_bruteforce / knn_cosine: ONE corpus pass, no corpus shuffle — a
+  vectorized numpy prefilter (one matmul per Arrow batch) bounds the
+  candidates per query, then the exact decimal math re-ranks survivors.
+- LSH: hyperplane-sign bands, exploded to (band_idx, band_val) rows so
+  candidate generation is a hash equi-join (never a nested loop); band
+  width is the recall/bucket-size dial (narrow for few-query top-k,
+  16-bit for corpus self-joins).
+- IVF: centroid cells trained with deterministic seeds + distributed
+  Lloyd steps; queries probe n_probe cells; n_probe = #cells is exact.
 """
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
