@@ -432,3 +432,77 @@ def test_stream_static_dimension_join(spark, broker_root, event_topic, tmp_path)
     )
     assert got.exceptAll(expect).count() == 0
     assert expect.exceptAll(got).count() == 0
+
+
+def test_update_mode_agg_through_foreach_batch_sink(
+    spark, broker_root, event_topic, tmp_path
+):
+    """P6 scenario: an update-mode aggregation written to the message log
+    via foreachBatch. Spark update-mode output carries no UPDATE_BEFORE
+    rows (the changelog-filter semantic holds by construction); the log
+    receives one append per changed aggregate per epoch, and the LAST
+    record per key equals the batch aggregate."""
+    from pyspark.sql import Window as W
+
+    decoded = _stream_decoded(spark, broker_root, event_topic)
+    agg = decoded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+        .cast("string")
+        .alias("sum_value"),
+    )
+
+    def write_batch(batch_df, batch_id):
+        from rocketmq_flink_spark.functions import encode_rows
+
+        env = encode_rows(
+            batch_df,
+            options={"keyColumns": "event_type", "writeKeysToBody": "true"},
+        )
+        (
+            env.write.format("rocketmq")
+            .mode("append")
+            .options(path=broker_root, topic="t_updates", _epoch=str(batch_id))
+            .save()
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_upd"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    out = (
+        spark.read.format("rocketmq")
+        .options(path=broker_root, topic="t_updates")
+        .load()
+    )
+    decoded_out = decode_envelope(
+        out.select("queue_id", "offset", "value"),
+        "event_type STRING, n BIGINT, sum_value STRING",
+        options={},
+        metadata_columns=["queue_id", "offset"],
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.col("queue_id").desc(), F.col("offset").desc()
+    )
+    latest = (
+        decoded_out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", "n", "sum_value")
+    )
+    expect = (
+        load_tables(spark, SF)["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("string")
+            .alias("sum_value"),
+        )
+    )
+    assert latest.exceptAll(expect).count() == 0
+    assert expect.exceptAll(latest).count() == 0
