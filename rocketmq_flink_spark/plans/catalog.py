@@ -1568,14 +1568,22 @@ def stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withWatermark("ts", "0 seconds")
     sess = sessionize_with_state(typed, "user_id", "ts", "30 minutes")
     qname = f"sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # state-store partition count follows shuffle partitions at query
+    # start; a default-200 session pays ~200 state dirs for a local run —
+    # pin a sane count for the duration of this query, then restore
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(qname)
 
 
