@@ -70,7 +70,10 @@ _CANONICAL = {name.lower(): name for name in KNOWN_OPTIONS}
 DEFAULTS = {
     "tag": "*",
     "encoding": "UTF-8",
-    "fieldDelimiter": "",
+    # the reference defaults fieldDelimiter to ctrl-A (RocketMQOptions.java:55,
+    # OPTIONAL_FIELD_DELIMITER "\\u0001") -- written as an escape here so the
+    # control character is visible in review
+    "fieldDelimiter": "\u0001",
     "lineDelimiter": "\n",
     "lengthCheck": "NONE",
     "startingOffsets": "earliest",
@@ -78,6 +81,8 @@ DEFAULTS = {
     "retryTimes": "10",
     "sleepTimeMs": "5000",
     "numQueues": "8",
+    # reference default true (RocketMQOptions.java:70)
+    "dynamicTagColumnWriteIncluded": "true",
 }
 
 

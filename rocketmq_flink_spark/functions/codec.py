@@ -119,6 +119,13 @@ def decode_envelope(
 
     # Layout 3: delimited text. Split body into lines (multi-line bodies
     # become multiple rows), then each line into fields.
+    if field_delim == "" and len(data_fields) > 1:
+        # an empty regex would split per CHARACTER — silent garbage for
+        # any multi-column schema, so fail loudly instead
+        raise ValueError(
+            "fieldDelimiter resolved to an empty string but the schema has "
+            f"{len(data_fields)} data fields; set a non-empty fieldDelimiter"
+        )
     body = F.decode(F.col("value"), encoding)
     lines = F.split(body, _quote(line_delim))
     exploded = df.select(
@@ -237,6 +244,12 @@ def encode_rows(
         excluded |= set(prop_columns)
 
     body_fields = [f for f in schema.fields if f.name not in excluded]
+    if field_delim == "" and len(body_fields) > 1:
+        raise ValueError(
+            "fieldDelimiter resolved to an empty string but the body has "
+            f"{len(body_fields)} columns; the encoded row could never be "
+            "split back — set a non-empty fieldDelimiter"
+        )
 
     def wire(f: T.StructField) -> Column:
         return F.coalesce(stringify(F.col(f.name), f), F.lit(NULL_SENTINEL))

@@ -106,7 +106,13 @@ def sessionize_with_state(
                 closed["n_events"].append(n)
                 start_us = t
                 n = 0
-            last_us = t
+            # late-but-in-watermark events from a later microbatch can
+            # carry t < last_us; merging with max/min keeps the open
+            # session's bounds monotone instead of moving session_end
+            # backward (which would also set the event-time timeout
+            # before last_event+gap and split a live session)
+            last_us = max(last_us, t)
+            start_us = min(start_us, t) if n > 0 else start_us
             n += 1
 
         state.update((start_us, last_us, n))

@@ -260,8 +260,37 @@ def test_encode_key_and_dynamic_columns(spark):
     assert row.keys == "o1"
     assert row.tags == "hot"
     assert dict(row.props) == {"user": "alice", "item": "iphone 12"}
-    # body excludes key, tag, and property columns -> empty body
-    assert bytes(row.value) == b""
+    # body excludes key and property columns; the dynamic tag column stays
+    # because dynamicTagColumnWriteIncluded defaults TRUE
+    # (reference RocketMQOptions.java:70)
+    assert bytes(row.value) == b"hot"
+
+
+def test_encode_dynamic_tag_excluded_when_not_included(spark):
+    src = spark.createDataFrame(
+        [("a", "hot")], "payload STRING, tagcol STRING"
+    )
+    env = encode_rows(
+        src,
+        options={
+            "topic": "t",
+            "isDynamicTag": "true",
+            "dynamicTagColumn": "tagcol",
+            "dynamicTagColumnWriteIncluded": "false",
+        },
+    )
+    row = env.collect()[0]
+    assert row.tags == "hot"
+    assert bytes(row.value) == b"a"  # tag column excluded from the body
+
+
+def test_decode_rejects_empty_field_delimiter(spark):
+    with pytest.raises(ValueError, match="fieldDelimiter"):
+        decode_envelope(
+            envelope(spark, ["1,2"]),
+            "a INT, b INT",
+            options={"fieldDelimiter": ""},
+        )
 
 
 def test_encode_write_keys_to_body(spark):

@@ -276,3 +276,19 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_asof_join_null_value_in_latest_right_row_survives(spark):
+    from rocketmq_flink_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 5)], "k INT, t INT"
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "old"), (1, 15, None)], "k INT, rt INT, v STRING"
+    )
+    out = asof_join(left, right, "k", "t", "rt", value_cols=["v"])
+    got = {r.t: r.v for r in out.collect()}
+    # t=20 matches the rt=15 row whose value is a REAL NULL -- it must not
+    # fall back to the older 'old' row (ADVICE round 1)
+    assert got == {5: None, 10: "old", 20: None}
