@@ -74,13 +74,14 @@ ARROW_ENVELOPE = pa.schema(
 
 class QueueRange(InputPartition):
     def __init__(self, root: str, topic: str, queue_id: int, start: int, end: int,
-                 tag: str | None):
+                 tag: str | None, sql: str | None = None):
         self.root = root
         self.topic = topic
         self.queue_id = queue_id
         self.start = start
         self.end = end
         self.tag = tag
+        self.sql = sql
 
 
 def _read_partition(part: QueueRange):
@@ -101,6 +102,20 @@ def _read_partition(part: QueueRange):
         tbl = tbl.filter(pc.is_in(tbl.column("tags"), value_set=pa.array(tags)))
         if tbl.num_rows == 0:
             return
+    if part.sql:
+        # SQL92 property filter (P2): the reference broker evaluates the
+        # predicate per message when enablePropertyFilter=true; this
+        # reader IS the broker side of the local simulation, so the
+        # filter runs here, below the DataFrame layer. Compiled once per
+        # partition, evaluated per message like the reference.
+        from rocketmq_flink_spark.functions.sql92 import compile_sql92
+
+        pred = compile_sql92(part.sql)
+        props_rows = tbl.column("props").to_pylist()
+        mask = pa.array([pred(dict(kvs or [])) for kvs in props_rows])
+        tbl = tbl.filter(mask)
+        if tbl.num_rows == 0:
+            return
     n = tbl.num_rows
     arrays = [
         pa.array([part.topic] * n, pa.string()),
@@ -115,6 +130,18 @@ def _read_partition(part: QueueRange):
         tbl.column("body").combine_chunks(),
     ]
     yield pa.RecordBatch.from_arrays(arrays, schema=ARROW_ENVELOPE)
+
+
+def _validated_sql(opts: dict) -> str | None:
+    """Compile-check the SQL92 `sql` option at plan time (factory
+    validation analog) and return it for executor-side evaluation."""
+    sql = opts.get("sql")
+    if not sql:
+        return None
+    from rocketmq_flink_spark.functions.sql92 import compile_sql92
+
+    compile_sql92(sql)  # raises Sql92Error on malformed input
+    return sql
 
 
 def _starting_offsets_spec(opts: dict) -> str:
@@ -177,6 +204,7 @@ class RocketMQBatchReader(DataSourceReader):
         self.root = self.opts["path"]
         self.topic = self.opts["topic"]
         self.tag = self.opts.get("tag", "*")
+        self.sql = _validated_sql(self.opts)
         self.max_records = int(self.opts.get("maxRecordsPerPartition", "500000"))
 
     def partitions(self):
@@ -193,8 +221,11 @@ class RocketMQBatchReader(DataSourceReader):
             else:
                 end = broker.latest_offset(self.topic, q)
             for lo, hi in _chunk(start, max(end, start), self.max_records):
-                parts.append(QueueRange(self.root, self.topic, q, lo, hi, self.tag))
-        return parts or [QueueRange(self.root, self.topic, -1, 0, 0, self.tag)]
+                parts.append(QueueRange(self.root, self.topic, q, lo, hi, self.tag,
+                                        self.sql))
+        return parts or [
+            QueueRange(self.root, self.topic, -1, 0, 0, self.tag, self.sql)
+        ]
 
     def read(self, partition: QueueRange):
         if partition.queue_id < 0:
@@ -213,6 +244,7 @@ class RocketMQStreamReader(DataSourceStreamReader):
         self.root = self.opts["path"]
         self.topic = self.opts["topic"]
         self.tag = self.opts.get("tag", "*")
+        self.sql = _validated_sql(self.opts)
         self.max_records = int(self.opts.get("maxRecordsPerPartition", "500000"))
         self.max_per_trigger = self.opts.get("maxOffsetsPerTrigger")
         self._cursor: dict | None = None  # last end offsets handed to Spark
@@ -281,8 +313,11 @@ class RocketMQStreamReader(DataSourceStreamReader):
             start_off = int(start.get(q_str, 0))
             for lo, hi in _chunk(start_off, max(int(end_off), start_off),
                                  self.max_records):
-                parts.append(QueueRange(self.root, self.topic, q, lo, hi, self.tag))
-        return parts or [QueueRange(self.root, self.topic, -1, 0, 0, self.tag)]
+                parts.append(QueueRange(self.root, self.topic, q, lo, hi, self.tag,
+                                        self.sql))
+        return parts or [
+            QueueRange(self.root, self.topic, -1, 0, 0, self.tag, self.sql)
+        ]
 
     def read(self, partition: QueueRange):
         if partition.queue_id < 0:
