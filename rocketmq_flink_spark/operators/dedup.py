@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def normalize_text(col: Column) -> Column:
@@ -148,14 +149,26 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures: (id, sig array<long>[num_hashes]).
 
-    One explode + ONE aggregation computing all num_hashes minima
-    (xxhash64 with per-permutation seed). Deterministic across runs."""
+    One explode + ONE aggregation computing all num_hashes minima.
+    Hashing is the portable universal family h_j(x) = (a_j*x + b_j) mod
+    (2^31-1) over a 60-bit md5 base hash (functions/porthash.py): ONE
+    md5 per shingle, 64 exact BIGINT multiply-mods — deterministic
+    across runs AND bit-reproducible by the DuckDB oracle, which is what
+    upgrades this operator from rows-only-checked to hash-checked."""
+    from rocketmq_flink_spark.functions.porthash import (
+        affine31,
+        hash31,
+        minhash_coeffs,
+    )
+
     sh = exploded_shingles(df, id_col, text_col, k)
+    base = sh.select("doc", hash31(F.col("sh")).alias("_x"))
+    coeffs = minhash_coeffs(num_hashes)
     aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(j))).alias(f"h{j}")
-        for j in range(num_hashes)
+        F.min(affine31(F.col("_x"), a, b)).alias(f"h{j}")
+        for j, (a, b) in enumerate(coeffs)
     ]
-    sig = sh.groupBy("doc").agg(*aggs)
+    sig = base.groupBy("doc").agg(*aggs)
     return sig.select(
         F.col("doc").alias(id_col),
         F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"),
@@ -171,7 +184,9 @@ def minhash_lsh_pairs(
     """Candidate pairs from LSH banding + signature-estimated Jaccard.
 
     bands=16 over a 64-hash signature -> rows_per_band=4; the s-curve
-    catches jaccard>=~0.5 with high probability. Estimated jaccard =
+    catches jaccard>=~0.5 with high probability. The band key is the
+    ','-joined signature slice itself (a short string) — an equi-join
+    key identical in any engine, no extra hash hop. Estimated jaccard =
     fraction of agreeing signature positions (unbiased MinHash
     estimator); pairs below threshold are dropped."""
     num_hashes = 64
@@ -187,14 +202,12 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig").getItem(b * rows_per + r)
-                                    for r in range(rows_per)
-                                ],
-                            )
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig").getItem(b * rows_per + r)
+                                for r in range(rows_per)
+                            ],
                         ).alias("bh"),
                     )
                     for b in range(bands)
@@ -229,29 +242,84 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterated min-label propagation.
+
+    Returns (id_col, component) where component = min node id in the
+    connected component. Each iteration is one equi-join shuffle + one
+    min aggregation; labels per node decrease monotonically, so the
+    fixpoint test is "did sum(label) stop changing" — a driver-side
+    scalar, no collect of data. Converges in O(component diameter)
+    iterations; dedup graphs are unions of small near-clique groups, so
+    the practical bound is a handful of rounds. (For adversarial
+    long-path graphs at extreme scale, the two-phase large-star/
+    small-star variant [Kiveris et al., "Connected Components in
+    MapReduce"] halves rounds to O(log n); not needed for dedup
+    workloads.) Raises if max_iter rounds don't converge rather than
+    returning silently-partial components."""
+    sym = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).union(
+        edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d"))
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
+    ).cache()
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["_d"] == labels["node"])
+            .groupBy(F.col("_s").alias("nbr_node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["nbr_node"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .cache()
+        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("lbl").cast(T.DecimalType(38, 0)))
+        ).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            return labels.select(F.col("node").alias(id_col),
+                                 F.col("lbl").alias("component"))
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )
+
+
 def minhash_dedup(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7
 ) -> DataFrame:
-    """Near-dup groups: each doc mapped to a representative (min id over
-    its LSH-confirmed neighbors, single-hop). Returns (id, rep_id,
-    is_dup). Single-hop covers pairwise-planted duplication; transitive
-    chains longer than one hop would need iterated propagation."""
+    """Near-dup groups: each doc mapped to the representative of its
+    TRANSITIVE near-dup group (min id over the connected component of
+    the LSH pair graph). Returns (id, rep_id, is_dup). A chain A~B~C
+    where A and C never collide directly still collapses to one
+    representative — what a real corpus-dedup pipeline requires."""
     sigs = minhash_signatures(df, id_col, text_col)
     pairs = minhash_lsh_pairs(sigs, id_col, threshold=threshold)
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    rep = edges.groupBy("src").agg(F.min("dst").alias("min_nbr"))
-    all_ids = df.select(F.col(id_col).alias("src"))
-    return (
-        all_ids.join(rep, "src", "left")
-        .select(
-            F.col("src").alias(id_col),
-            F.least(F.col("src"), F.coalesce(F.col("min_nbr"), F.col("src"))).alias(
-                "rep_id"
-            ),
-        )
-        .withColumn("is_dup", F.col("rep_id") != F.col(id_col))
+    comp = connected_components(
+        df.select(F.col(id_col)), pairs, id_col, "id_a", "id_b"
+    )
+    return comp.select(
+        F.col(id_col),
+        F.col("component").alias("rep_id"),
+        (F.col("component") != F.col(id_col)).alias("is_dup"),
     )
 
 

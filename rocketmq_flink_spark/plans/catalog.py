@@ -949,11 +949,68 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.5)
 
 
-@query("minhash_dedup_groups", None)
+def _minhash_oracle_sql() -> str:
+    """DuckDB replay of the ENTIRE MinHash pipeline: portable 60-bit md5
+    base hash -> universal-family signatures -> banded LSH candidates ->
+    estimator threshold -> transitive closure (recursive CTE). The same
+    (a_j, b_j) literals are inlined here and in the Spark plan."""
+    from rocketmq_flink_spark.functions.porthash import (
+        hash31_sql,
+        minhash_coeffs,
+    )
+
+    coeffs = minhash_coeffs(64)
+    a_lit = "[" + ", ".join(str(a) for a, _ in coeffs) + "]"
+    b_lit = "[" + ", ".join(str(b) for _, b in coeffs) + "]"
+    return f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_DUCK}),
+    hx AS (SELECT doc_id, {hash31_sql('sh')} AS x FROM sh),
+    ab AS (SELECT j, CAST(({a_lit})[j+1] AS BIGINT) AS a,
+                  CAST(({b_lit})[j+1] AS BIGINT) AS b
+           FROM (SELECT unnest(range(64)) AS j)),
+    minh AS (
+      SELECT doc_id, j, MIN((a * x + b) % 2147483647) AS mh
+      FROM hx CROSS JOIN ab GROUP BY doc_id, j
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM minh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, sig, bs.bb AS band,
+             array_to_string(sig[bs.bb*4+1 : bs.bb*4+4], ',') AS bkey
+      FROM sig CROSS JOIN (SELECT unnest(range(16)) AS bb) bs
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                      x.sig AS sa, y.sig AS sb
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      WHERE CAST(list_sum(list_transform(list_zip(sa, sb),
+            p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE)
+            / 64.0 >= 0.7
+    ),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    rep AS (SELECT s AS doc_id, MIN(d) AS m FROM reach GROUP BY s)
+    SELECT d.doc_id,
+           LEAST(d.doc_id, COALESCE(r.m, d.doc_id)) AS rep_id,
+           LEAST(d.doc_id, COALESCE(r.m, d.doc_id)) <> d.doc_id AS is_dup
+    FROM documents d LEFT JOIN rep r ON r.doc_id = d.doc_id
+    """
+
+
+@query("minhash_dedup_groups", _minhash_oracle_sql())
 def minhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) + LSH(16 bands) near-dup groups. Not SQL-expressible
-    (xxhash64 signatures) -> rows-only driver check; recall vs the exact
-    jaccard operator is asserted in tests/test_operators.py."""
+    """MinHash(64, portable universal family) + LSH(16 bands) near-dup
+    groups with TRANSITIVE closure (connected components by min-label
+    propagation). Fully hash-checked: the DuckDB oracle replays the
+    identical hash family, banding, estimator and closure."""
     from rocketmq_flink_spark.operators.dedup import minhash_dedup
 
     docs = load_tables(spark, sf_dir)["documents"]

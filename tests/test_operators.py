@@ -292,3 +292,35 @@ def test_asof_join_null_value_in_latest_right_row_survives(spark):
     # t=20 matches the rt=15 row whose value is a REAL NULL -- it must not
     # fall back to the older 'old' row (ADVICE round 1)
     assert got == {5: None, 10: "old", 20: None}
+
+
+def test_connected_components_chain_and_isolated(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id BIGINT")
+    # chain 1-2-3-4, pair 5-6, isolated 7
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (5, 6)], "src BIGINT, dst BIGINT"
+    )
+    comp = {r.id: r.component
+            for r in D.connected_components(nodes, edges, "id").collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_minhash_dedup_transitive_chain(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest to hide from every hunter")
+    words = base.split()
+    # doc2 mutates the tail, doc3 mutates the head: 1~2 and 2~3 overlap
+    # heavily but 1~3 share fewer shingles (a transitive chain)
+    v1 = " ".join(words)
+    v2 = " ".join(words[:-3] + ["x", "y", "z"])
+    v3 = " ".join(["x", "y", "z"] + words[3:])
+    df = spark.createDataFrame(
+        [(1, v1), (2, v2), (3, v3), (9, "completely different text entirely")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: (r.rep_id, r.is_dup)
+           for r in D.minhash_dedup(df, "doc_id", "text", threshold=0.3).collect()}
+    assert out[1] == (1, False)
+    assert out[2] == (1, True)
+    assert out[3] == (1, True)  # via the chain, not a direct collision
+    assert out[9] == (9, False)
