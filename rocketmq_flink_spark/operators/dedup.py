@@ -19,9 +19,11 @@ Scale design notes
   frequency cap: a stop-shingle appearing in d docs would generate
   O(d^2) candidate pairs, so frequent shingles are dropped from
   candidate generation (standard blocking; threshold configurable).
-- simhash: 64 bit-sums in one aggregation; near-pair search bands the
-  fingerprint into 4x16-bit chunks (pigeonhole: hamming<=3 implies an
-  identical chunk), joins on chunks, verifies with bit_count(xor).
+- simhash: n_bits bit-sums in one aggregation (portable md5-based token
+  hashes -> DuckDB-reproducible); near-pair search bands the fingerprint
+  into max_hamming+1 chunks (pigeonhole-exact recall), joins on chunks,
+  verifies with bit_count(xor); a min-chunk-width guard refuses
+  parameterizations whose bucket count collapses at corpus scale.
 """
 
 from __future__ import annotations
@@ -324,47 +326,77 @@ def minhash_dedup(
 
 
 def simhash_fingerprints(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame, id_col: str, text_col: str, n_bits: int = 60
 ) -> DataFrame:
-    """64-bit SimHash per document from normalized word tokens.
+    """n_bits-wide SimHash per document from normalized word tokens.
 
-    One explode + one aggregation of 64 signed bit-sums; fingerprint
-    reassembled as a long. Deterministic (xxhash64 token hashes)."""
+    One explode + one aggregation: n_bits plain bit-sums
+    (sum((h>>b)&1)) plus a shared token count — bit b of the
+    fingerprint is set iff 2*sum_b > n (strict majority; tie -> 0).
+    Token hashing is the portable 60-bit md5 base hash (ONE md5 per
+    token, projected once before the aggregation), so the whole
+    fingerprint is bit-reproducible by the DuckDB oracle. Default
+    n_bits=60 = the full portable hash width."""
+    from rocketmq_flink_spark.functions.porthash import hash60
+
+    if not 1 <= n_bits <= 60:
+        raise ValueError("n_bits must be in [1, 60] (portable hash width)")
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(
             F.expr(f"split({normalize_sql(text_col)}, '\\\\s+')")
         ).alias("tok"),
     ).where(F.col("tok") != "")
-    h = F.xxhash64(F.col("tok"))
+    hashed = toks.select("doc", hash60(F.col("tok")).alias("_h"))
     bit_aggs = [
         F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)).cast("long")
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(n_bits)
     ]
-    sums = toks.groupBy("doc").agg(*bit_aggs)
+    sums = hashed.groupBy("doc").agg(*bit_aggs, F.count(F.lit(1)).alias("_n"))
     fp = None
-    for b in range(64):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    for b in range(n_bits):
+        bit = (
+            F.when(F.lit(2) * F.col(f"b{b}") > F.col("_n"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
         term = F.shiftleft(bit, b)
         fp = term if fp is None else fp.bitwiseOR(term)
     return sums.select(F.col("doc").alias(id_col), fp.alias("simhash"))
 
 
 def simhash_near_pairs(
-    fingerprints: DataFrame, id_col: str, max_hamming: int = 6
+    fingerprints: DataFrame,
+    id_col: str,
+    max_hamming: int = 6,
+    n_bits: int = 60,
+    min_chunk_bits: int = 8,
 ) -> DataFrame:
     """Pairs with hamming(simhash) <= max_hamming.
 
     Banding is pigeonhole-exact: the fingerprint splits into
     max_hamming+1 chunks, so any pair within the threshold shares at
     least one identical chunk — 100% recall, no tuning. Tradeoff: more
-    chunks -> narrower chunks -> more false candidates per bucket; for
-    web-scale corpora prefer a smaller max_hamming (wider chunks) or an
-    extra prefix-blocking key."""
+    chunks -> narrower chunks -> more false candidates per bucket
+    (O(sum bucket^2) over n_chunks * 2^width buckets). The
+    min_chunk_bits guard makes that dial explicit at the call site: the
+    default refuses chunks under 8 bits (<=256 buckets per chunk — the
+    regime where a web-scale corpus degenerates toward all-pairs);
+    callers on small corpora can lower it deliberately, callers at
+    scale should lower max_hamming or add a prefix-blocking key
+    instead."""
     n_chunks = max_hamming + 1
-    width = 64 // n_chunks
+    width = n_bits // n_chunks
+    if width < min_chunk_bits:
+        raise ValueError(
+            f"chunk width {width} bits ({n_bits} bits / {n_chunks} chunks) "
+            f"is below min_chunk_bits={min_chunk_bits}: bucket count "
+            f"2^{width} per chunk would blow up candidate pairs at scale. "
+            "Lower max_hamming, or pass a smaller min_chunk_bits "
+            "explicitly for a small corpus."
+        )
     mask = (1 << width) - 1
     # materialize before the self-join: both aliases would otherwise
     # recompute the 64-bit-sum aggregation (one long per doc cached —

@@ -109,19 +109,27 @@ def bpe_pretoken_count(text_col: str) -> Column:
     )
 
 
-def rolling_hash_fingerprint(text_col: str, window: int = 8) -> Column:
-    """Winnowing-style rolling fingerprint: min xxhash64 over the
-    character k-gram windows of the normalized text. A single-value
-    document sketch that is robust to content reordering at the edges
-    (complements the exact md5 fingerprint)."""
-    from rocketmq_flink_spark.operators.dedup import normalize_sql
+def rolling_hash_fingerprint(norm_col: Column | str, window: int = 8) -> Column:
+    """Winnowing-style rolling fingerprint: min portable 60-bit hash
+    (functions/porthash.py — DuckDB-reproducible) over the character
+    k-gram windows of ALREADY-NORMALIZED text. A single-value document
+    sketch robust to content reordering at the edges (complements the
+    exact md5 fingerprint).
 
-    norm = F.expr(normalize_sql(text_col))
+    Pass a projected plain column (e.g. select
+    `normalize_text(...).alias("_norm")` first), NOT an inline
+    normalization expression: Catalyst re-evaluates whatever expression
+    tree sits inside the transform() lambda once per window position, so
+    an inlined regex chain turns an O(len) scan into O(len^2) regex
+    work per document."""
+    from rocketmq_flink_spark.functions.porthash import hash60
+
+    norm = F.col(norm_col) if isinstance(norm_col, str) else norm_col
     grams = F.transform(
         F.sequence(
             F.lit(1),
             F.greatest(F.length(norm) - window + 1, F.lit(1)),
         ),
-        lambda i: F.xxhash64(norm.substr(i, F.lit(window))),
+        lambda i: hash60(norm.substr(i, F.lit(window))),
     )
     return F.array_min(grams)

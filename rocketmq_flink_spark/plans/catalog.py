@@ -1017,11 +1017,49 @@ def minhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(docs, "doc_id", "text", threshold=0.7).orderBy("doc_id")
 
 
-@query("simhash_near_pairs", None)
+def _simhash_oracle_sql() -> str:
+    """DuckDB replay of the portable 60-bit SimHash + BRUTE-FORCE pair
+    scan. The Spark side uses pigeonhole-exact banding, which by
+    construction returns exactly the brute-force result — so an oracle
+    match simultaneously proves the fingerprints AND the banding's
+    completeness."""
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    th AS (SELECT doc_id, {hash60_sql('tok')} AS h FROM tk),
+    bits AS (
+      SELECT doc_id, j,
+             CAST(SUM((h >> j) & 1) AS BIGINT) AS s,
+             COUNT(*) AS n
+      FROM th CROSS JOIN (SELECT unnest(range(60)) AS j)
+      GROUP BY doc_id, j
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN 2*s > n THEN (1::BIGINT << j)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """
+
+
+@query("simhash_near_pairs", _simhash_oracle_sql())
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) near-pairs with pigeonhole-exact banding.
-    Rows-only check (xxhash64-based); coverage vs exact jaccard asserted
-    in tests."""
+    """SimHash(60-bit portable) near-pairs with pigeonhole-exact banding
+    (7 chunks of 8 bits for max_hamming=6). Hash-checked: the DuckDB
+    oracle recomputes the fingerprints from the same md5 hash family and
+    brute-forces all pairs — a match proves banding loses nothing."""
     from rocketmq_flink_spark.operators.dedup import (
         simhash_fingerprints,
         simhash_near_pairs,
@@ -1775,18 +1813,35 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("rolling_fingerprint_docs", None)
+def _rolling_fp_oracle_sql() -> str:
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    return f"""
+    WITH n AS (SELECT doc_id, {_NORM_SQL_DUCK} AS norm FROM documents)
+    SELECT doc_id,
+           list_min(list_transform(
+             range(1, greatest(len(norm) - 7, 1) + 1),
+             i -> {hash60_sql("substr(norm, i, 8)")})) AS rfp
+    FROM n
+    """
+
+
+@query("rolling_fingerprint_docs", _rolling_fp_oracle_sql())
 def rolling_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling-hash fingerprints (min xxhash64 over
-    8-char windows of normalized text) — rows-only check (xxhash64 is
-    engine-side); stability asserted in tests."""
+    """Winnowing-style rolling-hash fingerprints (min portable 60-bit
+    hash over 8-char windows of normalized text). Hash-checked: the
+    DuckDB oracle recomputes every window hash. The normalization is
+    projected ONCE before the window transform — inlining it would
+    re-run the regex chain per window position (O(len^2))."""
+    from rocketmq_flink_spark.operators.dedup import normalize_text
     from rocketmq_flink_spark.operators.text import rolling_hash_fingerprint
 
     docs = load_tables(spark, sf_dir)["documents"]
     return (
         docs.select(
-            "doc_id", rolling_hash_fingerprint("text").alias("rfp")
+            "doc_id", normalize_text(F.col("text")).alias("_norm")
         )
+        .select("doc_id", rolling_hash_fingerprint("_norm").alias("rfp"))
         .orderBy("doc_id")
     )
 
