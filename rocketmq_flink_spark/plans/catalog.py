@@ -1100,17 +1100,87 @@ def knn_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(emb.where(F.col("vec_id") < 8), emb, k=5)
 
 
-@query("ann_topk_lsh", None)
+# Planted-ground-truth harness for the approximate-NN queries: three
+# perturbed copies of each query vector (coord 0 + m/1000, m=1..3) are
+# injected into the corpus; their distances (1e-6, 4e-6, 9e-6) are
+# orders of magnitude below any natural neighbor, so the TRUE top-3 is
+# exactly the planted set — DuckDB brute-forces it, and the approximate
+# Spark operator must achieve 100% recall on it to hash-match. This is
+# the strongest oracle an ANN operator admits: it proves the index
+# actually finds what it is designed to find (near-identical vectors),
+# not merely that it runs.
+_ANN_PLANTED_DUCK = """
+    planted AS (
+      SELECT e.vec_id + 10000 * ms.m AS vec_id,
+             list_prepend(
+               CAST(e.embedding[1] + CAST(0.001 * ms.m AS FLOAT) AS FLOAT),
+               e.embedding[2:]) AS embedding
+      FROM embeddings e CROSS JOIN (SELECT unnest([1, 2, 3]) AS m) ms
+      WHERE e.vec_id < 8
+    ),
+    corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL SELECT vec_id, embedding FROM planted
+    ),
+    q AS (SELECT vec_id AS qid,
+                 CAST(CAST(embedding AS DOUBLE[]) AS DECIMAL(12,10)[]) AS qv
+          FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id,
+                 CAST(CAST(embedding AS DOUBLE[]) AS DECIMAL(12,10)[]) AS cv
+          FROM corpus),
+    scored AS (
+      SELECT qid, vec_id,
+             CAST(ROUND(list_sum(list_transform(list_zip(qv, cv),
+                  p -> (p[1]-p[2])*(p[1]-p[2]))), 12) AS DOUBLE) AS dist2
+      FROM q, c WHERE vec_id != qid
+    ),
+    truth AS (
+      SELECT qid, vec_id, dist2, rank FROM (
+        SELECT qid, vec_id, dist2,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, vec_id)
+                 AS rank
+        FROM scored
+      ) WHERE rank <= 3
+    )
+"""
+
+
+def _ann_planted_corpus(spark: SparkSession, sf_dir: str):
+    """Spark twin of the planted-corpus CTE: (queries, corpus)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.where(F.col("vec_id") < 8)
+    parts = [emb.select("vec_id", "embedding")]
+    for m in (1, 2, 3):
+        parts.append(
+            q.select(
+                (F.col("vec_id") + 10000 * m).alias("vec_id"),
+                F.expr(
+                    f"concat(array(CAST(embedding[0] + CAST({0.001 * m}"
+                    " AS FLOAT) AS FLOAT)),"
+                    " slice(embedding, 2, size(embedding) - 1))"
+                ).alias("embedding"),
+            )
+        )
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.union(p)
+    return q, corpus
+
+
+@query(
+    "ann_topk_lsh",
+    f"WITH {_ANN_PLANTED_DUCK} SELECT qid, vec_id, dist2, rank FROM truth",
+)
 def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH buckets (rows-only:
-    bucketing uses engine-side hyperplane dots; recall vs exact kNN is
-    asserted in tests)."""
+    """Approximate top-k via random-hyperplane LSH buckets, verified
+    against planted ground truth: the true top-3 are planted
+    micro-perturbations, which land in the query's LSH buckets with
+    near-certainty — a hash match proves the index finds them all and
+    ranks them with exact decimal distances."""
     from rocketmq_flink_spark.operators.similarity import ann_topk_lsh
 
-    emb = load_tables(spark, sf_dir)["embeddings"]
-    return ann_topk_lsh(emb.where(F.col("vec_id") < 8), emb, k=5).orderBy(
-        "qid", "rank"
-    )
+    q, corpus = _ann_planted_corpus(spark, sf_dir)
+    return ann_topk_lsh(q, corpus, k=3).orderBy("qid", "rank")
 
 
 @query(
@@ -1764,16 +1834,23 @@ def tag_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ivf_topk", None)
+@query(
+    "ivf_topk",
+    f"WITH {_ANN_PLANTED_DUCK} SELECT qid, vec_id, dist2, rank FROM truth",
+)
 def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (rows-only check: centroid training is
-    engine-side numpy). Full-probe degeneration to exact search and
-    recall vs knn_bruteforce are asserted in tests/test_operators.py."""
+    """IVF approximate top-k verified against planted ground truth: the
+    planted micro-perturbations share the query's nearest centroid cell
+    (perturbation 1e-3 vs O(1) centroid spacing), so n_probe=8 must
+    surface all three — a hash match proves cell assignment, probing and
+    exact decimal re-ranking end to end. Centroid training stays
+    engine-side (deterministic seeded Lloyd); the oracle needs none of
+    it, because the check is on what the index RETRIEVES."""
     from rocketmq_flink_spark.operators.similarity import ivf_topk
 
-    emb = load_tables(spark, sf_dir)["embeddings"]
+    q, corpus = _ann_planted_corpus(spark, sf_dir)
     return ivf_topk(
-        emb.where(F.col("vec_id") < 8), emb, k=5, n_centroids=32, n_probe=8
+        q, corpus, k=3, n_centroids=32, n_probe=8
     ).orderBy("qid", "rank")
 
 
