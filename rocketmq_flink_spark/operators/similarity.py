@@ -67,12 +67,48 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def _knn_exact_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact kNN as a distributed join — the fallback when the query set
+    is too large to collect/broadcast. Scores every (query, corpus) pair
+    with the exact decimal L2 (same values/ranks as the broadcast path),
+    so cost is O(|Q| * |C|) pair evaluations spread across the cluster,
+    with NO driver materialization. For large |Q| where that product is
+    prohibitive, use ann_topk_lsh / ivf_topk instead."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), _dec(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _dec(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", l2_sq(F.col("qv"), F.col("cv")).alias("d2"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid", "vec_id",
+            F.round(F.col("d2"), 12).cast("double").alias("dist2"), "rank",
+        )
+    )
+
+
 def knn_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_broadcast_queries: int = 10_000,
 ) -> DataFrame:
     """Exact top-k nearest neighbors (L2) of each query vector.
 
@@ -89,15 +125,20 @@ def knn_bruteforce(
     expensive interpreted decimal fold runs on O(|Q| * k) rows instead of
     O(|Q| * |C|).
 
-    Queries are collected driver-side (model-sized, same assumption as
-    broadcasting them); the corpus is scanned once without shuffling.
+    The query set is collected driver-side ONLY while it is model-sized:
+    above max_broadcast_queries rows the operator switches to the
+    distributed exact-join path (identical output, no driver
+    materialization) instead of OOMing the driver on a mis-sized input.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     margin = 1e-9
-    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    probe = queries.select(F.col(id_col), F.col(vec_col))
+    if probe.limit(max_broadcast_queries + 1).count() > max_broadcast_queries:
+        return _knn_exact_join(queries, corpus, id_col, vec_col, k)
+    q_rows = probe.collect()
     qids = [r[id_col] for r in q_rows]
     qmat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
     qn2 = (qmat * qmat).sum(axis=1)
@@ -320,12 +361,64 @@ def embedding_near_dups(
     )
 
 
+def dot_dec(a: Column, b: Column) -> Column:
+    """Exact decimal dot product (same no-rounding argument as l2_sq)."""
+    acc_t = T.DecimalType(30, 20)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast(acc_t),
+        lambda acc, x: (acc + x).cast(acc_t),
+    )
+
+
+def _cos_expr() -> Column:
+    """cos from exact decimal (qv.cv, qn2, cn2): round each exact value
+    to 12 decimals, then IEEE-double sqrt/mul/div — bit-identical in any
+    engine given identical exact inputs."""
+    return (
+        F.round(dot_dec(F.col("qv"), F.col("cv")), 12).cast("double")
+        / (
+            F.sqrt(F.round(F.col("qn2"), 12).cast("double"))
+            * F.sqrt(F.round(F.col("cn2"), 12).cast("double"))
+        )
+    )
+
+
+def _knn_cosine_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Distributed exact-cosine fallback (no driver materialization);
+    identical values/ranks to the broadcast path. O(|Q| * |C|)."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), _dec(F.col(vec_col)).alias("qv")
+    ).withColumn("qn2", dot_dec(F.col("qv"), F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _dec(F.col(vec_col)).alias("cv")
+    ).withColumn("cn2", dot_dec(F.col("cv"), F.col("cv")))
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _cos_expr().alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "vec_id", "cos_sim", "rank")
+    )
+
+
 def knn_cosine(
     queries: DataFrame,
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_broadcast_queries: int = 10_000,
 ) -> DataFrame:
     """Exact top-k by cosine similarity.
 
@@ -334,17 +427,10 @@ def knn_cosine(
     cos = dot / (sqrt(na2) * sqrt(nb2)) runs in IEEE double — sqrt,
     multiply and divide are correctly rounded, so identical exact inputs
     give bit-identical doubles in Spark and any SQL oracle. Same
-    broadcast/no-corpus-shuffle shape as knn_bruteforce.
+    broadcast/no-corpus-shuffle shape as knn_bruteforce, with the same
+    driver guard: query sets above max_broadcast_queries switch to the
+    distributed exact-join path instead of collecting.
     """
-    acc_t = T.DecimalType(30, 20)
-
-    def dot_dec(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast(acc_t),
-            lambda acc, x: (acc + x).cast(acc_t),
-        )
-
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -354,7 +440,10 @@ def knn_cosine(
     # everything within 1e-9 of the k-th best provably contains the true
     # top-k); exact decimal arithmetic re-ranks only the survivors.
     margin = 1e-9
-    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    probe = queries.select(F.col(id_col), F.col(vec_col))
+    if probe.limit(max_broadcast_queries + 1).count() > max_broadcast_queries:
+        return _knn_cosine_join(queries, corpus, id_col, vec_col, k)
+    q_rows = probe.collect()
     qids_l = [r[id_col] for r in q_rows]
     qmat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
     qunit = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -394,18 +483,12 @@ def knn_cosine(
     c = kept.select(
         "qid", "vec_id", _dec(F.col("cvec")).alias("cv")
     ).withColumn("cn2", dot_dec(F.col("cv"), F.col("cv")))
-    # round in decimal space before the double cast (12 digits ≈ 40 bits
-    # of fraction) so both engines convert the identical exact value —
-    # the same trick l2-based operators use for hash parity.
-    cos = (
-        F.round(dot_dec(F.col("qv"), F.col("cv")), 12).cast("double")
-        / (
-            F.sqrt(F.round(F.col("qn2"), 12).cast("double"))
-            * F.sqrt(F.round(F.col("cn2"), 12).cast("double"))
-        )
-    )
+    # _cos_expr rounds in decimal space before the double cast (12
+    # digits ≈ 40 bits of fraction) so both engines convert the
+    # identical exact value — the same trick l2-based operators use for
+    # hash parity.
     scored = c.join(F.broadcast(q), "qid").select(
-        "qid", "vec_id", cos.alias("cos_sim")
+        "qid", "vec_id", _cos_expr().alias("cos_sim")
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (

@@ -350,3 +350,18 @@ def test_simhash_chunk_width_guard(spark, docs):
         D.simhash_near_pairs(fps, "doc_id", max_hamming=9)
     # explicit opt-in for a small corpus works
     D.simhash_near_pairs(fps, "doc_id", max_hamming=9, min_chunk_bits=6).collect()
+
+
+def test_knn_guard_switches_to_join_path_with_identical_results(spark, emb):
+    q = emb.where(F.col("vec_id") < 6)
+    via_broadcast = S.knn_bruteforce(q, emb, k=4)
+    # a tiny threshold forces the distributed exact-join fallback (the
+    # path a 10M-query input would take); results must be identical
+    via_join = S.knn_bruteforce(q, emb, k=4, max_broadcast_queries=2)
+    assert via_join.exceptAll(via_broadcast).count() == 0
+    assert via_broadcast.exceptAll(via_join).count() == 0
+
+    cb = S.knn_cosine(q, emb, k=4)
+    cj = S.knn_cosine(q, emb, k=4, max_broadcast_queries=2)
+    assert cj.exceptAll(cb).count() == 0
+    assert cb.exceptAll(cj).count() == 0
