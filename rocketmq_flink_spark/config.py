@@ -39,6 +39,7 @@ SOURCE_OPTIONS = {
     "maxOffsetsPerTrigger",
     "maxRecordsPerPartition",
     "path",  # broker root dir (local simulation of nameServerAddress)
+    "codec",  # registered codec name (user plug-point, SURVEY.md 2.7)
 }
 
 SINK_OPTIONS = {
@@ -60,6 +61,7 @@ SINK_OPTIONS = {
     "dynamicPropertyColumns",
     "numQueues",
     "path",
+    "codec",
 }
 
 KNOWN_OPTIONS = SOURCE_OPTIONS | SINK_OPTIONS

@@ -21,3 +21,11 @@ from rocketmq_flink_spark.functions.selectors import (  # noqa: F401
     simple_topic_selector,
 )
 from rocketmq_flink_spark.functions.types import coerce_string  # noqa: F401
+from rocketmq_flink_spark.functions.registry import (  # noqa: F401
+    MessageCodec,
+    decode_with,
+    encode_with,
+    get_codec,
+    register_codec,
+    registered_codecs,
+)

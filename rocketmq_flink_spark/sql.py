@@ -43,8 +43,7 @@ def create_table(
     opts = normalize_options(options)
     require(opts, "path", "topic")
     df = spark.read.format("rocketmq").options(**options).load()
-    if schema is not None:
-        df = decode_envelope(df, schema=schema, options=options)
+    df = _apply_codec(df, opts, schema, options)
     df.createOrReplaceTempView(name)
     return df
 
@@ -61,7 +60,21 @@ def create_stream_table(
     opts = normalize_options(options)
     require(opts, "path", "topic")
     df = spark.readStream.format("rocketmq").options(**options).load()
-    if schema is not None:
-        df = decode_envelope(df, schema=schema, options=options)
+    df = _apply_codec(df, opts, schema, options)
     df.createOrReplaceTempView(name)
+    return df
+
+
+def _apply_codec(df: DataFrame, opts, schema, options) -> DataFrame:
+    """Resolve the decode step: a registered codec if the `codec` option
+    names one (the user plug-point, SURVEY.md §2.7 — the
+    KeyValueDeserializationSchema analog), else the default delimited
+    deserializer when a schema is declared, else the raw envelope."""
+    codec_name = opts.get("codec")
+    if codec_name:
+        from rocketmq_flink_spark.functions.registry import get_codec
+
+        return get_codec(codec_name).decode(df, schema=schema, options=options)
+    if schema is not None:
+        return decode_envelope(df, schema=schema, options=options)
     return df
