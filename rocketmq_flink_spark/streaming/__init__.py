@@ -19,6 +19,7 @@ from rocketmq_flink_spark.streaming.ops import (
     streaming_dedup,
     tumbling_window_agg,
     with_event_time,
+    with_processing_time_lag,
 )
 from rocketmq_flink_spark.streaming.sink import write_stream_foreach_batch
 from rocketmq_flink_spark.streaming.stateful import sessionize_with_state
@@ -35,5 +36,6 @@ __all__ = [
     "streaming_dedup",
     "tumbling_window_agg",
     "with_event_time",
+    "with_processing_time_lag",
     "write_stream_foreach_batch",
 ]

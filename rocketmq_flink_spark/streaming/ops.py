@@ -56,6 +56,35 @@ def with_event_time(
     return df.withWatermark(ts_col, max_out_of_orderness)
 
 
+def with_processing_time_lag(
+    df: DataFrame,
+    max_time_lag: str,
+    ts_col: str = "proc_ts",
+) -> DataFrame:
+    """Processing-time-lag watermark approximation (W3,
+    TimeLagWatermarkGenerator.java:29-53: watermark = now - maxTimeLag).
+
+    Spark has no processing-time watermark generator, so this stamps
+    each row with an ingestion timestamp (current_timestamp(), evaluated
+    per microbatch) and declares the watermark on that column: the
+    watermark then trails the max observed processing time by
+    max_time_lag — the reference's semantics, at microbatch granularity.
+
+    Documented divergence from the reference: the lag is measured from
+    the INGESTION batch's wall clock, not from a continuously running
+    timer, so between microbatches the watermark holds still instead of
+    advancing with the clock (Spark watermarks only move when data moves
+    — the same holds for the reference only while messages flow).
+    Punctuated watermarks (W4, PunctuatedAssigner.java:37-48) remain
+    inexpressible: Spark provides no per-record watermark injection;
+    with_event_time(delay=0) on the marker property's timestamp is the
+    closest construction.
+    """
+    return df.withColumn(ts_col, F.current_timestamp()).withWatermark(
+        ts_col, max_time_lag
+    )
+
+
 def _grouped_agg(df, window_col, keys, aggs):
     named = [c.alias(n) if n else c for n, c in aggs.items()] if isinstance(
         aggs, dict
