@@ -2030,3 +2030,649 @@ def percentiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(l_extendedprice AS DECIMAL(12,2)))"
         ).alias("p99_disc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational surface, round 2: the remaining TPC-H query shapes
+# expressible over the fixture schema (no partsupp / commitdate /
+# shipmode columns exist, so Q2/Q4/Q9/Q22 are adapted shapes — each
+# docstring notes the adaptation). All decimal-exact, all oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan + conjunctive filter + 2-aggregate fold; the
+    canonical predicate-pushdown benchmark. Scale: every predicate
+    (shipdate range, discount band, quantity cap) is
+    parquet-pushdown-eligible, no shuffle at all beyond the final
+    single-row fold; discount compared in DECIMAL(4,2) so the band edges
+    are exact in both engines."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    disc = F.col("l_discount").cast(T.DecimalType(4, 2))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & disc.between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec2(F.col("l_extendedprice")) * disc)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by year.
+    Scale: both nation-tagged dimension sides (supplier+n1,
+    customer+n2) broadcast; lineitem shuffles once on l_orderkey to meet
+    orders; the disjunctive nation-pair predicate is applied after the
+    broadcast joins, JVM-side."""
+    t = load_tables(spark, sf_dir)
+    two = F.col("n_name").isin("NATION_1", "NATION_2")
+    supp = F.broadcast(
+        t["supplier"]
+        .join(t["nation"].where(two), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = F.broadcast(
+        t["customer"]
+        .join(t["nation"].where(two), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    ep = _dec2(F.col("l_extendedprice"))
+    disc = F.col("l_discount").cast(T.DecimalType(4, 2))
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(ep * (_one() - disc)).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    WITH vol AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+               AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = n1.n_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share within a region's PROMO-part
+    trade, by order year. Scale: nation/region lookups force-broadcast
+    (fixed cardinality); part/customer are SF-scaled, so their join
+    strategy is left to AQE (broadcast at small SF, shuffle-hash at 100
+    TB); the one big shuffle is lineitem->orders on orderkey; numerator/denominator stay exact DECIMAL until the final
+    double division (rounded, so both engines agree bit-for-bit)."""
+    t = load_tables(spark, sf_dir)
+    amer_nations = (
+        t["nation"]
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "AMERICA")
+        .select(F.col("n_nationkey").alias("cust_nk"))
+    )
+    cust = (
+        t["customer"]
+        .join(F.broadcast(amer_nations), F.col("c_nationkey") == F.col("cust_nk"))
+        .select("c_custkey")
+    )
+    part = t["part"].where(F.col("p_type") == "PROMO").select("p_partkey")
+    supp = F.broadcast(
+        t["supplier"]
+        .join(
+            t["nation"].select("n_nationkey", F.col("n_name").alias("supp_nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    ords = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    ep = _dec2(F.col("l_extendedprice"))
+    disc = F.col("l_discount").cast(T.DecimalType(4, 2))
+    vol = (
+        t["lineitem"]
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (ep * (_one() - disc)).alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast(T.DecimalType(12, 2))
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                .otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS profit
+    FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: the fixture has no partsupp, so profit
+    omits the supplycost term — revenue by supplier nation and ship
+    year over name-matched parts). Scale: supplier+nation broadcast
+    (supplier is the smallest SF-scaled dim); the LIKE-filtered part
+    side is left to AQE; single wide agg over lineitem with no orderkey
+    shuffle at all (orders isn't needed)."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].where(F.col("p_name").like("%red%")).select("p_partkey")
+    supp = F.broadcast(
+        t["supplier"]
+        .join(
+            t["nation"].select("n_nationkey", F.col("n_name").alias("nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    ep = _dec2(F.col("l_extendedprice"))
+    disc = F.col("l_discount").cast(T.DecimalType(4, 2))
+    return (
+        t["lineitem"]
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("l_shipdate").alias("o_year"))
+        .agg(F.sum(ep * (_one() - disc)).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+    FROM customer
+      JOIN orders   ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+             DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by lost revenue on returned items in
+    a quarter. Scale: orders quarter-filter first (pushdown); the
+    per-customer aggregate is tiny after the quarter filter, so AQE
+    broadcasts IT into the customer join (not the other way around);
+    ordering in exact DECIMAL with a custkey tie-break, top-20 via
+    TakeOrderedAndProject — no global sort materialization."""
+    t = load_tables(spark, sf_dir)
+    ords = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = t["lineitem"].where(F.col("l_returnflag") == "R")
+    ep = _dec2(F.col("l_extendedprice"))
+    disc = F.col("l_discount").cast(T.DecimalType(4, 2))
+    cust = t["customer"].join(
+        F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    per_cust = (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(ep * (_one() - disc)).alias("revenue_dec"))
+    )
+    return (
+        per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.desc("revenue_dec"), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey", "c_name",
+            F.col("revenue_dec").cast("double").alias("revenue"),
+            F.col("c_acctbal").cast("double").alias("c_acctbal"), "n_name",
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    WITH counts AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM counts GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: order-count histogram over customers, zero-order
+    customers included via the left join. Scale: two cascaded
+    aggregations; the first shuffles orders on custkey (the natural
+    key), the second is a tiny histogram — classic map-side-combine
+    friendly shape."""
+    t = load_tables(spark, sf_dir)
+    counts = (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT ROUND(
+      100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+      / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+             AS DOUBLE), 6) AS promo_revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo-part revenue share in one month. Scale: the
+    month filter prunes lineitem first; the part join is AQE-planned
+    (lineitem post-filter is one month, part is SF-scaled); single-row
+    conditional aggregate — numerator and denominator exact DECIMAL,
+    one rounded double division at the end."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].select("p_partkey", "p_type")
+    ep = _dec2(F.col("l_extendedprice"))
+    disc = F.col("l_discount").cast(T.DecimalType(4, 2))
+    vol = ep * (_one() - disc)
+    zero = F.lit(0).cast(T.DecimalType(12, 2))
+    return (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+               AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with maximum quarterly revenue — scalar
+    subquery against a derived view. Scale: per-supplier agg shuffles
+    on suppkey; the global max is a 1-row broadcast join (Catalyst
+    plans the scalar subquery as a separate tiny stage); equality is
+    exact DECIMAL so ties surface identically in both engines."""
+    t = load_tables(spark, sf_dir)
+    ep = _dec2(F.col("l_extendedprice"))
+    disc = F.col("l_discount").cast(T.DecimalType(4, 2))
+    rev = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum(ep * (_one() - disc)).alias("total_rev"))
+    ).cache()
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev") == F.col("mx"))
+        .join(t["supplier"], F.col("suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM customer
+      JOIN orders   ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-quantity orders (sum qty > 300) with their
+    customers, top-20 by order value. Scale: the HAVING filter runs on
+    the lineitem-only aggregate BEFORE any join (the classic Q18
+    rewrite) — survivors are rare, so the subsequent orders/customer
+    joins see a tiny left side and AQE broadcasts it; top-20 via
+    TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(_dec2(F.col("l_quantity"))).alias("sum_qty_dec"))
+        .where(F.col("sum_qty_dec") > 300)
+    )
+    return (
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q19_disjunct_revenue",
+    """
+    SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    GROUP BY p_brand
+    """,
+)
+def q19_disjunct_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive (OR-of-ANDs) mixed-table predicate over a
+    join. Scale: Catalyst pushes the derivable per-table residuals
+    (brand IN (...) to part, quantity range union to lineitem) below
+    the join, evaluates the full disjunction after — the join itself
+    stays a plain partkey equi-join either way."""
+    t = load_tables(spark, sf_dir)
+    li, p = t["lineitem"], t["part"]
+    ep = _dec2(F.col("l_extendedprice"))
+    disc = F.col("l_discount").cast(T.DecimalType(4, 2))
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & qty.between(20, 30))
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(ep * (_one() - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q2_best_supplier_per_part",
+    """
+    WITH shippers AS (
+      SELECT DISTINCT l_partkey AS pk, s_suppkey, s_name, s_acctbal
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    ranked AS (
+      SELECT p_partkey, p_name, s_name,
+             CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+             MAX(s_acctbal) OVER (PARTITION BY p_partkey) AS best
+      FROM part JOIN shippers ON pk = p_partkey
+      WHERE p_type = 'STANDARD' AND p_size <= 10
+    )
+    SELECT p_partkey, p_name, s_name, s_acctbal
+    FROM ranked WHERE s_acctbal = best
+    ORDER BY s_acctbal DESC, p_partkey, s_name
+    LIMIT 20
+    """,
+)
+def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp table, so the part-supplier
+    relationship comes from lineitem shipping history, and min
+    supplycost becomes max supplier balance). The correlated-subquery
+    form is expressed as a window max per part — one shuffle on
+    partkey instead of a rewritten self-join. Scale: region/nation
+    broadcast prunes suppliers before the lineitem join; DISTINCT
+    bounds the window input to |part x supplier| pairs."""
+    t = load_tables(spark, sf_dir)
+    eur_supp = F.broadcast(
+        t["supplier"]
+        .join(
+            t["nation"].join(
+                t["region"], F.col("n_regionkey") == F.col("r_regionkey")
+            ).where(F.col("r_name") == "EUROPE").select("n_nationkey"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    parts = t["part"].where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    ).select("p_partkey", "p_name")
+    shippers = (
+        t["lineitem"].select("l_partkey", "l_suppkey")
+        .join(eur_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("pk"), "s_suppkey", "s_name", "s_acctbal"
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("p_partkey")
+    ranked = (
+        parts.join(shippers, F.col("p_partkey") == F.col("pk"))
+        .withColumn("best", F.max("s_acctbal").over(w))
+    )
+    return (
+        ranked.where(F.col("s_acctbal") == F.col("best"))
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_name")
+        .limit(20)
+        .select(
+            "p_partkey", "p_name", "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    """
+    WITH active AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    ),
+    avg_bal AS (
+      SELECT ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(*), 6) AS ab
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n_name,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+      JOIN nation ON n_nationkey = c_nationkey
+    WHERE CAST(c_acctbal AS DOUBLE) > (SELECT ab FROM avg_bal)
+      AND c_custkey NOT IN (SELECT o_custkey FROM active)
+    GROUP BY n_name
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: no phone column, so the country-code
+    IN-list becomes the nation dim and "no orders" becomes "no orders
+    since 2000" — same scalar-subquery + anti-join skeleton). Scale:
+    the scalar average is a 1-row broadcast; the NOT IN is a left-anti
+    join on custkey (null-safe because custkey is non-null); customer
+    shuffles once. The threshold is computed as exact-decimal-sum /
+    count in DOUBLE, rounded to 6dp, in BOTH engines — decimal AVG
+    type rules differ between them, a rounded double comparison does
+    not."""
+    t = load_tables(spark, sf_dir)
+    active = t["orders"].where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey").distinct()
+    bal = _dec2(F.col("c_acctbal"))
+    avg_bal = (
+        t["customer"]
+        .where(F.col("c_acctbal") > 0)
+        .agg(
+            F.round(
+                F.sum(bal).cast("double") / F.count(F.lit(1)), 6
+            ).alias("ab")
+        )
+    )
+    return (
+        t["customer"]
+        .where(F.col("c_acctbal") > 0)
+        .join(F.broadcast(avg_bal), F.col("c_acctbal").cast("double") > F.col("ab"))
+        .join(
+            active, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
