@@ -1,0 +1,124 @@
+"""Training-data pipeline operators: sequence packing, deterministic
+stratified sampling, vocabulary heavy-hitters.
+
+Not in the reference (it is a connector); part of the north-star
+extension surface (BASELINE.json: the operations a large-scale LLM
+training-data pipeline needs on top of dedup/similarity/text analysis).
+
+Scale design notes
+------------------
+- pack_sequences: one window (partitioned by the pack stream key,
+  ordered by doc id) computing a running token total; pack assignment
+  is a closed-form expression over the cumulative sum — no iterative
+  bin-packing state, no driver loop. Each stream packs independently,
+  so parallelism = number of streams; at 100 TB you pre-bucket the
+  stream key (e.g. source x shard) so no single window partition
+  exceeds an executor.
+- stratified_sample: keep/drop is a pure function of (salt, id) via the
+  portable 60-bit md5 hash — reproducible across runs, engines,
+  partitionings, and cluster sizes; no sampling state, no RNG. Rates
+  are expressed in permille per stratum.
+- doc_frequency_topk: explode distinct tokens per doc -> one
+  map-side-combined count agg -> global top-k via TakeOrdered (no full
+  sort). Token set per doc is deduplicated BEFORE the shuffle, so hot
+  tokens cost one row per (doc, token), not per occurrence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rocketmq_flink_spark.functions.porthash import hash60
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    stream_col: str,
+    window_tokens: int,
+) -> DataFrame:
+    """Assign documents to fixed-budget context windows ("packs").
+
+    Documents are taken in deterministic id order within each stream and
+    placed consecutively; a document whose tokens would overflow the
+    running window starts pack floor(cum_before / window_tokens) — the
+    standard cumulative-fill rule (a doc may straddle the boundary; the
+    budget is enforced in expectation, which is what sequence-packing
+    pipelines do before truncation). Adds `pack_id`.
+
+    One shuffle: the window partition on stream_col.
+    """
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col)).over(w)
+    return df.withColumn(
+        "pack_id",
+        F.floor((cum - F.col(tokens_col)) / F.lit(window_tokens)).cast("long"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates_permille: dict[str, int],
+    default_permille: int,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling.
+
+    A row survives iff hash60(salt || ':' || id) % 1000 < rate(stratum).
+    The decision depends only on (salt, id), so reruns, engines and
+    partitionings agree; changing the salt draws an independent sample.
+    Adds nothing; returns the surviving rows.
+    """
+    rate = F.lit(default_permille)
+    for k, v in sorted(rates_permille.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
+    bucket = hash60(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    ) % F.lit(1000).cast("long")
+    return df.where(bucket < rate)
+
+
+def stratified_sample_sql(
+    id_expr: str, strata_expr: str, rates_permille: dict[str, int],
+    default_permille: int, salt: str = "sample",
+) -> str:
+    """The identical survival predicate as DuckDB SQL (oracle twin)."""
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    rate = str(default_permille)
+    for k, v in sorted(rates_permille.items()):
+        rate = f"CASE WHEN {strata_expr} = '{k}' THEN {v} ELSE {rate} END"
+    h = hash60_sql(f"'{salt}:' || CAST({id_expr} AS VARCHAR)")
+    return f"(({h} % 1000) < {rate})"
+
+
+def doc_frequency_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int = 20
+) -> DataFrame:
+    """Top-k tokens by document frequency (tokens deduplicated within
+    each document before counting). Ties broken by token text so the
+    top-k cut is total-ordered. Returns (tok, df)."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(
+                F.split(F.expr(normalize_sql(text_col)), r"\s+")
+            )
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "tok")
+        .limit(k)
+    )

@@ -2676,3 +2676,260 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bal).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytics surface, round 2: grouping sets, exact-moment statistics,
+# distribution windows — the aggregation shapes a warehouse user expects
+# beyond plain GROUP BY (SURVEY.md §2.5 aggregate category).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "grouping_sets_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than rollup/cube, which the catalog
+    already covers): per (flag,status), per flag, and grand total in ONE
+    aggregation pass, with grouping_id() disambiguating NULL-as-group
+    from NULL-as-value. Scale: Spark expands grouping sets into a single
+    Expand + hash-agg — one shuffle regardless of set count."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    ep = _dec2(F.col("l_extendedprice"))
+    disc = F.col("l_discount").cast(T.DecimalType(4, 2))
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(ep * (_one() - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "revenue", "n_items")
+    )
+
+
+@query(
+    "stats_quantity_price_corr",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price,
+           ROUND((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * (n - 1)), 6) AS covar_samp,
+           ROUND(SQRT((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1))), 6) AS stddev_qty
+    FROM m
+    """,
+)
+def stats_quantity_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation / sample covariance / stddev per group,
+    computed from EXACT decimal moments (sums of x, y, x^2, y^2, x*y)
+    with the closed-form combination done in double and rounded. Both
+    engines see identical decimal sums, so the statistics match
+    bit-for-bit — unlike native corr()/stddev(), whose streaming-update
+    order differs per engine/partitioning. Scale: one map-side-combined
+    aggregation pass; the moment trick is how you get deterministic
+    distributed statistics at any partition count."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    x = _dec2(F.col("l_quantity"))
+    y = _dec2(F.col("l_extendedprice"))
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    nd = n.cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag", "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+        F.round((n * sxy - sx * sy) / (nd * (n - F.lit(1))), 6).alias("covar_samp"),
+        F.round(F.sqrt((n * sxx - sx * sx) / (nd * (n - F.lit(1)))), 6).alias("stddev_qty"),
+    )
+
+
+@query(
+    "order_value_deciles",
+    """
+    WITH d AS (
+      SELECT CAST(ntile(10) OVER (ORDER BY CAST(o_totalprice AS DECIMAL(12,2)),
+                             o_orderkey) AS INTEGER) AS decile,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS p
+      FROM orders
+    )
+    SELECT decile, COUNT(*) AS n_orders,
+           CAST(MIN(p) AS DOUBLE) AS lo,
+           CAST(MAX(p) AS DOUBLE) AS hi,
+           CAST(SUM(p) AS DOUBLE) AS total
+    FROM d GROUP BY decile
+    """,
+)
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile boundaries of order value via ntile(10) over a total order
+    (price, then orderkey — ties broken deterministically so both
+    engines assign identical deciles). Scale caveat stated plainly: a
+    global ntile is a single-partition window sort; at 100 TB you'd use
+    approx quantile cutpoints + a bucket join instead — this query is
+    the exact small-table form, the percentile queries cover the
+    distributed form."""
+    o = load_tables(spark, sf_dir)["orders"]
+    from pyspark.sql import Window
+    p = _dec2(F.col("o_totalprice"))
+    w = Window.orderBy(p, F.col("o_orderkey"))
+    return (
+        o.select(F.ntile(10).over(w).alias("decile"), p.alias("p"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("p").cast("double").alias("lo"),
+            F.max("p").cast("double").alias("hi"),
+            F.sum("p").cast("double").alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline, round 2: sequence packing, stratified
+# sampling, vocabulary heavy-hitters (operators/pipeline.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pack_documents",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(list_filter(regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+                 x -> x <> '')) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tok,
+             CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tok) / 512.0) AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT source, pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed GROUP BY source, pack_id
+    """,
+)
+def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents fill 512-token context windows per
+    source stream in deterministic doc_id order (cumulative-fill rule —
+    closed-form over a running sum, no iterative packing state). Scale:
+    one window shuffle on the stream key; streams pack independently,
+    so pre-sharding the key bounds any single partition."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+    from rocketmq_flink_spark.operators.pipeline import pack_sequences
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", "source",
+        F.size(
+            F.filter(
+                F.split(F.expr(normalize_sql("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).cast("long").alias("n_tok"),
+    )
+    packed = pack_sequences(toks, "doc_id", "n_tok", "source", 512)
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def _stratified_oracle_sql() -> str:
+    from rocketmq_flink_spark.operators.pipeline import stratified_sample_sql
+
+    pred = stratified_sample_sql(
+        "doc_id", "lang", {"en": 500, "de": 250}, 100
+    )
+    return f"""
+    SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+    FROM documents WHERE {pred}
+    GROUP BY lang
+    """
+
+
+@query("stratified_sample_docs", _stratified_oracle_sql())
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: survival is a pure function of
+    (salt, doc_id) via the portable md5 hash — en kept at 50%, de at
+    25%, everything else at 10%. Hash-checked: the oracle replays the
+    identical predicate, so the exact surviving id-set is proven, not
+    just the rate. Scale: stateless row filter, no RNG, no
+    coordination; rerunning on any cluster yields the same sample."""
+    from rocketmq_flink_spark.operators.pipeline import stratified_sample
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    kept = stratified_sample(
+        docs, "doc_id", "lang", {"en": 500, "de": 250}, 100
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_kept_ids"),
+    )
+
+
+@query(
+    "heavy_hitter_tokens",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_filter(regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+                           x -> x <> ''))) AS tok
+      FROM documents
+    )
+    SELECT tok, COUNT(*) AS df FROM toks
+    GROUP BY tok ORDER BY df DESC, tok LIMIT 20
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 vocabulary tokens by document frequency. Scale: per-doc
+    token sets deduplicated BEFORE the shuffle (hot tokens cost one row
+    per document, not per occurrence); count agg is map-side combined;
+    the top-20 runs as TakeOrdered, never a global sort."""
+    from rocketmq_flink_spark.operators.pipeline import doc_frequency_topk
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return doc_frequency_topk(docs, "doc_id", "text", k=20)

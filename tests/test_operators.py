@@ -365,3 +365,77 @@ def test_knn_guard_switches_to_join_path_with_identical_results(spark, emb):
     cj = S.knn_cosine(q, emb, k=4, max_broadcast_queries=2)
     assert cj.exceptAll(cb).count() == 0
     assert cb.exceptAll(cj).count() == 0
+
+
+# --- pipeline operators (pack / stratified sample / heavy hitters) ---------
+
+
+def test_pack_sequences_cumulative_rule(spark):
+    from rocketmq_flink_spark.operators import pipeline as PL
+
+    df = spark.createDataFrame(
+        [(1, "a", 300), (2, "a", 300), (3, "a", 300), (4, "a", 50),
+         (5, "b", 600)],
+        "id INT, stream STRING, n_tok INT",
+    )
+    out = {r.id: r.pack_id for r in
+           PL.pack_sequences(df, "id", "n_tok", "stream", 512).collect()}
+    # stream a: cum_before = 0, 300, 600, 900 -> packs 0, 0, 1, 1
+    assert out[1] == 0 and out[2] == 0 and out[3] == 1 and out[4] == 1
+    # stream b packs independently from zero
+    assert out[5] == 0
+
+
+def test_pack_sequences_budget_bound(spark, docs):
+    from rocketmq_flink_spark.operators import pipeline as PL
+
+    toks = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tok"),
+    )
+    packed = PL.pack_sequences(toks, "doc_id", "n_tok", "source", 512)
+    stats = (
+        packed.groupBy("source", "pack_id")
+        .agg(F.sum("n_tok").alias("tot"), F.max("n_tok").alias("mx"))
+        .collect()
+    )
+    # cumulative-fill: a pack never exceeds budget + one straddling doc
+    assert all(r.tot <= 512 + r.mx for r in stats)
+
+
+def test_stratified_sample_deterministic_and_rate(spark, docs):
+    from rocketmq_flink_spark.operators import pipeline as PL
+
+    a = PL.stratified_sample(docs, "doc_id", "lang", {"en": 500}, 100)
+    b = PL.stratified_sample(docs, "doc_id", "lang", {"en": 500}, 100)
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert ids_a == ids_b  # pure function of (salt, id)
+    n_en = docs.where(F.col("lang") == "en").count()
+    kept_en = a.where(F.col("lang") == "en").count()
+    assert abs(kept_en / n_en - 0.5) < 0.15  # md5 uniformity at 50%
+    # different salt -> different (independent) sample
+    c = PL.stratified_sample(docs, "doc_id", "lang", {"en": 500}, 100,
+                             salt="other")
+    ids_c = sorted(r.doc_id for r in c.select("doc_id").collect())
+    assert ids_c != ids_a
+
+
+def test_doc_frequency_topk_matches_bruteforce(spark, docs):
+    from rocketmq_flink_spark.operators import pipeline as PL
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    got = [(r.tok, r.df) for r in
+           PL.doc_frequency_topk(docs, "doc_id", "text", k=5).collect()]
+    brute = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.expr(normalize_sql("text")), r"\s+"))
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("tok").count()
+        .orderBy(F.desc("count"), "tok").limit(5).collect()
+    )
+    assert got == [(r.tok, r["count"]) for r in brute]
