@@ -1056,10 +1056,11 @@ def _simhash_oracle_sql() -> str:
 
 @query("simhash_near_pairs", _simhash_oracle_sql())
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(60-bit portable) near-pairs with pigeonhole-exact banding
-    (7 chunks of 8 bits for max_hamming=6). Hash-checked: the DuckDB
-    oracle recomputes the fingerprints from the same md5 hash family and
-    brute-forces all pairs — a match proves banding loses nothing."""
+    """SimHash(60-bit portable) near-pairs with pigeonhole-exact
+    block-pair indexing (C(8,2)=28 14-bit keys for max_hamming=6 —
+    Manku-style multi-table). Hash-checked: the DuckDB oracle recomputes
+    the fingerprints from the same md5 hash family and brute-forces all
+    pairs — a match proves the index loses nothing."""
     from rocketmq_flink_spark.operators.dedup import (
         simhash_fingerprints,
         simhash_near_pairs,

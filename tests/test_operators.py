@@ -74,7 +74,7 @@ def test_simhash_near_pairs_on_planted(spark, docs):
     wide = {
         (r.id_a, r.id_b)
         for r in D.simhash_near_pairs(
-            fps, "doc_id", max_hamming=11, min_chunk_bits=5
+            fps, "doc_id", max_hamming=11, min_key_bits=8
         ).collect()
     }
     exact = {
@@ -343,13 +343,36 @@ def test_minhash_dedup_transitive_chain(spark):
     assert out[9] == (9, False)
 
 
-def test_simhash_chunk_width_guard(spark, docs):
+def test_simhash_key_width_guard(spark, docs):
     fps = D.simhash_fingerprints(docs.limit(10), "doc_id", "text")
-    # max_hamming=9 -> 10 chunks of 6 bits: refused by the scale guard
-    with pytest.raises(ValueError, match="chunk width"):
-        D.simhash_near_pairs(fps, "doc_id", max_hamming=9)
+    # max_hamming=13 -> 15 blocks of 4 bits -> 8-bit pair keys: refused
+    with pytest.raises(ValueError, match="key width"):
+        D.simhash_near_pairs(fps, "doc_id", max_hamming=13)
     # explicit opt-in for a small corpus works
-    D.simhash_near_pairs(fps, "doc_id", max_hamming=9, min_chunk_bits=6).collect()
+    D.simhash_near_pairs(fps, "doc_id", max_hamming=13, min_key_bits=8).collect()
+
+
+def test_simhash_lane_packing_matches_wide_layout(spark, docs):
+    # lane_bits=60 degenerates to one-bit-per-aggregate (the reference
+    # layout); the packed default must produce identical fingerprints
+    sample = docs.limit(100)
+    packed = {r.doc_id: r.simhash for r in
+              D.simhash_fingerprints(sample, "doc_id", "text").collect()}
+    wide = {r.doc_id: r.simhash for r in
+            D.simhash_fingerprints(sample, "doc_id", "text",
+                                   lane_bits=60).collect()}
+    assert packed == wide
+
+
+def test_simhash_lane_overflow_raises(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    long_doc = spark.createDataFrame(
+        [(1, "tok " * 40)], "doc_id INT, text STRING"
+    )
+    with pytest.raises(SparkRuntimeException, match="counter overflow"):
+        D.simhash_fingerprints(long_doc, "doc_id", "text",
+                               lane_bits=5).collect()
 
 
 def test_knn_guard_switches_to_join_path_with_identical_results(spark, emb):
