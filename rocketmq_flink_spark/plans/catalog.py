@@ -2934,3 +2934,56 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return doc_frequency_topk(docs, "doc_id", "text", k=20)
+
+
+@query(
+    "punctuated_watermark_events",
+    """
+    WITH e AS (
+      SELECT epoch_us(ts) AS ts_us, event_id,
+             event_id - (event_id % 7) + (6 - event_id % 7) AS arrival,
+             CAST(user_id % 4 AS BIGINT) AS q,
+             event_type = 'purchase' AS is_marker,
+             epoch_us(ts) AS wm_us
+      FROM events
+    ),
+    r AS (
+      SELECT q, ts_us, event_id,
+             MAX(CASE WHEN is_marker THEN wm_us END) OVER (
+               PARTITION BY q ORDER BY arrival
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_wm
+      FROM e
+    )
+    SELECT q, COUNT(*) AS n_kept, CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM r WHERE run_wm IS NULL OR ts_us > run_wm
+    GROUP BY q
+    """,
+)
+def punctuated_watermark_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Punctuated watermark (W4, PunctuatedAssigner): purchase events
+    carry a watermark of their own timestamp; rows arriving after a
+    marker (arrival = event ids locally permuted in blocks of 7 — the
+    fixture's ts is monotone in event_id, so a deterministic
+    permutation stands in for network reordering) whose event time is
+    at or before the carried watermark are late and dropped (~14% of
+    rows). One window shuffle on the queue key; the stateful streaming
+    twin is tested to match microbatch-by-microbatch."""
+    from rocketmq_flink_spark.streaming.ops import punctuated_filter_batch
+
+    ev = load_tables(spark, sf_dir)["events"]
+    e = ev.select(
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        (F.col("event_id") - (F.col("event_id") % 7)
+         + (F.lit(6) - F.col("event_id") % 7)).alias("arrival"),
+        (F.col("user_id") % 4).alias("q"),
+        (F.col("event_type") == "purchase").alias("is_marker"),
+        F.unix_micros("ts").alias("wm_us"),
+    )
+    kept = punctuated_filter_batch(
+        e, "q", "ts_us", "is_marker", "wm_us", arrival_col="arrival"
+    )
+    return kept.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("event_id").alias("sum_ids"),
+    )

@@ -187,3 +187,48 @@ def filter_deliverable(
     pushed past scans by Catalyst where possible.
     """
     return df.filter(delivery_time(born_ts, delay_level) <= as_of)
+
+
+def punctuated_filter_batch(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    marker_col: str,
+    wm_col: str,
+    arrival_col: str,
+) -> DataFrame:
+    """Punctuated-watermark late filter, batch/deterministic form (W4,
+    PunctuatedAssigner.java:37-48: certain elements CARRY a watermark;
+    the stream's watermark jumps to each carried value as the marker is
+    processed, and elements at-or-before the watermark are late).
+
+    Spark exposes no per-record watermark injection, so the semantics
+    are re-expressed directly: the running watermark for a row is the
+    max carried value over STRICTLY EARLIER rows of its key partition
+    (markers themselves included — a marker late w.r.t. an earlier
+    marker is dropped, but its carried value still advances the
+    watermark, matching Flink where checkAndGetNextWatermark runs on
+    every element). "Earlier" means earlier in ARRIVAL order — the
+    essential ingredient of punctuated watermarks: lateness is judged
+    on event time, but the watermark advances in processing order, so
+    `arrival_col` must be a total order per key (an offset / sequence
+    column; NOT the event time, in which nothing is ever late). With a
+    deterministic arrival column the result is oracle-checkable; the
+    streaming twin (stateful.punctuated_filter_with_state) applies the
+    same rule per microbatch with the watermark carried in state.
+
+    ts_col/wm_col are LONG epoch micros. One window shuffle on the key.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(arrival_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_wm = F.max(F.when(F.col(marker_col), F.col(wm_col))).over(w)
+    return (
+        df.withColumn("_run_wm", run_wm)
+        .where(F.col("_run_wm").isNull() | (F.col(ts_col) > F.col("_run_wm")))
+        .drop("_run_wm")
+    )

@@ -135,3 +135,64 @@ def sessionize_with_state(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def punctuated_filter_with_state(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    marker_col: str,
+    wm_col: str,
+    arrival_col: str,
+) -> DataFrame:
+    """Punctuated-watermark late filter as a custom stateful operator
+    (W4 streaming twin of ops.punctuated_filter_batch — see its
+    docstring for the semantics contract).
+
+    State per key is ONE long (the current carried watermark), so state
+    size is bounded by key cardinality forever — no timeout needed.
+    Rows inside a microbatch are sorted by arrival_col before the rule
+    is applied; across microbatches the watermark rides in state.
+    Equals the batch form whenever microbatch boundaries respect
+    arrival order (true for an offset-ordered source read, which is
+    how the equivalence test feeds it).
+
+    Output: the surviving rows, schema unchanged. ts_col/wm_col are
+    LONG epoch micros.
+    """
+    out_schema = df.schema
+    state_schema = T.StructType([T.StructField("wm_us", T.LongType())])
+    cols = [f.name for f in df.schema.fields]
+    sort_cols = [arrival_col]
+
+    def fn(key, pdf_iter, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        if state.hasTimedOut:  # no timeouts configured; defensive
+            return
+        pdfs = [pdf for pdf in pdf_iter if len(pdf)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs).sort_values(sort_cols, kind="mergesort")
+        state_wm = state.get[0] if state.exists else None
+        lo = np.iinfo("int64").min
+        carried = pdf[wm_col].where(pdf[marker_col].astype(bool), lo)
+        run_prev = carried.cummax().shift(1, fill_value=lo).astype("int64")
+        eff = np.maximum(run_prev, lo if state_wm is None else state_wm)
+        keep = pdf[ts_col].astype("int64") > eff
+        batch_max = int(carried.max()) if len(carried) else lo
+        new_wm = max(batch_max, lo if state_wm is None else state_wm)
+        if new_wm != lo:
+            state.update((new_wm,))
+        out = pdf[keep][cols]
+        if len(out):
+            yield out
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -506,3 +506,69 @@ def test_update_mode_agg_through_foreach_batch_sink(
     )
     assert latest.exceptAll(expect).count() == 0
     assert expect.exceptAll(latest).count() == 0
+
+
+def test_punctuated_watermark_stream_matches_batch(
+    spark, broker_root, events, tmp_path
+):
+    """W4: the stateful punctuated filter over arrival-ordered
+    microbatches must equal the deterministic batch form. Marker rows
+    (purchases) carry watermark = own event time; arrival order is the
+    block-of-7 permutation of event_id (the fixture's ts is monotone in
+    id, so the permutation stands in for network reordering). A single
+    arrival-ordered queue + maxOffsetsPerTrigger gives order-respecting
+    microbatch boundaries."""
+    from rocketmq_flink_spark.streaming.ops import punctuated_filter_batch
+    from rocketmq_flink_spark.streaming.stateful import (
+        punctuated_filter_with_state,
+    )
+
+    arr = (
+        F.col("event_id") - (F.col("event_id") % 7)
+        + (F.lit(6) - F.col("event_id") % 7)
+    )
+
+    def annotate(df):
+        return df.select(
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            arr.alias("arrival"),
+            (F.col("user_id") % 4).alias("q"),
+            (F.col("event_type") == "purchase").alias("is_marker"),
+            F.unix_micros("ts").alias("wm_us"),
+        )
+
+    register(spark)
+    env = encode_rows(
+        events.withColumn("_arr", arr).orderBy("_arr").drop("_arr").coalesce(1),
+        options={"topic": "t_punct", "keyColumns": "event_id",
+                 "writeKeysToBody": "true"},
+        born_ts_col="ts",
+    )
+    (
+        env.write.format("rocketmq")
+        .options(path=broker_root, topic="t_punct", numQueues=1)
+        .mode("append")
+        .save()
+    )
+    stream_env = (
+        spark.readStream.format("rocketmq")
+        .options(path=broker_root, topic="t_punct",
+                 maxOffsetsPerTrigger=1500)
+        .load()
+    )
+    decoded = annotate(decode_envelope(stream_env, EVENT_SCHEMA))
+    kept = punctuated_filter_with_state(
+        decoded, "q", "ts_us", "is_marker", "wm_us", arrival_col="arrival"
+    )
+    _run_to_memory(kept, "punct_out", tmp_path)
+    got = spark.sql("SELECT * FROM punct_out")
+    expect = punctuated_filter_batch(
+        annotate(events), "q", "ts_us", "is_marker", "wm_us",
+        arrival_col="arrival",
+    )
+    assert got.count() == expect.count() > 0
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+    # something must actually have been dropped for the test to bite
+    assert expect.count() < events.count()
