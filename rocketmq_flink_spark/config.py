@@ -40,6 +40,8 @@ SOURCE_OPTIONS = {
     "maxRecordsPerPartition",
     "path",  # broker root dir (local simulation of nameServerAddress)
     "codec",  # registered codec name (user plug-point, SURVEY.md 2.7)
+    "accessKey",  # ACL credentials (reference: RocketMQConfig.ACCESS_KEY,
+    "secretKey",  # SECRET_KEY -> AclClientRPCHook, RocketMQConfig.java:48-49,175-181)
 }
 
 SINK_OPTIONS = {
@@ -62,6 +64,8 @@ SINK_OPTIONS = {
     "numQueues",
     "path",
     "codec",
+    "accessKey",
+    "secretKey",
 }
 
 KNOWN_OPTIONS = SOURCE_OPTIONS | SINK_OPTIONS

@@ -6,7 +6,11 @@ offset-named parquet segments. The DataSource exposes it to Spark as
 `spark.read/readStream/write/writeStream.format("rocketmq")`.
 """
 
-from rocketmq_flink_spark.sources.broker import Broker  # noqa: F401
+from rocketmq_flink_spark.sources.broker import (  # noqa: F401
+    Broker,
+    check_acl,
+    set_acl,
+)
 from rocketmq_flink_spark.sources.datasource import (  # noqa: F401
     RocketMQDataSource,
     register,

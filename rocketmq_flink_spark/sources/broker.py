@@ -217,3 +217,46 @@ class Broker:
         for _, path in staged:
             if os.path.exists(path):
                 os.remove(path)
+
+
+# -- ACL (O3) --------------------------------------------------------------
+
+ACL_FILE = "_acl.json"
+
+
+def set_acl(root: str, credentials: dict[str, str]) -> None:
+    """Enable broker-side ACL: accessKey -> secretKey map stored at the
+    broker root (the sim analog of the broker's plain_acl.yml; clients
+    present credentials per RocketMQConfig.ACCESS_KEY/SECRET_KEY ->
+    AclClientRPCHook, legacy/RocketMQConfig.java:48-49,175-181). An
+    empty dict disables the ACL."""
+    import json
+
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, ACL_FILE)
+    if not credentials:
+        if os.path.exists(path):
+            os.remove(path)
+        return
+    tmp = path + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(credentials, f)
+    os.replace(tmp, path)
+
+
+def check_acl(root: str, access_key: str | None, secret_key: str | None) -> None:
+    """Raise PermissionError unless the presented credentials match the
+    broker ACL (no-op when the broker has no ACL configured — matching
+    a broker with aclEnable=false)."""
+    import json
+
+    path = os.path.join(root, ACL_FILE)
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        acl = json.load(f)
+    if not access_key or acl.get(access_key) != secret_key:
+        raise PermissionError(
+            f"broker ACL rejected accessKey={access_key!r} "
+            "(set accessKey/secretKey options to valid credentials)"
+        )

@@ -208,6 +208,9 @@ class RocketMQBatchReader(DataSourceReader):
         self.max_records = int(self.opts.get("maxRecordsPerPartition", "500000"))
 
     def partitions(self):
+        from rocketmq_flink_spark.sources.broker import check_acl
+
+        check_acl(self.root, self.opts.get("accessKey"), self.opts.get("secretKey"))
         broker = Broker(self.root)
         ending_ts = _ending_ts_ms(self.opts)
         start_spec = _starting_offsets_spec(self.opts)
@@ -253,6 +256,9 @@ class RocketMQStreamReader(DataSourceStreamReader):
         return Broker(self.root)
 
     def initialOffset(self) -> dict:
+        from rocketmq_flink_spark.sources.broker import check_acl
+
+        check_acl(self.root, self.opts.get("accessKey"), self.opts.get("secretKey"))
         broker = self._broker()
         init = {
             str(q): _resolve_start(
@@ -426,11 +432,14 @@ def _commit_staged(
 
 class RocketMQBatchWriter(DataSourceWriter):
     def __init__(self, options: dict):
+        from rocketmq_flink_spark.sources.broker import check_acl
+
         self.opts = normalize_options(dict(options))
         require(self.opts, "path", "topic")
         self.root = self.opts["path"]
         self.topic = self.opts["topic"]
         self.num_queues = int(self.opts.get("numQueues", "8"))
+        check_acl(self.root, self.opts.get("accessKey"), self.opts.get("secretKey"))
 
     def write(self, iterator):
         return _write_rows(self.root, self.topic, self.num_queues, iterator)
@@ -453,11 +462,14 @@ class RocketMQStreamWriter(DataSourceStreamWriter):
     make retried epochs idempotent."""
 
     def __init__(self, options: dict):
+        from rocketmq_flink_spark.sources.broker import check_acl
+
         self.opts = normalize_options(dict(options))
         require(self.opts, "path", "topic")
         self.root = self.opts["path"]
         self.topic = self.opts["topic"]
         self.num_queues = int(self.opts.get("numQueues", "8"))
+        check_acl(self.root, self.opts.get("accessKey"), self.opts.get("secretKey"))
 
     def write(self, iterator):
         return _write_rows(self.root, self.topic, self.num_queues, iterator)

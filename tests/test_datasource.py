@@ -249,3 +249,57 @@ def test_streaming_write_epochs(spark, broker_root, tmp_path):
     assert got.where(F.col("tags") == "en").count() == docs.where(
         F.col("lang") == "en"
     ).count()
+
+
+# --- ACL (O3) --------------------------------------------------------------
+
+
+def test_acl_enforced_on_read_and_write(spark, tmp_path):
+    """Broker-side ACL (RocketMQConfig ACCESS_KEY/SECRET_KEY ->
+    AclClientRPCHook analog): with an ACL installed, reads and writes
+    without valid credentials fail; valid credentials round-trip."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from rocketmq_flink_spark.sources import register, set_acl
+
+    register(spark)
+    root = str(tmp_path / "acl_broker")
+    df = spark.range(10).selectExpr(
+        "'t_acl' AS topic", "CAST(id AS STRING) AS keys",
+        "CAST(NULL AS STRING) AS tags",
+        "CAST(NULL AS MAP<STRING,STRING>) AS props",
+        "CAST(CAST(id AS STRING) AS BINARY) AS value",
+        "current_timestamp() AS born_ts",
+    )
+    set_acl(root, {"user1": "s3cret"})
+
+    write = (
+        df.write.format("rocketmq").mode("append")
+    )
+    with pytest.raises(Exception) as ei:
+        write.options(path=root, topic="t_acl").save()
+    assert "ACL rejected" in str(ei.value)
+    with pytest.raises(Exception) as ei:
+        write.options(
+            path=root, topic="t_acl", accessKey="user1", secretKey="wrong"
+        ).save()
+    assert "ACL rejected" in str(ei.value)
+
+    write.options(
+        path=root, topic="t_acl", accessKey="user1", secretKey="s3cret"
+    ).save()
+
+    read = spark.read.format("rocketmq")
+    with pytest.raises(Exception) as ei:
+        read.options(path=root, topic="t_acl").load().count()
+    assert "ACL rejected" in str(ei.value)
+    n = (
+        read.options(
+            path=root, topic="t_acl", accessKey="user1", secretKey="s3cret"
+        ).load().count()
+    )
+    assert n == 10
+
+    # disabling the ACL restores open access
+    set_acl(root, {})
+    assert read.options(path=root, topic="t_acl").load().count() == 10
