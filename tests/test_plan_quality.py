@@ -1,0 +1,76 @@
+"""Physical-plan regression tests: the plans the queries are DESIGNED
+to produce, asserted so a refactor can't silently regress them.
+
+These assertions encode the 100 TB design rules:
+- filters reach the parquet scan (PushedFilters) and scans read only the
+  projected columns (ReadSchema);
+- global top-k runs as TakeOrderedAndProject, never a full sort;
+- Q18's having-filter aggregates lineitem BEFORE any join;
+- fixed-cardinality dims broadcast, SF-scaled sides do not force it.
+"""
+
+from __future__ import annotations
+
+from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    plan = _plan(REGISTRY["q6_forecast_revenue"].fn(spark, SF))
+    scan = next(ln for ln in plan.splitlines() if "Scan parquet" in ln)
+    assert "PushedFilters" in scan
+    assert "l_shipdate" in scan and "l_quantity" in scan
+    # column pruning: the scan must not read the 11-column lineitem
+    read_schema = scan.split("ReadSchema:")[1]
+    assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_topk_queries_use_take_ordered(spark):
+    for name in ("q3_shipping_priority", "q10_returned_items",
+                 "q18_large_orders", "q2_best_supplier_per_part"):
+        plan = _plan(REGISTRY[name].fn(spark, SF))
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_q18_aggregates_before_join(spark):
+    # the sum(qty)>300 HAVING must filter the lineitem aggregate below
+    # the join with orders (the classic Q18 rewrite): in the optimized
+    # plan the Join's left subtree must already contain the Aggregate.
+    import re
+
+    opt = _optimized(REGISTRY["q18_large_orders"].fn(spark, SF))
+    join_at = opt.index("Join")
+    agg_at = opt.index("Aggregate")
+    assert agg_at > join_at  # printed below the join = inside its subtree
+    m = re.search(r"Filter \(isnotnull\(sum_qty_dec#\d+\)", opt)
+    assert m and m.start() > join_at
+
+
+def test_fixed_dims_broadcast_scaled_dims_do_not_force(spark):
+    plan = _plan(REGISTRY["q7_volume_shipping"].fn(spark, SF))
+    assert "BroadcastExchange" in plan  # nation-filtered supp/cust dims
+    # q14's part join is AQE-planned, not forced: the initial plan keeps
+    # a shuffle join that AQE may convert at runtime
+    q14 = REGISTRY["q14_promo_revenue"].fn(spark, SF)
+    assert "AdaptiveSparkPlan" in _plan(q14)
+
+
+def test_codec_decode_stays_in_codegen(spark):
+    # the decode path must be whole-stage-codegen'd JVM expressions —
+    # no BatchEvalPython / ArrowEvalPython (row-at-a-time Python) nodes
+    import re
+
+    df = REGISTRY["codec_roundtrip_agg"].fn(spark, SF)
+    assert "EvalPython" not in _plan(df)
+    df.collect()  # AQE finalizes (and codegens) the plan on execution
+    # codegen stages print as "*(n) Operator" in the final plan
+    assert re.search(r"\*\(\d+\) (HashAggregate|Project)", _plan(df))
