@@ -61,7 +61,12 @@ def run_once(spark, name: str, sf_dir: str) -> float:
 
 def run_best(spark, name: str, sf_dir: str, reps: int = 2) -> float:
     """Best-of-N: single-shot numbers swing 2-4x with JIT/GC timing on a
-    shared JVM; the minimum is the stable, comparable figure."""
+    shared JVM; the minimum is the stable, comparable figure. Caches
+    from earlier queries are dropped first so each query is measured
+    self-contained instead of fighting prior queries' memory (cache
+    reuse WITHIN the reps still happens, which is what min-of-N
+    wants)."""
+    spark.catalog.clearCache()
     return min(run_once(spark, name, sf_dir) for _ in range(reps))
 
 

@@ -133,3 +133,60 @@ def rolling_hash_fingerprint(norm_col: Column | str, window: int = 8) -> Column:
         lambda i: hash60(norm.substr(i, F.lit(window))),
     )
     return F.array_min(grams)
+
+
+def rarity_scores(
+    df: DataFrame, id_col: str, text_col: str, scale: int = 1_000_000
+) -> DataFrame:
+    """Corpus-frequency rarity score per document — a perplexity proxy
+    for quality filtering without a language model: score = mean over
+    the document's tokens of (corpus_tokens / token_frequency), i.e.
+    the average inverse unigram probability. Common-word documents
+    score near the corpus mean; documents of rare tokens (gibberish,
+    boilerplate IDs) score high.
+
+    Determinism: the per-token ratio is computed as BIGINT integer
+    division `(N * scale) div freq` — bit-identical in any engine —
+    and summed exactly as integers; the single final double division
+    is rounded. No floating-point accumulation anywhere, so the score
+    is reproducible at any partition count (the same trick as the
+    exact-moment statistics).
+
+    Scale: one explode + one count agg builds the vocabulary; the
+    token->frequency equi-join is the Zipf-skewed hot spot at corpus
+    scale — AQE skew-join splits the hot-token partitions (enabled in
+    the session defaults); one final agg per doc.
+    """
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.split(F.expr(normalize_sql(text_col)), r"\s+")
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    toks = toks.cache()  # reused by vocab and by the join probe side
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    n_total = vocab.agg(F.sum("freq").alias("n_total"))
+    scored = (
+        toks.join(vocab, "tok")
+        .join(F.broadcast(n_total))
+        .select(
+            "doc",
+            F.expr(f"(n_total * CAST({scale} AS BIGINT)) div freq").alias(
+                "scaled"
+            ),
+        )
+    )
+    return scored.groupBy("doc").agg(
+        F.round(
+            F.sum("scaled").cast("double")
+            / F.lit(float(scale))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("rarity"),
+        F.count(F.lit(1)).alias("n_tok"),
+    ).select(F.col("doc").alias(id_col), "rarity", "n_tok")

@@ -2987,3 +2987,92 @@ def punctuated_watermark_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("event_id").alias("sum_ids"),
     )
+
+
+@query(
+    "rarity_score_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(
+        list_filter(regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+    n AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_total FROM vocab)
+    SELECT doc_id,
+           ROUND(CAST(SUM((n_total * 1000000) // freq) AS DOUBLE)
+                 / 1000000.0 / COUNT(*), 6) AS rarity,
+           COUNT(*) AS n_tok
+    FROM toks JOIN vocab USING (tok) CROSS JOIN n
+    GROUP BY doc_id
+    """,
+)
+def rarity_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: mean inverse unigram probability
+    per document, computed with scaled BIGINT integer division so the
+    score is bit-reproducible at any partition count (no float
+    accumulation). The Zipf-skewed token join is the scale hot spot —
+    AQE skew-join handles it (session default)."""
+    from rocketmq_flink_spark.operators.text import rarity_scores
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return rarity_scores(docs, "doc_id", "text")
+
+
+@query(
+    "full_outer_order_reconciliation",
+    """
+    WITH placed AS (
+      SELECT o_custkey AS ck, COUNT(*) AS n_orders
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      GROUP BY o_custkey
+    ),
+    returned AS (
+      SELECT o_custkey AS ck, COUNT(DISTINCT o_orderkey) AS n_returned
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+        AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(p.ck, r.ck) AS c_custkey,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_returned, 0) AS n_returned
+    FROM placed p FULL OUTER JOIN returned r ON p.ck = r.ck
+    """,
+)
+def full_outer_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (the remaining join type in the §2.5 matrix):
+    reconcile per-customer order counts against returned-order counts,
+    keeping customers present on either side only (the sides are keyed
+    on different date dimensions — orders placed since 2000 vs returns
+    SHIPPED since 2000 — so both left-only and right-only rows exist).
+    Scale: both inputs pre-aggregate to one row per customer BEFORE
+    the join, so the full outer join is small-side x small-side
+    regardless of lineitem size."""
+    t = load_tables(spark, sf_dir)
+    cut = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    placed = (
+        t["orders"].where(F.col("o_orderdate") >= cut)
+        .groupBy(F.col("o_custkey").alias("pck"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    returned = (
+        t["orders"]
+        .join(
+            t["lineitem"].where(
+                (F.col("l_returnflag") == "R") & (F.col("l_shipdate") >= cut)
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("rck"))
+        .agg(F.count_distinct(F.col("o_orderkey")).alias("n_returned"))
+    )
+    return (
+        placed.join(returned, F.col("pck") == F.col("rck"), "full_outer")
+        .select(
+            F.coalesce(F.col("pck"), F.col("rck")).alias("c_custkey"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("n_returned"), F.lit(0)).alias("n_returned"),
+        )
+    )
