@@ -22,6 +22,9 @@ decode_with/encode_with). Built-ins:
   RowDataConverter path (D11) — the default wire format.
 - "simple-kv": SimpleKeyValue(De)SerializationSchema (D7/D9).
 - "raw": ForwardMessageExtDeserialization (D10) — envelope passthrough.
+- "json": JSON bodies via from_json/to_json (what a reference user
+  hand-writes against KeyValueDeserializationSchema; here it is pure
+  Catalyst expressions).
 """
 
 from __future__ import annotations
@@ -144,6 +147,73 @@ class _RawCodec(MessageCodec):
         return df
 
 
+class _JsonCodec(MessageCodec):
+    """JSON message bodies via Catalyst's from_json/to_json — the kind
+    of codec a reference user would hand-write against
+    KeyValueDeserializationSchema (byte[] -> POJO); here it stays
+    whole-stage-codegen JVM expressions end to end. Options:
+    `timestampFormat`/`dateFormat` pass through to the JSON reader;
+    key columns route per `keyColumns` on encode."""
+
+    def decode(self, df, schema=None, options=None):
+        from pyspark.sql import functions as F
+
+        from rocketmq_flink_spark.functions.codec import _as_struct_type
+
+        if schema is None:
+            raise ValueError("json codec requires a schema")
+        struct = _as_struct_type(schema)
+        opts = dict(options or {})
+        json_opts = {
+            k: opts[k]
+            for k in ("timestampFormat", "dateFormat")
+            if k in opts
+        }
+        parsed = F.from_json(
+            F.decode(F.col("value"), opts.get("encoding", "UTF-8")),
+            struct,
+            json_opts,
+        )
+        return df.select(
+            *[parsed.getField(f.name).alias(f.name) for f in struct.fields]
+        )
+
+    def encode(self, df, options=None):
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from rocketmq_flink_spark.config import parse_csv
+
+        opts = dict(options or {})
+        key_columns = parse_csv(opts.get("keyColumns"))
+        keys = (
+            F.concat_ws(",", *[F.col(c).cast("string") for c in key_columns])
+            if key_columns
+            else F.lit(None).cast(T.StringType())
+        )
+        return df.select(
+            F.lit(opts.get("topic", "")).alias("topic"),
+            keys.alias("keys"),
+            F.lit(opts.get("tag")).cast(T.StringType()).alias("tags"),
+            F.lit(None)
+            .cast(T.MapType(T.StringType(), T.StringType()))
+            .alias("props"),
+            F.encode(
+                F.to_json(
+                    F.struct(*df.columns),
+                    {
+                        k: opts[k]
+                        for k in ("timestampFormat", "dateFormat")
+                        if k in opts
+                    },
+                ),
+                opts.get("encoding", "UTF-8"),
+            ).alias("value"),
+            F.current_timestamp().alias("born_ts"),
+        )
+
+
 register_codec("delimited", _DelimitedCodec())
 register_codec("simple-kv", _SimpleKVCodec())
 register_codec("raw", _RawCodec())
+register_codec("json", _JsonCodec())

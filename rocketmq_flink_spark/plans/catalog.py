@@ -3076,3 +3076,44 @@ def full_outer_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFra
             F.coalesce(F.col("n_returned"), F.lit(0)).alias("n_returned"),
         )
     )
+
+
+@query(
+    "json_codec_roundtrip",
+    """
+    SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      MIN(epoch_us(ts)) AS min_ts_us, MAX(event_id) AS max_id
+    FROM events GROUP BY event_type
+    """,
+)
+def json_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-pluggable JSON codec (§2.7 registry) round trip: typed rows
+    -> to_json envelope bodies -> from_json decode -> agg. Both
+    directions are Catalyst built-ins (whole-stage codegen, no Python);
+    the oracle sees only the original table, so a hash match proves the
+    JSON wire format is lossless including timestamp micros."""
+    from rocketmq_flink_spark.functions.registry import decode_with, encode_with
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "event_type", "value", "ts"
+    )
+    # default JSON timestamp format truncates to millis; micros on both
+    # directions keeps the round trip lossless (asserted by the oracle)
+    us = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    env = encode_with(
+        ev, "json",
+        {"topic": "events", "keyColumns": "event_id", "timestampFormat": us},
+    )
+    back = decode_with(
+        env,
+        "json",
+        schema="event_id BIGINT, event_type STRING, value DOUBLE, ts TIMESTAMP",
+        options={"timestampFormat": us},
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec2(F.col("value"))).cast("double").alias("sum_value"),
+        F.min(F.unix_micros("ts")).alias("min_ts_us"),
+        F.max("event_id").alias("max_id"),
+    )

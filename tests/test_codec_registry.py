@@ -83,3 +83,26 @@ def test_simple_kv_codec_identity(spark):
     env = encode_with(src, "simple-kv")
     back = decode_with(env, "simple-kv")
     assert sorted((r.key, r.value) for r in back.collect()) == [("a", "1"), ("b", "2")]
+
+
+def test_json_codec_roundtrip_through_registry(spark):
+    from pyspark.sql import functions as F
+
+    from rocketmq_flink_spark.functions.registry import (
+        decode_with,
+        encode_with,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25), (3, None, None)],
+        "id BIGINT, s STRING, v DOUBLE",
+    )
+    env = encode_with(df, "json", {"topic": "t", "keyColumns": "id"})
+    assert env.columns == ["topic", "keys", "tags", "props", "value", "born_ts"]
+    assert [r.keys for r in env.orderBy("keys").collect()] == ["1", "2", "3"]
+    back = decode_with(env, "json", schema="id BIGINT, s STRING, v DOUBLE")
+    assert back.exceptAll(df).count() == 0
+    assert df.exceptAll(back).count() == 0
+    # nulls survive (absent JSON fields decode to NULL)
+    row = back.where(F.col("id") == 3).first()
+    assert row.s is None and row.v is None
