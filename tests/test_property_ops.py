@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) for the round-2 operators: the
+punctuated-watermark filter, sequence packing, and stratified sampling
+are each checked against an independent pure-Python reference model on
+arbitrary inputs — a stronger guarantee than fixture-pinned examples.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (key, ts, is_marker) rows; arrival = list position
+EVENT = st.tuples(
+    st.integers(min_value=0, max_value=2),
+    st.integers(min_value=0, max_value=50),
+    st.booleans(),
+)
+
+
+def _punctuated_model(rows):
+    """Pure-Python reference: process in arrival order per key; markers
+    carry watermark = own ts; late = ts <= current watermark."""
+    wm: dict[int, int | None] = {}
+    kept = []
+    for arrival, (k, ts, marker) in enumerate(rows):
+        w = wm.get(k)
+        if w is None or ts > w:
+            kept.append((k, ts, marker, arrival))
+        if marker:
+            wm[k] = ts if w is None else max(w, ts)
+    return sorted(kept)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(**SETTINGS)
+@given(rows=st.lists(EVENT, min_size=1, max_size=40))
+def test_punctuated_filter_matches_model(spark, rows):
+    from rocketmq_flink_spark.streaming.ops import punctuated_filter_batch
+
+    df = spark.createDataFrame(
+        [(k, t, m, i) for i, (k, t, m) in enumerate(rows)],
+        "k BIGINT, ts_us BIGINT, is_marker BOOLEAN, arrival BIGINT",
+    )
+    got = sorted(
+        (r.k, r.ts_us, r.is_marker, r.arrival)
+        for r in punctuated_filter_batch(
+            df, "k", "ts_us", "is_marker", "ts_us", arrival_col="arrival"
+        ).collect()
+    )
+    assert got == _punctuated_model(rows)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(**SETTINGS)
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=300), min_size=1,
+                  max_size=30),
+    window=st.integers(min_value=1, max_value=500),
+)
+def test_pack_sequences_matches_model(spark, toks, window):
+    from rocketmq_flink_spark.operators.pipeline import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "s", n) for i, n in enumerate(toks)],
+        "id BIGINT, stream STRING, n_tok BIGINT",
+    )
+    got = {
+        r.id: r.pack_id
+        for r in pack_sequences(df, "id", "n_tok", "stream", window).collect()
+    }
+    cum = 0
+    for i, n in enumerate(toks):
+        assert got[i] == cum // window, (i, toks, window)
+        cum += n
+    # pack ids are monotone and start at 0
+    assert got[0] == 0
+    assert all(got[i] <= got[i + 1] for i in range(len(toks) - 1))
+
+
+@pytest.mark.usefixtures("spark")
+@settings(**SETTINGS)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                 max_size=50, unique=True),
+    rate=st.integers(min_value=0, max_value=1000),
+)
+def test_stratified_sample_matches_hash_predicate(spark, ids, rate):
+    import hashlib
+
+    from rocketmq_flink_spark.operators.pipeline import stratified_sample
+
+    df = spark.createDataFrame([(i, "g") for i in ids], "id BIGINT, g STRING")
+    kept = sorted(
+        r.id
+        for r in stratified_sample(df, "id", "g", {}, rate).collect()
+    )
+
+    def model_keep(i):
+        h = int(hashlib.md5(f"sample:{i}".encode()).hexdigest()[:15], 16)
+        return (h % 1000) < rate
+
+    assert kept == sorted(i for i in ids if model_keep(i))
