@@ -122,3 +122,58 @@ def doc_frequency_topk(
         .orderBy(F.desc("df"), "tok")
         .limit(k)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (RAG-style
+    preprocessing): chunk i covers tokens [i*stride, i*stride +
+    chunk_tokens) with stride = chunk_tokens - overlap. Returns
+    (id, chunk_idx, chunk_text, n_tok). The final partial chunk is kept
+    (standard behavior — truncation is a later pipeline stage's call);
+    chunks that would START at/after the end are not emitted, so a doc
+    shorter than chunk_tokens yields exactly one chunk.
+
+    Scale: tokenization is projected ONCE per document before the
+    window transform (inlining it would re-split per chunk index), and
+    the whole operator is explode + slice built-ins — zero Python, no
+    shuffle at all (embarrassingly parallel over documents).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    toks = F.split(F.expr(normalize_sql(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col), F.filter(toks, lambda x: x != "").alias("_toks")
+    ).select(
+        id_col, "_toks",
+        F.greatest(
+            F.ceil(
+                (F.size("_toks") - F.lit(overlap)) / F.lit(stride)
+            ).cast("int"),
+            F.lit(1),
+        ).alias("_n_chunks"),
+    )
+    return base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_n_chunks") - 1),
+                lambda i: F.slice(
+                    F.col("_toks"), i * stride + 1, chunk_tokens
+                ),
+            )
+        ).alias("chunk_idx", "_chunk"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(" ", "_chunk").alias("chunk_text"),
+        F.size("_chunk").alias("n_tok"),
+    )

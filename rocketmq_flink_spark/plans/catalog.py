@@ -3117,3 +3117,34 @@ def json_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).alias("min_ts_us"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@query(
+    "chunk_documents_rag",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, toks,
+             GREATEST(CAST(CEIL((len(toks) - 8) / 24.0) AS BIGINT), 1) AS nc
+      FROM t
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
+           CAST(len(toks[i*24+1 : i*24+32]) AS INTEGER) AS n_tok
+    FROM b, unnest(range(nc)) AS u(i)
+    """,
+)
+def chunk_documents_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunking: 32-token windows, 8-token
+    overlap (stride 24), final partial chunk kept. Hash-checked down to
+    the chunk text itself. Scale: pure explode+slice built-ins, no
+    shuffle — embarrassingly parallel over documents."""
+    from rocketmq_flink_spark.operators.pipeline import chunk_documents
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)

@@ -462,3 +462,25 @@ def test_doc_frequency_topk_matches_bruteforce(spark, docs):
         .orderBy(F.desc("count"), "tok").limit(5).collect()
     )
     assert got == [(r.tok, r["count"]) for r in brute]
+
+
+def test_chunk_documents_edges(spark):
+    from rocketmq_flink_spark.operators import pipeline as PL
+
+    df = spark.createDataFrame(
+        [(1, "one two three"),                       # shorter than a chunk
+         (2, " ".join(f"t{i}" for i in range(10)))], # 10 toks: 2 chunks
+        "id INT, text STRING",
+    )
+    out = PL.chunk_documents(df, "id", "text", chunk_tokens=8, overlap=2)
+    rows = {(r.id, r.chunk_idx): (r.chunk_text, r.n_tok) for r in out.collect()}
+    # short doc -> exactly one chunk, full text
+    assert rows[(1, 0)] == ("one two three", 3)
+    assert (1, 1) not in rows
+    # stride 6: chunk 0 = t0..t7, chunk 1 = t6..t9 (partial kept)
+    assert rows[(2, 0)] == (" ".join(f"t{i}" for i in range(8)), 8)
+    assert rows[(2, 1)] == ("t6 t7 t8 t9", 4)
+    # overlap >= chunk refuses
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        PL.chunk_documents(df, "id", "text", chunk_tokens=4, overlap=4)
