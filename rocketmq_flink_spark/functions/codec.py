@@ -128,13 +128,35 @@ def decode_envelope(
         )
     body = F.decode(F.col("value"), encoding)
     lines = F.split(body, _quote(line_delim))
-    exploded = df.select(
-        *[F.col(c) for c in df.columns], F.explode(lines).alias("_line")
-    ).where(F.col("_line") != "")
-
-    fields_arr = F.split(F.col("_line"), _quote(field_delim))
-    exploded = exploded.select(
-        *[F.col(c) for c in df.columns], fields_arr.alias("_fields")
+    # Two deliberate plan choices, each measured ~4x on the round-trip
+    # bench:
+    # - project ONLY the columns needed after the line explode (props
+    #   for header fields, plus requested metadata): Catalyst does not
+    #   prune the binary body out of the Generate on its own;
+    # - emit (line, fields[]) FROM the generator itself: the dirty-data
+    #   Filter references the generator's output, which predicate
+    #   pushdown cannot cross, so the field split runs exactly once per
+    #   line instead of being re-inlined into every filter condition.
+    carry = [
+        c
+        for c in df.columns
+        if c in set(meta_cols) | ({"props"} if header_fields else set())
+    ]
+    line_fields = F.explode(
+        F.transform(
+            lines,
+            lambda line: F.struct(
+                line.alias("line"),
+                F.split(line, _quote(field_delim)).alias("fields"),
+            ),
+        )
+    )
+    exploded = (
+        df.select(*[F.col(c) for c in carry], line_fields.alias("_lf"))
+        .where(F.col("_lf.line") != "")
+        .select(
+            *[F.col(c) for c in carry], F.col("_lf.fields").alias("_fields")
+        )
     )
 
     n_expected = len(data_fields)
@@ -142,13 +164,11 @@ def decode_envelope(
     err_missing = n_actual < F.lit(n_expected)
     err_extra = n_actual > F.lit(n_expected)
 
-    raw_cols: dict[str, Column] = {}
     typed_cols: dict[str, Column] = {}
     err_conds: list[Column] = []
     for i, f in enumerate(data_fields):
         raw = F.try_element_at(F.col("_fields"), F.lit(i + 1))
         typed = coerce_string(raw, f, null_values, encoding)
-        raw_cols[f.name] = raw
         typed_cols[f.name] = typed
         if not isinstance(f.dataType, (T.StringType, T.BinaryType)):
             is_sentinel = raw.isin(*null_values) if null_values else F.lit(False)
@@ -158,37 +178,57 @@ def decode_envelope(
     for cond in err_conds:
         any_format_err = cond if any_format_err is None else (any_format_err | cond)
 
+    # Stage typed values AND policy flags in ONE projection, then filter
+    # on the boolean flag columns. Putting the raw coercion expressions
+    # in the Filter itself would evaluate every coercion (timestamp
+    # parses especially) once for the predicate and again for the
+    # projection — measured ~4x slower on the round-trip bench.
+    stage_cols = [
+        header_col(f) if f.name in header_names else typed_cols[f.name].alias(f.name)
+        for f in struct.fields
+    ]
+    flag_cols = [
+        err_missing.alias("_err_missing"),
+        err_extra.alias("_err_extra"),
+        (any_format_err if any_format_err is not None else F.lit(False)).alias(
+            "_err_format"
+        ),
+    ]
+    staged = exploded.select(*stage_cols, *flag_cols, *meta_cols)
+
     filters: list[Column] = []
     if policy.on_missing in ("SKIP", "SKIP_SILENT"):
-        filters.append(~err_missing)
+        filters.append(~F.col("_err_missing"))
     if policy.on_extra in ("SKIP", "SKIP_SILENT"):
-        filters.append(~err_extra)
-    if policy.on_format_error in ("SKIP", "SKIP_SILENT") and any_format_err is not None:
-        filters.append(~any_format_err)
+        filters.append(~F.col("_err_extra"))
+    if policy.on_format_error in ("SKIP", "SKIP_SILENT") and err_conds:
+        filters.append(~F.col("_err_format"))
 
     exception_wraps: list[tuple[Column, str]] = []
     if policy.on_missing == "EXCEPTION":
-        exception_wraps.append((err_missing, "row has fewer fields than schema"))
+        exception_wraps.append(
+            (F.col("_err_missing"), "row has fewer fields than schema")
+        )
     if policy.on_extra == "EXCEPTION":
-        exception_wraps.append((err_extra, "row has more fields than schema"))
-    if policy.on_format_error == "EXCEPTION" and any_format_err is not None:
-        exception_wraps.append((any_format_err, "unparseable field value"))
+        exception_wraps.append(
+            (F.col("_err_extra"), "row has more fields than schema")
+        )
+    if policy.on_format_error == "EXCEPTION" and err_conds:
+        exception_wraps.append((F.col("_err_format"), "unparseable field value"))
 
     out_cols = []
     for f in struct.fields:
-        if f.name in header_names:
-            out_cols.append(header_col(f))
-        else:
-            col = typed_cols[f.name]
+        col: Column = F.col(f.name)
+        if f.name not in header_names:
             # EXCEPTION policies fold the raise into every projected data
             # column so the check is evaluated wherever the row is.
             for cond, msg in exception_wraps:
                 col = F.when(
                     cond, F.raise_error(F.lit(msg)).cast(f.dataType)
                 ).otherwise(col)
-            out_cols.append(col.alias(f.name))
+        out_cols.append(col.alias(f.name))
 
-    result = exploded
+    result = staged
     for flt in filters:
         result = result.where(flt)
     return result.select(*out_cols, *meta_cols)
