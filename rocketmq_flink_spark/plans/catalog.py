@@ -1719,18 +1719,33 @@ def stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rocketmq_flink_spark.streaming.stateful import sessionize_with_state
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The fixture has shipped ts as both INT64 nanos and TIMESTAMP(MICROS,
+    # ntz); probe the footer with a batch read and stream with whichever
+    # raw type the file actually has, converting to an instant after.
+    import os as _os
+
+    ts_raw = spark.read.parquet(
+        _os.path.join(sf_dir, "events.parquet")
+    ).schema["ts"].dataType
+    nanos = isinstance(ts_raw, T.LongType)
     raw_schema = (
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
-        "value DOUBLE, props STRING"
+        "event_id BIGINT, ts "
+        + ("BIGINT" if nanos else "TIMESTAMP_NTZ")
+        + ", user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
     )
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    ts_instant = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if nanos
+        else F.col("ts").cast("timestamp")
+    )
     typed = stream.select(
-        "user_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "user_id", ts_instant.alias("ts")
     ).withWatermark("ts", "0 seconds")
     sess = sessionize_with_state(typed, "user_id", "ts", "30 minutes")
     qname = f"sessions_{uuid.uuid4().hex[:8]}"

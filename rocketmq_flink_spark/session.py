@@ -84,13 +84,27 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     # session build time — callers (e.g. the verification driver) may hand
     # us a session we didn't configure.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Instant semantics must not depend on who built the session: pin UTC
+    # (runtime-settable) so an NTZ->TIMESTAMP cast is the identity on the
+    # stored micros and oracle comparisons agree on absolute values.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     for name in TABLE_NAMES:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-            # TIMESTAMP(NANOS) read as long nanos; integer-divide to micros
-            # (NOT float `/`: 1.7e18 ns overflows double's 2^53 mantissa).
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if name == "events":
+            ts_t = df.schema["ts"].dataType
+            if isinstance(ts_t, T.LongType):
+                # TIMESTAMP(NANOS) read as long nanos; integer-divide to
+                # micros (NOT float `/`: 1.7e18 ns overflows double's 2^53
+                # mantissa).
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            elif isinstance(ts_t, T.TimestampNTZType):
+                # TIMESTAMP(MICROS, ntz): lossless under the UTC session
+                # timezone pinned above; gives every downstream operator
+                # (unix_micros, watermarks) the instant type it expects.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         out[name] = df
     return out
 
