@@ -179,26 +179,16 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    signatures: DataFrame,
-    id_col: str,
-    bands: int = 16,
-    threshold: float = 0.7,
+def banded_signatures(
+    signatures: DataFrame, id_col: str, bands: int = 16, num_hashes: int = 64
 ) -> DataFrame:
-    """Candidate pairs from LSH banding + signature-estimated Jaccard.
+    """Explode (id, sig) into (doc, sig, band, bh) LSH band keys.
 
-    bands=16 over a 64-hash signature -> rows_per_band=4; the s-curve
-    catches jaccard>=~0.5 with high probability. The band key is the
-    ','-joined signature slice itself (a short string) — an equi-join
-    key identical in any engine, no extra hash hop. Estimated jaccard =
-    fraction of agreeing signature positions (unbiased MinHash
-    estimator); pairs below threshold are dropped."""
-    num_hashes = 64
+    The band key is the ','-joined signature slice itself (a short
+    string) — an equi-join key identical in any engine, no extra hash
+    hop."""
     rows_per = num_hashes // bands
-    # cache: the banded self-join would recompute the signature
-    # aggregation per alias (K longs per doc cached)
-    signatures = signatures.cache()
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col).alias("doc"),
         F.col("sig"),
         F.explode(
@@ -219,6 +209,26 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc", "sig", "bk.band", "bk.bh")
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Candidate pairs from LSH banding + signature-estimated Jaccard.
+
+    bands=16 over a 64-hash signature -> rows_per_band=4; the s-curve
+    catches jaccard>=~0.5 with high probability. The band key is the
+    ','-joined signature slice itself (a short string) — an equi-join
+    key identical in any engine, no extra hash hop. Estimated jaccard =
+    fraction of agreeing signature positions (unbiased MinHash
+    estimator); pairs below threshold are dropped."""
+    # cache: the banded self-join would recompute the signature
+    # aggregation per alias (K longs per doc cached)
+    signatures = signatures.cache()
+    banded = banded_signatures(signatures, id_col, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -324,6 +334,71 @@ def minhash_dedup(
         F.col(id_col),
         F.col("component").alias("rep_id"),
         (F.col("component") != F.col(id_col)).alias("is_dup"),
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    bands: int = 16,
+) -> DataFrame:
+    """Incremental corpus dedup: match a NEW batch of documents against
+    an EXISTING corpus index without comparing the batch to itself.
+
+    The steady-state shape of a production dedup pipeline: the corpus's
+    MinHash band index already exists (here recomputed from index_docs;
+    in production it is a persisted table keyed by (band, bh)), and each
+    arriving batch probes it. Returns one row per new document that
+    near-duplicates the index: (id_col, dup_of, est_jaccard) with
+    dup_of = the smallest matching index id (deterministic) and
+    est_jaccard = the signature-agreement estimate for that winning
+    pair.
+
+    Scale: batch signatures are K longs/doc; the probe is a (band, bh)
+    equi-join — the batch side is typically tiny relative to the index,
+    so the shuffle moves only band keys, never text. No new-vs-new and
+    no index-vs-index pairs are generated at all.
+    """
+    sig_new = banded_signatures(
+        minhash_signatures(new_docs, id_col, text_col).cache(), id_col, bands
+    )
+    sig_idx = banded_signatures(
+        minhash_signatures(index_docs, id_col, text_col).cache(), id_col, bands
+    )
+    n, i = sig_new.alias("n"), sig_idx.alias("i")
+    cand = (
+        n.join(
+            i,
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.bh") == F.col("i.bh")),
+        )
+        .select(
+            F.col("n.doc").alias("new_id"),
+            F.col("i.doc").alias("idx_id"),
+            F.col("n.sig").alias("sig_a"),
+            F.col("i.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["new_id", "idx_id"])
+    )
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),"
+        " 0, (acc, v) -> acc + v)"
+    ) / F.lit(64.0)
+    matches = cand.withColumn("est_jaccard", F.round(est, 6)).where(
+        F.col("est_jaccard") >= threshold
+    )
+    # deterministic winner: smallest index id; its estimate rides along
+    # in a struct min so (dup_of, est) stay from the SAME pair
+    best = matches.groupBy("new_id").agg(
+        F.min(F.struct("idx_id", "est_jaccard")).alias("w")
+    )
+    return best.select(
+        F.col("new_id").alias(id_col),
+        F.col("w.idx_id").alias("dup_of"),
+        F.col("w.est_jaccard").alias("est_jaccard"),
     )
 
 

@@ -135,6 +135,92 @@ def rolling_hash_fingerprint(norm_col: Column | str, window: int = 8) -> Column:
     return F.array_min(grams)
 
 
+def repetition_features(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher quality-filter
+    family adapted to single-line documents): counts over ALL n-gram
+    occurrences (not distinct) of the normalized token stream.
+
+    Returns (id_col, n_ngrams, dup_ngram_occ, top_ngram_count):
+    total n-gram occurrences, occurrences belonging to n-grams that
+    appear more than once in the document, and the count of the most
+    frequent n-gram. Downstream filters derive exact-ratio cuts from
+    the integer counters (e.g. drop when 5*dup_ngram_occ >= n_ngrams,
+    the "0.2 duplicate-bigram fraction" rule) — no floats anywhere, so
+    the result is bit-stable at any partition count.
+
+    Scale: explode all occurrences -> ONE (doc, gram) count agg ->
+    ONE per-doc agg. Both shuffles are map-side combined; nothing is
+    quadratic in document length.
+    """
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    toks = F.split(F.expr(normalize_sql(text_col)), r"\s+")
+    grams = df.select(
+        F.col(id_col).alias("doc"), toks.alias("_toks")
+    ).select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, F.lit(n))),
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_gram.groupBy("doc").agg(
+        F.sum("cnt").alias("n_ngrams"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+            "dup_ngram_occ"
+        ),
+        F.max("cnt").alias("top_ngram_count"),
+    ).select(
+        F.col("doc").alias(id_col),
+        "n_ngrams",
+        "dup_ngram_occ",
+        "top_ngram_count",
+    )
+
+
+# PII patterns restricted to the regex subset Java (Spark) and RE2
+# (DuckDB) implement identically: no lookaround, no backreferences.
+# Redaction order is the dict order (email first: an address contains
+# dots that the ipv4 pattern must never see first).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d{3}[- .]\d{3}[- .]\d{4}",
+}
+
+
+def pii_counts(text_col: str) -> dict[str, Column]:
+    """Per-kind PII match counts as named columns ({kind: count})."""
+    return {
+        f"n_{kind}": F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        )
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text_col: str) -> Column:
+    """Text with every PII match replaced by a <KIND> placeholder.
+
+    Pure JVM-side regexp_replace chain (one pass per kind) — no Python
+    in the row path; kinds are applied in PII_PATTERNS order so earlier
+    redactions cannot create or destroy later matches differently
+    across engines."""
+    out: Column = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
 def rarity_scores(
     df: DataFrame, id_col: str, text_col: str, scale: int = 1_000_000
 ) -> DataFrame:

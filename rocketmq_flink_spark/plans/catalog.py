@@ -3163,3 +3163,317 @@ def chunk_documents_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 pipeline operators: benchmark decontamination, repetition
+# quality filters, PII redaction, incremental (batch-vs-index) dedup
+# ---------------------------------------------------------------------------
+
+_GRAMS5_DUCK = (
+    "list_distinct(list_transform(range(1, greatest(len(arr) - 4, 1) + 1),"
+    " i -> array_to_string(arr[i:i+4], ' ')))"
+)
+
+
+@query(
+    "decontamination_overlap",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+') AS arr
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, unnest({_GRAMS5_DUCK}) AS sh
+      FROM t WHERE doc_id % 97 <> 0
+    ),
+    bg AS (
+      SELECT DISTINCT sh FROM (
+        SELECT unnest({_GRAMS5_DUCK}) AS sh FROM t WHERE doc_id % 97 = 0)
+    ),
+    per AS (
+      SELECT g.doc_id, g.source, COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN bg.sh IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_overlap
+      FROM g LEFT JOIN bg ON g.sh = bg.sh
+      GROUP BY g.doc_id, g.source
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN 10 * n_overlap >= n_grams THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(SUM(n_overlap) AS BIGINT) AS sum_overlap,
+           CAST(SUM(n_grams) AS BIGINT) AS sum_grams,
+           ROUND(CAST(SUM(n_overlap) AS DOUBLE) / SUM(n_grams), 6)
+             AS overlap_frac
+    FROM per GROUP BY source ORDER BY source
+    """,
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style n-gram overlap filter):
+    documents checked for distinct word-5-gram overlap against a held-out
+    "benchmark" subset (doc_id % 97 == 0 stands in for the eval suite).
+    Per-source report from exact BIGINT counters; a doc is contaminated
+    when >= 10% of its grams appear in the benchmark (integer-compare,
+    no float accumulation). Scale: the benchmark gram set is broadcast —
+    the corpus shuffles only per-doc counters, never text."""
+    from rocketmq_flink_spark.operators.contamination import ngram_contamination
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    targets = docs.where(F.col("doc_id") % 97 != 0)
+    per = ngram_contamination(targets, bench, "doc_id", "text", n=5)
+    per = per.join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    10 * F.col("n_overlap") >= F.col("n_grams"), 1
+                ).otherwise(0)
+            ).alias("n_contaminated"),
+            F.sum("n_overlap").alias("sum_overlap"),
+            F.sum("n_grams").alias("sum_grams"),
+        )
+        .withColumn(
+            "overlap_frac",
+            F.round(F.col("sum_overlap") / F.col("sum_grams"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "repetition_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+') AS arr
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, greatest(len(arr) - 1, 1) + 1),
+                                   i -> array_to_string(arr[i:i+1], ' ')))
+               AS gram
+      FROM t
+    ),
+    pg AS (
+      SELECT doc_id, source, gram, COUNT(*) AS cnt
+      FROM g GROUP BY doc_id, source, gram
+    ),
+    per AS (
+      SELECT doc_id, source,
+             CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+             CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+               AS dup_occ,
+             CAST(MAX(cnt) AS BIGINT) AS top_cnt
+      FROM pg GROUP BY doc_id, source
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN 5 * dup_occ >= n_ngrams THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repetitive,
+           CAST(SUM(dup_occ) AS BIGINT) AS sum_dup,
+           CAST(SUM(n_ngrams) AS BIGINT) AS sum_ngrams,
+           CAST(MAX(top_cnt) AS BIGINT) AS max_top_bigram,
+           ROUND(CAST(SUM(dup_occ) AS DOUBLE) / SUM(n_ngrams), 6)
+             AS dup_frac
+    FROM per GROUP BY source ORDER BY source
+    """,
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter (Gopher-style duplicate-bigram
+    fraction): per-source report of documents whose duplicated-bigram
+    occurrence share >= 20% (exact integer compare over BIGINT counters).
+    Scale: explode bigram occurrences -> one map-side-combined
+    (doc, gram) count -> one per-doc agg; nothing quadratic in doc
+    length, no floats until the single final ratio."""
+    from rocketmq_flink_spark.operators.text import repetition_features
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    rep = repetition_features(docs, "doc_id", "text", n=2)
+    rep = rep.join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        rep.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    5 * F.col("dup_ngram_occ") >= F.col("n_ngrams"), 1
+                ).otherwise(0)
+            ).alias("n_repetitive"),
+            F.sum("dup_ngram_occ").alias("sum_dup"),
+            F.sum("n_ngrams").alias("sum_ngrams"),
+            F.max("top_ngram_count").alias("max_top_bigram"),
+        )
+        .withColumn(
+            "dup_frac", F.round(F.col("sum_dup") / F.col("sum_ngrams"), 6)
+        )
+        .orderBy("source")
+    )
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB replay of the PII inject -> detect -> redact pipeline.
+
+    The patterns live in operators/text.py PII_PATTERNS and use only the
+    regex subset Java and RE2 agree on; the redaction checksum hashes
+    every redacted text through the portable 60-bit md5 hash, so a match
+    proves byte-identical redacted output, not just equal counts."""
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+    from rocketmq_flink_spark.operators.text import PII_PATTERNS
+
+    em, ip, ph = (
+        PII_PATTERNS["email"],
+        PII_PATTERNS["ipv4"],
+        PII_PATTERNS["phone"],
+    )
+    injected = (
+        "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com'"
+        " || CASE WHEN doc_id % 3 = 0 THEN"
+        "      ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.'"
+        "      || CAST(doc_id % 50 AS VARCHAR)"
+        "    ELSE '' END"
+        " || CASE WHEN doc_id % 2 = 0 THEN"
+        "      ' call +555 867 '"
+        "      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        "    ELSE '' END"
+    )
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(inj,"
+        f" '{em}', '<EMAIL>', 'g'),"
+        f" '{ip}', '<IPV4>', 'g'),"
+        f" '{ph}', '<PHONE>', 'g')"
+    )
+    return f"""
+    WITH inj AS (SELECT doc_id, source, {injected} AS inj FROM documents),
+    per AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(inj, '{em}')) AS n_email,
+             len(regexp_extract_all(inj, '{ip}')) AS n_ipv4,
+             len(regexp_extract_all(inj, '{ph}')) AS n_phone,
+             {hash60_sql(red)} % 1000003 AS rh
+      FROM inj
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS sum_email,
+           CAST(SUM(n_ipv4) AS BIGINT) AS sum_ipv4,
+           CAST(SUM(n_phone) AS BIGINT) AS sum_phone,
+           CAST(SUM(rh) AS BIGINT) AS redact_check
+    FROM per GROUP BY source ORDER BY source
+    """
+
+
+@query("pii_redaction", _pii_oracle_sql())
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: deterministic synthetic PII
+    (emails always, IPv4 for doc_id%3==0, phone for doc_id%2==0) is
+    injected into each document, detected with the shared Java/RE2-safe
+    patterns, and redacted to <KIND> placeholders. The oracle re-runs
+    the identical inject/detect/redact chain in DuckDB and compares a
+    per-source checksum of the redacted bytes — proving the regex
+    semantics agree across engines, not merely the counts. Scale: pure
+    regexp_replace chain, whole-stage codegen, zero Python, zero extra
+    shuffles beyond the final per-source agg."""
+    from rocketmq_flink_spark.functions.porthash import hash60
+    from rocketmq_flink_spark.operators.text import pii_counts, redact_pii
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    did = F.col("doc_id")
+    inj = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), did.cast("string"), F.lit("@ex.com"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" from 10."), (did % 200).cast("string"),
+                F.lit(".0."), (did % 50).cast("string"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit(" call +555 867 "),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+    )
+    base = docs.select("doc_id", "source", inj.alias("inj"))
+    counted = base.withColumns(pii_counts("inj")).withColumn(
+        "rh", hash60(redact_pii("inj")) % 1000003
+    )
+    return (
+        counted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").alias("sum_email"),
+            F.sum("n_ipv4").alias("sum_ipv4"),
+            F.sum("n_phone").alias("sum_phone"),
+            F.sum("rh").alias("redact_check"),
+        )
+        .orderBy("source")
+    )
+
+
+def _incremental_minhash_oracle_sql() -> str:
+    """DuckDB replay of the batch-vs-index MinHash probe: identical
+    portable hash family, banding, estimator, and deterministic
+    min-index winner selection."""
+    from rocketmq_flink_spark.functions.porthash import (
+        hash31_sql,
+        minhash_coeffs,
+    )
+
+    coeffs = minhash_coeffs(64)
+    a_lit = "[" + ", ".join(str(a) for a, _ in coeffs) + "]"
+    b_lit = "[" + ", ".join(str(b) for _, b in coeffs) + "]"
+    return f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    hx AS (SELECT doc_id, {hash31_sql('sh')} AS x FROM sh),
+    ab AS (SELECT j, CAST(({a_lit})[j+1] AS BIGINT) AS a,
+                  CAST(({b_lit})[j+1] AS BIGINT) AS b
+           FROM (SELECT unnest(range(64)) AS j)),
+    minh AS (
+      SELECT doc_id, j, MIN((a * x + b) % 2147483647) AS mh
+      FROM hx CROSS JOIN ab GROUP BY doc_id, j
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM minh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, sig, bs.bb AS band,
+             array_to_string(sig[bs.bb*4+1 : bs.bb*4+4], ',') AS bkey
+      FROM sig CROSS JOIN (SELECT unnest(range(16)) AS bb) bs
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id,
+                      n.sig AS sa, i.sig AS sb
+      FROM banded n JOIN banded i
+        ON n.band = i.band AND n.bkey = i.bkey
+      WHERE n.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+    ),
+    m AS (
+      SELECT new_id, idx_id,
+             ROUND(CAST(list_sum(list_transform(list_zip(sa, sb),
+                   p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE)
+                   / 64.0, 6) AS est
+      FROM cand
+    )
+    SELECT new_id AS doc_id, MIN(idx_id) AS dup_of,
+           arg_min(est, idx_id) AS est_jaccard
+    FROM m WHERE est >= 0.7 GROUP BY new_id
+    """
+
+
+@query("incremental_dedup_batch", _incremental_minhash_oracle_sql())
+def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup (the steady-state production shape): odd
+    doc_ids arrive as a new batch and probe the MinHash band index of
+    the even-id corpus; no batch-vs-batch or index-vs-index pairs are
+    ever generated. Fully hash-checked: the oracle replays the portable
+    hash family, banding, estimator, and min-index winner."""
+    from rocketmq_flink_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    idx = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    return incremental_minhash_dedup(new, idx, "doc_id", "text", threshold=0.7)

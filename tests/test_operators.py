@@ -484,3 +484,110 @@ def test_chunk_documents_edges(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         PL.chunk_documents(df, "id", "text", chunk_tokens=4, overlap=4)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 pipeline operators: decontamination, repetition, PII,
+# incremental dedup
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_contamination_counts_and_filter(spark):
+    from rocketmq_flink_spark.operators.contamination import (
+        decontaminate,
+        ngram_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "id INT, text STRING",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "a completely different sentence with no overlap at all here"),
+            (3, "quick brown fox jumps over something else entirely today"),
+        ],
+        "id INT, text STRING",
+    )
+    got = {
+        r.id: (r.n_grams, r.n_overlap)
+        for r in ngram_contamination(docs, bench, "id", "text", n=5).collect()
+    }
+    # doc 1 contains the benchmark verbatim: 5 of its 6 distinct 5-grams hit
+    assert got[1] == (6, 5)
+    assert got[2] == (6, 0)
+    # doc 3 shares exactly one 5-gram ("quick brown fox jumps over")
+    assert got[3] == (5, 1)
+    kept = {
+        r.id
+        for r in decontaminate(
+            docs, bench, "id", "text", n=5, max_overlap_permille=300
+        ).collect()
+    }
+    assert kept == {2, 3}
+
+
+def test_repetition_features_exact_counts(spark):
+    rep = {
+        r.id: (r.n_ngrams, r.dup_ngram_occ, r.top_ngram_count)
+        for r in TX.repetition_features(
+            spark.createDataFrame(
+                [
+                    (1, "spam spam spam spam"),
+                    (2, "all words differ here now"),
+                    (3, "ab cd ab cd ab"),
+                ],
+                "id INT, text STRING",
+            ),
+            "id",
+            "text",
+            n=2,
+        ).collect()
+    }
+    # "spam spam" occurs 3x -> all 3 occurrences are duplicates
+    assert rep[1] == (3, 3, 3)
+    assert rep[2] == (4, 0, 1)
+    # bigrams: "ab cd" x2, "cd ab" x2 -> 4 of 4 duplicated
+    assert rep[3] == (4, 4, 2)
+
+
+def test_pii_redact_and_count(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@test.org or 192.168.0.1 or +123 456 7890 now"),
+            (2, "clean text with no pii at all"),
+        ],
+        "id INT, text STRING",
+    )
+    out = df.withColumns(TX.pii_counts("text")).withColumn(
+        "red", TX.redact_pii("text")
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert (rows[1].n_email, rows[1].n_ipv4, rows[1].n_phone) == (1, 1, 1)
+    assert rows[1].red == "mail <EMAIL> or <IPV4> or <PHONE> now"
+    assert (rows[2].n_email, rows[2].n_ipv4, rows[2].n_phone) == (0, 0, 0)
+    assert rows[2].red == rows[2].text
+
+
+def test_incremental_dedup_matches_only_index(spark, docs):
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    idx = docs.where(F.col("doc_id") % 2 == 0)
+    out = D.incremental_minhash_dedup(new, idx, "doc_id", "text").collect()
+    assert out, "fixture's planted near-dups must produce matches"
+    for r in out:
+        assert r.doc_id % 2 == 1, "only new-batch ids on the left"
+        assert r.dup_of % 2 == 0, "dup_of must come from the index"
+        assert r.est_jaccard >= 0.7
+    # batch-vs-batch pairs must NOT appear: deduping new against itself
+    # is the full-corpus operator's job, not the incremental probe's
+    full = D.minhash_dedup(docs, "doc_id", "text", threshold=0.7)
+    groups = {}
+    for row in full.collect():
+        groups.setdefault(row.rep_id, set()).add(row.doc_id)
+    # every incremental match must be consistent with the full closure
+    comp = {r.doc_id: r.rep_id for r in full.collect()}
+    for r in out:
+        assert comp[r.doc_id] == comp[r.dup_of], (
+            f"incremental pair ({r.doc_id},{r.dup_of}) not in one component"
+        )
