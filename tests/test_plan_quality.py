@@ -74,3 +74,28 @@ def test_codec_decode_stays_in_codegen(spark):
     df.collect()  # AQE finalizes (and codegens) the plan on execution
     # codegen stages print as "*(n) Operator" in the final plan
     assert re.search(r"\*\(\d+\) (HashAggregate|Project)", _plan(df))
+
+
+def test_decontamination_probe_is_broadcast_join(spark):
+    # the benchmark-gram set must broadcast: a 100 TB corpus cannot
+    # shuffle on the gram key just to probe a model-sized eval suite
+    plan = _plan(REGISTRY["decontamination_overlap"].fn(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "EvalPython" not in plan
+
+
+def test_pii_redaction_no_python_and_pruned_scan(spark):
+    plan = _plan(REGISTRY["pii_redaction"].fn(spark, SF))
+    assert "EvalPython" not in plan
+    scan = next(ln for ln in plan.splitlines() if "Scan parquet" in ln)
+    read_schema = scan.split("ReadSchema:")[1]
+    # only doc_id/source/text are needed; lang/n_chars must be pruned
+    assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_incremental_dedup_no_cartesian(spark):
+    # the band probe must be an equi-join (hash-joinable); a nested-loop
+    # or cartesian node here would be quadratic at corpus scale
+    plan = _plan(REGISTRY["incremental_dedup_batch"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
