@@ -428,62 +428,66 @@ def simhash_fingerprints(
     base hash (functions/porthash.py, ONE md5 per token), so the
     fingerprint is bit-reproducible by the DuckDB oracle — the packed
     aggregation is an internal layout change only."""
-    from rocketmq_flink_spark.functions.porthash import hash60
-
     if not 1 <= n_bits <= 60:
         raise ValueError("n_bits must be in [1, 60] (portable hash width)")
     if not 1 <= lane_bits <= 60:
         raise ValueError("lane_bits must be in [1, 60]")
     bits_per_lane_group = -(-n_bits // lane_bits)  # bits sharing one sum
     spread = sum(1 << (lane_bits * k) for k in range(bits_per_lane_group))
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.expr(f"split({normalize_sql(text_col)}, '\\\\s+')")
-        ).alias("tok"),
-    ).where(F.col("tok") != "")
-    hashed = toks.select("doc", hash60(F.col("tok")).alias("_h"))
-    lane_aggs = [
-        F.sum(
-            F.shiftrightunsigned(F.col("_h"), j).bitwiseAND(F.lit(spread))
-        ).alias(f"s{j}")
+    lane_mask = (1 << lane_bits) - 1
+    # Two deliberate construction choices, both measured:
+    # 1. Per-doc ARRAY aggregation instead of explode+groupBy: the lane
+    #    sums fold over the token-hash array with aggregate() — ZERO
+    #    shuffle (embarrassingly parallel over documents), one md5 per
+    #    token, bit-identical output.
+    # 2. The whole operator is built as SQL text parsed JVM-side in a
+    #    few expr() calls: composing the ~60-term bit expression from
+    #    Column objects costs hundreds of py4j round trips PER QUERY
+    #    BUILD (measured ~3 s of driver time at bench, dwarfing the
+    #    sub-second execution).
+    toks = f"filter(split({normalize_sql(text_col)}, '\\\\s+'), x -> x <> '')"
+    hashes = (
+        f"transform({toks},"
+        f" t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+    )
+    lane_exprs = [
+        (
+            f"aggregate(_h, CAST(0 AS BIGINT), (acc, h) -> acc +"
+            f" (shiftrightunsigned(h, {j}) & CAST({spread} AS BIGINT)))"
+            f" AS s{j}"
+        )
         for j in range(lane_bits)
     ]
-    sums = hashed.groupBy("doc").agg(
-        *lane_aggs, F.count(F.lit(1)).alias("_n")
-    )
-    lane_mask = (1 << lane_bits) - 1
+    sums = df.selectExpr(
+        f"{id_col} AS doc", f"{hashes} AS _h"
+    ).selectExpr("doc", "size(_h) AS _n", *lane_exprs)
     # counter lanes hold < 2^lane_bits: overflow would be silent, so the
     # token count used by every majority test routes through a
     # raise_error branch — load-bearing, Catalyst cannot prune it
-    n_checked = (
-        F.when(F.col("_n") < F.lit(1 << lane_bits), F.col("_n"))
-        .otherwise(
-            F.raise_error(
-                F.lit(
-                    f"simhash counter overflow: document exceeds "
-                    f"2^{lane_bits} tokens — raise lane_bits"
-                )
-            ).cast("long")
-        )
+    nc = (
+        f"IF(_n < {1 << lane_bits}, CAST(_n AS BIGINT),"
+        f" CAST(raise_error('simhash counter overflow: document exceeds"
+        f" 2^{lane_bits} tokens -- raise lane_bits') AS BIGINT))"
     )
-    fp = None
+    terms = []
     for j in range(lane_bits):
         for k in range(bits_per_lane_group):
             b = j + lane_bits * k
             if b >= n_bits:
                 continue
-            cnt = F.shiftrightunsigned(
-                F.col(f"s{j}"), lane_bits * k
-            ).bitwiseAND(F.lit(lane_mask))
-            bit = (
-                F.when(F.lit(2) * cnt > n_checked, F.lit(1))
-                .otherwise(F.lit(0))
-                .cast("long")
+            cnt = (
+                f"(shiftrightunsigned(s{j}, {lane_bits * k})"
+                f" & CAST({lane_mask} AS BIGINT))"
             )
-            term = F.shiftleft(bit, b)
-            fp = term if fp is None else fp.bitwiseOR(term)
-    return sums.select(F.col("doc").alias(id_col), fp.alias("simhash"))
+            terms.append(
+                f"shiftleft(CAST(IF(2 * {cnt} > _nc, 1, 0) AS BIGINT), {b})"
+            )
+    # fingerprint bits are disjoint, so + is |; a flat sum parses shallow
+    fp = " + ".join(terms)
+    return sums.selectExpr(
+        "doc", f"{nc} AS _nc",
+        *[f"s{j}" for j in range(lane_bits)],
+    ).selectExpr(f"doc AS {id_col}", f"{fp} AS simhash")
 
 
 def simhash_near_pairs(
@@ -529,23 +533,19 @@ def simhash_near_pairs(
     # ~8 bytes/doc cluster-wide, fine at any corpus size)
     fingerprints = fingerprints.cache()
 
-    def block(c: int):
-        return F.shiftrightunsigned(
-            F.col("simhash"), width * c
-        ).bitwiseAND(F.lit(mask))
+    # key structs as one JVM-parsed SQL string: C(h+2, 2) Column-object
+    # structs would cost hundreds of py4j round trips per query build
+    def block(c: int) -> str:
+        return f"(shiftrightunsigned(simhash, {width * c}) & {mask})"
 
-    keys = [
-        F.struct(
-            F.lit(i * n_blocks + j).alias("bp"),
-            F.shiftleft(block(i), width).bitwiseOR(block(j)).alias("bk"),
-        )
+    keys = ", ".join(
+        f"named_struct('bp', {i * n_blocks + j},"
+        f" 'bk', shiftleft({block(i)}, {width}) | {block(j)})"
         for i in range(n_blocks)
         for j in range(i + 1, n_blocks)
-    ]
-    indexed = fingerprints.select(
-        F.col(id_col).alias("doc"),
-        F.col("simhash"),
-        F.explode(F.array(*keys)).alias("kp"),
+    )
+    indexed = fingerprints.selectExpr(
+        f"{id_col} AS doc", "simhash", f"explode(array({keys})) AS kp"
     ).select("doc", "simhash", "kp.bp", "kp.bk")
     a, b = indexed.alias("a"), indexed.alias("b")
     return (

@@ -187,6 +187,66 @@ def repetition_features(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k characteristic terms per document by a log-free tf-idf:
+    score = tf * (N * scale div df) — term frequency times scaled
+    inverse document frequency, computed entirely in BIGINT integer
+    arithmetic so ranking and score are bit-identical in any engine at
+    any partition count (log-damped tf-idf would hinge on libm ULPs).
+
+    Returns (id_col, tok, tf, df, tfidf_scaled), k rows per document,
+    ties broken by token text ascending.
+
+    Scale: one (doc, tok) count agg; the token->df probe is the
+    Zipf-skewed join (AQE skew handling applies); the final ranking
+    window partitions per document — thousands of tiny partitions, no
+    hot key possible.
+    """
+    from pyspark.sql import Window
+
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.split(F.expr(normalize_sql(text_col)), r"\s+")
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    tf = toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.cache()  # reused: df aggregation + the scored probe
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select("doc").distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "tok")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf_scaled",
+            F.expr(f"tf * ((n_docs * CAST({scale} AS BIGINT)) div df)"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.desc("tfidf_scaled"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(
+            F.col("doc").alias(id_col), "tok", "tf", "df", "tfidf_scaled"
+        )
+    )
+
+
 # PII patterns restricted to the regex subset Java (Spark) and RE2
 # (DuckDB) implement identically: no lookaround, no backreferences.
 # Redaction order is the dict order (email first: an address contains

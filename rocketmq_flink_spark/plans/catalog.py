@@ -3477,3 +3477,41 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = docs.where(F.col("doc_id") % 2 == 0)
     new = docs.where(F.col("doc_id") % 2 == 1)
     return incremental_minhash_dedup(new, idx, "doc_id", "text", threshold=0.7)
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM tk WHERE tok <> ''
+      GROUP BY doc_id, tok
+    ),
+    dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, CAST(tf.tf AS BIGINT) AS tf, dfq.df,
+             CAST(tf.tf AS BIGINT) * ((n.n_docs * 1000000) // dfq.df)
+               AS tfidf_scaled
+      FROM tf JOIN dfq USING (tok) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf_scaled DESC, tok ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, tok, tf, df, tfidf_scaled FROM ranked WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by log-free integer
+    tf-idf (text analysis surface): ranking and score are exact BIGINT
+    arithmetic, bit-identical across engines and partitionings."""
+    from rocketmq_flink_spark.operators.text import tfidf_top_terms
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)

@@ -591,3 +591,23 @@ def test_incremental_dedup_matches_only_index(spark, docs):
         assert comp[r.doc_id] == comp[r.dup_of], (
             f"incremental pair ({r.doc_id},{r.dup_of}) not in one component"
         )
+
+
+def test_tfidf_top_terms_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "id INT, text STRING",
+    )
+    out = TX.tfidf_top_terms(df, "id", "text", k=2)
+    rows = {(r.id, r.tok): (r.tf, r.df, r.tfidf_scaled) for r in out.collect()}
+    # N=3; idf_scaled(df=1) = 3_000_000, df=2 -> 1_500_000, df=3 -> 1_000_000
+    assert rows[(1, "apple")] == (2, 1, 6_000_000)
+    assert rows[(3, "cherry")] == (3, 2, 4_500_000)
+    assert rows[(3, "durian")] == (1, 1, 3_000_000)
+    # doc 2: banana (1x, df=2) and cherry (1x, df=2) tie -> token asc order
+    per_doc2 = [t for (i, t) in rows if i == 2]
+    assert sorted(per_doc2) == ["banana", "cherry"]

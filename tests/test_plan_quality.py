@@ -85,6 +85,9 @@ def test_decontamination_probe_is_broadcast_join(spark):
 
 
 def test_pii_redaction_no_python_and_pruned_scan(spark):
+    # earlier test modules may have cached `documents` (all columns);
+    # this asserts the raw-scan shape, so drop caches first
+    spark.catalog.clearCache()
     plan = _plan(REGISTRY["pii_redaction"].fn(spark, SF))
     assert "EvalPython" not in plan
     scan = next(ln for ln in plan.splitlines() if "Scan parquet" in ln)
