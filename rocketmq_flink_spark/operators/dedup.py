@@ -153,29 +153,43 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures: (id, sig array<long>[num_hashes]).
 
-    One explode + ONE aggregation computing all num_hashes minima.
     Hashing is the portable universal family h_j(x) = (a_j*x + b_j) mod
     (2^31-1) over a 60-bit md5 base hash (functions/porthash.py): ONE
     md5 per shingle, 64 exact BIGINT multiply-mods — deterministic
     across runs AND bit-reproducible by the DuckDB oracle, which is what
-    upgrades this operator from rows-only-checked to hash-checked."""
-    from rocketmq_flink_spark.functions.porthash import (
-        affine31,
-        hash31,
-        minhash_coeffs,
-    )
+    upgrades this operator from rows-only-checked to hash-checked.
 
-    sh = exploded_shingles(df, id_col, text_col, k)
-    base = sh.select("doc", hash31(F.col("sh")).alias("_x"))
+    All num_hashes minima fold over the per-document shingle-hash ARRAY
+    (array_min over transform) instead of explode+groupBy: ZERO shuffle,
+    embarrassingly parallel over documents — and because it is map-only,
+    signatures can be computed on a STREAMING DataFrame without any
+    stateful aggregation (the streaming incremental-dedup path relies on
+    this). Built as JVM-parsed SQL text: 64 Column-object aggregates
+    cost hundreds of py4j round trips per query build."""
+    from rocketmq_flink_spark.functions.porthash import minhash_coeffs
+
     coeffs = minhash_coeffs(num_hashes)
-    aggs = [
-        F.min(affine31(F.col("_x"), a, b)).alias(f"h{j}")
-        for j, (a, b) in enumerate(coeffs)
-    ]
-    sig = base.groupBy("doc").agg(*aggs)
-    return sig.select(
-        F.col("doc").alias(id_col),
-        F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"),
+    toks = f"split({normalize_sql(text_col)}, '\\\\s+')"
+    shingles = (
+        f"array_distinct(transform("
+        f" sequence(0, greatest(size(_toks) - {k}, 0)),"
+        f" i -> concat_ws(' ', slice(_toks, i + 1, {k}))))"
+    )
+    hashes = (
+        "transform(_sh, s ->"
+        " CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+        " % 2147483647)"
+    )
+    mins = ", ".join(
+        f"array_min(transform(_hs, x ->"
+        f" (CAST({a} AS BIGINT) * x + CAST({b} AS BIGINT)) % 2147483647))"
+        for a, b in coeffs
+    )
+    return (
+        df.selectExpr(f"{id_col}", f"{toks} AS _toks")
+        .selectExpr(id_col, f"{shingles} AS _sh")
+        .selectExpr(id_col, f"{hashes} AS _hs")
+        .selectExpr(id_col, f"array({mins}) AS sig")
     )
 
 

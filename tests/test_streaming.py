@@ -572,3 +572,58 @@ def test_punctuated_watermark_stream_matches_batch(
     assert expect.exceptAll(got).count() == 0
     # something must actually have been dropped for the test to bite
     assert expect.count() < events.count()
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """Streaming incremental dedup (the production arrival path): new
+    documents stream in over several microbatches and probe the STATIC
+    corpus MinHash band index per batch via foreachBatch. Signatures are
+    map-only (array-fold minima — no stateful aggregation needed), and
+    batches interact only with the index, so the union over all epochs
+    must equal the batch incremental_minhash_dedup of the full new set."""
+    from rocketmq_flink_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = load_tables(spark, SF)["documents"]
+    idx = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+
+    # multiple microbatches: split the new batch into 3 files
+    src = tmp_path / "arrivals"
+    new.withColumn("_f", F.col("doc_id") % 3).repartition(3, "_f").drop(
+        "_f"
+    ).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+
+    results: list = []
+
+    def probe(batch_df, epoch_id):
+        out = incremental_minhash_dedup(batch_df, idx, "doc_id", "text")
+        results.append(out.toPandas())
+
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(results) >= 2, "expected multiple microbatches"
+
+    import pandas as pd
+
+    got = (
+        pd.concat(results, ignore_index=True)
+        .sort_values(["doc_id"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        incremental_minhash_dedup(new, idx, "doc_id", "text")
+        .toPandas()
+        .sort_values(["doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect)
