@@ -627,3 +627,63 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, expect)
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """W10: an event whose window was already finalized and evicted in an
+    EARLIER microbatch is dropped by the watermark. (A late row whose
+    window is still live merges into state — Spark finalizes windows at
+    the end of the batch in which the watermark passes them — so the
+    drop is only observable one batch after eviction.) Microbatch
+    boundaries are pinned with maxOffsetsPerTrigger over a single queue,
+    making the assertion exact, not racy."""
+    import datetime as dt
+
+    root = str(tmp_path / "late_broker")
+    register(spark)
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m, 0)
+
+    rows = [  # offset order == arrival order (single queue, 1 partition)
+        (1, t(10, 0)),   # batch 0
+        (2, t(11, 0)),   # batch 0 -> watermark 10:30 at batch-1 start
+        (4, t(12, 0)),   # batch 1: end of batch finalizes win 10:00 (n=1)
+        (6, t(12, 1)),   # batch 1 -> watermark 11:31 at batch-2 start
+        (3, t(10, 10)),  # batch 2: win 10:00 already evicted -> DROPPED
+        (5, t(13, 0)),   # batch 2 -> watermark 12:30 flushes win 12:00
+    ]
+    # one partition -> broker offsets follow row order (arrival order)
+    df = spark.createDataFrame(rows, "event_id BIGINT, ts TIMESTAMP").coalesce(1)
+    env = encode_rows(
+        df,
+        options={"topic": "t_late", "keyColumns": "event_id",
+                 "writeKeysToBody": "true"},
+        born_ts_col="ts",
+    )
+    (
+        env.write.format("rocketmq")
+        .options(path=root, topic="t_late", numQueues=1)
+        .mode("append")
+        .save()
+    )
+    env_s = (
+        spark.readStream.format("rocketmq")
+        .options(path=root, topic="t_late", maxOffsetsPerTrigger=2)
+        .load()
+    )
+    decoded = decode_envelope(env_s, "event_id BIGINT, ts TIMESTAMP")
+    agg = (
+        decoded.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("ws"), "n")
+    )
+    _run_to_memory(agg, "late_out", tmp_path)
+    got = sorted(
+        ((r.ws.hour, r.ws.minute), r.n)
+        for r in spark.table("late_out").collect()
+    )
+    # the late event (10:10) is dropped: exactly one (10:00) row with
+    # n=1, no duplicate emission, and the 13:00 window is never closed
+    assert got == [((10, 0), 1), ((11, 0), 1), ((12, 0), 2)], got
