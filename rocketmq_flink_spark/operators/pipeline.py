@@ -124,6 +124,60 @@ def doc_frequency_topk(
     )
 
 
+def mixture_weights(
+    df: DataFrame,
+    strata_col: str,
+    tokens_col: str,
+    budget_tokens: int,
+    targets_permille: dict[str, int] | None = None,
+    default_permille: int | None = None,
+) -> DataFrame:
+    """Domain-mixture reweighting: per-stratum sampling rates that hit a
+    target token mixture under a total budget.
+
+    For each stratum s with target share t_s (permille) and available
+    tokens a_s: desired_s = budget * t_s div 1000, and the sampling
+    rate is rate_s = min(1000, desired_s * 1000 div a_s) permille — all
+    BIGINT integer arithmetic, so the plan (and the downstream
+    stratified_sample keyed on these rates) is reproducible anywhere.
+    A stratum with fewer tokens than desired is capped at 1000 (take
+    everything; the shortfall is visible as desired - expected).
+
+    Returns (strata_col, available_tokens, desired_tokens,
+    rate_permille, expected_tokens) — one row per stratum; one
+    aggregation shuffle over (stratum) counters.
+    """
+    if default_permille is None:
+        default_permille = 0
+    tgt = F.lit(default_permille)
+    for k, v in sorted((targets_permille or {}).items()):
+        tgt = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(tgt)
+    avail = df.groupBy(strata_col).agg(
+        F.sum(F.col(tokens_col)).alias("available_tokens")
+    )
+    return (
+        avail.withColumn("_tgt", tgt.cast("long"))
+        .withColumn(
+            "desired_tokens",
+            F.expr(f"CAST({budget_tokens} AS BIGINT) * _tgt div 1000"),
+        )
+        .withColumn(
+            "rate_permille",
+            F.least(
+                F.lit(1000).cast("long"),
+                F.expr(
+                    "desired_tokens * 1000 div greatest(available_tokens, 1)"
+                ),
+            ),
+        )
+        .withColumn(
+            "expected_tokens",
+            F.expr("available_tokens * rate_permille div 1000"),
+        )
+        .drop("_tgt")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

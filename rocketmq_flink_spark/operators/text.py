@@ -187,6 +187,77 @@ def repetition_features(
     )
 
 
+def quality_filter_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 10,
+    max_mean_token_len_x10: int = 100,
+    min_alpha_permille: int = 550,
+    max_dup_bigram_permille: int = 200,
+) -> DataFrame:
+    """C4/Gopher-style quality filter chain with per-rule attribution.
+
+    Four rules, every one an EXACT integer comparison (thresholds are
+    scaled integers — x10 / permille — so no float ever decides a keep):
+      short     : n_tokens < min_tokens
+      meanlen   : 10 * (chars - spaces) > max_mean_token_len_x10 * n_tokens
+      alpha     : 1000 * n_alpha < min_alpha_permille * n_chars
+      repetitive: 1000 * dup_bigram_occ > max_dup_bigram_permille * n_ngrams
+
+    Returns (id_col, n_tokens, fail_rule, kept) where fail_rule is the
+    FIRST failing rule's name ('' when kept) — deterministic drop
+    attribution, the thing a pipeline dashboard actually needs.
+
+    Scale: the char-level signals are pure per-row expressions; the only
+    shuffles are the two map-side-combined aggs inside
+    repetition_features. One corpus pass overall.
+    """
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    toks = F.split(F.expr(normalize_sql(text_col)), r"\s+")
+    n_tok = F.when(
+        F.expr(normalize_sql(text_col)) == "", F.lit(0)
+    ).otherwise(F.size(toks))
+    n_chars = F.length(F.col(text_col))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    n_space = F.length(F.regexp_replace(F.col(text_col), r"[^\s]", ""))
+    base = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_chars.alias("_nc"),
+        n_alpha.alias("_na"),
+        (n_chars - n_space).alias("_nw"),
+    )
+    rep = repetition_features(df, id_col, text_col, n=2)
+    j = base.join(rep, id_col)
+    fail = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("short"))
+        .when(
+            10 * F.col("_nw")
+            > F.lit(max_mean_token_len_x10) * F.greatest(F.col("n_tokens"), F.lit(1)),
+            F.lit("meanlen"),
+        )
+        .when(
+            1000 * F.col("_na")
+            < F.lit(min_alpha_permille) * F.greatest(F.col("_nc"), F.lit(1)),
+            F.lit("alpha"),
+        )
+        .when(
+            1000 * F.col("dup_ngram_occ")
+            > F.lit(max_dup_bigram_permille) * F.greatest(F.col("n_ngrams"), F.lit(1)),
+            F.lit("repetitive"),
+        )
+        .otherwise(F.lit(""))
+    )
+    return j.select(
+        F.col(id_col),
+        "n_tokens",
+        fail.alias("fail_rule"),
+        (fail == "").alias("kept"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str,

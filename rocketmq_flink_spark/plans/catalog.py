@@ -3515,3 +3515,138 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+@query(
+    "quality_filter_report",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+') AS arr,
+             {_NORM_SQL_DUCK} AS norm
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, source,
+             CASE WHEN norm = '' THEN 0 ELSE len(arr) END AS n_tokens,
+             length(text) AS nc,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na,
+             length(text) - length(regexp_replace(text, '[^\\s]', '', 'g'))
+               AS nw
+      FROM t
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(arr) - 1, 1) + 1),
+                                   i -> array_to_string(arr[i:i+1], ' ')))
+               AS gram
+      FROM t
+    ),
+    pg AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram),
+    rep AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+             CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+               AS dup_occ
+      FROM pg GROUP BY doc_id
+    ),
+    flags AS (
+      SELECT b.source,
+             CASE
+               WHEN b.n_tokens < 10 THEN 'short'
+               WHEN 10 * b.nw > 100 * greatest(b.n_tokens, 1) THEN 'meanlen'
+               WHEN 1000 * b.na < 550 * greatest(b.nc, 1) THEN 'alpha'
+               WHEN 1000 * r.dup_occ > 200 * greatest(r.n_ngrams, 1)
+                 THEN 'repetitive'
+               ELSE ''
+             END AS fail_rule
+      FROM base b JOIN rep r USING (doc_id)
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN fail_rule = '' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN fail_rule = 'short' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_short,
+           CAST(SUM(CASE WHEN fail_rule = 'meanlen' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_meanlen,
+           CAST(SUM(CASE WHEN fail_rule = 'alpha' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alpha,
+           CAST(SUM(CASE WHEN fail_rule = 'repetitive' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repetitive
+    FROM flags GROUP BY source ORDER BY source
+    """,
+)
+def quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed quality-filter chain (C4/Gopher rule family) with
+    first-failing-rule drop attribution, reported per source. Every rule
+    is an exact scaled-integer comparison — the keep decision is
+    bit-stable across engines and partitionings."""
+    from rocketmq_flink_spark.operators.text import quality_filter_flags
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    flags = quality_filter_flags(docs, "doc_id", "text")
+    flags = flags.join(docs.select("doc_id", "source"), "doc_id")
+    cnt = lambda rule: F.sum(  # noqa: E731
+        F.when(F.col("fail_rule") == rule, 1).otherwise(0)
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt("").alias("n_kept"),
+            cnt("short").alias("n_short"),
+            cnt("meanlen").alias("n_meanlen"),
+            cnt("alpha").alias("n_alpha"),
+            cnt("repetitive").alias("n_repetitive"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "mixture_reweighting",
+    """
+    WITH tok AS (
+      SELECT source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+             END AS n_tok
+      FROM documents
+    ),
+    avail AS (
+      SELECT source, CAST(SUM(n_tok) AS BIGINT) AS available_tokens
+      FROM tok GROUP BY source
+    ),
+    budget AS (
+      SELECT CAST(SUM(available_tokens) // 2 AS BIGINT) AS b FROM avail
+    )
+    SELECT source, available_tokens,
+           CAST(b * 50 // 1000 AS BIGINT) AS desired_tokens,
+           CAST(LEAST(1000, (b * 50 // 1000) * 1000
+                      // GREATEST(available_tokens, 1)) AS BIGINT)
+             AS rate_permille,
+           CAST(available_tokens
+                * LEAST(1000, (b * 50 // 1000) * 1000
+                        // GREATEST(available_tokens, 1)) // 1000 AS BIGINT)
+             AS expected_tokens
+    FROM avail CROSS JOIN budget ORDER BY source
+    """,
+)
+def mixture_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-source sampling rates hitting a
+    uniform 5%-per-source token mixture under a budget of half the
+    corpus tokens — all-BIGINT closed form (pipeline.mixture_weights),
+    the rates feed stratified_sample directly. One agg shuffle."""
+    from rocketmq_flink_spark.operators.pipeline import mixture_weights
+    from rocketmq_flink_spark.operators.text import token_count
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    with_tok = docs.select("source", token_count("text").alias("n_tok"))
+    total = with_tok.agg(
+        F.sum("n_tok").cast("long").alias("t")
+    ).first()[0]
+    out = mixture_weights(
+        with_tok, "source", "n_tok",
+        budget_tokens=int(total) // 2,
+        default_permille=50,
+    )
+    return out.orderBy("source")

@@ -611,3 +611,48 @@ def test_tfidf_top_terms_exact(spark):
     # doc 2: banana (1x, df=2) and cherry (1x, df=2) tie -> token asc order
     per_doc2 = [t for (i, t) in rows if i == 2]
     assert sorted(per_doc2) == ["banana", "cherry"]
+
+
+def test_quality_filter_first_failing_rule(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "too short"),
+            (2, "this is a perfectly ordinary sentence with plenty of distinct words"),
+            (3, "spam spam spam spam spam spam spam spam spam spam spam"),
+            (4, "0123456789 " * 12),
+        ],
+        "id INT, text STRING",
+    )
+    from rocketmq_flink_spark.operators.text import quality_filter_flags
+
+    out = {r.id: (r.fail_rule, r.kept) for r in
+           quality_filter_flags(df, "id", "text").collect()}
+    assert out[1] == ("short", False)
+    assert out[2] == ("", True)
+    # doc 3 passes length/alpha but is pure repetition
+    assert out[3] == ("repetitive", False)
+    # doc 4 fails alpha BEFORE repetition (first-failing attribution)
+    assert out[4] == ("alpha", False)
+
+
+def test_mixture_weights_budget_math(spark):
+    from rocketmq_flink_spark.operators.pipeline import mixture_weights
+
+    df = spark.createDataFrame(
+        [("a", 600), ("a", 400), ("b", 100), ("c", 2000)],
+        "src STRING, n_tok INT",
+    )
+    out = {
+        r.src: (r.available_tokens, r.desired_tokens, r.rate_permille,
+                r.expected_tokens)
+        for r in mixture_weights(
+            df, "src", "n_tok", budget_tokens=1500,
+            targets_permille={"a": 400, "b": 400, "c": 200},
+        ).collect()
+    }
+    # a: desired 600 of 1000 avail -> 600 permille -> expect 600
+    assert out["a"] == (1000, 600, 600, 600)
+    # b: desired 600 but only 100 avail -> capped at 1000 (take all)
+    assert out["b"] == (100, 600, 1000, 100)
+    # c: desired 300 of 2000 -> 150 permille -> expect 300
+    assert out["c"] == (2000, 300, 150, 300)
