@@ -3650,3 +3650,54 @@ def mixture_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_permille=50,
     )
     return out.orderBy("source")
+
+
+@query(
+    "corpus_profile",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_NORM_SQL_DUCK} AS norm FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(norm, '\\s+')) AS tokk
+      FROM t
+    ),
+    tk AS (SELECT doc_id, tokk FROM tok WHERE tokk <> '')
+    SELECT
+      (SELECT COUNT(*) FROM t) AS n_docs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM tk) AS n_tokens,
+      (SELECT CAST(COUNT(DISTINCT tokk) AS BIGINT) FROM tk) AS vocab_size,
+      (SELECT CAST(COUNT(DISTINCT norm) AS BIGINT) FROM t) AS n_distinct_docs,
+      (SELECT CAST((COUNT(*) - COUNT(DISTINCT norm)) * 1000 // COUNT(*)
+                   AS BIGINT) FROM t) AS dup_permille
+    """,
+)
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus summary (the first query any pipeline run reports):
+    document/token/vocabulary counts, distinct normalized documents, and
+    the exact-duplicate rate in permille (integer arithmetic). Scale:
+    two aggregation passes over the token explode plus one distinct-doc
+    agg; no joins, no windows."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    norm = docs.select(
+        "doc_id", F.expr(normalize_sql("text")).alias("norm")
+    )
+    tok = norm.select(
+        F.explode(F.split(F.col("norm"), r"\s+")).alias("tokk")
+    ).where(F.col("tokk") != "")
+    tok_stats = tok.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct(F.col("tokk")).alias("vocab_size"),
+    )
+    doc_stats = norm.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("norm")).alias("n_distinct_docs"),
+    ).withColumn(
+        "dup_permille",
+        F.expr("(n_docs - n_distinct_docs) * 1000 div n_docs"),
+    )
+    return doc_stats.join(tok_stats).select(
+        "n_docs", "n_tokens", "vocab_size", "n_distinct_docs", "dup_permille"
+    )
