@@ -102,3 +102,25 @@ def test_incremental_dedup_no_cartesian(spark):
     plan = _plan(REGISTRY["incremental_dedup_batch"].fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_and_quality_filter_plan_shape(spark):
+    spark.catalog.clearCache()
+    # tfidf: the n_docs scalar joins via broadcast, never cartesian-loops
+    plan = _plan(REGISTRY["tfidf_top_terms"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    # quality filter: char-level signals + repetition agg, all JVM-side
+    plan = _plan(REGISTRY["quality_filter_report"].fn(spark, SF))
+    assert "EvalPython" not in plan
+
+
+def test_corpus_profile_single_scan_no_python(spark):
+    spark.catalog.clearCache()
+    plan = _plan(REGISTRY["corpus_profile"].fn(spark, SF))
+    assert "EvalPython" not in plan
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+    for scan in scans:
+        read_schema = scan.split("ReadSchema:")[1]
+        # only doc_id/text are needed; the rest of documents is pruned
+        assert "lang" not in read_schema and "source" not in read_schema
