@@ -248,3 +248,26 @@ def test_datetime_and_offset_options(spark, broker_root):
     )
     assert skip3.count() == 1000 - 2 * 3  # 2 queues x 3 skipped
     assert skip3.agg(F.min("offset")).first()[0] == 3
+
+
+def test_load_tables_is_lazy(spark, monkeypatch):
+    """Each query build must pay only for the parquet footers it
+    touches — eager loading of all 10 fixture tables cost ~1s of driver
+    time per catalog query (measured; see session._LazyTables)."""
+    from rocketmq_flink_spark import session as S
+
+    opened = []
+    real = S._read_table
+
+    def counting(spark_, sf_dir, name):
+        opened.append(name)
+        return real(spark_, sf_dir, name)
+
+    monkeypatch.setattr(S, "_read_table", counting)
+    t = S.load_tables(spark, "/root/testdata/sf0.001")
+    assert opened == []
+    t["documents"]
+    t["documents"]  # memoized: second access must not re-open
+    assert opened == ["documents"]
+    t["orders"]
+    assert opened == ["documents", "orders"]
