@@ -108,3 +108,57 @@ def test_stratified_sample_matches_hash_predicate(spark, ids, rate):
         return (h % 1000) < rate
 
     assert kept == sorted(i for i in ids if model_keep(i))
+
+
+# ascii-only documents: over this alphabet the engine's \p{L}\p{N}
+# normalization equals [A-Za-z0-9], so a pure-Python model is exact
+DOC_TEXT = st.text(
+    alphabet="abc XY9 .,!-\t", min_size=0, max_size=60
+)
+
+
+def _quality_model(text, min_tokens=10, max_mean_x10=100,
+                   min_alpha_pm=550, max_dup_pm=200):
+    import re
+
+    norm = re.sub(r"\s+", " ", re.sub(r"[^A-Za-z0-9\s]", " ", text.lower())).strip()
+    toks = norm.split(" ") if norm != "" else []
+    n_tok = len(toks)
+    nc = len(text)
+    na = len(re.sub(r"[^A-Za-z]", "", text))
+    nw = nc - sum(1 for ch in text if ch.isspace())
+    grams = (
+        [" ".join(toks[i:i + 2]) for i in range(max(len(toks) - 1, 1))]
+        if toks else [""]
+    )
+    from collections import Counter
+
+    cnt = Counter(grams)
+    n_ngrams = len(grams)
+    dup = sum(c for c in cnt.values() if c > 1)
+    if n_tok < min_tokens:
+        return "short"
+    if 10 * nw > max_mean_x10 * max(n_tok, 1):
+        return "meanlen"
+    if 1000 * na < min_alpha_pm * max(nc, 1):
+        return "alpha"
+    if 1000 * dup > max_dup_pm * max(n_ngrams, 1):
+        return "repetitive"
+    return ""
+
+
+@pytest.mark.usefixtures("spark")
+@settings(**SETTINGS)
+@given(texts=st.lists(DOC_TEXT, min_size=1, max_size=12))
+def test_quality_filter_matches_model(spark, texts):
+    from rocketmq_flink_spark.operators.text import quality_filter_flags
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id INT, text STRING"
+    )
+    got = {
+        r.id: r.fail_rule
+        for r in quality_filter_flags(df, "id", "text").collect()
+    }
+    expect = {i: _quality_model(t) for i, t in enumerate(texts)}
+    assert got == expect
