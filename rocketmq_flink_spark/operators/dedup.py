@@ -351,6 +351,55 @@ def minhash_dedup(
     )
 
 
+def repeated_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 20,
+    stride: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-passage detection (the exact-substring
+    dedup family of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" — simplified to fixed token windows): every
+    document is cut into `window`-token passages at `stride` offsets,
+    each passage is hashed with the portable 60-bit hash, and passages
+    whose hash occurs in >= min_docs DISTINCT documents are reported as
+    (passage_hash, n_docs, n_occurrences, min_doc, max_doc).
+
+    A document shorter than `window` contributes its single (partial)
+    passage. Windows per doc ~ tokens/stride, so the explode is a
+    constant factor over the corpus; the only shuffle is the hash
+    groupBy (map-side combined). Passage text never leaves the map side
+    — only 8-byte hashes shuffle, which is what makes this viable at
+    corpus scale."""
+    starts = (
+        f"sequence(0, greatest((size(_toks) - {window}) div {stride}, 0))"
+    )
+    passage = (
+        f"transform({starts}, i ->"
+        f" concat_ws(' ', slice(_toks, i * {stride} + 1, {window})))"
+    )
+    hashes = (
+        f"transform({passage}, p ->"
+        f" CAST(conv(substring(md5(p), 1, 15), 16, 10) AS BIGINT))"
+    )
+    toks = f"split({normalize_sql(text_col)}, '\\\\s+')"
+    exploded = df.selectExpr(
+        f"{id_col} AS doc", f"{toks} AS _toks"
+    ).selectExpr("doc", f"explode({hashes}) AS passage_hash")
+    return (
+        exploded.groupBy("passage_hash")
+        .agg(
+            F.count_distinct(F.col("doc")).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc").alias("min_doc"),
+            F.max("doc").alias("max_doc"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
 def incremental_minhash_dedup(
     new_docs: DataFrame,
     index_docs: DataFrame,

@@ -3701,3 +3701,38 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_stats.join(tok_stats).select(
         "n_docs", "n_tokens", "vocab_size", "n_distinct_docs", "dup_permille"
     )
+
+
+def _repeated_passages_oracle_sql() -> str:
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    h = hash60_sql("array_to_string(arr[i*10+1 : i*10+20], ' ')")
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+') AS arr
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, {h} AS passage_hash
+      FROM t, unnest(range(greatest((len(arr) - 20) // 10, 0) + 1)) AS u(i)
+    )
+    SELECT passage_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM p GROUP BY passage_hash
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """
+
+
+@query("repeated_passages", _repeated_passages_oracle_sql())
+def repeated_passages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage detection (exact-substring dedup
+    family): 20-token windows at stride 10, portable 60-bit hashes, only
+    8-byte hashes ever shuffle. Hash-checked: DuckDB replays the window
+    layout and hash."""
+    from rocketmq_flink_spark.operators.dedup import repeated_passages
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return repeated_passages(docs, "doc_id", "text", window=20, stride=10)

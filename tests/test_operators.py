@@ -656,3 +656,30 @@ def test_mixture_weights_budget_math(spark):
     assert out["b"] == (100, 600, 1000, 100)
     # c: desired 300 of 2000 -> 150 permille -> expect 300
     assert out["c"] == (2000, 300, 150, 300)
+
+
+def test_repeated_passages_planted(spark):
+    shared = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique tail one two three"),
+            (2, "different head words here " + shared),
+            (3, "no overlap with anything else at all whatsoever today"),
+        ],
+        "id INT, text STRING",
+    )
+    out = D.repeated_passages(df, "id", "text", window=20, stride=10).collect()
+    # the shared 20-token window starts at offset 0 in doc 1; in doc 2 it
+    # starts at token 4, which is NOT a stride-10 offset -> stride
+    # sampling misses it. With stride 10 only hash-aligned repeats hit:
+    hit_docs = {(r.min_doc, r.max_doc) for r in out}
+    # doc1[0:20] == doc2[4:24]: not aligned, so no pair reported
+    assert (1, 2) not in hit_docs
+    # aligned repeat: plant exact copies
+    df2 = spark.createDataFrame(
+        [(1, shared + " tail"), (2, shared + " other")],
+        "id INT, text STRING",
+    )
+    out2 = D.repeated_passages(df2, "id", "text", window=20, stride=10).collect()
+    assert len(out2) == 1
+    assert (out2[0].min_doc, out2[0].max_doc, out2[0].n_docs) == (1, 2, 2)
