@@ -116,3 +116,20 @@ def test_codec_roundtrip_property(spark, rows):
     def key(r):
         return (r.a, r.b, r.c, r.d)
     assert sorted(map(key, got)) == sorted(map(key, src))
+
+
+def test_training_data_pipeline_example(spark):
+    """The examples/ pipeline must run end to end with every stage
+    strictly bounded by the previous one and a nonzero final output."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    import training_data_pipeline as tp
+
+    stats = tp.run(spark, "/root/testdata/sf0.001")
+    order = sorted(stats)
+    assert stats["0_ingested"] > 0
+    # monotone non-increasing through filter/decontaminate/dedup/sample
+    for a, b in zip(order[:4], order[1:5]):
+        assert stats[b] <= stats[a], stats
+    assert stats["4_sampled"] > 0 and stats["5_packs"] > 0
