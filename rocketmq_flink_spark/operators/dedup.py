@@ -98,13 +98,19 @@ def exploded_shingles(
         "doc", F.explode(word_shingles(F.col("_toks"), k)).alias("sh")
     )
     if max_doc_freq is not None:
-        rare = (
-            out.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df_"))
-            .where(F.col("df_") <= max_doc_freq)
-            .select("sh")
+        # document frequency via a count window over sh: ONE shuffle on
+        # the shingle key, versus groupBy(sh) + an equi-join back (two
+        # shuffles of the full shingle set — measured as the dominant
+        # cost of the jaccard query when the corpus has few hot
+        # shingles and the cap drops nothing)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("sh")
+        out = (
+            out.withColumn("_df", F.count(F.lit(1)).over(w))
+            .where(F.col("_df") <= max_doc_freq)
+            .drop("_df")
         )
-        out = out.join(rare, "sh")
     return out
 
 
