@@ -3736,3 +3736,62 @@ def repeated_passages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return repeated_passages(docs, "doc_id", "text", window=20, stride=10)
+
+
+@query(
+    "window_function_suite",
+    """
+    WITH w AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+             LAG(o_orderdate) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS prev_date,
+             LEAD(o_orderdate) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS next_date,
+             FIRST_VALUE(o_orderkey) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS first_order,
+             ROUND(PERCENT_RANK() OVER
+               (PARTITION BY o_custkey
+                ORDER BY CAST(o_totalprice AS DECIMAL(12,2)), o_orderkey), 6)
+               AS price_pr
+      FROM orders WHERE o_custkey < 100
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT)
+             AS days_since_prev,
+           CAST(date_diff('day', o_orderdate, next_date) AS BIGINT)
+             AS days_until_next,
+           first_order, price_pr
+    FROM w
+    """,
+)
+def window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining §2.5 window-function breadth in one query: lag/lead
+    (inter-order gaps in days), first_value, percent_rank — all with
+    total-order tie-breaks so results are engine-exact. One shuffle on
+    the customer key serves all four windows (same partitioning)."""
+    from pyspark.sql import Window as W
+
+    orders = load_tables(spark, sf_dir)["orders"].where(
+        F.col("o_custkey") < 100
+    )
+    wd = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = W.partitionBy("o_custkey").orderBy(
+        _dec2(F.col("o_totalprice")), F.col("o_orderkey")
+    )
+    day = lambda c: F.to_date(c)  # noqa: E731
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            day(F.col("o_orderdate")), day(F.lag("o_orderdate").over(wd))
+        ).cast("long").alias("days_since_prev"),
+        F.datediff(
+            day(F.lead("o_orderdate").over(wd)), day(F.col("o_orderdate"))
+        ).cast("long").alias("days_until_next"),
+        F.first("o_orderkey").over(wd).alias("first_order"),
+        F.round(F.percent_rank().over(wp), 6).alias("price_pr"),
+    )
