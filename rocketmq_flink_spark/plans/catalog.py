@@ -3795,3 +3795,43 @@ def window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(wd).alias("first_order"),
         F.round(F.percent_rank().over(wp), 6).alias("price_pr"),
     )
+
+
+@query(
+    "log_compaction_latest_per_key",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type,
+             CAST(value AS DECIMAL(12,2)) AS val,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id,
+           event_type AS last_event_type,
+           CAST(val AS DOUBLE) AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def log_compaction_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Message-log compaction (compacted-topic semantics: retain the
+    LATEST record per key): one ranking window per key ordered by
+    (ts, event_id) descending with a total-order tie-break. The shape a
+    compacting consumer materializes from the events topic; one shuffle
+    on the key, AQE-coalesced."""
+    from pyspark.sql import Window as W
+
+    ev = _events_typed(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            _dec2(F.col("value")).cast("double").alias("last_value"),
+        )
+    )

@@ -683,3 +683,48 @@ def test_repeated_passages_planted(spark):
     out2 = D.repeated_passages(df2, "id", "text", window=20, stride=10).collect()
     assert len(out2) == 1
     assert (out2[0].min_doc, out2[0].max_doc, out2[0].n_docs) == (1, 2, 2)
+
+
+def test_incremental_dedup_from_persisted_index(spark, docs, tmp_path):
+    """Production shape: the corpus band index is PERSISTED (parquet
+    keyed by band/bh) and new batches probe the stored index — results
+    must equal probing the recomputed index."""
+    from rocketmq_flink_spark.operators.dedup import (
+        banded_signatures,
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    idx = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "band_index")
+    banded_signatures(
+        minhash_signatures(idx, "doc_id", "text"), "doc_id"
+    ).write.parquet(path)
+
+    stored = spark.read.parquet(path)
+    sig_new = banded_signatures(
+        minhash_signatures(new, "doc_id", "text"), "doc_id"
+    )
+    n, i = sig_new.alias("n"), stored.alias("i")
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),"
+        " 0, (acc, v) -> acc + v)"
+    ) / F.lit(64.0)
+    probed = (
+        n.join(i, (F.col("n.band") == F.col("i.band"))
+               & (F.col("n.bh") == F.col("i.bh")))
+        .select(F.col("n.doc").alias("new_id"), F.col("i.doc").alias("idx_id"),
+                F.col("n.sig").alias("sig_a"), F.col("i.sig").alias("sig_b"))
+        .dropDuplicates(["new_id", "idx_id"])
+        .withColumn("est_jaccard", F.round(est, 6))
+        .where(F.col("est_jaccard") >= 0.7)
+        .groupBy("new_id")
+        .agg(F.min(F.struct("idx_id", "est_jaccard")).alias("w"))
+        .select(F.col("new_id").alias("doc_id"), F.col("w.idx_id").alias("dup_of"),
+                F.col("w.est_jaccard").alias("est_jaccard"))
+    )
+    expect = incremental_minhash_dedup(new, idx, "doc_id", "text")
+    assert probed.exceptAll(expect).count() == 0
+    assert expect.exceptAll(probed).count() == 0
+    assert expect.count() > 0
