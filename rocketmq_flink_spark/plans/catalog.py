@@ -3835,3 +3835,32 @@ def log_compaction_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame
             _dec2(F.col("value")).cast("double").alias("last_value"),
         )
     )
+
+
+@query(
+    "json_props_extraction",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property extraction: the events stream's JSON
+    props column parsed JVM-side (get_json_object — no Python, pushes
+    through whole-stage codegen) and aggregated per event type. The
+    user-property surface a message-log consumer reads structurally."""
+    ev = _events_typed(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(F.when(k.isNull(), 1).otherwise(0)).alias("n_missing"),
+    )
