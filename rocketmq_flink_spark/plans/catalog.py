@@ -3864,3 +3864,45 @@ def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.sum(F.when(k.isNull(), 1).otherwise(0)).alias("n_missing"),
     )
+
+
+@query(
+    "nation_top_customers_rollcall",
+    """
+    WITH ranked AS (
+      SELECT n_name, c_name,
+             ROW_NUMBER() OVER (PARTITION BY n_nationkey
+               ORDER BY CAST(c_acctbal AS DECIMAL(12,2)) DESC, c_name) AS rn
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT n_name, COUNT(*) AS n_top,
+           string_agg(c_name, ',' ORDER BY c_name) AS top_customers
+    FROM ranked WHERE rn <= 3 GROUP BY n_name
+    """,
+)
+def nation_top_customers_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG analog): top-3 customers per
+    nation by account balance, rolled up into a sorted comma list —
+    deterministic because the collect is BOUNDED by the ranking window
+    first (never collect an unbounded group at scale) and sorted before
+    joining. Broadcast nation dim; one shuffle on the nation key."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    j = t["customer"].join(
+        F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    w = W.partitionBy("n_nationkey").orderBy(
+        _dec2(F.col("c_acctbal")).desc(), F.col("c_name")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_top"),
+            F.array_join(
+                F.sort_array(F.collect_list("c_name")), ","
+            ).alias("top_customers"),
+        )
+    )
