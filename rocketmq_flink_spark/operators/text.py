@@ -26,9 +26,11 @@ def tokens(text_col: str) -> Column:
 
 
 def token_count(text_col: str) -> Column:
-    """Whitespace token count (0 for empty/blank text)."""
+    """Whitespace token count (0 for NULL/empty/blank text — a corpus at
+    scale WILL contain null text; counting it as 0 keeps every
+    downstream integer-exact instead of null-propagating)."""
     return F.when(
-        F.trim(F.col(text_col)) == "", F.lit(0)
+        F.coalesce(F.trim(F.col(text_col)), F.lit("")) == "", F.lit(0)
     ).otherwise(F.size(tokens(text_col)))
 
 
@@ -215,13 +217,17 @@ def quality_filter_flags(
     """
     from rocketmq_flink_spark.operators.dedup import normalize_sql
 
-    toks = F.split(F.expr(normalize_sql(text_col)), r"\s+")
-    n_tok = F.when(
-        F.expr(normalize_sql(text_col)) == "", F.lit(0)
-    ).otherwise(F.size(toks))
-    n_chars = F.length(F.col(text_col))
-    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
-    n_space = F.length(F.regexp_replace(F.col(text_col), r"[^\s]", ""))
+    # NULL text must FAIL the filter (as 'short'), not null-propagate
+    # through every comparison into kept=True — at corpus scale null
+    # text is a fact of life, and "null sneaks past the filter" is the
+    # classic silent-keep bug.
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    norm = f"coalesce({normalize_sql(text_col)}, '')"
+    toks = F.split(F.expr(norm), r"\s+")
+    n_tok = F.when(F.expr(norm) == "", F.lit(0)).otherwise(F.size(toks))
+    n_chars = F.length(txt)
+    n_alpha = F.length(F.regexp_replace(txt, r"[^A-Za-z]", ""))
+    n_space = F.length(F.regexp_replace(txt, r"[^\s]", ""))
     base = df.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),

@@ -728,3 +728,25 @@ def test_incremental_dedup_from_persisted_index(spark, docs, tmp_path):
     assert probed.exceptAll(expect).count() == 0
     assert expect.exceptAll(probed).count() == 0
     assert expect.count() > 0
+
+
+def test_null_text_fails_quality_filter(spark):
+    """NULL text must fail the filter (as 'short'), never null-propagate
+    into kept=True — the silent-keep bug a 100 TB corpus would hit."""
+    from rocketmq_flink_spark.operators.text import (
+        quality_filter_flags,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None),
+         (2, "real text here with enough distinct tokens to pass every rule")],
+        "id INT, text STRING",
+    )
+    out = {r.id: (r.fail_rule, r.kept, r.n_tokens)
+           for r in quality_filter_flags(df, "id", "text").collect()}
+    assert out[1] == ("short", False, 0)
+    assert out[2][1] is True
+    counts = {r.id: r.n for r in
+              df.select("id", token_count("text").alias("n")).collect()}
+    assert counts[1] == 0 and counts[2] == 11
