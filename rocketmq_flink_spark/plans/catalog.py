@@ -3906,3 +3906,61 @@ def nation_top_customers_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("top_customers"),
         )
     )
+
+
+@query(
+    "bpe_merge_candidates",
+    """
+    WITH pt AS (
+      SELECT unnest(regexp_extract_all(text,
+        '''s|''t|''re|''ve|''m|''ll|''d| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+        AS tok
+      FROM documents
+    ),
+    w AS (SELECT trim(tok) AS tok FROM pt
+          WHERE NOT regexp_matches(tok, '^\\s+$')),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(tok)),
+                                   i -> substring(tok, CAST(i AS INT), 2)))
+        AS pair
+      FROM w WHERE length(tok) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One step of BPE tokenizer training: the top-20 adjacent character
+    pairs by corpus frequency within GPT-2-style pretokens (the pair a
+    first merge would fuse). Pure built-ins: regexp pretokenize ->
+    substring-pair explode -> one map-side-combined count -> TakeOrdered
+    top-k. Leading pretoken spaces are trimmed so pair counts reflect
+    word-internal adjacency (the merge target), matching the oracle."""
+    from rocketmq_flink_spark.operators.text import BPE_PRETOKEN_RE
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pt = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(BPE_PRETOKEN_RE), F.lit(0)
+            )
+        ).alias("tok")
+    ).where(~F.col("tok").rlike(r"^\s+$"))
+    w = pt.select(F.trim(F.col("tok")).alias("tok")).where(
+        F.length("tok") >= 2
+    )
+    pairs = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
