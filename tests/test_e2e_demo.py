@@ -133,3 +133,15 @@ def test_training_data_pipeline_example(spark):
     for a, b in zip(order[:4], order[1:5]):
         assert stats[b] <= stats[a], stats
     assert stats["4_sampled"] > 0 and stats["5_packs"] > 0
+
+
+def test_streaming_connector_demo_example(spark, tmp_path):
+    """The examples/ streaming demo must run end to end and land
+    windowed aggregates in the output topic."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    import streaming_connector_demo as sd
+
+    n = sd.run(spark, SF, str(tmp_path / "demo_broker"))
+    assert n > 0
