@@ -146,6 +146,28 @@ def load_tables(spark: SparkSession, sf_dir: str) -> _LazyTables:
     return _LazyTables(spark, sf_dir)
 
 
+def spread_for_compute(df, min_partitions: int | None = None):
+    """Ensure a DataFrame has at least cluster-parallelism partitions
+    before CPU-heavy per-row work (shingling, hashing, codec).
+
+    Parquet splits at row-group boundaries, so a small file (one row
+    group) scans as ONE partition no matter how many cores exist — and
+    a regex-heavy explode then runs single-threaded while 31 cores
+    idle (measured: the sf0.1 shingle explode alone took ~4.5 s on one
+    task). At real corpus scale the input already has >= parallelism
+    partitions and this is a metadata-only no-op — the round-robin
+    shuffle only ever happens when the input is small enough for it to
+    be trivially cheap. Streaming DataFrames (no .rdd) pass through
+    untouched, preserving the map-only/streamable property of the
+    signature operators."""
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df  # streaming plan: leave as-is
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if n < target else df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each fixture table as a temp view for spark.sql use."""
     for name, df in load_tables(spark, sf_dir).items():

@@ -115,6 +115,17 @@ def test_tfidf_and_quality_filter_plan_shape(spark):
     assert "EvalPython" not in plan
 
 
+def test_ngram_blocking_no_window_exchange_over_shingles(spark):
+    # the stop-shingle cap must be a map-side-combined groupBy feeding a
+    # broadcast anti-join — NEVER a count-window partitioned by the raw
+    # shingle key (no partial agg: every occurrence of a hot shingle
+    # would serialize through one task at corpus scale)
+    plan = _plan(REGISTRY["ngram_jaccard_dedup"].fn(spark, SF))
+    assert "Window" not in plan
+    # the hot-shingle side broadcasts; the anti-join must not shuffle
+    assert "BroadcastExchange" in plan
+
+
 def test_corpus_profile_single_scan_no_python(spark):
     spark.catalog.clearCache()
     plan = _plan(REGISTRY["corpus_profile"].fn(spark, SF))

@@ -1,6 +1,7 @@
-"""Driver-style gate: run every catalog query + oracle under a VANILLA
+"""Driver-style gate: run catalog queries + oracles under a VANILLA
 SparkSession (no engine configs) — what the grading driver actually does.
-Usage: python tools/check_vanilla.py [sf_dir]
+Usage: python tools/check_vanilla.py [sf_dir] [name_substr ...]
+Exits non-zero when any query mismatches or errors (CI-usable).
 """
 import sys
 import os
@@ -13,11 +14,15 @@ spark = (SparkSession.builder.master("local[32]")
          .config("spark.ui.enabled", "false")
          .config("spark.driver.memory", "48g")
          .getOrCreate())  # vanilla otherwise
-sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-con = duck_connect(sf)
+args = sys.argv[1:]
+sf = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+pats = args[1:] if args and os.path.isdir(args[0]) else args
 q, o = e.queries(), e.oracle_sql()
+con = duck_connect(sf)
 fails = []
 for name in q:
+    if pats and not any(p in name for p in pats):
+        continue
     try:
         sp = q[name](spark, sf).toPandas()
         du = con.execute(o[name]).df()
@@ -29,3 +34,4 @@ for name in q:
         print("[ERR ]", name, str(ex)[:200], flush=True)
         fails.append(name)
 print("FAILS:", fails)
+sys.exit(1 if fails else 0)
