@@ -314,10 +314,12 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # divisor derives from the actual signature length, not a literal
+    # (silently wrong if num_hashes ever differs from 64)
     est = F.expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),"
         " 0, (acc, v) -> acc + v)"
-    ) / F.lit(64.0)
+    ) / F.size("sig_a").cast("double")
     return (
         cand.withColumn("est_jaccard", F.round(est, 6))
         .where(F.col("est_jaccard") >= threshold)
@@ -482,11 +484,19 @@ def incremental_minhash_dedup(
     so the shuffle moves only band keys, never text. No new-vs-new and
     no index-vs-index pairs are generated at all.
     """
+    # No .cache() here: each signature side is consumed exactly once in
+    # the probe plan (unlike the SELF-join in minhash_lsh_pairs), and in
+    # the streaming foreachBatch path a per-microbatch cache never gets
+    # unpersisted — it accumulated cached RDDs every batch (the "already
+    # cached" warnings in earlier bench runs).
+    num_hashes = 64
     sig_new = banded_signatures(
-        minhash_signatures(new_docs, id_col, text_col).cache(), id_col, bands
+        minhash_signatures(new_docs, id_col, text_col, num_hashes=num_hashes),
+        id_col, bands, num_hashes,
     )
     sig_idx = banded_signatures(
-        minhash_signatures(index_docs, id_col, text_col).cache(), id_col, bands
+        minhash_signatures(index_docs, id_col, text_col, num_hashes=num_hashes),
+        id_col, bands, num_hashes,
     )
     n, i = sig_new.alias("n"), sig_idx.alias("i")
     cand = (
@@ -506,7 +516,7 @@ def incremental_minhash_dedup(
     est = F.expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),"
         " 0, (acc, v) -> acc + v)"
-    ) / F.lit(64.0)
+    ) / F.size("sig_a").cast("double")
     matches = cand.withColumn("est_jaccard", F.round(est, 6)).where(
         F.col("est_jaccard") >= threshold
     )
@@ -581,9 +591,15 @@ def simhash_fingerprints(
         )
         for j in range(lane_bits)
     ]
+    # Docs with ZERO surviving tokens (empty/whitespace-only/NULL text)
+    # are DROPPED, matching the original explode+groupBy formulation and
+    # the oracle's WHERE tok <> '': emitting them would give every empty
+    # doc the same simhash=0 — a hamming-0 clique that goes quadratic in
+    # near-pair search at corpus scale. size(NULL)=-1, so `> 0` covers
+    # the NULL-text case too.
     sums = df.selectExpr(
         f"{id_col} AS doc", f"{hashes} AS _h"
-    ).selectExpr("doc", "size(_h) AS _n", *lane_exprs)
+    ).where("size(_h) > 0").selectExpr("doc", "size(_h) AS _n", *lane_exprs)
     # counter lanes hold < 2^lane_bits: overflow would be silent, so the
     # token count used by every majority test routes through a
     # raise_error branch — load-bearing, Catalyst cannot prune it

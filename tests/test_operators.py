@@ -364,6 +364,25 @@ def test_simhash_lane_packing_matches_wide_layout(spark, docs):
     assert packed == wide
 
 
+def test_simhash_drops_empty_and_null_docs(spark):
+    # empty/whitespace-only/NULL-text docs must be DROPPED (matching the
+    # oracle's token filter): emitting them would give every empty doc
+    # simhash=0 — a hamming-0 clique that goes quadratic in near-pair
+    # search at corpus scale
+    df = spark.createDataFrame(
+        [(1, "real document with several tokens"), (2, ""), (3, "   "),
+         (4, None), (5, "..."), (6, "another real document")],
+        "doc_id INT, text STRING",
+    )
+    fps = D.simhash_fingerprints(df, "doc_id", "text").collect()
+    assert sorted(r.doc_id for r in fps) == [1, 6]
+    pairs = D.simhash_near_pairs(
+        D.simhash_fingerprints(df, "doc_id", "text"),
+        "doc_id", max_hamming=6, min_key_bits=8,
+    ).collect()
+    assert not [p for p in pairs if p.id_a not in (1, 6)]
+
+
 def test_simhash_lane_overflow_raises(spark):
     from pyspark.errors.exceptions.captured import SparkRuntimeException
 
