@@ -1,11 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video are `binary` columns with a `media_type` tag and a
-metadata map. Decoding real media needs codec libraries that are not in
-this environment, so the decode step is STUBBED: `decode_media` raises
-NotImplementedError unless the deterministic fake decoder is selected.
-Everything Spark-side — schema, partition-preserving mapInPandas, Arrow
-batch shapes, UDF signatures — is real and tested.
+metadata map. Header decode is REAL for stdlib-parsable containers —
+BMP / WAV / PPM are parsed with struct/bytes (parse_media_header), no
+codec libraries needed. Compressed formats (JPEG/PNG/MP3/video) still
+raise NotImplementedError: their decoders need libraries not present in
+this environment; they slot into decode_media unchanged. Everything
+Spark-side — schema, partition-preserving mapInPandas, Arrow batch
+shapes, UDF signatures — is real and tested.
 
 Scale: feature extraction runs as mapInPandas over Arrow batches (one
 Python hop, vectorized per batch, no per-row serde); batch size is
@@ -47,20 +49,194 @@ def attach_media(
 
 
 def decode_media(payload: bytes, media_type: str, fake: bool = False) -> dict:
-    """Decode one media payload. Real codecs (image/audio/video) are not
-    available in this environment — STUB: raises unless fake=True, in
-    which case a deterministic pure-bytes 'decode' is returned."""
-    if not fake:
-        raise NotImplementedError(
-            f"no codec for media_type={media_type!r}: image/audio libraries "
-            "are not installed; use fake=True for the deterministic stub"
+    """Decode one media payload. fake=True returns the deterministic
+    pure-bytes 'decode' (pipeline-shape testing). Otherwise the REAL
+    stdlib header parsers run: BMP / WAV / PPM containers are parsed
+    with struct/bytes only (no codec libraries needed). Compressed
+    formats (JPEG/PNG/MP3/video) still raise NotImplementedError —
+    their decoders need libraries this environment does not have."""
+    if fake:
+        return {
+            "byte_len": len(payload),
+            "n_chunks": (len(payload) + 255) // 256,
+            "head_byte": payload[0] if payload else -1,
+            "checksum": sum(payload) % 1_000_000_007,
+        }
+    return parse_media_header(payload)
+
+
+# ---------------------------------------------------------------------------
+# Real stdlib container codecs: BMP (BITMAPINFOHEADER), WAV (RIFF), PPM (P6).
+# Encoders synthesize genuine container bytes; the parser reads genuine
+# headers with struct.unpack — no image/audio libraries involved, so the
+# "decode" step of the multimodal pipeline is real for these formats.
+# ---------------------------------------------------------------------------
+
+HEADER_SCHEMA = (
+    "media_id bigint, fmt string, width int, height int, sample_rate int, "
+    "n_channels int, duration_ms bigint, byte_len bigint"
+)
+
+
+def _bmp_row_size(width: int) -> int:
+    return ((width * 3 + 3) // 4) * 4  # 24bpp rows pad to 4 bytes
+
+
+def encode_bmp(width: int, height: int) -> bytes:
+    """Minimal valid 24-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER)."""
+    import struct
+
+    row = _bmp_row_size(width)
+    pixels = bytes(row * height)
+    file_size = 54 + len(pixels)
+    return (
+        struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels),
+            2835, 2835, 0, 0,
         )
-    return {
-        "byte_len": len(payload),
-        "n_chunks": (len(payload) + 255) // 256,
-        "head_byte": payload[0] if payload else -1,
-        "checksum": sum(payload) % 1_000_000_007,
+        + pixels
+    )
+
+
+def encode_wav(
+    sample_rate: int, n_channels: int, n_frames: int,
+    bits_per_sample: int = 16,
+) -> bytes:
+    """Minimal valid PCM WAV (RIFF/WAVE with fmt + data chunks)."""
+    import struct
+
+    block_align = n_channels * bits_per_sample // 8
+    data = bytes(n_frames * block_align)
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * block_align, block_align, bits_per_sample,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_ppm(width: int, height: int) -> bytes:
+    """Minimal valid binary PPM (P6, maxval 255)."""
+    return f"P6\n{width} {height}\n255\n".encode() + bytes(3 * width * height)
+
+
+def parse_media_header(payload: bytes) -> dict:
+    """Parse a REAL container header (magic-sniffed), returning typed
+    metadata: fmt, width, height, sample_rate, n_channels, duration_ms,
+    byte_len. Fields that don't apply to the format are None. Raises
+    NotImplementedError for containers whose decode needs codec
+    libraries (JPEG/PNG/...), ValueError for a malformed payload."""
+    import struct
+
+    out = {
+        "fmt": None, "width": None, "height": None, "sample_rate": None,
+        "n_channels": None, "duration_ms": None, "byte_len": len(payload),
     }
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        width, height = struct.unpack_from("<ii", payload, 18)
+        out.update(fmt="bmp", width=width, height=abs(height))
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # walk RIFF chunks (fmt need not be first in a real file)
+        pos, rate, channels, block_align, data_size = 12, None, None, None, None
+        while pos + 8 <= len(payload):
+            cid, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+            if cid == b"fmt " and size >= 16:
+                _, channels, rate, _, block_align, _ = struct.unpack_from(
+                    "<HHIIHH", payload, pos + 8
+                )
+            elif cid == b"data":
+                data_size = size
+            pos += 8 + size + (size & 1)  # chunks pad to even
+        if rate is None or data_size is None:
+            raise ValueError("malformed WAV: missing fmt or data chunk")
+        out.update(
+            fmt="wav", sample_rate=rate, n_channels=channels,
+            duration_ms=(data_size // block_align) * 1000 // rate,
+        )
+        return out
+    if payload[:2] == b"P6":
+        import re
+
+        m = re.match(rb"P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", payload)
+        if not m:
+            raise ValueError("malformed PPM header")
+        out.update(fmt="ppm", width=int(m.group(1)), height=int(m.group(2)))
+        return out
+    raise NotImplementedError(
+        "unrecognized container magic: only BMP/WAV/PPM headers are "
+        "stdlib-parsable; compressed formats need codec libraries not "
+        "present in this environment"
+    )
+
+
+def media_header_features(df: DataFrame) -> DataFrame:
+    """REAL header decode over media envelopes: one Arrow-batched
+    mapInPandas hop parses each payload's genuine container header
+    (parse_media_header) into typed metadata. Binary never passes
+    through the driver; batch size governed by
+    spark.sql.execution.arrow.maxRecordsPerBatch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                parse_media_header(bytes(p) if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            out = pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64").values,
+                "fmt": [r["fmt"] for r in rows],
+                "width": pd.array([r["width"] for r in rows], dtype="Int32"),
+                "height": pd.array([r["height"] for r in rows], dtype="Int32"),
+                "sample_rate": pd.array(
+                    [r["sample_rate"] for r in rows], dtype="Int32"
+                ),
+                "n_channels": pd.array(
+                    [r["n_channels"] for r in rows], dtype="Int32"
+                ),
+                "duration_ms": pd.array(
+                    [r["duration_ms"] for r in rows], dtype="Int64"
+                ),
+                "byte_len": pd.array(
+                    [r["byte_len"] for r in rows], dtype="Int64"
+                ),
+            })
+            yield out
+
+    return df.mapInPandas(run, schema=HEADER_SCHEMA)
+
+
+def synth_container_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL container payloads from an id column: id % 3
+    selects bmp/wav/ppm, and the container parameters derive from the id
+    by fixed formulas (so an oracle can predict every parsed field
+    without parsing bytes). The bytes are genuine containers built by
+    the encode_* functions — the decode side exercises real header
+    parsing, not a fake."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["media_id"].astype("int64"):
+                d = int(d)
+                if d % 3 == 0:
+                    payloads.append(encode_bmp(d % 31 + 1, d % 17 + 1))
+                elif d % 3 == 1:
+                    payloads.append(encode_wav(
+                        8000 + (d % 5) * 1000, (d // 2) % 2 + 1, 100 + d % 50
+                    ))
+                else:
+                    payloads.append(encode_ppm(d % 31 + 1, d % 17 + 1))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64").values,
+                "payload": payloads,
+            })
+
+    return df.select(F.col(id_col).cast("bigint").alias("media_id")).mapInPandas(
+        run, schema="media_id bigint, payload binary"
+    )
 
 
 def extract_features(df: DataFrame, chunk_size: int = 256) -> DataFrame:

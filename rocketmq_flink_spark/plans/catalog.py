@@ -1426,6 +1426,52 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "media_header_features",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 3 AS m,
+             doc_id % 31 + 1 AS w,
+             doc_id % 17 + 1 AS h,
+             8000 + (doc_id % 5) * 1000 AS rate,
+             (doc_id // 2) % 2 + 1 AS ch,
+             100 + doc_id % 50 AS frames
+      FROM documents)
+    SELECT doc_id AS media_id,
+      CASE m WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'ppm' END AS fmt,
+      CASE WHEN m <> 1 THEN CAST(w AS INT) END AS width,
+      CASE WHEN m <> 1 THEN CAST(h AS INT) END AS height,
+      CASE WHEN m = 1 THEN CAST(rate AS INT) END AS sample_rate,
+      CASE WHEN m = 1 THEN CAST(ch AS INT) END AS n_channels,
+      CASE WHEN m = 1 THEN CAST(frames * 1000 // rate AS BIGINT) END
+        AS duration_ms,
+      CAST(CASE m
+        WHEN 0 THEN 54 + ((w * 3 + 3) // 4) * 4 * h
+        WHEN 1 THEN 44 + frames * ch * 2
+        ELSE 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+             + 3 * w * h
+      END AS BIGINT) AS byte_len
+    FROM p
+    """,
+)
+def media_header_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container-header decode (not the fake): synthesize genuine
+    BMP/WAV/PPM bytes per doc_id (deterministic parameter formulas),
+    then parse the genuine headers with the stdlib struct parsers in one
+    Arrow mapInPandas hop. The oracle PREDICTS every parsed field from
+    the id formulas without touching bytes — so encoder and parser are
+    verified against each other end to end. Binary stays executor-side.
+    """
+    from rocketmq_flink_spark.operators.multimodal import (
+        media_header_features as decode,
+        synth_container_payloads,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return decode(synth_container_payloads(docs, "doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows + delay levels (SURVEY.md §2.6 W11 / §2.4 R8) — the
 # batch-mode view of the streaming helpers; streaming parity is asserted

@@ -137,9 +137,45 @@ def test_fingerprint_stable(spark, docs):
     assert all(len(r.fp) == 32 for r in fp1)
 
 
+def test_media_codecs_roundtrip():
+    # encoders emit genuine containers; the parser reads genuine headers
+    h = M.parse_media_header(M.encode_bmp(13, 7))
+    assert (h["fmt"], h["width"], h["height"]) == ("bmp", 13, 7)
+    assert h["byte_len"] == 54 + ((13 * 3 + 3) // 4) * 4 * 7
+    h = M.parse_media_header(M.encode_wav(11000, 2, 123))
+    assert (h["fmt"], h["sample_rate"], h["n_channels"]) == ("wav", 11000, 2)
+    assert h["duration_ms"] == 123 * 1000 // 11000
+    h = M.parse_media_header(M.encode_ppm(5, 9))
+    assert (h["fmt"], h["width"], h["height"]) == ("ppm", 5, 9)
+    # decode_media routes to the real parser when not faking
+    assert M.decode_media(M.encode_bmp(3, 4), "image/bmp")["width"] == 3
+
+
+def test_wav_parser_walks_chunks():
+    # fmt does not have to be the first RIFF chunk in a real file
+    import struct
+
+    wav = M.encode_wav(8000, 1, 50)
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    reordered = wav[:12] + extra + wav[12:]
+    reordered = reordered[:4] + struct.pack(
+        "<I", len(reordered) - 8
+    ) + reordered[8:]
+    h = M.parse_media_header(reordered)
+    assert h["sample_rate"] == 8000 and h["duration_ms"] == 50 * 1000 // 8000
+
+
+def test_media_parser_rejects():
+    with pytest.raises(ValueError, match="malformed PPM"):
+        M.parse_media_header(b"P6garbage-without-dims")
+    with pytest.raises(ValueError, match="malformed WAV"):
+        M.parse_media_header(b"RIFF\x04\x00\x00\x00WAVE")
+
+
 def test_multimodal_stub_and_features(spark, docs):
-    with pytest.raises(NotImplementedError, match="no codec"):
-        M.decode_media(b"\x89PNG", "image/png")
+    # compressed formats still need real codec libraries
+    with pytest.raises(NotImplementedError, match="codec libraries"):
+        M.decode_media(b"\x89PNG\r\n\x1a\n....", "image/png")
 
     media = M.attach_media(
         docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
