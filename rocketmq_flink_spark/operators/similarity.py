@@ -507,17 +507,23 @@ def ivf_centroids(
 ) -> list[list[float]]:
     """Deterministic IVF centroid training (distributed Lloyd steps).
 
-    Init: the n_centroids vectors with the smallest xxhash64(id) — a
-    deterministic uniform sample computed with one top-k, no RNG state.
-    Refinement: `iters` Lloyd iterations; assignment is a vectorized
-    numpy argmin per Arrow batch, the mean-update is a groupBy over
-    (centroid, dim) partial sums. Only the centroid table (n_centroids x
-    dim floats — model parameters, not data) ever reaches the driver.
+    Init: the n_centroids vectors with the smallest portable 60-bit md5
+    hash of the id (functions/porthash.py) — a deterministic uniform
+    sample computed with one top-k, no RNG state, and bit-reproducible
+    by a DuckDB oracle (xxhash64 has no DuckDB twin; the portable hash
+    is what lets ann_recall_report replay the ENTIRE IVF pipeline in
+    SQL). Refinement: `iters` Lloyd iterations; assignment is a
+    vectorized numpy argmin per Arrow batch, the mean-update is a
+    groupBy over (centroid, dim) partial sums. Only the centroid table
+    (n_centroids x dim floats — model parameters, not data) ever
+    reaches the driver.
     """
+    from rocketmq_flink_spark.functions.porthash import hash60
+
     seed_rows = (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("_h", F.xxhash64(F.col(id_col)))
-        .orderBy("_h")
+        .withColumn("_h", hash60(F.col(id_col).cast("string")))
+        .orderBy("_h", F.col(id_col))
         .limit(n_centroids)
         .collect()
     )

@@ -1896,6 +1896,196 @@ def tag_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_recall_oracle_sql() -> str:
+    """DuckDB replay of the ENTIRE approximate-NN retrieval pipelines on
+    the natural corpus — not just the exact truth: the 16 LSH hyperplanes
+    are inlined as literals and every sign-bit/band is recomputed in SQL,
+    and the IVF index is retrained from scratch (portable-hash seeded
+    init + two full Lloyd iterations + probe) in chained CTEs. recall@5
+    is then an arithmetic consequence. This makes the recall REPORT
+    itself hash-checked, not merely the planted-recall property."""
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+    from rocketmq_flink_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 16, 42)
+    plane_rows = ",\n        ".join(
+        f"({p}, [{', '.join(repr(x) for x in row)}]::DOUBLE[])"
+        for p, row in enumerate(planes)
+    )
+    h = hash60_sql("CAST(vec_id AS VARCHAR)")
+    dec_dist = (
+        "CAST(ROUND(list_sum(list_transform(list_zip("
+        "CAST(CAST(qv AS DOUBLE[]) AS DECIMAL(12,10)[]), "
+        "CAST(CAST(cv AS DOUBLE[]) AS DECIMAL(12,10)[])), "
+        "p -> (p[1]-p[2])*(p[1]-p[2]))), 12) AS DOUBLE)"
+    )
+
+    def lloyd_step(prev: str, idx: int) -> str:
+        return f"""
+    assign{idx} AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(c.cv, x -> x*x))
+                 - 2 * list_sum(list_transform(list_zip(e.v, c.cv),
+                                               z -> z[1]*z[2])),
+                 c.cid) AS rn
+        FROM allv e CROSS JOIN {prev} c)
+      WHERE rn = 1),
+    sums{idx} AS (
+      SELECT cid, z[2] AS d, SUM(z[1]) AS sx FROM (
+        SELECT a.cid, unnest(list_zip(e.v, range(0, 64))) AS z
+        FROM assign{idx} a JOIN allv e USING (vec_id))
+      GROUP BY cid, z[2]),
+    counts{idx} AS (SELECT cid, COUNT(*) AS cnt FROM assign{idx} GROUP BY cid),
+    means{idx} AS (
+      SELECT s.cid, list(s.sx / n.cnt ORDER BY s.d) AS cv
+      FROM sums{idx} s JOIN counts{idx} n USING (cid) GROUP BY s.cid),
+    cents{idx} AS (
+      SELECT c0.cid, COALESCE(m.cv, c0.cv) AS cv
+      FROM cents{idx - 1} c0 LEFT JOIN means{idx} m USING (cid))"""
+
+    return f"""
+    WITH allv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    -- ======== exact truth: brute-force decimal top-5 ========
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 CAST(ROUND(list_sum(list_transform(
+                   list_zip(CAST(CAST(q.v AS DOUBLE[]) AS DECIMAL(12,10)[]),
+                            CAST(CAST(c.v AS DOUBLE[]) AS DECIMAL(12,10)[])),
+                   p -> (p[1]-p[2])*(p[1]-p[2]))), 12) AS DOUBLE),
+                 c.vec_id) AS rank
+        FROM allv q CROSS JOIN allv c
+        WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+      WHERE rank <= 5),
+    -- ======== LSH replay: inlined hyperplanes -> sign bits -> bands ====
+    planes(pid, pv) AS (VALUES
+        {plane_rows}),
+    bits AS (
+      SELECT vec_id, pid,
+             CASE WHEN list_sum(list_transform(list_zip(v, pv),
+                    z -> z[1]*z[2])) >= 0 THEN 1 ELSE 0 END AS b
+      FROM allv CROSS JOIN planes),
+    bands AS (
+      SELECT vec_id, pid // 4 AS band_idx,
+             CAST(SUM(b << (3 - (pid % 4))) AS BIGINT) AS band_val
+      FROM bits GROUP BY vec_id, pid // 4),
+    lsh_topk AS (
+      SELECT qid, vec_id FROM (
+        SELECT t.qid, t.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY t.qid ORDER BY
+                 {dec_dist.replace('qv', 'q.v').replace('cv', 'c.v')},
+                 t.vec_id) AS rank
+        FROM (SELECT DISTINCT qb.vec_id AS qid, cb.vec_id
+              FROM bands qb
+              JOIN bands cb ON qb.band_idx = cb.band_idx
+                           AND qb.band_val = cb.band_val
+              WHERE qb.vec_id < 8 AND cb.vec_id <> qb.vec_id) t
+        JOIN allv q ON q.vec_id = t.qid
+        JOIN allv c ON c.vec_id = t.vec_id)
+      WHERE rank <= 5),
+    -- ======== IVF replay: portable-hash init + 2 Lloyd iterations ====
+    cents0 AS (
+      SELECT cid, cv FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY {h}, vec_id) - 1 AS cid,
+               v AS cv
+        FROM allv)
+      WHERE cid < 32),
+    {lloyd_step('cents0', 1)},
+    {lloyd_step('cents1', 2)},
+    cell AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(c.cv, x -> x*x))
+                 - 2 * list_sum(list_transform(list_zip(e.v, c.cv),
+                                               z -> z[1]*z[2])),
+                 c.cid) AS rn
+        FROM allv e CROSS JOIN cents2 c)
+      WHERE rn = 1),
+    probes AS (
+      SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(c.cv, x -> x*x))
+                 - 2 * list_sum(list_transform(list_zip(q.v, c.cv),
+                                               z -> z[1]*z[2])),
+                 c.cid) AS rn
+        FROM allv q CROSS JOIN cents2 c WHERE q.vec_id < 8)
+      WHERE rn <= 8),
+    ivf_topk AS (
+      SELECT qid, vec_id FROM (
+        SELECT p.qid, l.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+                 {dec_dist.replace('qv', 'q.v').replace('cv', 'c.v')},
+                 l.vec_id) AS rank
+        FROM probes p
+        JOIN cell l ON l.cid = p.cid AND l.vec_id <> p.qid
+        JOIN allv q ON q.vec_id = p.qid
+        JOIN allv c ON c.vec_id = l.vec_id)
+      WHERE rank <= 5),
+    -- ======== recall ========
+    t AS (SELECT COUNT(*) AS n_truth, COUNT(DISTINCT qid) AS n_queries
+          FROM truth)
+    SELECT m.method, CAST(5 AS INT) AS k, t.n_queries, t.n_truth, m.n_hits,
+           ROUND(CAST(m.n_hits AS DOUBLE) / t.n_truth, 6) AS recall
+    FROM (
+      SELECT 'lsh' AS method,
+             (SELECT COUNT(*) FROM lsh_topk s JOIN truth USING (qid, vec_id))
+               AS n_hits
+      UNION ALL
+      SELECT 'ivf',
+             (SELECT COUNT(*) FROM ivf_topk s JOIN truth USING (qid, vec_id))
+    ) m CROSS JOIN t
+    """
+
+
+@query("ann_recall_report", _ann_recall_oracle_sql())
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the approximate indexes (LSH bands, IVF probes)
+    against exact brute-force kNN on the NATURAL corpus — the retrieval-
+    quality number a production pipeline monitors. The oracle replays
+    BOTH index pipelines end to end in DuckDB (inlined hyperplane
+    literals; portable-hash-seeded Lloyd retraining), so the recall
+    values are hash-checked, not merely measured."""
+    from rocketmq_flink_spark.operators.similarity import (
+        ann_topk_lsh,
+        ivf_topk,
+        knn_bruteforce,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.where(F.col("vec_id") < 8)
+    truth = knn_bruteforce(q, emb, k=5).select("qid", "vec_id")
+    t = truth.agg(
+        F.count_distinct("qid").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_truth"),
+    )
+    parts = []
+    for method, approx in (
+        ("lsh", ann_topk_lsh(q, emb, k=5)),
+        ("ivf", ivf_topk(q, emb, k=5, n_centroids=32, n_probe=8)),
+    ):
+        parts.append(
+            approx.select("qid", "vec_id")
+            .join(truth, ["qid", "vec_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(method).alias("method"), "n_hits")
+        )
+    hits = parts[0].union(parts[1])
+    return hits.crossJoin(F.broadcast(t)).select(
+        "method",
+        F.lit(5).cast("int").alias("k"),
+        "n_queries",
+        "n_truth",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall"),
+    )
+
+
 @query(
     "ivf_topk",
     f"WITH {_ANN_PLANTED_DUCK} SELECT qid, vec_id, dist2, rank FROM truth",
