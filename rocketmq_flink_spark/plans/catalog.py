@@ -777,6 +777,62 @@ def asof_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "interval_join_purchase_clicks",
+    """
+    SELECT p.event_id AS purchase_id,
+           COUNT(c.event_id) AS n_clicks,
+           MIN(c.event_id) AS first_click_id,
+           MAX(c.event_id) AS last_click_id
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+    GROUP BY p.event_id
+    """,
+)
+def interval_join_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time INTERVAL join (SURVEY §2.5, the batch view of the
+    stream-stream interval join proven in
+    tests/test_streaming.py::test_stream_stream_interval_join): each
+    purchase joined to the same user's clicks within the preceding 30
+    minutes, aggregated per purchase.
+
+    Scale shape: the range predicate rides on a plain user-key
+    equi-join — one hash shuffle per side, range filter applied inside
+    the join, then a map-side-combinable groupBy on the purchase id. In
+    streaming form the same predicate bounds state retention (watermark
+    + interval), which is why the reference treats it as a first-class
+    windowed-join capability."""
+    ev = _events_typed(spark, sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        .groupBy("purchase_id")
+        .agg(
+            F.count("click_id").alias("n_clicks"),
+            F.min("click_id").alias("first_click_id"),
+            F.max("click_id").alias("last_click_id"),
+        )
+    )
+
+
+@query(
     "sessionization_gap30m",
     """
     WITH x AS (
