@@ -59,29 +59,35 @@ def run_once(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def run_best(spark, name: str, sf_dir: str, reps: int = 2) -> float:
-    """Best-of-N: single-shot numbers swing 2-4x with JIT/GC timing on a
-    shared JVM; the minimum is the stable, comparable figure. Caches
-    from earlier queries are dropped first so each query is measured
-    self-contained instead of fighting prior queries' memory (cache
-    reuse WITHIN the reps still happens, which is what min-of-N
-    wants)."""
+def run_reps(spark, name: str, sf_dir: str, reps: int = 3) -> list[float]:
+    """All-rep timings: single-shot numbers swing 2-4x with JIT/GC
+    timing on a shared JVM (this box shows ±30% on sub-second queries
+    under any co-load), so the headline figure is the MINIMUM — the
+    stable, comparable number — while the per-query spread is reported
+    alongside so a regression is distinguishable from noise at a
+    glance. Caches from earlier queries are dropped first so each query
+    is measured self-contained (cache reuse WITHIN the reps still
+    happens, which is what min-of-N wants)."""
     spark.catalog.clearCache()
-    return min(run_once(spark, name, sf_dir) for _ in range(reps))
+    return [run_once(spark, name, sf_dir) for _ in range(reps)]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     spark = get_spark(app_name="bench")
 
     names = [n for n in HEADLINE if n in REGISTRY]
     run_once(spark, names[0], sf_dir)  # warm-up
 
-    queries = {}
+    queries, spread = {}, {}
     for name in names:
-        queries[name] = round(run_best(spark, name, sf_dir), 3)
+        ts = run_reps(spark, name, sf_dir, reps)
+        queries[name] = round(min(ts), 3)
+        spread[name] = [round(min(ts), 3), round(sum(ts) / len(ts), 3),
+                        round(max(ts), 3)]
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
@@ -90,6 +96,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "reps": reps,
+                "spread_min_mean_max": spread,
                 "sf": sf,
             }
         )
