@@ -4299,3 +4299,329 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion (round 3): Q11, Q12, Q16, Q20, Q21 — the last five of
+# the 22 canonical shapes (adapted like q2/q22: the fixture has no
+# partsupp / shipmode / commitdate, so the partsupp role is played by the
+# lineitem shipping history and lateness is shipdate vs orderdate).
+# With these, every TPC-H skeleton — scalar subqueries, HAVING over a
+# global fraction, conditional aggregation, COUNT(DISTINCT) with NOT-IN
+# exclusion, nested correlated-aggregate thresholds, EXISTS/NOT-EXISTS —
+# has an oracle-checked catalog row.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q11_important_inventory",
+    """
+    WITH natsupp AS (
+      SELECT s_suppkey FROM supplier JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_7','NATION_8')
+    ),
+    val AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(4,0))) AS v
+      FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM natsupp)
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, CAST(v AS DOUBLE) AS value
+    FROM val, (SELECT ROUND(CAST(SUM(v) AS DOUBLE) * 0.001, 6) AS thr FROM val)
+    WHERE CAST(v AS DOUBLE) > thr
+    ORDER BY value DESC, partkey
+    """,
+)
+def q11_important_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: no partsupp, so "stock value" is the
+    shipped value sum(extendedprice*quantity) per part from two
+    nations' suppliers). Skeleton preserved: group per part, scalar
+    subquery computing a fraction of the global total, HAVING above
+    it. Scale: the nation supplier set broadcasts; lineitem shuffles
+    once on partkey with map-side partial DECIMAL agg; the threshold
+    is a 1-row broadcast cross join — no second pass over lineitem."""
+    t = load_tables(spark, sf_dir)
+    natsupp = F.broadcast(
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].where(
+                    F.col("n_name").isin("NATION_7", "NATION_8")
+                ).select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    v = _dec2(F.col("l_extendedprice")) * F.col("l_quantity").cast(
+        T.DecimalType(4, 0)
+    )
+    val = (
+        t["lineitem"]
+        .join(natsupp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(v).alias("v"))
+    )
+    thr = val.agg(
+        F.round(F.sum("v").cast("double") * F.lit(0.001), 6).alias("thr")
+    )
+    return (
+        val.crossJoin(F.broadcast(thr))
+        .where(F.col("v").cast("double") > F.col("thr"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("v").cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+@query(
+    "q12_late_lines_by_priority",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_late,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                     AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_late,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE year(l_shipdate) = 1997 AND l_returnflag IN ('R','A')
+    GROUP BY l_returnflag
+    """,
+)
+def q12_late_lines_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no shipmode/commitdate/receiptdate, so
+    the mode dimension is the return flag and "late" is shipdate more
+    than 60 days past the order date). Skeleton preserved: orders x
+    lineitem join, two conditional sums split by priority class.
+    Scale: the year filter pushes to the lineitem scan; the join is a
+    plain orderkey equi-join (AQE may broadcast the filtered side);
+    conditional sums partial-aggregate map-side."""
+    t = load_tables(spark, sf_dir)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .where(
+            (F.year("l_shipdate") == 1997)
+            & F.col("l_returnflag").isin("R", "A")
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high & late, 1).otherwise(0)).alias("high_late"),
+            F.sum(F.when(~high & late, 1).otherwise(0)).alias("low_late"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1,4,9,14,23,36,45,49)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: the part-supplier relation is the
+    lineitem shipping history; the excluded "complaint" suppliers are
+    those with negative balance). Skeleton preserved: COUNT(DISTINCT
+    supplier) per part attribute group with brand/type/size exclusions
+    and a NOT-IN supplier subquery. Scale: part filters push to the
+    scan; the exclusion set is a broadcast anti-join (tiny by
+    construction); distinct-count shuffles (brand,type,size,suppkey)
+    pairs once after map-side dedup."""
+    t = load_tables(spark, sf_dir)
+    bad = F.broadcast(
+        t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    parts = t["part"].where(
+        (F.col("p_brand") != "Brand#5")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    )
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_recent_concentration_suppliers",
+    """
+    WITH red_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    sp AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(l_quantity) AS qty_total,
+             SUM(CASE WHEN year(l_shipdate) = 1998 THEN l_quantity
+                      ELSE 0 END) AS qty_1998
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM red_parts)
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_3','NATION_4')
+      AND s_suppkey IN
+          (SELECT l_suppkey FROM sp WHERE 2 * qty_1998 > qty_total)
+    ORDER BY s_name
+    """,
+)
+def q20_recent_concentration_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp availqty, so the
+    correlated threshold compares a supplier-part's 1998 shipped
+    quantity against half its lifetime shipped quantity — same nested
+    "IN (parts by name-prefix) ... HAVING agg > fraction * agg"
+    skeleton). Scale: the name-prefix part set broadcasts into a
+    semi-join before the lineitem aggregate; per-(supp,part)
+    conditional sums partial-aggregate map-side; the qualifying
+    supplier set is a semi-join against the (small) supplier dim.
+    Quantities are whole numbers, so double sums are exact in both
+    engines."""
+    t = load_tables(spark, sf_dir)
+    red = F.broadcast(
+        t["part"].where(F.col("p_name").like("red%")).select("p_partkey")
+    )
+    sp = (
+        t["lineitem"]
+        .join(red, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum("l_quantity").alias("qty_total"),
+            F.sum(
+                F.when(F.year("l_shipdate") == 1998, F.col("l_quantity"))
+                .otherwise(F.lit(0.0))
+            ).alias("qty_1998"),
+        )
+        .where(2 * F.col("qty_1998") > F.col("qty_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].where(
+                    F.col("n_name").isin("NATION_3", "NATION_4")
+                ).select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(sp, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND n_name IN ('NATION_11','NATION_12')
+      AND l1.l_shipdate > o_orderdate + INTERVAL 365 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate
+                            + INTERVAL 365 DAY)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: no commit/receipt dates, so "kept the
+    order waiting" is shipping more than a year after the order date).
+    Skeleton preserved exactly: the classic EXISTS (another supplier
+    on the order) + NOT EXISTS (another LATE supplier on the order)
+    pair, expressed as a compound-condition left-semi and left-anti
+    join on (orderkey, suppkey<>) — the only Spark plan that keeps
+    both subqueries as single hash joins instead of per-row probes.
+    Scale: nation suppliers broadcast; the late-lines frame is built
+    once and reused for both the candidate side and the anti side;
+    everything shuffles on orderkey."""
+    t = load_tables(spark, sf_dir)
+    li, orders = t["lineitem"], t["orders"]
+    late_all = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderstatus"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey", "o_orderstatus")
+    )
+    natsupp = F.broadcast(
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].where(
+                    F.col("n_name").isin("NATION_11", "NATION_12")
+                ).select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    l1 = (
+        late_all.where(F.col("o_orderstatus") == "F")
+        .join(natsupp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_suppkey").alias("sk"),
+            "s_name",
+        )
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = late_all.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("ok") == F.col("ok3")) & (F.col("sk") != F.col("sk3")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
