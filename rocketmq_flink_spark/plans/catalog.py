@@ -4625,3 +4625,172 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic sketches (round 3): portable HLL cardinality + Count-Min
+# frequency — the two sketches a 100 TB pipeline monitors with. Both are
+# built on the portable md5 hash family, so the DuckDB oracle replays
+# registers/counters bit-exactly (Spark's own approx_count_distinct has
+# engine-private registers and could never be hash-checked).
+# ---------------------------------------------------------------------------
+
+
+def _hll_oracle_sql() -> str:
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+    from rocketmq_flink_spark.operators.sketches import (
+        hll_estimate_sql,
+        hll_registers_sql,
+    )
+
+    base = hash60_sql("CAST(l_partkey AS VARCHAR)")
+    width, s = 54, 55
+    return f"""
+    WITH reg AS ({hll_registers_sql(
+        "CAST(l_partkey AS VARCHAR)", "FROM lineitem", "l_returnflag")}),
+    est AS ({hll_estimate_sql("reg")}),
+    regsh AS (
+      SELECT l_returnflag AS grp, (l_orderkey % 2) AS shard,
+             ({base} >> {width}) AS bucket,
+             MAX(CASE WHEN ({base} % {1 << width}::BIGINT) = 0
+                      THEN {s}
+                      ELSE {s} - length(bin({base} % {1 << width}::BIGINT))
+                 END) AS m
+      FROM lineitem GROUP BY 1, 2, 3
+    ),
+    merged AS (SELECT grp, bucket, MAX(m) AS m FROM regsh GROUP BY 1, 2),
+    estm AS ({hll_estimate_sql("merged")}),
+    exact AS (SELECT l_returnflag AS grp,
+                     COUNT(DISTINCT l_partkey) AS exact_parts
+              FROM lineitem GROUP BY 1)
+    SELECT x.grp AS l_returnflag, x.exact_parts,
+           e.est_distinct AS est_parts,
+           g.est_distinct AS est_merged,
+           ROUND((e.est_distinct - x.exact_parts) / x.exact_parts * 100,
+                 4) AS err_pct,
+           e.est_distinct = g.est_distinct AS merge_ok
+    FROM exact x JOIN est e ON e.grp = x.grp JOIN estm g ON g.grp = x.grp
+    ORDER BY l_returnflag
+    """
+
+
+@query("hll_distinct_parts", _hll_oracle_sql())
+def hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog (p=6, m=64): distinct parts per return flag,
+    estimated from 60-bit md5 registers, PLUS the merge proof — the
+    same data sketched in two shards (orderkey parity) and merged by
+    register max must yield the identical estimate (the property that
+    makes per-partition sketching + rollup valid at cluster scale).
+    Z is summed in exact BIGINT (order-independent), so the estimate is
+    deterministic and the oracle replays it bit-exactly."""
+    from rocketmq_flink_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_returnflag", "l_partkey", "l_orderkey"
+    )
+    pk = F.col("l_partkey").cast("string")
+    reg_full = hll_registers(li, pk, ["l_returnflag"])
+    est_full = hll_estimate(reg_full, ["l_returnflag"]).withColumnRenamed(
+        "est_distinct", "est_parts"
+    )
+    reg_sh = hll_registers(
+        li.withColumn("shard", F.col("l_orderkey") % 2),
+        pk,
+        ["l_returnflag", "shard"],
+    )
+    est_merged = hll_estimate(
+        hll_merge(reg_sh, ["l_returnflag"]), ["l_returnflag"]
+    ).withColumnRenamed("est_distinct", "est_merged")
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts")
+    )
+    return (
+        exact.join(est_full, "l_returnflag")
+        .join(est_merged, "l_returnflag")
+        .withColumn(
+            "err_pct",
+            F.round(
+                (F.col("est_parts") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                * 100,
+                4,
+            ),
+        )
+        .withColumn("merge_ok", F.col("est_parts") == F.col("est_merged"))
+        .select(
+            "l_returnflag", "exact_parts", "est_parts", "est_merged",
+            "err_pct", "merge_ok",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _countmin_oracle_sql() -> str:
+    from rocketmq_flink_spark.functions.porthash import hash31_sql
+    from rocketmq_flink_spark.operators.sketches import countmin_cells_sql
+
+    cells = countmin_cells_sql(hash31_sql("tok"))
+    return f"""
+    WITH tk AS (
+      SELECT tok
+      FROM (SELECT unnest(regexp_split_to_array({_NORM_SQL_DUCK},
+                   '\\s+')) AS tok FROM documents)
+      WHERE tok <> ''
+    ),
+    exact AS (SELECT tok, COUNT(*) AS exact_n FROM tk GROUP BY tok),
+    top AS (SELECT * FROM exact ORDER BY exact_n DESC, tok LIMIT 20),
+    cells AS (SELECT unnest({cells}) AS cell FROM tk),
+    sketch AS (SELECT cell[1] AS r, cell[2] AS c, COUNT(*) AS cnt
+               FROM cells GROUP BY 1, 2),
+    probe AS (
+      SELECT tok, exact_n, unnest({cells}) AS cell
+      FROM top
+    ),
+    est AS (
+      SELECT p.tok, p.exact_n, MIN(s.cnt) AS cm_est
+      FROM probe p JOIN sketch s
+        ON s.r = p.cell[1] AND s.c = p.cell[2]
+      GROUP BY 1, 2
+    )
+    SELECT tok, exact_n, cm_est, cm_est - exact_n AS overcount
+    FROM est ORDER BY exact_n DESC, tok
+    """
+
+
+@query("countmin_token_counts", _countmin_oracle_sql())
+def countmin_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (d=4 rows x w=256 counters, portable universal
+    hashes) over the corpus token stream, probed for the top-20 exact
+    heavy-hitter tokens: (token, exact count, CM estimate, overcount).
+    CM never undercounts (est >= exact is structural); counters are
+    additive so shard sketches merge by cell-wise sum. The oracle
+    rebuilds the identical counters in SQL and must match every
+    estimate bit-for-bit."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+    from rocketmq_flink_spark.operators.sketches import (
+        countmin_probe,
+        countmin_sketch,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        F.explode(
+            F.split(F.expr(normalize_sql("text")), r"\s+")
+        ).alias("tok")
+    ).where(F.col("tok") != "")
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), "tok").limit(20)
+    sketch = countmin_sketch(toks, "tok")
+    probed = countmin_probe(sketch, top, "tok")
+    return (
+        top.join(probed, "tok")
+        .select(
+            "tok", "exact_n", "cm_est",
+            (F.col("cm_est") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), "tok")
+    )

@@ -860,3 +860,91 @@ def test_null_text_fails_quality_filter(spark):
     counts = {r.id: r.n for r in
               df.select("id", token_count("text").alias("n")).collect()}
     assert counts[1] == 0 and counts[2] == 11
+
+
+def test_hll_merge_equals_direct_and_register_bounds(spark):
+    """HLL registers sketched per shard and merged by max must be
+    IDENTICAL to sketching the union directly (the property that makes
+    per-partition sketch + rollup valid on a cluster), and every rho
+    must lie in [1, width+1]."""
+    from pyspark.sql import functions as F
+
+    from rocketmq_flink_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.range(5000).select(
+        (F.col("id") % 3).alias("g"),
+        F.concat(F.lit("v"), (F.col("id") % 1300)).alias("v"),
+        (F.col("id") % 2).alias("shard"),
+    )
+    direct = hll_registers(df, F.col("v"), ["g"])
+    merged = hll_merge(hll_registers(df, F.col("v"), ["g", "shard"]), ["g"])
+    assert direct.exceptAll(merged).count() == 0
+    assert merged.exceptAll(direct).count() == 0
+    rng = direct.agg(F.min("m"), F.max("m")).first()
+    assert 1 <= rng[0] and rng[1] <= 55
+    est = {r.g: r.est_distinct for r in hll_estimate(direct, ["g"]).collect()}
+    for g in (0, 1, 2):  # m=64 raw estimator: expect well within 3 sigma
+        assert abs(est[g] - 1300) / 1300 < 0.5
+
+
+def test_countmin_never_undercounts_and_merges(spark):
+    """CM estimate >= exact count for EVERY token (structural), and
+    summing two shard sketches cell-wise equals the full sketch
+    (additive merge)."""
+    from pyspark.sql import functions as F
+
+    from rocketmq_flink_spark.operators.sketches import (
+        countmin_probe,
+        countmin_sketch,
+    )
+
+    toks = spark.range(20000).select(
+        F.concat(F.lit("t"), (F.col("id") % 700)).alias("tok"),
+        (F.col("id") % 2).alias("shard"),
+    )
+    sk = countmin_sketch(toks, "tok")
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    probed = countmin_probe(sk, exact.select("tok"), "tok")
+    bad = (
+        exact.join(probed, "tok")
+        .where(F.col("cm_est") < F.col("exact_n"))
+        .count()
+    )
+    assert bad == 0
+    halves = [
+        countmin_sketch(toks.where(F.col("shard") == s), "tok")
+        for s in (0, 1)
+    ]
+    summed = (
+        halves[0].unionAll(halves[1])
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert summed.exceptAll(sk).count() == 0
+    assert sk.exceptAll(summed).count() == 0
+
+
+def test_sketch_plans_stay_jvm_side(spark):
+    """Sketch register/counter builds must contain no Python row path
+    and partial (map-side) aggregation before the exchange."""
+    from pyspark.sql import functions as F
+
+    from rocketmq_flink_spark.operators.sketches import (
+        countmin_sketch,
+        hll_registers,
+    )
+
+    df = spark.range(100).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    for frame in (
+        hll_registers(df, F.col("v"), ["g"]),
+        countmin_sketch(df.select(F.col("v").alias("tok")), "tok"),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
+        assert "partial" in plan.lower()
