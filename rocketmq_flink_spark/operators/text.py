@@ -413,3 +413,63 @@ def rarity_scores(
         ).alias("rarity"),
         F.count(F.lit(1)).alias("n_tok"),
     ).select(F.col("doc").alias(id_col), "rarity", "n_tok")
+
+
+def bigram_surprisal(
+    df: DataFrame, id_col: str, text_col: str, group_col: str | None = None
+) -> DataFrame:
+    """Quantized bigram language-model surprisal — the CCNet-style
+    "perplexity filter" signal, in exact integer arithmetic.
+
+    The corpus itself is the LM: c1(w) = occurrences of w as a bigram
+    context, c2(w1,w2) = bigram occurrences. Per bigram instance the
+    quantized surprisal is floor(log2 c1) - floor(log2 c2) — the
+    integer part of -log2 P(w2|w1) — computed as a bin()-length
+    difference, so scores are EXACT (no libm log whose last ulp
+    differs between engines) and distributed sums are
+    order-independent BIGINTs. Returns per-group (or per-doc when
+    group_col is None): n_bigrams and mean quantized surprisal.
+
+    Scale: two map-side-combined count aggregations (context table,
+    bigram table) + two hash joins back onto the instance stream —
+    the canonical LM-scoring shape; no driver state, no Python."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    key = group_col or id_col
+    toks = F.split(F.expr(normalize_sql(text_col)), r"\s+")
+    bg = (
+        df.select(F.col(key).alias("grp"), toks.alias("_toks"))
+        .where(F.size("_toks") >= 2)
+        .select(
+            "grp",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_toks) - 2),"
+                    " i -> struct(_toks[i] AS w1, _toks[i+1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("grp", "b.w1", "b.w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select(
+            "grp",
+            (
+                F.length(F.bin(F.col("c1"))) - F.length(F.bin(F.col("c2")))
+            ).alias("sq"),
+        )
+    )
+    return (
+        scored.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("sq").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_surprise_q"),
+        )
+        .withColumnRenamed("grp", key)
+    )

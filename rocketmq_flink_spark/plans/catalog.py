@@ -4794,3 +4794,42 @@ def countmin_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_n"), "tok")
     )
+
+
+@query(
+    "lm_surprisal_by_source",
+    f"""
+    WITH arr AS (
+      SELECT source, regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+') AS a
+      FROM documents
+    ),
+    bg AS (
+      SELECT source, a[i] AS w1, a[i + 1] AS w2
+      FROM arr, unnest(range(1, len(a))) AS t(i)
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    sc AS (
+      SELECT b.source,
+             length(bin(c1.c1)) - length(bin(c2.c2)) AS sq
+      FROM bg b JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+                JOIN c1 ON c1.w1 = b.w1
+    )
+    SELECT source, COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(sq) AS DOUBLE) / COUNT(*), 6) AS mean_surprise_q
+    FROM sc GROUP BY source ORDER BY source
+    """,
+)
+def lm_surprisal_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-as-LM quality scoring: mean quantized bigram surprisal
+    (integer -log2 P(w2|w1), exact bin()-length arithmetic — no libm)
+    per document source. Low mean = predictable/templated text, high =
+    rare constructions — the perplexity-filter axis a CCNet-style
+    pipeline bins on, here hash-checked because every score is an
+    integer ratio. Scale: see operators/text.py bigram_surprisal."""
+    from rocketmq_flink_spark.operators.text import bigram_surprisal
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return bigram_surprisal(docs, "doc_id", "text", group_col="source").orderBy(
+        "source"
+    )

@@ -948,3 +948,18 @@ def test_sketch_plans_stay_jvm_side(spark):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
         assert "partial" in plan.lower()
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    """sq = floor(log2 c1(w1)) - floor(log2 c2(w1,w2)), exact integers:
+    with corpus {a b, a b, a c}: c1(a)=3, c2(a,b)=2, c2(a,c)=1 ->
+    sq(a,b) = len(bin 3)-len(bin 2) = 0, sq(a,c) = 2-1 = 1."""
+    from rocketmq_flink_spark.operators.text import bigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo"), (5, None)],
+        "doc_id INT, text STRING",
+    )
+    out = {r.doc_id: (r.n_bigrams, r.mean_surprise_q)
+           for r in bigram_surprisal(df, "doc_id", "text").collect()}
+    assert out == {1: (1, 0.0), 2: (1, 0.0), 3: (1, 1.0)}  # 4,5 dropped
