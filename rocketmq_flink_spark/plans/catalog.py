@@ -1995,6 +1995,35 @@ def tag_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lloyd_step_sql(prev: str, idx: int) -> str:
+    """One DuckDB Lloyd iteration over the `allv` CTE: argmin-assign to
+    `prev` centroids, per-(cid, dim) mean update, carry empty cells.
+    Shared by every oracle that retrains the IVF/k-means index in SQL."""
+    return f"""
+    assign{idx} AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(c.cv, x -> x*x))
+                 - 2 * list_sum(list_transform(list_zip(e.v, c.cv),
+                                               z -> z[1]*z[2])),
+                 c.cid) AS rn
+        FROM allv e CROSS JOIN {prev} c)
+      WHERE rn = 1),
+    sums{idx} AS (
+      SELECT cid, z[2] AS d, SUM(z[1]) AS sx FROM (
+        SELECT a.cid, unnest(list_zip(e.v, range(0, 64))) AS z
+        FROM assign{idx} a JOIN allv e USING (vec_id))
+      GROUP BY cid, z[2]),
+    counts{idx} AS (SELECT cid, COUNT(*) AS cnt FROM assign{idx} GROUP BY cid),
+    means{idx} AS (
+      SELECT s.cid, list(s.sx / n.cnt ORDER BY s.d) AS cv
+      FROM sums{idx} s JOIN counts{idx} n USING (cid) GROUP BY s.cid),
+    cents{idx} AS (
+      SELECT c0.cid, COALESCE(m.cv, c0.cv) AS cv
+      FROM cents{idx - 1} c0 LEFT JOIN means{idx} m USING (cid))"""
+
+
 def _ann_recall_oracle_sql() -> str:
     """DuckDB replay of the ENTIRE approximate-NN retrieval pipelines on
     the natural corpus — not just the exact truth: the 16 LSH hyperplanes
@@ -2019,30 +2048,7 @@ def _ann_recall_oracle_sql() -> str:
         "p -> (p[1]-p[2])*(p[1]-p[2]))), 12) AS DOUBLE)"
     )
 
-    def lloyd_step(prev: str, idx: int) -> str:
-        return f"""
-    assign{idx} AS (
-      SELECT vec_id, cid FROM (
-        SELECT e.vec_id, c.cid,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_sum(list_transform(c.cv, x -> x*x))
-                 - 2 * list_sum(list_transform(list_zip(e.v, c.cv),
-                                               z -> z[1]*z[2])),
-                 c.cid) AS rn
-        FROM allv e CROSS JOIN {prev} c)
-      WHERE rn = 1),
-    sums{idx} AS (
-      SELECT cid, z[2] AS d, SUM(z[1]) AS sx FROM (
-        SELECT a.cid, unnest(list_zip(e.v, range(0, 64))) AS z
-        FROM assign{idx} a JOIN allv e USING (vec_id))
-      GROUP BY cid, z[2]),
-    counts{idx} AS (SELECT cid, COUNT(*) AS cnt FROM assign{idx} GROUP BY cid),
-    means{idx} AS (
-      SELECT s.cid, list(s.sx / n.cnt ORDER BY s.d) AS cv
-      FROM sums{idx} s JOIN counts{idx} n USING (cid) GROUP BY s.cid),
-    cents{idx} AS (
-      SELECT c0.cid, COALESCE(m.cv, c0.cv) AS cv
-      FROM cents{idx - 1} c0 LEFT JOIN means{idx} m USING (cid))"""
+    lloyd_step = _lloyd_step_sql
 
     return f"""
     WITH allv AS (
@@ -4832,4 +4838,98 @@ def lm_surprisal_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     return bigram_surprisal(docs, "doc_id", "text", group_col="source").orderBy(
         "source"
+    )
+
+
+def _kmeans_profile_oracle_sql() -> str:
+    """DuckDB replay of the full k-means pipeline (portable-hash seeded
+    init + two Lloyd iterations, shared CTE generator with
+    ann_recall_report) followed by the per-cluster label profile."""
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    h = hash60_sql("CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH allv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents0 AS (
+      SELECT cid, cv FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY {h}, vec_id) - 1 AS cid,
+               v AS cv
+        FROM allv)
+      WHERE cid < 32),
+    {_lloyd_step_sql('cents0', 1)},
+    {_lloyd_step_sql('cents1', 2)},
+    cell AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(c.cv, x -> x*x))
+                 - 2 * list_sum(list_transform(list_zip(e.v, c.cv),
+                                               z -> z[1]*z[2])),
+                 c.cid) AS rn
+        FROM allv e CROSS JOIN cents2 c)
+      WHERE rn = 1),
+    cnt AS (
+      SELECT cid, label, COUNT(*) AS n
+      FROM cell JOIN embeddings USING (vec_id) GROUP BY 1, 2),
+    tot AS (SELECT cid, CAST(SUM(n) AS BIGINT) AS n_vecs
+            FROM cnt GROUP BY 1),
+    top AS (
+      SELECT cid, label AS top_label, n AS top_label_n FROM (
+        SELECT cid, label, n,
+               ROW_NUMBER() OVER (PARTITION BY cid
+                                  ORDER BY n DESC, label) AS rn
+        FROM cnt)
+      WHERE rn = 1)
+    SELECT t.cid, t.n_vecs, p.top_label, p.top_label_n,
+           ROUND(CAST(p.top_label_n AS DOUBLE) / t.n_vecs, 6) AS purity
+    FROM tot t JOIN top p USING (cid)
+    ORDER BY cid
+    """
+
+
+@query("kmeans_cluster_profile", _kmeans_profile_oracle_sql())
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic corpus map: distributed k-means (the IVF trainer —
+    deterministic portable-hash init + 2 Lloyd iterations) over the
+    embedding corpus, profiled per cluster: size, majority label and
+    label purity — the clustering report a semantic-dedup / data-mixing
+    pipeline drives sampling decisions with. Hash-checked end to end:
+    the oracle RETRAINS the same index in chained SQL CTEs, so a match
+    proves init, both Lloyd steps and final assignment. Scale: only the
+    32 x 64-float centroid table touches the driver; assignment is one
+    vectorized Arrow pass; profile aggregations are map-side-combined
+    integer counts."""
+    from rocketmq_flink_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = ivf_centroids(emb, "vec_id", "embedding", n_centroids=32, iters=2)
+    cnt = (
+        ivf_assign(emb, cents)
+        .groupBy(F.col("_centroid").alias("cid"), "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cid").orderBy(F.desc("n"), "label")
+    tot = cnt.groupBy("cid").agg(F.sum("n").alias("n_vecs"))
+    top = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cid",
+            F.col("label").alias("top_label"),
+            F.col("n").alias("top_label_n"),
+        )
+    )
+    return (
+        tot.join(top, "cid")
+        .withColumn(
+            "purity",
+            F.round(F.col("top_label_n").cast("double") / F.col("n_vecs"), 6),
+        )
+        .orderBy("cid")
     )
