@@ -92,3 +92,83 @@ def decontaminate(
         F.col("n_overlap") * 1000 <= F.lit(max_overlap_permille) * F.col("n_grams")
     ).select(id_col)
     return docs.join(keep, id_col)
+
+
+def fuzzy_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    probe_tokens: int = 16,
+    chunk_tokens: int = 16,
+    overlap: int = 8,
+    n: int = 5,
+    max_dist_pct: int = 30,
+) -> DataFrame:
+    """Edit-distance-VERIFIED benchmark contamination (the fuzzy tier
+    above the exact n-gram filter): near-matches that an exact 13-gram
+    check misses — paraphrased punctuation, a swapped word, an OCR
+    typo — are caught by Levenshtein distance, but Levenshtein against
+    a 100 TB corpus is infeasible without blocking, so candidates are
+    generated first by shared word n-grams.
+
+    Pipeline: every probe_tokens-token window of every benchmark doc
+    is a probe (the whole eval suite is checked, not just prefixes);
+    target docs are split into overlapping chunk_tokens-token windows
+    (chunk_documents — zero shuffle); a chunk becomes a candidate when
+    it shares any word n-gram with a probe (BROADCAST join against the
+    benchmark gram set — the corpus never shuffles for the probe);
+    only candidates pay the Levenshtein DP, and a pair is verified
+    when 100 * dist <= max_dist_pct * len(probe).
+
+    Returns (id, chunk_idx, bid, probe_idx, dist, probe_len) — one
+    row per verified (target chunk, benchmark probe) pair. All
+    arithmetic is exact integers, so the DuckDB oracle reproduces
+    every distance bit-for-bit."""
+    from rocketmq_flink_spark.operators.dedup import word_shingles
+    from rocketmq_flink_spark.operators.pipeline import chunk_documents
+
+    probes = chunk_documents(
+        benchmark, id_col, text_col, probe_tokens, probe_tokens // 2
+    ).select(
+        F.col(id_col).alias("bid"),
+        F.col("chunk_idx").alias("probe_idx"),
+        F.col("chunk_text").alias("probe_text"),
+    )
+    probe_grams = probes.select(
+        "bid",
+        "probe_idx",
+        F.explode(
+            word_shingles(F.split("probe_text", " "), n)
+        ).alias("sh"),
+    ).distinct()
+    chunks = chunk_documents(docs, id_col, text_col, chunk_tokens, overlap)
+    chunk_grams = chunks.select(
+        id_col,
+        "chunk_idx",
+        F.explode(
+            word_shingles(F.split("chunk_text", " "), n)
+        ).alias("sh"),
+    )
+    cand = (
+        chunk_grams.join(F.broadcast(probe_grams), "sh")
+        .select(id_col, "chunk_idx", "bid", "probe_idx")
+        .distinct()
+    )
+    return (
+        cand.join(chunks, [id_col, "chunk_idx"])
+        .join(F.broadcast(probes), ["bid", "probe_idx"])
+        .withColumn("dist", F.levenshtein("chunk_text", "probe_text"))
+        .where(
+            F.lit(100) * F.col("dist")
+            <= F.lit(max_dist_pct) * F.length("probe_text")
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            "bid",
+            "probe_idx",
+            F.col("dist").cast("long").alias("dist"),
+            F.length("probe_text").cast("long").alias("probe_len"),
+        )
+    )

@@ -4933,3 +4933,102 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+@query(
+    "fuzzy_decontamination_report",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    probes AS (
+      SELECT doc_id AS bid, CAST(i AS INTEGER) AS probe_idx,
+             toks[i*8+1 : i*8+16] AS pa,
+             array_to_string(toks[i*8+1 : i*8+16], ' ') AS probe_text
+      FROM (SELECT doc_id, toks,
+                   GREATEST(CAST(CEIL((len(toks) - 8) / 8.0) AS BIGINT),
+                            1) AS nc
+            FROM t WHERE doc_id % 11 = 0),
+           unnest(range(nc)) AS u(i)
+    ),
+    pg AS (
+      SELECT DISTINCT bid, probe_idx,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(pa) - 4, 1) + 1),
+               i -> array_to_string(pa[i:i+4], ' ')))) AS sh
+      FROM probes
+    ),
+    chunks AS (
+      SELECT doc_id, source, CAST(i AS INTEGER) AS chunk_idx,
+             toks[i*8+1 : i*8+16] AS ca,
+             array_to_string(toks[i*8+1 : i*8+16], ' ') AS chunk_text
+      FROM (SELECT doc_id, source, toks,
+                   GREATEST(CAST(CEIL((len(toks) - 8) / 8.0) AS BIGINT),
+                            1) AS nc
+            FROM t WHERE doc_id % 11 <> 0),
+           unnest(range(nc)) AS u(i)
+    ),
+    cg AS (
+      SELECT doc_id, chunk_idx,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ca) - 4, 1) + 1),
+               i -> array_to_string(ca[i:i+4], ' ')))) AS sh
+      FROM chunks
+    ),
+    cand AS (
+      SELECT DISTINCT cg.doc_id, cg.chunk_idx, pg.bid, pg.probe_idx
+      FROM cg JOIN pg USING (sh)
+    ),
+    ver AS (
+      SELECT c.source, c.doc_id,
+             levenshtein(c.chunk_text, p.probe_text) AS dist,
+             length(p.probe_text) AS plen
+      FROM cand
+      JOIN chunks c USING (doc_id, chunk_idx)
+      JOIN probes p USING (bid, probe_idx)
+      WHERE 100 * levenshtein(c.chunk_text, p.probe_text)
+            <= 30 * length(p.probe_text)
+    )
+    SELECT source,
+           COUNT(DISTINCT doc_id) AS n_flagged_docs,
+           COUNT(*) AS n_hits,
+           CAST(MIN(dist) AS BIGINT) AS min_dist
+    FROM ver GROUP BY source ORDER BY source
+    """,
+)
+def fuzzy_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (Levenshtein-verified) benchmark decontamination: the
+    near-match tier above the exact n-gram filter. Probes = EVERY
+    16-token window (stride 8) of the held-out "benchmark" docs
+    (doc_id%11==0); targets are chunked the same way; candidates
+    require a shared word-5-gram with a probe (broadcast gram set, the
+    corpus never shuffles for the probe) and verify when the edit
+    distance is <= 30% of the probe length. Per-source report of
+    flagged docs / verified pairs / closest distance — all exact
+    integers, so every distance hash-checks against the oracle."""
+    from rocketmq_flink_spark.operators.contamination import (
+        fuzzy_contamination,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    bench = docs.where(F.col("doc_id") % 11 == 0)
+    targets = docs.where(F.col("doc_id") % 11 != 0)
+    hits = fuzzy_contamination(targets, bench, "doc_id", "text")
+    return (
+        hits.join(
+            load_tables(spark, sf_dir)["documents"].select(
+                "doc_id", "source"
+            ),
+            "doc_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_flagged_docs"),
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("dist").alias("min_dist"),
+        )
+        .orderBy("source")
+    )

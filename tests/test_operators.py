@@ -963,3 +963,41 @@ def test_bigram_surprisal_hand_computed(spark):
     out = {r.doc_id: (r.n_bigrams, r.mean_surprise_q)
            for r in bigram_surprisal(df, "doc_id", "text").collect()}
     assert out == {1: (1, 0.0), 2: (1, 0.0), 3: (1, 1.0)}  # 4,5 dropped
+
+
+def test_fuzzy_contamination_catches_near_match_only(spark):
+    """A target that paraphrases a benchmark passage by one word must
+    verify (small edit distance); an unrelated target must produce no
+    candidate at all (gram blocking), and exact-duplicate text gives
+    dist 0."""
+    from pyspark.sql import functions as F
+
+    from rocketmq_flink_spark.operators.contamination import (
+        fuzzy_contamination,
+    )
+
+    bench_text = (
+        "the quick brown fox jumps over the lazy dog near the old stone"
+        " bridge at dawn every single morning"
+    )
+    near = bench_text.replace("lazy", "sleepy")
+    df_bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id LONG, text STRING"
+    )
+    df_docs = spark.createDataFrame(
+        [
+            (1, near),
+            (2, bench_text),
+            (3, "completely different words about spark shuffles and"
+                " parquet row groups and arrow batches forever"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    hits = fuzzy_contamination(df_docs, df_bench, "doc_id", "text")
+    rows = [(r.doc_id, r.chunk_idx, r.dist) for r in hits.collect()]
+    ids = {d for d, _, _ in rows}
+    assert 1 in ids and 2 in ids and 3 not in ids
+    assert all(d == 0 for i, _, d in rows if i == 2)  # exact dup -> 0
+    # doc 1 chunk 0 contains the swapped word: nonzero but small dist
+    d1c0 = [d for i, c, d in rows if i == 1 and c == 0]
+    assert d1c0 and all(0 < d <= 4 for d in d1c0)
