@@ -5032,3 +5032,253 @@ def fuzzy_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: data-layout (Z-order) and event analytics (funnel,
+# retention) — the layout maintenance and product-analytics shapes a
+# warehouse on this engine would run daily.
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle_sql() -> str:
+    from rocketmq_flink_spark.operators.layout import (
+        morton_expr_sql,
+        scale16_sql,
+    )
+
+    z = morton_expr_sql(
+        scale16_sql("l_partkey", "(SELECT MAX(l_partkey) FROM lineitem)"),
+        scale16_sql("l_suppkey", "(SELECT MAX(l_suppkey) FROM lineitem)"),
+    )
+    return f"""
+    WITH base AS (
+      SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+             {z} AS zkey
+      FROM lineitem
+    ),
+    lay AS (
+      SELECT 'zorder' AS layout, l_partkey, l_suppkey,
+             ntile(32) OVER (ORDER BY zkey, l_orderkey, l_linenumber)
+               AS bucket
+      FROM base
+      UNION ALL
+      SELECT 'partkey', l_partkey, l_suppkey,
+             ntile(32) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber)
+      FROM base
+      UNION ALL
+      SELECT 'natural', l_partkey, l_suppkey,
+             ntile(32) OVER (ORDER BY l_orderkey, l_linenumber)
+      FROM base
+    ),
+    spans AS (
+      SELECT layout, bucket,
+             MAX(l_partkey) - MIN(l_partkey) AS part_span,
+             MAX(l_suppkey) - MIN(l_suppkey) AS supp_span
+      FROM lay GROUP BY 1, 2
+    )
+    SELECT layout,
+           ROUND(CAST(SUM(part_span) AS DOUBLE) / COUNT(*), 2)
+             AS avg_part_span,
+           ROUND(CAST(SUM(supp_span) AS DOUBLE) / COUNT(*), 2)
+             AS avg_supp_span
+    FROM spans GROUP BY layout ORDER BY layout
+    """
+
+
+@query("zorder_skipping_report", _zorder_oracle_sql())
+def zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout quality report: lineitem bucketed into 32
+    row-group-sized tiles under three physical orders — Morton
+    (partkey, suppkey) interleave, partkey-sorted, and natural — and
+    the average per-bucket min/max span of BOTH keys compared. Tight
+    spans on both dimensions = parquet row-group stats prune point
+    queries on either key; single-key sort is perfect on one dimension
+    and useless on the other. Both keys are first scale-normalized
+    into the common 16-bit Morton domain (exact integer arithmetic;
+    without it, interleaving a 7-bit with an 11-bit key degenerates to
+    the wider key's sort). The Morton code is the same shift/and
+    expression in Spark and DuckDB (hash-checked). The report ranks a
+    32-tile diagnostic sample via ntile (single-partition window is
+    fine for a report); the production re-layout path is
+    operators/layout.zorder_layout — repartitionByRange(zkey) +
+    sortWithinPartitions, fully distributed."""
+    from rocketmq_flink_spark.operators.layout import (
+        morton_expr_sql,
+        scale16_sql,
+    )
+
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    mx = li.agg(
+        F.max("l_partkey").alias("pmax"), F.max("l_suppkey").alias("smax")
+    )
+    base = li.crossJoin(F.broadcast(mx)).withColumn(
+        "zkey",
+        F.expr(
+            morton_expr_sql(
+                scale16_sql("l_partkey", "pmax"),
+                scale16_sql("l_suppkey", "smax"),
+            )
+        ),
+    )
+    from pyspark.sql import Window
+
+    def tiled(name: str, *order):
+        w = Window.orderBy(*order)
+        return base.select(
+            F.lit(name).alias("layout"),
+            "l_partkey",
+            "l_suppkey",
+            F.ntile(32).over(w).alias("bucket"),
+        )
+
+    lay = (
+        tiled("zorder", "zkey", "l_orderkey", "l_linenumber")
+        .unionAll(tiled("partkey", "l_partkey", "l_orderkey", "l_linenumber"))
+        .unionAll(tiled("natural", "l_orderkey", "l_linenumber"))
+    )
+    spans = lay.groupBy("layout", "bucket").agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("part_span"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("supp_span"),
+    )
+    return (
+        spans.groupBy("layout")
+        .agg(
+            F.round(
+                F.sum("part_span").cast("double") / F.count(F.lit(1)), 2
+            ).alias("avg_part_span"),
+            F.round(
+                F.sum("supp_span").cast("double") / F.count(F.lit(1)), 2
+            ).alias("avg_supp_span"),
+        )
+        .orderBy("layout")
+    )
+
+
+@query(
+    "conversion_funnel",
+    """
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    fc AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN fv ON fv.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > fv.t GROUP BY 1
+    ),
+    fp AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN fc ON fc.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > fc.t GROUP BY 1
+    )
+    SELECT (SELECT COUNT(*) FROM fv) AS n_view,
+           (SELECT COUNT(*) FROM fc) AS n_view_click,
+           (SELECT COUNT(*) FROM fp) AS n_view_click_purchase,
+           ROUND(CAST((SELECT COUNT(*) FROM fc) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM fv), 6) AS click_rate,
+           ROUND(CAST((SELECT COUNT(*) FROM fp) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM fc), 6) AS purchase_rate
+    """,
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage conversion funnel over the event stream: users
+    with a view, whose first click FOLLOWS that view, whose first
+    purchase FOLLOWS that click (strict event-order semantics, not mere
+    co-occurrence). Scale: three conditional min-aggregations on
+    user_id — each stage joins the (|users|-sized) previous-stage
+    table back to events, broadcastable by size; no windows over the
+    raw stream."""
+    ev = load_tables(spark, sf_dir)["events"]
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    fc = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(fv.withColumnRenamed("t", "tv")), "user_id")
+        .where(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(fc.withColumnRenamed("t", "tc")), "user_id")
+        .where(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    nv = fv.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = fc.agg(F.count(F.lit(1)).alias("n_view_click"))
+    np_ = fp.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view",
+            "n_view_click",
+            "n_view_click_purchase",
+            F.round(
+                F.col("n_view_click").cast("double") / F.col("n_view"), 6
+            ).alias("click_rate"),
+            F.round(
+                F.col("n_view_click_purchase").cast("double")
+                / F.col("n_view_click"),
+                6,
+            ).alias("purchase_rate"),
+        )
+    )
+
+
+@query(
+    "retention_cohorts",
+    """
+    WITH w AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+                  AS BIGINT) AS wk
+      FROM events
+    ),
+    f AS (SELECT user_id, MIN(wk) AS cohort FROM w GROUP BY 1),
+    act AS (
+      SELECT DISTINCT w.user_id, f.cohort, w.wk - f.cohort AS week_offset
+      FROM w JOIN f ON f.user_id = w.user_id
+    )
+    SELECT cohort, week_offset, COUNT(*) AS n_active
+    FROM act GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix: users grouped by first-activity
+    week, counted as active per week offset since their cohort week —
+    the triangle every growth dashboard draws. Week indices are exact
+    integer day-arithmetic from a fixed epoch (no engine-specific week
+    truncation rules). Scale: two user-keyed aggregations + one
+    broadcastable first-week join; the distinct is on (user, cohort,
+    offset) — bounded by users x weeks."""
+    ev = load_tables(spark, sf_dir)["events"]
+    wk = ev.select(
+        "user_id",
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') DIV 7"
+            " AS BIGINT)"
+        ).alias("wk"),
+    )
+    first = wk.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    act = (
+        wk.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id", "cohort", (F.col("wk") - F.col("cohort")).alias(
+                "week_offset"
+            )
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort", "week_offset")
+    )

@@ -1001,3 +1001,35 @@ def test_fuzzy_contamination_catches_near_match_only(spark):
     # doc 1 chunk 0 contains the swapped word: nonzero but small dist
     d1c0 = [d for i, c, d in rows if i == 1 and c == 0]
     assert d1c0 and all(0 < d <= 4 for d in d1c0)
+
+
+def test_morton_code_matches_python_reference_and_layout_plan(spark):
+    """Morton interleave must equal the bit-twiddling reference for
+    arbitrary 16-bit pairs, and zorder_layout must range-partition +
+    sort by zkey without any Python node."""
+    from pyspark.sql import functions as F
+
+    from rocketmq_flink_spark.operators.layout import (
+        morton_code,
+        zorder_layout,
+    )
+
+    def ref(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(
+        [(3, 5), (0, 0), (65535, 65535), (12345, 54321), (1, 65534)],
+        "x INT, y INT",
+    )
+    got = df.select("x", "y", morton_code("x", "y").alias("z")).collect()
+    for r in got:
+        assert r.z == ref(r.x, r.y), (r.x, r.y)
+    laid = zorder_layout(df, "x", "y", partitions=2)
+    plan = laid._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "rangepartitioning" in plan.lower().replace(" ", "")
+    assert "Sort" in plan
