@@ -687,3 +687,63 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     # the late event (10:10) is dropped: exactly one (10:00) row with
     # n=1, no duplicate emission, and the 13:00 window is never closed
     assert got == [((10, 0), 1), ((11, 0), 1), ((12, 0), 2)], got
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """Sketch-on-stream: HLL registers computed per microbatch and
+    merged by register max must yield EXACTLY the batch estimate over
+    the full data — the mergeability contract that lets a streaming
+    job maintain a running cardinality sketch (and daily sketches roll
+    up) with no replay. Registers are tiny (m rows per group), so the
+    cross-batch state is a trivially small table."""
+    import pandas as pd
+
+    from rocketmq_flink_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    docs = load_tables(spark, SF)["documents"]
+    src = tmp_path / "hll_arrivals"
+    docs.withColumn("_f", F.col("doc_id") % 3).repartition(3, "_f").drop(
+        "_f"
+    ).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+
+    acc: list = []
+
+    def sketch_batch(batch_df, epoch_id):
+        reg = hll_registers(batch_df, F.col("text"), ["source"])
+        acc.append(reg.toPandas())
+
+    q = (
+        stream.writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(acc) >= 2, "expected multiple microbatches"
+
+    merged_pd = (
+        pd.concat(acc, ignore_index=True)
+        .groupby(["source", "bucket"], as_index=False)["m"]
+        .max()
+    )
+    merged = hll_merge(spark.createDataFrame(merged_pd), ["source"])
+    est_stream = {
+        r.source: r.est_distinct
+        for r in hll_estimate(merged, ["source"]).collect()
+    }
+    est_batch = {
+        r.source: r.est_distinct
+        for r in hll_estimate(
+            hll_registers(docs, F.col("text"), ["source"]), ["source"]
+        ).collect()
+    }
+    assert est_stream == est_batch and len(est_batch) > 1
