@@ -145,3 +145,26 @@ def test_streaming_connector_demo_example(spark, tmp_path):
 
     n = sd.run(spark, SF, str(tmp_path / "demo_broker"))
     assert n > 0
+
+
+def test_corpus_monitoring_example(spark):
+    """The examples/ monitoring job must produce every report section
+    with sane values: positive vocab estimates, CM >= exact guarantees
+    implied by top-token counts, all clusters populated, and the fuzzy
+    contamination alarm counting docs."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    import corpus_monitoring as cm
+
+    report = cm.run(spark, "/root/testdata/sf0.001")
+    assert set(report) == {
+        "vocab_est_by_source", "top_tokens_cm", "surprisal_by_source",
+        "cluster_sizes", "fuzzy_contaminated_docs",
+    }
+    assert all(v > 0 for v in report["vocab_est_by_source"].values())
+    assert len(report["top_tokens_cm"]) == 5
+    assert all(v > 0 for v in report["top_tokens_cm"].values())
+    assert all(v > 0 for v in report["surprisal_by_source"].values())
+    assert sum(report["cluster_sizes"].values()) == 500  # every vector
+    assert report["fuzzy_contaminated_docs"] >= 0
