@@ -51,6 +51,23 @@ HEADLINE = [
     "multimodal_features",
 ]
 
+# Round-3 operators, timed separately so the headline total stays
+# comparable across rounds (same 22-query set since round 1).
+EXTRA = [
+    "q11_important_inventory",
+    "q21_waiting_suppliers",
+    "hll_distinct_parts",
+    "countmin_token_counts",
+    "lm_surprisal_by_source",
+    "kmeans_cluster_profile",
+    "fuzzy_decontamination_report",
+    "zorder_skipping_report",
+    "conversion_funnel",
+    "retention_cohorts",
+    "interval_join_purchase_clicks",
+    "media_header_features",
+]
+
 
 def run_once(spark, name: str, sf_dir: str) -> float:
     df = REGISTRY[name].fn(spark, sf_dir)
@@ -89,6 +106,10 @@ def main() -> None:
         spread[name] = [round(min(ts), 3), round(sum(ts) / len(ts), 3),
                         round(max(ts), 3)]
     total = round(sum(queries.values()), 3)
+    extra = {}
+    for name in (n for n in EXTRA if n in REGISTRY):
+        ts = run_reps(spark, name, sf_dir, reps)
+        extra[name] = round(min(ts), 3)
     print(
         json.dumps(
             {
@@ -98,6 +119,8 @@ def main() -> None:
                 "queries": queries,
                 "reps": reps,
                 "spread_min_mean_max": spread,
+                "extra_queries": extra,
+                "extra_total": round(sum(extra.values()), 3),
                 "sf": sf,
             }
         )
