@@ -5282,3 +5282,65 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort", "week_offset")
     )
+
+
+from rocketmq_flink_spark.functions.porthash import hash60_sql as _h60sql
+
+_SHUFFLE_H = _h60sql("CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "deterministic_corpus_shuffle",
+    f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             {_SHUFFLE_H} AS hk
+      FROM documents
+    ),
+    ord AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (ORDER BY hk, doc_id) - 1 AS pos
+      FROM h
+    )
+    SELECT CAST(pos // 50 AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc
+    FROM ord GROUP BY 1 ORDER BY 1
+    """,
+)
+def deterministic_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pre-training corpus shuffle: documents permuted by
+    the portable 60-bit hash of their id (a stable pseudo-random order
+    — same shards every rerun, no RNG state to checkpoint) and cut
+    into fixed-size shards; per-shard source mix proves the shuffle
+    interleaves sources. A training-data pipeline runs exactly this
+    before sequence packing so batches are not source-correlated.
+    Scale: the permutation is ONE global sort on an 8-byte key (what
+    any corpus shuffle costs); at cluster scale the same hash key goes
+    through repartitionByRange + sortWithinPartitions instead of a
+    single ntile-style window (report form here for the oracle)."""
+    from rocketmq_flink_spark.functions.porthash import hash60
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    h = docs.select(
+        "doc_id", "source",
+        hash60(F.col("doc_id").cast("string")).alias("hk"),
+    )
+    w = Window.orderBy("hk", "doc_id")
+    ordered = h.withColumn("pos", F.row_number().over(w) - 1)
+    return (
+        ordered.groupBy(
+            F.expr("CAST(pos DIV 50 AS BIGINT)").alias("shard")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.sum("doc_id").alias("sum_doc"),
+        )
+        .orderBy("shard")
+    )
