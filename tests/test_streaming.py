@@ -747,3 +747,68 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
         ).collect()
     }
     assert est_stream == est_batch and len(est_batch) > 1
+
+
+def test_native_session_window_stream_matches_batch(spark, tmp_path):
+    """Spark's built-in session_window (SURVEY W11) over the event
+    stream: per-user 30-minute-gap sessions aggregated while streaming
+    (availableNow, watermarked) must equal the same session_window
+    aggregation run in batch — closed sessions are emitted once and
+    never revised."""
+    from pyspark.sql import Window as W
+
+    events = load_tables(spark, SF)["events"].select(
+        "user_id", "ts", "value"
+    )
+    src = tmp_path / "sw_arrivals"
+    # order files by time so the watermark closes sessions across batches
+    events.withColumn(
+        "_f", F.ntile(3).over(W.orderBy("ts"))
+    ).repartition(3, "_f").drop("_f").write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+
+    def sessions(df):
+        return df.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sv"),
+        ).select(
+            "user_id", F.col("w.start").alias("start"),
+            F.col("w.end").alias("end"), "n", "sv",
+        )
+
+    out = []
+
+    def collect(batch_df, epoch_id):
+        out.append(batch_df.toPandas())
+
+    q = (
+        sessions(stream.withWatermark("ts", "1 minute"))
+        .writeStream.outputMode("append")
+        .foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    import pandas as pd
+
+    got = pd.concat(out, ignore_index=True)
+    expect = sessions(events).toPandas()
+    key = ["user_id", "start", "end"]
+    got = got.sort_values(key).reset_index(drop=True)
+    # append mode only emits sessions CLOSED by the final watermark; the
+    # tail sessions after it are the (only) allowed difference
+    wm_cut = got["end"].max()
+    expect = (
+        expect[expect["end"] <= wm_cut].sort_values(key).reset_index(drop=True)
+    )
+    assert len(got) > 100
+    pd.testing.assert_frame_equal(got[key + ["n", "sv"]],
+                                  expect[key + ["n", "sv"]])
