@@ -5344,3 +5344,48 @@ def deterministic_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "dedup_graph_stats",
+    None,  # oracle attached below (wraps the minhash closure replay)
+)
+def dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph analytics: the component-size histogram of the
+    transitive MinHash dedup graph — the number a dedup pipeline
+    monitors to catch both under-merging (all singletons) and
+    pathological over-merging (one giant component from a boilerplate
+    shingle). Derived entirely from minhash_dedup's components (one
+    count aggregation on top); the oracle wraps the full recursive-CTE
+    closure replay, so the histogram is hash-checked end to end."""
+    from rocketmq_flink_spark.operators.dedup import minhash_dedup
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    comp = minhash_dedup(docs, "doc_id", "text", threshold=0.7)
+    sizes = comp.groupBy("rep_id").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return (
+        sizes.groupBy("component_size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .select(
+            "component_size",
+            "n_components",
+            (F.col("component_size") * F.col("n_components")).alias(
+                "n_docs"
+            ),
+        )
+        .orderBy("component_size")
+    )
+
+
+REGISTRY["dedup_graph_stats"].oracle = f"""
+    WITH sizes AS (
+      SELECT rep_id, COUNT(*) AS component_size
+      FROM ( {_minhash_oracle_sql()} ) base
+      GROUP BY rep_id
+    )
+    SELECT component_size, COUNT(*) AS n_components,
+           CAST(component_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY 1 ORDER BY 1
+"""
