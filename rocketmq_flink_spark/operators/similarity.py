@@ -631,3 +631,191 @@ def ivf_topk(
             F.round(F.col("d2"), 12).cast("double").alias("dist2"), "rank",
         )
     )
+
+
+# --- Product Quantization (PQ) --------------------------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_centroids: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: the vector space is split into m orthogonal
+    subspaces (dim/m dims each) and a k-means codebook is trained per
+    subspace with the SAME deterministic trainer as IVF (portable-hash
+    seeded init + distributed Lloyd steps — identical seed ROWS in
+    every subspace, since seeding orders by id hash). Returns m
+    codebooks of n_centroids x (dim/m) floats — model parameters, the
+    only thing that ever reaches the driver.
+
+    PQ is the billion-scale ANN memory trick: a 64-dim float vector
+    (256 B) compresses to m log2(k)-bit codes (m=8, k=16 -> 4 B), and
+    distance evaluation against the full corpus becomes m table
+    lookups per vector instead of dim multiplies."""
+    d = dim // m
+    books = []
+    for s in range(m):
+        sub = corpus.select(
+            F.col(id_col),
+            F.expr(f"slice({vec_col}, {s * d + 1}, {d})").alias(vec_col),
+        )
+        books.append(
+            ivf_centroids(sub, id_col, vec_col, n_centroids, iters)
+        )
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach `codes` = array<int> of per-subspace nearest-centroid
+    ids (one vectorized Arrow pass; one numpy matmul per subspace per
+    batch; ties break to the lowest centroid id, matching the
+    oracle's ROW_NUMBER order)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = [np.array(cb) for cb in codebooks]
+    d = cents[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def codes(v):
+        mat = np.vstack(v.to_numpy())
+        cols = []
+        for s, cb in enumerate(cents):
+            seg = mat[:, s * d:(s + 1) * d]
+            scores = (cb * cb).sum(axis=1)[None, :] - 2.0 * (seg @ cb.T)
+            cols.append(np.argmin(scores, axis=1))
+        arr = np.stack(cols, axis=1).astype(np.int32)
+        return pd.Series(list(arr))
+
+    return df.withColumn("codes", codes(F.col(vec_col)))
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    n_centroids: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance computation (ADC):
+    corpus vectors are scored through their codes against a per-query
+    lookup table of exact DECIMAL subspace distances, so the ADC sum
+    is exact and order-independent (hash-checkable) — the float never
+    re-enters after encoding.
+
+    Scale shape: the corpus is encoded once (Arrow pass) and exploded
+    to (vec_id, subspace, code) int rows; the LUT is |queries| x m x
+    n_centroids rows — broadcast — and scoring is one hash join + one
+    map-side-combinable decimal sum per (query, vector). At real
+    scale the same LUT rides a numpy kernel per executor; the join
+    form is the declarative equivalent with identical results."""
+    books = pq_train(corpus, id_col, vec_col, m, n_centroids, iters, dim)
+    d = dim // m
+    enc = pq_encode(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col)),
+        books,
+        vec_col,
+    ).select("vec_id", F.posexplode("codes").alias("s", "cid"))
+    cent_rows = [
+        (s, cid, [float(x) for x in vec])
+        for s, book in enumerate(books)
+        for cid, vec in enumerate(book)
+    ]
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        cent_rows, "s INT, cid INT, cv ARRAY<DOUBLE>"
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    lut = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "qid",
+            "s",
+            "cid",
+            l2_sq(
+                _dec(F.expr("slice(qv, s * " + str(d) + " + 1, " + str(d) + ")")),
+                F.col("cv").cast("array<decimal(12,10)>"),
+            ).alias("dd"),
+        )
+    )
+    dist = (
+        enc.join(F.broadcast(lut), ["s", "cid"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("dd").alias("adc"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc", "vec_id")
+    return (
+        dist.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            "vec_id",
+            F.round(F.col("adc"), 12).cast("double").alias("adc_d2"),
+            "rank",
+        )
+    )
+
+
+def pq_topk_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    shortlist: int = 50,
+    m: int = 8,
+    n_centroids: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Production PQ retrieval: ADC shortlists `shortlist` candidates
+    per query from the compressed codes, then ONLY those re-rank with
+    the exact decimal distance on the full vectors — the standard
+    two-stage shape (codes fit in memory at billion scale; the
+    full-precision vectors are touched for shortlist rows only).
+    Output matches knn_bruteforce's schema; ranks are hash-checkable
+    because both stages are decimal-exact given the codes."""
+    short = pq_topk(
+        queries, corpus, id_col, vec_col, shortlist, m, n_centroids,
+        iters, dim,
+    ).select("qid", "vec_id")
+    qv = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    )
+    cand = (
+        short.join(cv, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(l2_sq(_dec(F.col("qv")), _dec(F.col("cv"))), 12)
+            .cast("double")
+            .alias("dist2"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("dist2", "vec_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "vec_id", "dist2", "rank")
+    )

@@ -1033,3 +1033,36 @@ def test_morton_code_matches_python_reference_and_layout_plan(spark):
     assert "Python" not in plan
     assert "rangepartitioning" in plan.lower().replace(" ", "")
     assert "Sort" in plan
+
+
+def test_pq_codes_compress_and_rerank_beats_raw_adc(spark, emb):
+    """PQ structural properties: every code is in [0, k); codes are
+    m per vector; and the shortlist+exact-rerank stage must reach at
+    least the raw-ADC recall (re-ranking can only improve the head)."""
+    from rocketmq_flink_spark.operators.similarity import (
+        knn_bruteforce,
+        pq_encode,
+        pq_topk,
+        pq_topk_rerank,
+        pq_train,
+    )
+
+    books = pq_train(emb, m=8, n_centroids=16)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    enc = pq_encode(emb.select("vec_id", "embedding"), books)
+    stats = enc.selectExpr(
+        "min(array_min(codes)) AS lo",
+        "max(array_max(codes)) AS hi",
+        "min(size(codes)) AS m",
+    ).first()
+    assert stats.lo >= 0 and stats.hi < 16 and stats.m == 8
+
+    q = emb.where(F.col("vec_id") < 8)
+    exact = {(r.qid, r.vec_id) for r in knn_bruteforce(q, emb, k=5).collect()}
+    raw = {(r.qid, r.vec_id) for r in pq_topk(q, emb, k=5).collect()}
+    rer = {(r.qid, r.vec_id)
+           for r in pq_topk_rerank(q, emb, k=5, shortlist=50).collect()}
+    r_raw = len(exact & raw) / len(exact)
+    r_rer = len(exact & rer) / len(exact)
+    assert r_rer >= r_raw
+    assert r_rer >= 0.5, f"PQ rerank recall too low: {r_rer}"
