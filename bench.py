@@ -66,6 +66,9 @@ EXTRA = [
     "retention_cohorts",
     "interval_join_purchase_clicks",
     "media_header_features",
+    "pq_ann_topk",
+    "dedup_graph_stats",
+    "deterministic_corpus_shuffle",
 ]
 
 

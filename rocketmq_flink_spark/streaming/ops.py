@@ -232,3 +232,46 @@ def punctuated_filter_batch(
         .where(F.col("_run_wm").isNull() | (F.col(ts_col) > F.col("_run_wm")))
         .drop("_run_wm")
     )
+
+
+def dead_letter_router(
+    on_time_sink,
+    dead_sink,
+    ts_col: str = "ts",
+    delay_seconds: int = 1800,
+):
+    """Late-data side output (W10's optional dead-letter path — the
+    Flink side-output analog): a foreachBatch function that carries the
+    watermark ACROSS microbatches (max event time seen so far minus the
+    allowed delay, exactly Spark's bounded-out-of-orderness rule) and
+    routes each batch's rows below it to `dead_sink` instead of
+    silently dropping them; on-time rows go to `on_time_sink`.
+
+    Both sinks are callables df -> None (e.g. a broker-topic batch
+    write), so the router composes with any downstream. State is ONE
+    timestamp on the driver — checkpoint-friendly and identical under
+    restart replay because the watermark is a running max.
+
+    Use with: stream.writeStream.foreachBatch(router).start().
+    """
+    state: dict = {"wm": None}
+
+    def route(batch_df, epoch_id):
+        wm = state["wm"]
+        if wm is None:
+            late = batch_df.where(F.lit(False))
+            on_time = batch_df
+        else:
+            late = batch_df.where(F.col(ts_col) < F.lit(wm))
+            on_time = batch_df.where(~(F.col(ts_col) < F.lit(wm)))
+        dead_sink(late)
+        on_time_sink(on_time)
+        mx = batch_df.agg(F.max(ts_col)).first()[0]
+        if mx is not None:
+            import datetime as _dt
+
+            cand = mx - _dt.timedelta(seconds=delay_seconds)
+            if wm is None or cand > wm:
+                state["wm"] = cand
+
+    return route

@@ -812,3 +812,62 @@ def test_native_session_window_stream_matches_batch(spark, tmp_path):
     assert len(got) > 100
     pd.testing.assert_frame_equal(got[key + ["n", "sv"]],
                                   expect[key + ["n", "sv"]])
+
+
+def test_late_data_dead_letter_side_output(spark, tmp_path):
+    """W10 optional path: instead of silently dropping late rows, a
+    foreachBatch router carries the watermark across microbatches and
+    side-outputs sub-watermark rows to a dead-letter topic (the Flink
+    side-output analog). Pinned batches: the 10:10 row arrives after
+    the carried watermark passed 11:30, so it must land in t_dead —
+    and nothing else does; every other row reaches the main sink."""
+    import datetime as dt
+
+    from rocketmq_flink_spark.streaming.ops import dead_letter_router
+
+    root = str(tmp_path / "dl_broker")
+    register(spark)
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m, 0)
+
+    rows = [
+        (1, t(10, 0)),
+        (2, t(11, 0)),
+        (4, t(12, 0)),
+        (6, t(12, 1)),
+        (3, t(10, 10)),  # late once the watermark reached 11:31
+        (5, t(13, 0)),
+    ]
+    df = spark.createDataFrame(rows, "event_id BIGINT, ts TIMESTAMP").coalesce(1)
+    env = encode_rows(
+        df,
+        options={"topic": "t_in", "keyColumns": "event_id",
+                 "writeKeysToBody": "true"},
+        born_ts_col="ts",
+    )
+    (env.write.format("rocketmq")
+        .options(path=root, topic="t_in", numQueues=1).mode("append").save())
+
+    main_rows, dead_rows = [], []
+    router = dead_letter_router(
+        lambda d: main_rows.extend(d.select("event_id").collect()),
+        lambda d: dead_rows.extend(d.select("event_id").collect()),
+        ts_col="ts",
+        delay_seconds=1800,
+    )
+    env_s = (
+        spark.readStream.format("rocketmq")
+        .options(path=root, topic="t_in", maxOffsetsPerTrigger=2)
+        .load()
+    )
+    decoded = decode_envelope(env_s, "event_id BIGINT, ts TIMESTAMP")
+    q = (
+        decoded.writeStream.foreachBatch(router)
+        .option("checkpointLocation", str(tmp_path / "dl_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(r.event_id for r in dead_rows) == [3]
+    assert sorted(r.event_id for r in main_rows) == [1, 2, 4, 5, 6]
