@@ -135,3 +135,32 @@ def test_corpus_profile_single_scan_no_python(spark):
         read_schema = scan.split("ReadSchema:")[1]
         # only doc_id/text are needed; the rest of documents is pruned
         assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_pq_scoring_is_hash_join_no_cartesian(spark):
+    # ADC scoring must be a broadcast hash join of exploded codes
+    # against the (queries x m x k)-row LUT — never a cartesian / per-
+    # row probe of the corpus (the one tiny crossJoin is queries x
+    # centroid table, broadcast by construction)
+    plan = _plan(REGISTRY["pq_ann_topk"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_decontamination_probe_is_broadcast(spark):
+    # benchmark grams + probes broadcast; corpus chunks never shuffle
+    # for candidate generation; no cartesian anywhere
+    plan = _plan(REGISTRY["fuzzy_decontamination_report"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_shuffle_and_funnel_shapes(spark):
+    # the corpus shuffle is ONE global sort on the 8-byte hash key
+    plan = _plan(REGISTRY["deterministic_corpus_shuffle"].fn(spark, SF))
+    assert "EvalPython" not in plan
+    # funnel: per-stage aggregates ride broadcast joins, no window over
+    # the raw event stream
+    plan = _plan(REGISTRY["conversion_funnel"].fn(spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
