@@ -64,10 +64,20 @@ def zorder_layout(
     y_col: str,
     bits: int = 16,
     partitions: int | None = None,
+    x_max: int | None = None,
+    y_max: int | None = None,
 ) -> DataFrame:
     """Re-layout `df` for two-dimensional data skipping: attach the
     Morton key and range-partition + sort by it (ready for a parquet
-    write whose row-group min/max stats prune on BOTH x and y)."""
-    z = df.withColumn("zkey", morton_code(x_col, y_col, bits))
+    write whose file/row-group min/max stats prune on BOTH x and y).
+
+    Pass x_max/y_max (the dimension maxima, e.g. from a stats pass) to
+    scale both keys into the common 16-bit domain first — REQUIRED for
+    balanced locality whenever the two keys span different ranges
+    (see scale16_sql); without them the raw low bits interleave,
+    which is only correct for keys already in [0, 2^bits)."""
+    x = scale16_sql(x_col, x_max) if x_max is not None else x_col
+    y = scale16_sql(y_col, y_max) if y_max is not None else y_col
+    z = df.withColumn("zkey", morton_code(x, y, bits))
     parts = partitions or df.sparkSession.sparkContext.defaultParallelism
     return z.repartitionByRange(parts, "zkey").sortWithinPartitions("zkey")

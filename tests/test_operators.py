@@ -1066,3 +1066,55 @@ def test_pq_codes_compress_and_rerank_beats_raw_adc(spark, emb):
     r_rer = len(exact & rer) / len(exact)
     assert r_rer >= r_raw
     assert r_rer >= 0.5, f"PQ rerank recall too low: {r_rer}"
+
+
+def test_zorder_layout_tightens_parquet_file_stats(spark, tmp_path):
+    """The actual data-skipping proof: write lineitem under natural
+    order and under zorder_layout, read back each parquet file's
+    min/max column statistics from the footers (what a scan prunes
+    with), and assert the Morton layout shrinks the average per-file
+    range of BOTH keys — i.e., a point query on either key can skip
+    most files only in the z-ordered table."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from rocketmq_flink_spark.operators.layout import zorder_layout
+    from rocketmq_flink_spark.session import load_tables
+
+    li = load_tables(spark, "/root/testdata/sf0.01")["lineitem"].select(
+        "l_partkey", "l_suppkey"
+    )
+    mx = li.agg(
+        F.max("l_partkey").alias("pmax"), F.max("l_suppkey").alias("smax")
+    ).first()
+    nat_dir = str(tmp_path / "nat")
+    zo_dir = str(tmp_path / "zo")
+    li.repartition(8).write.parquet(nat_dir)
+    zorder_layout(
+        li, "l_partkey", "l_suppkey", partitions=8,
+        x_max=mx.pmax, y_max=mx.smax,
+    ).drop("zkey").write.parquet(zo_dir)
+
+    def avg_spans(d):
+        spans = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            lo = [None, None]
+            hi = [None, None]
+            for rg in range(meta.num_row_groups):
+                for ci, col in enumerate(("l_partkey", "l_suppkey")):
+                    idx = {meta.row_group(rg).column(i).path_in_schema: i
+                           for i in range(meta.row_group(rg).num_columns)}[col]
+                    st = meta.row_group(rg).column(idx).statistics
+                    lo[ci] = st.min if lo[ci] is None else min(lo[ci], st.min)
+                    hi[ci] = st.max if hi[ci] is None else max(hi[ci], st.max)
+            spans.append((hi[0] - lo[0], hi[1] - lo[1]))
+        n = len(spans)
+        return sum(s[0] for s in spans) / n, sum(s[1] for s in spans) / n
+
+    nat_part, nat_supp = avg_spans(nat_dir)
+    zo_part, zo_supp = avg_spans(zo_dir)
+    # zorder must tighten BOTH dimensions vs the natural layout
+    assert zo_part < nat_part * 0.6, (zo_part, nat_part)
+    assert zo_supp < nat_supp * 0.6, (zo_supp, nat_supp)
