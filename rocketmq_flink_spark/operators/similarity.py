@@ -710,6 +710,7 @@ def pq_topk(
     n_centroids: int = 16,
     iters: int = 2,
     dim: int = 64,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """PQ approximate top-k by asymmetric distance computation (ADC):
     corpus vectors are scored through their codes against a per-query
@@ -723,7 +724,9 @@ def pq_topk(
     map-side-combinable decimal sum per (query, vector). At real
     scale the same LUT rides a numpy kernel per executor; the join
     form is the declarative equivalent with identical results."""
-    books = pq_train(corpus, id_col, vec_col, m, n_centroids, iters, dim)
+    books = codebooks if codebooks is not None else pq_train(
+        corpus, id_col, vec_col, m, n_centroids, iters, dim
+    )
     d = dim // m
     enc = pq_encode(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col)),

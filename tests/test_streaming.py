@@ -871,3 +871,56 @@ def test_late_data_dead_letter_side_output(spark, tmp_path):
     q.stop()
     assert sorted(r.event_id for r in dead_rows) == [3]
     assert sorted(r.event_id for r in main_rows) == [1, 2, 4, 5, 6]
+
+
+def test_streaming_pq_probe_matches_batch(spark, tmp_path):
+    """Vector-index production arrival path: new embeddings stream in
+    over several microbatches and probe a STATIC PQ index (codebooks
+    trained once on the indexed corpus, passed into every batch) for
+    their nearest indexed neighbor. The union over epochs must equal
+    the batch probe of the full new set — queries score independently,
+    so microbatching cannot change results."""
+    import pandas as pd
+
+    from rocketmq_flink_spark.operators.similarity import pq_topk, pq_train
+
+    emb = load_tables(spark, SF)["embeddings"]
+    idx = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    books = pq_train(idx)  # trained ONCE — the static index model
+
+    src = tmp_path / "pq_arrivals"
+    new.withColumn("_f", F.col("vec_id") % 3).repartition(3, "_f").drop(
+        "_f"
+    ).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+
+    results: list = []
+
+    def probe(batch_df, epoch_id):
+        out = pq_topk(batch_df, idx, k=1, codebooks=books)
+        results.append(out.toPandas())
+
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", str(tmp_path / "pq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(results) >= 2, "expected multiple microbatches"
+
+    got = (
+        pd.concat(results, ignore_index=True)
+        .sort_values(["qid"]).reset_index(drop=True)
+    )
+    expect = (
+        pq_topk(new, idx, k=1, codebooks=books)
+        .toPandas().sort_values(["qid"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect)
+    assert len(got) == new.count()
