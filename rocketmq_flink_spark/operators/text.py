@@ -430,45 +430,62 @@ def bigram_surprisal(
     order-independent BIGINTs. Returns per-group (or per-doc when
     group_col is None): n_bigrams and mean quantized surprisal.
 
-    Scale: two map-side-combined count aggregations (context table,
-    bigram table) + two hash joins back onto the instance stream —
-    the canonical LM-scoring shape; no driver state, no Python."""
+    Scale: aggregate-first — the raw bigram instance stream is
+    collapsed to per-(group, w1, w2) counts in ONE map-side-combined
+    pass, the context/bigram count tables are derived from THAT (pure
+    re-aggregation, no second tokenize), and the instance-level score
+    sum is recovered exactly as sum(n * (floor_log2(c1) -
+    floor_log2(c2))). Joins therefore move vocabulary-bounded
+    aggregate rows, never the token stream: at corpus scale the
+    instance stream is O(tokens) while the grouped table is
+    O(distinct bigrams per group) — orders of magnitude smaller —
+    and the same restructuring is what makes the score mergeable
+    across shards. No driver state, no Python."""
     from rocketmq_flink_spark.operators.dedup import normalize_sql
 
     key = group_col or id_col
     toks = F.split(F.expr(normalize_sql(text_col)), r"\s+")
+    # The <2-token guard lives INSIDE the expression (empty array ->
+    # explode drops the doc) rather than as a .where(size(_toks) >= 2):
+    # Catalyst pushes such a filter below the projection and
+    # re-substitutes the full normalize+split into the predicate —
+    # doubling the regex work, which dominates this pass (measured).
     bg = (
         df.select(F.col(key).alias("grp"), toks.alias("_toks"))
-        .where(F.size("_toks") >= 2)
         .select(
             "grp",
             F.explode(
                 F.expr(
-                    "transform(sequence(0, size(_toks) - 2),"
+                    "CASE WHEN size(_toks) >= 2 THEN"
+                    " transform(sequence(0, size(_toks) - 2),"
                     " i -> struct(_toks[i] AS w1, _toks[i+1] AS w2))"
+                    " ELSE array() END"
                 )
             ).alias("b"),
         )
         .select("grp", "b.w1", "b.w2")
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    g3 = bg.groupBy("grp", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    c2 = g3.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
+    c1 = g3.groupBy("w1").agg(F.sum("n").alias("c1"))
     scored = (
-        bg.join(c2, ["w1", "w2"])
+        g3.join(c2, ["w1", "w2"])
         .join(c1, ["w1"])
         .select(
             "grp",
+            "n",
             (
-                F.length(F.bin(F.col("c1"))) - F.length(F.bin(F.col("c2")))
-            ).alias("sq"),
+                F.col("n")
+                * (F.length(F.bin(F.col("c1"))) - F.length(F.bin(F.col("c2"))))
+            ).alias("sq_sum"),
         )
     )
     return (
         scored.groupBy("grp")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("n").alias("n_bigrams"),
             F.round(
-                F.sum("sq").cast("double") / F.count(F.lit(1)), 6
+                F.sum("sq_sum").cast("double") / F.sum("n"), 6
             ).alias("mean_surprise_q"),
         )
         .withColumnRenamed("grp", key)

@@ -5047,6 +5047,18 @@ def fuzzy_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Deterministic 1-in-8 diagnostic row sample for the layout report:
+# multiplicative (Knuth) hash of the unique lineitem identity
+# (l_orderkey * 7 + l_linenumber is injective; linenumber is 1..7),
+# keeping the three well-mixed top bits of the 31-bit product. Pure
+# exact BIGINT arithmetic — the identical text evaluates in Spark and
+# DuckDB (no md5 pass needed just to sample), products stay < 2^57.
+_ZORDER_SAMPLE_SQL = (
+    "((((l_orderkey * 7 + l_linenumber) * 2654435761) % 2147483648)"
+    " >> 28) = 0"
+)
+
+
 def _zorder_oracle_sql() -> str:
     from rocketmq_flink_spark.operators.layout import (
         morton_expr_sql,
@@ -5054,14 +5066,19 @@ def _zorder_oracle_sql() -> str:
     )
 
     z = morton_expr_sql(
-        scale16_sql("l_partkey", "(SELECT MAX(l_partkey) FROM lineitem)"),
-        scale16_sql("l_suppkey", "(SELECT MAX(l_suppkey) FROM lineitem)"),
+        scale16_sql("l_partkey", "(SELECT MAX(l_partkey) FROM sam)"),
+        scale16_sql("l_suppkey", "(SELECT MAX(l_suppkey) FROM sam)"),
     )
     return f"""
-    WITH base AS (
+    WITH sam AS (
+      SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber
+      FROM lineitem
+      WHERE {_ZORDER_SAMPLE_SQL}
+    ),
+    base AS (
       SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
              {z} AS zkey
-      FROM lineitem
+      FROM sam
     ),
     lay AS (
       SELECT 'zorder' AS layout, l_partkey, l_suppkey,
@@ -5104,23 +5121,35 @@ def zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the common 16-bit Morton domain (exact integer arithmetic;
     without it, interleaving a 7-bit with an 11-bit key degenerates to
     the wider key's sort). The Morton code is the same shift/and
-    expression in Spark and DuckDB (hash-checked). The report ranks a
-    32-tile diagnostic sample via ntile (single-partition window is
-    fine for a report); the production re-layout path is
+    expression in Spark and DuckDB (hash-checked). The report runs on
+    a DETERMINISTIC 1-in-8 row sample (_ZORDER_SAMPLE_SQL — portable
+    multiplicative hash of the unique row identity, no md5 pass):
+    uniform sampling preserves tile boundaries and relative spans,
+    which is all a layout-quality diagnostic needs, and it bounds the
+    single-partition ntile window that global equal-count tiling
+    inherently requires — at 100 TB the sample rate is the knob that
+    keeps this report constant-cost. The production re-layout path is
     operators/layout.zorder_layout — repartitionByRange(zkey) +
-    sortWithinPartitions, fully distributed."""
+    sortWithinPartitions, fully distributed, no sampling."""
     from rocketmq_flink_spark.operators.layout import (
         morton_expr_sql,
         scale16_sql,
     )
 
-    li = load_tables(spark, sf_dir)["lineitem"].select(
-        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber")
+        .where(F.expr(_ZORDER_SAMPLE_SQL))
     )
     mx = li.agg(
         F.max("l_partkey").alias("pmax"), F.max("l_suppkey").alias("smax")
     )
-    base = li.crossJoin(F.broadcast(mx)).withColumn(
+    # The Morton key (a 64-term bit expression) and the max-stats
+    # broadcast are attached ONLY to the branch that orders by them:
+    # union branches are planned independently (no cross-branch CSE),
+    # so putting zkey on the shared base would evaluate it — and rerun
+    # the stats subquery — three times (measured ~2x on this query).
+    zbase = li.crossJoin(F.broadcast(mx)).withColumn(
         "zkey",
         F.expr(
             morton_expr_sql(
@@ -5131,9 +5160,9 @@ def zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    def tiled(name: str, *order):
+    def tiled(name: str, src: DataFrame, *order):
         w = Window.orderBy(*order)
-        return base.select(
+        return src.select(
             F.lit(name).alias("layout"),
             "l_partkey",
             "l_suppkey",
@@ -5141,9 +5170,11 @@ def zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     lay = (
-        tiled("zorder", "zkey", "l_orderkey", "l_linenumber")
-        .unionAll(tiled("partkey", "l_partkey", "l_orderkey", "l_linenumber"))
-        .unionAll(tiled("natural", "l_orderkey", "l_linenumber"))
+        tiled("zorder", zbase, "zkey", "l_orderkey", "l_linenumber")
+        .unionAll(
+            tiled("partkey", li, "l_partkey", "l_orderkey", "l_linenumber")
+        )
+        .unionAll(tiled("natural", li, "l_orderkey", "l_linenumber"))
     )
     spans = lay.groupBy("layout", "bucket").agg(
         (F.max("l_partkey") - F.min("l_partkey")).alias("part_span"),
