@@ -822,3 +822,79 @@ def pq_topk_rerank(
         .where(F.col("rank") <= k)
         .select("qid", "vec_id", "dist2", "rank")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 32,
+    iters: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding corpus with the
+    deterministic k-means trainer (ivf_centroids — portable-hash init,
+    distributed Lloyd), then compare pairs ONLY within a cluster and
+    drop every vector that has a LOWER-id neighbor above the cosine
+    threshold (deterministic keep-lowest-id policy; SemDeDup keeps one
+    arbitrary member per semantic group).
+
+    Returns the DROPPED rows: (id, cid, kept_id, cos_sim) where kept_id
+    is the smallest qualifying lower id and cos_sim that pair's
+    similarity — struct-min selection, so the winner is deterministic.
+
+    Scale design: the all-pairs comparison a naive semantic dedup needs
+    is O(N^2); clustering first bounds it to sum over clusters of
+    |cluster|^2 — the SemDeDup observation that semantic duplicates
+    share a cluster at k ~ sqrt(N). The pair generator is a hash
+    equi-join on cid (never a cartesian product), each vector's decimal
+    norm^2 is computed once before the join, and only the C x dim
+    centroid table ever reaches the driver. Cosine is exact-decimal
+    dot/norms rounded to 12 decimals then IEEE double sqrt/div —
+    bit-reproducible by the DuckDB oracle that retrains the same
+    index in SQL (catalog: semantic_dedup_drops)."""
+    cents = ivf_centroids(df, id_col, vec_col, n_centroids, iters)
+    base = (
+        ivf_assign(df.select(id_col, vec_col), cents, vec_col)
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col("_centroid").alias("cid"),
+            _dec(F.col(vec_col)).alias("dv"),
+        )
+        .withColumn(
+            "n2", F.round(dot_dec(F.col("dv"), F.col("dv")), 12).cast("double")
+        )
+    )
+    lo = base.select(
+        "cid",
+        F.col("vid").alias("id_keep"),
+        F.col("dv").alias("va"),
+        F.col("n2").alias("na2"),
+    )
+    hi = base.select(
+        "cid",
+        F.col("vid").alias("id_drop"),
+        F.col("dv").alias("vb"),
+        F.col("n2").alias("nb2"),
+    )
+    cos = (
+        F.round(dot_dec(F.col("va"), F.col("vb")), 12).cast("double")
+        / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
+    )
+    pairs = (
+        lo.join(hi, "cid")
+        .where(F.col("id_keep") < F.col("id_drop"))
+        .withColumn("cos_sim", cos)
+        .where(F.col("cos_sim") >= F.lit(threshold))
+    )
+    best = pairs.groupBy("id_drop", "cid").agg(
+        F.min(F.struct("id_keep", "cos_sim")).alias("w")
+    )
+    return best.select(
+        F.col("id_drop").alias(id_col),
+        "cid",
+        F.col("w.id_keep").alias("kept_id"),
+        F.round(F.col("w.cos_sim"), 12).alias("cos_sim"),
+    )

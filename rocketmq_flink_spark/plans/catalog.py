@@ -5533,3 +5533,110 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     q = emb.where(F.col("vec_id") < 8)
     return pq_topk_rerank(q, emb, k=5, shortlist=50).orderBy("qid", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup): cluster-then-pairwise over embeddings.
+# ---------------------------------------------------------------------------
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    """DuckDB replay of the FULL semantic-dedup pipeline on the planted
+    corpus: k-means retrained from scratch (portable-hash init + two
+    Lloyd steps, shared _lloyd_step_sql generator), argmin cell
+    assignment, within-cluster decimal-cosine pairs, keep-lowest-id."""
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    h = hash60_sql("CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH planted AS (
+      SELECT vec_id + 20000 AS vec_id,
+             list_prepend(CAST(embedding[1] + CAST(0.001 AS FLOAT) AS FLOAT),
+                          embedding[2:]) AS embedding
+      FROM embeddings WHERE vec_id < 15
+    ),
+    corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL SELECT vec_id, embedding FROM planted
+    ),
+    allv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM corpus),
+    dv AS (
+      SELECT vec_id,
+             CAST(CAST(embedding AS DOUBLE[]) AS DECIMAL(12,10)[]) AS d
+      FROM corpus),
+    cents0 AS (
+      SELECT cid, cv FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY {h}, vec_id) - 1 AS cid,
+               v AS cv
+        FROM allv)
+      WHERE cid < 32),
+    {_lloyd_step_sql('cents0', 1)},
+    {_lloyd_step_sql('cents1', 2)},
+    cell AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(c.cv, x -> x*x))
+                 - 2 * list_sum(list_transform(list_zip(e.v, c.cv),
+                                               z -> z[1]*z[2])),
+                 c.cid) AS rn
+        FROM allv e CROSS JOIN cents2 c)
+      WHERE rn = 1),
+    n2 AS (
+      SELECT vec_id,
+             CAST(ROUND(list_sum(list_transform(d, x -> x*x)), 12)
+                  AS DOUBLE) AS n2
+      FROM dv),
+    pairs AS (
+      SELECT ca.cid, a.vec_id AS id_keep, b.vec_id AS id_drop,
+             CAST(ROUND(list_sum(list_transform(list_zip(a.d, b.d),
+                                                p -> p[1]*p[2])), 12)
+                  AS DOUBLE)
+               / (sqrt(na.n2) * sqrt(nb.n2)) AS cos_sim
+      FROM cell ca JOIN cell cb ON ca.cid = cb.cid
+                                AND ca.vec_id < cb.vec_id
+      JOIN dv a ON a.vec_id = ca.vec_id
+      JOIN dv b ON b.vec_id = cb.vec_id
+      JOIN n2 na ON na.vec_id = ca.vec_id
+      JOIN n2 nb ON nb.vec_id = cb.vec_id),
+    qual AS (SELECT * FROM pairs WHERE cos_sim >= 0.95)
+    SELECT id_drop AS vec_id, cid, id_keep AS kept_id,
+           ROUND(cos_sim, 12) AS cos_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY id_drop
+                                   ORDER BY id_keep) AS rn
+      FROM qual)
+    WHERE rn = 1
+    ORDER BY vec_id
+    """
+
+
+@query("semantic_dedup_drops", _semantic_dedup_oracle_sql())
+def semantic_dedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup) over the embedding corpus with 15
+    planted near-copies (vec_id+20000, one float dim perturbed): each
+    copy lands in its original's cluster and must be dropped in favor
+    of the lower-id original — planted ground truth, the strongest
+    check a cluster-pruned pairwise operator admits (natural max
+    pairwise cosine in this corpus is 0.51, so exactly the planted
+    set is dropped). The oracle retrains the same k-means index in
+    chained SQL CTEs and replays assignment, decimal-cosine pairing
+    and the keep-lowest-id policy — a hash match proves the entire
+    pipeline, not just the final count. See
+    operators/similarity.semantic_dedup for the 100 TB design."""
+    from rocketmq_flink_spark.operators.similarity import semantic_dedup
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    planted = emb.where(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.expr(
+            "concat(array(CAST(embedding[0] + CAST(0.001 AS FLOAT) AS FLOAT)),"
+            " slice(embedding, 2, size(embedding) - 1))"
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").union(planted)
+    return semantic_dedup(
+        corpus, "vec_id", "embedding", n_centroids=32, iters=2,
+        threshold=0.95,
+    ).orderBy("vec_id")

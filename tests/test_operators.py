@@ -1118,3 +1118,36 @@ def test_zorder_layout_tightens_parquet_file_stats(spark, tmp_path):
     # zorder must tighten BOTH dimensions vs the natural layout
     assert zo_part < nat_part * 0.6, (zo_part, nat_part)
     assert zo_supp < nat_supp * 0.6, (zo_supp, nat_supp)
+
+
+def test_semantic_dedup_keep_lowest_id_within_cluster(spark):
+    """Two tight semantic groups + one singleton: every member above the
+    cosine threshold collapses onto its group's lowest id; the
+    singleton and the group representatives survive."""
+    from rocketmq_flink_spark.operators.similarity import semantic_dedup
+
+    def vec(axis, eps):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[(axis + 1) % 8] = eps
+        return v
+
+    rows = [
+        (1, vec(0, 0.0)), (2, vec(0, 0.01)), (3, vec(0, 0.02)),  # group A
+        (10, vec(3, 0.0)), (11, vec(3, 0.015)),                  # group B
+        (99, vec(6, 0.0)),                                       # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(
+        df, "vec_id", "embedding", n_centroids=3, iters=2, threshold=0.99
+    )
+    got = {r.vec_id: r.kept_id for r in out.collect()}
+    assert got == {2: 1, 3: 1, 11: 10}
+    sims = {r.vec_id: r.cos_sim for r in out.collect()}
+    assert all(s >= 0.99 for s in sims.values())
+
+    # a threshold above every pairwise similarity drops nothing
+    none = semantic_dedup(
+        df, "vec_id", "embedding", n_centroids=3, iters=2, threshold=1.0001
+    )
+    assert none.count() == 0

@@ -164,3 +164,11 @@ def test_corpus_shuffle_and_funnel_shapes(spark):
     plan = _plan(REGISTRY["conversion_funnel"].fn(spark, SF))
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_pairs_are_cid_hash_join(spark):
+    # the within-cluster pair generator must be an equi-join on the
+    # cluster id — never a cartesian/nested-loop product of the corpus
+    plan = _plan(REGISTRY["semantic_dedup_drops"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
