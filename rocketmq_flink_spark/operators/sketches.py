@@ -233,6 +233,164 @@ def countmin_cells_sql(x31_expr: str, d: int = CM_D, w: int = CM_W) -> str:
     return f"[{parts}]"
 
 
+# --- Bloom filter ---------------------------------------------------------
+
+BLOOM_M = 1 << 18  # filter bits
+BLOOM_K = 4  # hash functions
+
+
+def bloom_coeffs(k: int = BLOOM_K) -> list[tuple[int, int]]:
+    """Fixed universal-family coefficients for the k bit positions."""
+    return [
+        (_const("bloom-a", j, 1, P31), _const("bloom-b", j, 0, P31))
+        for j in range(k)
+    ]
+
+
+def _bloom_positions(value: Column, m: int, k: int) -> Column:
+    """Array of the k bit positions for a value (exploded by callers)."""
+    x = hash31(value)
+    return F.array(
+        *[(affine31(x, a, b) % m).cast("long") for (a, b) in bloom_coeffs(k)]
+    )
+
+
+def bloom_build(
+    df: DataFrame, value: Column, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """Build a Bloom filter over a value column as (word, bits) rows:
+    word = position >> 5, bits = OR of 32-bit lanes (stored in BIGINT —
+    32-bit words keep every value positive, dodging the engines'
+    differing signed-shift overflow behavior at bit 63).
+
+    ONE map-side-combinable groupBy: the shuffle moves at most m/32
+    (word, partial-or) rows per map task regardless of input size, and
+    filters built on shards MERGE by OR-ing word-wise — the property
+    that lets each executor sketch its partition and a 1000-node
+    cluster combine 8 KB filters instead of re-reading the data.
+    Every bit position comes from the portable hash family, so the
+    DuckDB oracle rebuilds the identical filter (bloom_words_sql)."""
+    pos = F.explode(_bloom_positions(value, m, k)).alias("pos")
+    return (
+        df.select(pos)
+        .selectExpr(
+            "pos >> 5 AS word",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos & 31 AS INT)) AS bv",
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bv)").alias("bits"))
+    )
+
+
+def bloom_probe(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    value: Column,
+    key_cols: list[str],
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Membership-test each candidate row's value against the filter:
+    returns key_cols + `bloom_hit` (true iff ALL k addressed bits are
+    set — i.e. definitely-maybe; false = definitely absent, the Bloom
+    guarantee of no false negatives).
+
+    The filter is at most m/32 rows (8 KB at the default m) — broadcast
+    side of the join by construction; the candidate stream shuffles
+    only for its own (key, position) aggregation."""
+    pos = F.posexplode(_bloom_positions(value, m, k)).alias("j", "pos")
+    probed = (
+        candidates.select(*key_cols, pos)
+        .selectExpr(
+            *key_cols,
+            "pos >> 5 AS word",
+            "CAST(pos & 31 AS INT) AS bit",
+        )
+        .join(F.broadcast(bloom), "word", "left")
+        .selectExpr(
+            *key_cols,
+            "CASE WHEN bits IS NULL THEN 0"
+            " ELSE CAST(shiftright(bits, bit) & 1 AS INT) END AS hit",
+        )
+    )
+    return probed.groupBy(*key_cols).agg(
+        (F.sum("hit") == F.lit(k)).alias("bloom_hit")
+    )
+
+
+def bloom_filter_words(bloom: DataFrame, m: int = BLOOM_M) -> list[int]:
+    """Collect a built filter to its dense word list (m/32 ints —
+    8 KB at the default m; a MODEL artifact like a centroid table, not
+    data, so the driver hop is bounded by the filter size choice)."""
+    words = [0] * (m >> 5)
+    for r in bloom.collect():
+        words[r["word"]] = int(r["bits"])
+    return words
+
+
+def with_bloom_hit(
+    df: DataFrame,
+    value_col: str,
+    words: list[int],
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Membership test as a PURE scalar expression over an INLINED
+    filter: the word list becomes one constant-folded array literal
+    (parsed JVM-side as a single SQL text — no per-element py4j
+    traffic), each of the k probes is element_at + shift/and on it —
+    no join, no shuffle, no Python in the row path. This is the fast
+    path for filters that fit a plan literal (up to a few MB, i.e.
+    m up to ~2^24); beyond that, use bloom_probe's broadcast join.
+    SQL text is used because Catalyst's shiftright accepts a column
+    shift amount while the Python wrapper only takes a literal."""
+    arr_sql = "array(" + ",".join(f"{int(w)}L" for w in words) + ")"
+    out = df.withColumn("_bfw", F.expr(arr_sql)).withColumn(
+        "_x31", hash31(F.col(value_col))
+    )
+    probes = []
+    for a, b in bloom_coeffs(k):
+        pos = f"((({a}L * _x31 + {b}L) % 2147483647) % {m})"
+        word = f"element_at(_bfw, CAST(shiftright({pos}, 5) AS INT) + 1)"
+        probes.append(
+            f"((shiftright({word}, CAST({pos} % 32 AS INT)) & 1) = 1)"
+        )
+    return out.withColumn(out_col, F.expr(" AND ".join(probes))).drop(
+        "_bfw", "_x31"
+    )
+
+
+def bloom_words_sql(
+    value_expr: str, from_clause: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> str:
+    """DuckDB replay of bloom_build: (word, bits) rows."""
+    x = hash31_sql(value_expr)
+    pos_list = ", ".join(
+        f"{affine31_sql(x, a, b)} % {m}" for (a, b) in bloom_coeffs(k)
+    )
+    return f"""
+      SELECT pos >> 5 AS word,
+             bit_or(1::BIGINT << CAST(pos & 31 AS INTEGER)) AS bits
+      FROM (SELECT unnest([{pos_list}]) AS pos {from_clause})
+      GROUP BY 1
+    """
+
+
+def bloom_positions_sql(
+    value_expr: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> str:
+    """DuckDB: LIST of the k bit positions for a value expression."""
+    x = hash31_sql(value_expr)
+    return (
+        "["
+        + ", ".join(
+            f"{affine31_sql(x, a, b)} % {m}" for (a, b) in bloom_coeffs(k)
+        )
+        + "]"
+    )
+
+
 __all__ = [
     "hll_registers",
     "hll_merge",
@@ -245,4 +403,13 @@ __all__ = [
     "countmin_cells_sql",
     "CM_D",
     "CM_W",
+    "bloom_coeffs",
+    "bloom_build",
+    "bloom_probe",
+    "bloom_filter_words",
+    "with_bloom_hit",
+    "bloom_words_sql",
+    "bloom_positions_sql",
+    "BLOOM_M",
+    "BLOOM_K",
 ]

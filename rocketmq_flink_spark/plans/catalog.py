@@ -5640,3 +5640,127 @@ def semantic_dedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "vec_id", "embedding", n_centroids=32, iters=2,
         threshold=0.95,
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination: sketch-based benchmark membership.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_decon_oracle_sql() -> str:
+    from rocketmq_flink_spark.operators.sketches import (
+        BLOOM_K,
+        bloom_positions_sql,
+        bloom_words_sql,
+    )
+
+    words = bloom_words_sql("sh", "FROM bg", m=1 << 16)
+    pos = bloom_positions_sql("sh", m=1 << 16)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+') AS arr
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, unnest({_GRAMS5_DUCK}) AS sh
+      FROM t WHERE doc_id % 97 <> 0
+    ),
+    bg AS (
+      SELECT DISTINCT sh FROM (
+        SELECT unnest({_GRAMS5_DUCK}) AS sh FROM t WHERE doc_id % 97 = 0)
+    ),
+    bloom AS ({words}),
+    pp AS (
+      SELECT doc_id, sh, unnest({pos}) AS pos FROM g
+    ),
+    ph AS (
+      SELECT doc_id, sh,
+             SUM(CASE WHEN (COALESCE(b.bits, 0)
+                            >> CAST(pos & 31 AS INTEGER)) & 1 = 1
+                      THEN 1 ELSE 0 END) AS hits
+      FROM pp LEFT JOIN bloom b ON b.word = pos >> 5
+      GROUP BY doc_id, sh
+    ),
+    perdoc AS (
+      SELECT g2.doc_id,
+             MAX(CASE WHEN ph.hits = {BLOOM_K} THEN 1 ELSE 0 END) AS bf,
+             MAX(CASE WHEN bg.sh IS NOT NULL THEN 1 ELSE 0 END) AS ef
+      FROM g g2
+      JOIN ph ON ph.doc_id = g2.doc_id AND ph.sh = g2.sh
+      LEFT JOIN bg ON bg.sh = g2.sh
+      GROUP BY g2.doc_id
+    )
+    SELECT d.source, COUNT(*) AS n_docs,
+           CAST(SUM(p.bf) AS BIGINT) AS bloom_flagged,
+           CAST(SUM(p.ef) AS BIGINT) AS exact_flagged,
+           CAST(SUM(p.bf) - SUM(p.ef) AS BIGINT) AS bloom_fp
+    FROM perdoc p JOIN (SELECT DISTINCT doc_id, source FROM documents) d
+      USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """
+
+
+@query("bloom_decontamination", _bloom_decon_oracle_sql())
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based benchmark decontamination: the held-out docs'
+    (doc_id%97==0) distinct 5-grams are folded into a 64 Kbit / k=4
+    Bloom filter (8 KB of (word, bits) rows), and every corpus document
+    is flagged when ANY of its grams hits all k bits. Reported per
+    source next to the EXACT broadcast-set overlap: bloom_flagged >=
+    exact_flagged always (Bloom admits no false negatives), and
+    bloom_fp quantifies the price of the 8 KB footprint. At 100 TB the
+    exact gram set of a big benchmark suite is GBs to broadcast; the
+    Bloom filter is KBs at a chosen FP rate (size m ~ 1.44 * n *
+    log2(1/fp) bits), merges across shards by word-wise OR, and the
+    probe stays a map-side broadcast join. Every bit position comes
+    from the portable hash family, so the oracle rebuilds the identical
+    filter and replays every membership test bit-for-bit."""
+    from rocketmq_flink_spark.operators.dedup import exploded_shingles
+    from rocketmq_flink_spark.operators.sketches import (
+        bloom_build,
+        bloom_filter_words,
+        with_bloom_hit,
+    )
+
+    m = 1 << 16
+    docs = load_tables(spark, sf_dir)["documents"]
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    targets = docs.where(F.col("doc_id") % 97 != 0)
+    bench_grams = (
+        exploded_shingles(bench, "doc_id", "text", k=5)
+        .select("sh")
+        .distinct()
+    )
+    # The 8 KB filter is a model artifact: collect once, inline as a
+    # constant-folded literal — the probe is then a pure map expression
+    # (no join, no per-gram shuffle); only the per-doc flag aggregates.
+    words = bloom_filter_words(bloom_build(bench_grams, F.col("sh"), m=m), m)
+    tg = exploded_shingles(targets, "doc_id", "text", k=5)
+    # ONE pass over the gram stream: the Bloom probe is a scalar
+    # expression and the exact-membership flag a broadcast left join,
+    # so the only shuffle on the corpus side is the per-doc flag agg.
+    per_doc = (
+        with_bloom_hit(tg, "sh", words, m=m)
+        .join(
+            F.broadcast(bench_grams.withColumn("ef", F.lit(1))), "sh", "left"
+        )
+        .groupBy("doc")
+        .agg(
+            F.max(F.col("bloom_hit").cast("int")).alias("bf"),
+            F.max(F.coalesce(F.col("ef"), F.lit(0))).alias("ef"),
+        )
+    )
+    return (
+        per_doc.join(
+            docs.select(F.col("doc_id").alias("doc"), "source"), "doc"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bf").alias("bloom_flagged"),
+            F.sum("ef").alias("exact_flagged"),
+            (F.sum("bf") - F.sum("ef")).alias("bloom_fp"),
+        )
+        .orderBy("source")
+    )

@@ -1151,3 +1151,52 @@ def test_semantic_dedup_keep_lowest_id_within_cluster(spark):
         df, "vec_id", "embedding", n_centroids=3, iters=2, threshold=1.0001
     )
     assert none.count() == 0
+
+
+def test_bloom_filter_no_false_negatives_and_merge(spark):
+    """Every inserted value must hit (no false negatives); filters
+    built on shards OR-merge to the filter of the union; the compact
+    inlined probe agrees with the broadcast-join probe."""
+    from pyspark.sql import functions as F
+
+    from rocketmq_flink_spark.operators.sketches import (
+        bloom_build,
+        bloom_filter_words,
+        bloom_probe,
+        with_bloom_hit,
+    )
+
+    m, k = 1 << 12, 4
+    vals = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(200)], "v string"
+    )
+    bloom = bloom_build(vals, F.col("v"), m=m, k=k)
+    words = bloom_filter_words(bloom, m=m)
+
+    inserted = with_bloom_hit(vals, "v", words, m=m, k=k)
+    assert inserted.where(~F.col("bloom_hit")).count() == 0  # no FN
+
+    # join-probe and inlined-probe agree on a mixed candidate set
+    cand = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(150, 260)], "v string"
+    )
+    a = {
+        r.v: r.bloom_hit
+        for r in with_bloom_hit(cand, "v", words, m=m, k=k).collect()
+    }
+    b = {
+        r.v: r.bloom_hit
+        for r in bloom_probe(cand, bloom, F.col("v"), ["v"], m=m, k=k).collect()
+    }
+    assert a == b
+    assert all(a[f"tok{i}"] for i in range(150, 200))
+
+    # shard merge: OR of per-shard words == filter of the union
+    sh1 = bloom_build(vals.where("v < 'tok3'"), F.col("v"), m=m, k=k)
+    sh2 = bloom_build(vals.where("v >= 'tok3'"), F.col("v"), m=m, k=k)
+    merged = (
+        sh1.unionAll(sh2)
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    assert bloom_filter_words(merged, m=m) == words

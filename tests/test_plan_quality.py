@@ -172,3 +172,13 @@ def test_semantic_dedup_pairs_are_cid_hash_join(spark):
     plan = _plan(REGISTRY["semantic_dedup_drops"].fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_probe_is_pure_expression_no_gram_join_shuffle(spark):
+    # the inlined Bloom probe must stay a scalar expression: the only
+    # joins in the plan are the broadcast exact-flag join; no shuffle
+    # of the (doc, gram) stream for the membership test itself
+    plan = _plan(REGISTRY["bloom_decontamination"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # gram-side joins are broadcast
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
