@@ -69,6 +69,9 @@ EXTRA = [
     "pq_ann_topk",
     "dedup_graph_stats",
     "deterministic_corpus_shuffle",
+    "semantic_dedup_drops",
+    "bloom_decontamination",
+    "token_drift_report",
 ]
 
 

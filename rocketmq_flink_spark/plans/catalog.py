@@ -5764,3 +5764,109 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift monitoring: token-frequency shift between corpus slices.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_drift_report",
+    f"""
+    WITH tk AS (
+      SELECT doc_id % 2 AS half, tok
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array({_NORM_SQL_DUCK},
+                          '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ),
+    c AS (
+      SELECT tok,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_old,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_new
+      FROM tk GROUP BY tok
+    ),
+    n AS (
+      SELECT CAST(SUM(c_old) AS BIGINT) AS n_old,
+             CAST(SUM(c_new) AS BIGINT) AS n_new
+      FROM c
+    ),
+    d AS (
+      SELECT c.tok, c.c_old, c.c_new,
+             ABS(c.c_old * n.n_new - c.c_new * n.n_old) AS drift_scaled
+      FROM c CROSS JOIN n
+    ),
+    tv AS (
+      SELECT ROUND(CAST(SUM(d.drift_scaled) AS DOUBLE)
+                   / (2.0 * n.n_old * n.n_new), 9) AS tv_dist,
+             CAST(SUM(CASE WHEN d.c_old = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new_tokens,
+             CAST(SUM(CASE WHEN d.c_new = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lost_tokens
+      FROM d CROSS JOIN n GROUP BY n.n_old, n.n_new
+    )
+    SELECT d.tok, d.c_old, d.c_new, d.drift_scaled,
+           tv.tv_dist, tv.n_new_tokens, tv.n_lost_tokens
+    FROM d CROSS JOIN tv
+    ORDER BY d.drift_scaled DESC, d.tok LIMIT 15
+    """,
+)
+def token_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two corpus slices (here the
+    doc_id-parity halves standing in for yesterday/today): exact
+    total-variation distance between the token frequency distributions
+    plus the 15 most-drifted tokens and new/lost vocabulary counts —
+    the dataset-shift alarm a continuously-ingesting training pipeline
+    watches. All drift scores are cross-multiplied EXACT integers
+    (|c_old*N_new - c_new*N_old|; one double division at the end), so
+    the result is order-independent and hash-checks. Scale: one
+    tokenize pass, one map-side-combined (token, half) count, a
+    broadcast of the two scalar totals, TakeOrdered top-k; counts at
+    web scale need DECIMAL cross-products (docstring'd limit: products
+    stay < 2^63 up to ~3e9 tokens per slice)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    tk = (
+        docs.select(
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(
+                F.split(F.expr(normalize_sql("text")), r"\s+")
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    c = tk.groupBy("tok").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c_old"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c_new"),
+    )
+    n = c.agg(
+        F.sum("c_old").alias("n_old"), F.sum("c_new").alias("n_new")
+    )
+    d = c.crossJoin(F.broadcast(n)).withColumn(
+        "drift_scaled",
+        F.abs(F.col("c_old") * F.col("n_new") - F.col("c_new") * F.col("n_old")),
+    )
+    tv = d.groupBy("n_old", "n_new").agg(
+        F.round(
+            F.sum("drift_scaled").cast("double")
+            / (2.0 * F.col("n_old") * F.col("n_new")),
+            9,
+        ).alias("tv_dist"),
+        F.sum(F.when(F.col("c_old") == 0, 1).otherwise(0)).alias(
+            "n_new_tokens"
+        ),
+        F.sum(F.when(F.col("c_new") == 0, 1).otherwise(0)).alias(
+            "n_lost_tokens"
+        ),
+    ).select("tv_dist", "n_new_tokens", "n_lost_tokens")
+    return (
+        d.select("tok", "c_old", "c_new", "drift_scaled")
+        .crossJoin(F.broadcast(tv))
+        .orderBy(F.desc("drift_scaled"), "tok")
+        .limit(15)
+    )
