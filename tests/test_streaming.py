@@ -924,3 +924,101 @@ def test_streaming_pq_probe_matches_batch(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(got, expect)
     assert len(got) == new.count()
+
+
+def test_stream_stream_left_outer_interval_join(
+    spark, broker_root, events, tmp_path
+):
+    """LEFT OUTER stream-stream interval join (the Flink interval-join
+    null-emission semantics): purchases with no same-user click in the
+    preceding 30 minutes must still emit — with a NULL click_id — once
+    the watermark passes their join window. Two far-future sentinel
+    rows (one per side) push both watermarks past every real event so
+    append mode finalizes all outer results; the sentinels are excluded
+    from the comparison. Verified against the batch left-outer range
+    join on the same data."""
+    register(spark)
+    sent = spark.createDataFrame(
+        [
+            (990001, 1, "click", 0.0),
+            (990002, 1, "purchase", 0.0),
+        ],
+        "event_id long, user_id long, event_type string, value double",
+    ).withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2031-01-01 00:00:00")),
+    )
+    all_events = events.unionByName(sent)
+    env = encode_rows(
+        all_events,
+        options={
+            "topic": "t_oj",
+            "keyColumns": "event_id",
+            "writeKeysToBody": "true",
+        },
+        born_ts_col="ts",
+    )
+    env.write.format("rocketmq").options(
+        path=broker_root, topic="t_oj", numQueues=4
+    ).mode("append").save()
+
+    decoded = _stream_decoded(spark, broker_root, "t_oj")
+    clicks = (
+        decoded.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("born_ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 minute")
+    )
+    purchases = (
+        _stream_decoded(spark, broker_root, "t_oj")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("born_ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 minute")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND click_ts BETWEEN"
+            " purchase_ts - INTERVAL 30 MINUTES AND purchase_ts"
+        ),
+        "leftOuter",
+    ).select("purchase_id", "click_id")
+    _run_to_memory(joined, "ssoj_out", tmp_path)
+    got = spark.table("ssoj_out").where(F.col("purchase_id") < 990000)
+
+    ev = events
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    expect = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+        )
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "leftOuter",
+    ).select("purchase_id", "click_id")
+
+    # outer rows actually exist (purchases with no click in-window)
+    assert expect.where(F.col("click_id").isNull()).count() > 0
+    assert got.where(F.col("click_id").isNull()).count() == expect.where(
+        F.col("click_id").isNull()
+    ).count()
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
