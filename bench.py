@@ -72,6 +72,7 @@ EXTRA = [
     "semantic_dedup_drops",
     "bloom_decontamination",
     "token_drift_report",
+    "histogram_quantiles_events",
 ]
 
 

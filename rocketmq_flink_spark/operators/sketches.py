@@ -233,6 +233,86 @@ def countmin_cells_sql(x31_expr: str, d: int = CM_D, w: int = CM_W) -> str:
     return f"[{parts}]"
 
 
+# --- Histogram quantile sketch --------------------------------------------
+
+HIST_BINS = 256
+
+
+def hist_bins(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str],
+    lo: Column,
+    hi: Column,
+    nbins: int = HIST_BINS,
+) -> DataFrame:
+    """Equi-width histogram counters per group: (group..., bin, cnt),
+    bin = clamp(floor((v - lo) * nbins / (hi - lo))). The quantile
+    member of the sketch trio (HLL = cardinality, Count-Min =
+    frequency, histogram = order statistics): ONE map-side-combined
+    groupBy whose shuffle moves at most nbins rows per group per map
+    task, and shard histograms MERGE by bin-wise count sum — the
+    rollup property that lets per-partition/per-day sketches combine
+    without re-reading data. Bin arithmetic is plain IEEE double
+    multiply/divide/floor — bit-identical across engines — and
+    everything after it is exact BIGINT."""
+    b = F.floor((value - lo) * F.lit(nbins) / (hi - lo)).cast("int")
+    bin_col = F.least(F.greatest(b, F.lit(0)), F.lit(nbins - 1)).alias("bin")
+    return (
+        df.where(value.isNotNull())
+        .select(*group_cols, bin_col)
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    group_cols: list[str],
+    lo: Column,
+    hi: Column,
+    quantiles: list[tuple[str, int, int]] = (
+        ("p50", 50, 100),
+        ("p95", 95, 100),
+        ("p99", 99, 100),
+    ),
+    nbins: int = HIST_BINS,
+) -> DataFrame:
+    """Quantile estimates from a histogram frame: for q = num/den the
+    estimate is the center of the first bin whose cumulative count
+    reaches ceil(q * N) — the threshold is computed in EXACT integer
+    arithmetic (-((-N * num) div den)), the cumulative window runs over
+    at most nbins rows per group, and only the final bin-center
+    conversion touches doubles. Error is bounded by one bin width by
+    construction ((hi-lo)/nbins), the trade every histogram sketch
+    makes for mergeability."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy(*group_cols))
+    )
+    aggs = [F.max("n").alias("n_rows")]
+    width = (hi - lo) / F.lit(nbins)
+    for name, num, den in quantiles:
+        thr = F.expr(f"-((n * -{num}) div {den})")
+        qbin = F.min(F.when(F.col("cum") >= thr, F.col("bin")))
+        aggs.append(qbin.alias(f"{name}_bin"))
+    out = cum.groupBy(*group_cols).agg(*aggs)
+    for name, _, _ in quantiles:
+        out = out.withColumn(
+            f"{name}_est",
+            F.round(
+                lo + (F.col(f"{name}_bin") + F.lit(0.5)) * width, 6
+            ),
+        )
+    return out
+
+
 # --- Bloom filter ---------------------------------------------------------
 
 BLOOM_M = 1 << 18  # filter bits
@@ -412,4 +492,7 @@ __all__ = [
     "bloom_positions_sql",
     "BLOOM_M",
     "BLOOM_K",
+    "hist_bins",
+    "hist_quantiles",
+    "HIST_BINS",
 ]

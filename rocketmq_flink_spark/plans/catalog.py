@@ -5870,3 +5870,114 @@ def token_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("drift_scaled"), "tok")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch: the order-statistics member of the sketch trio.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "histogram_quantiles_events",
+    """
+    WITH st AS (
+      SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+    ),
+    b AS (
+      SELECT event_type, event_id % 2 AS shard,
+             LEAST(GREATEST(CAST(FLOOR((value - st.lo) * 256
+                                        / (st.hi - st.lo)) AS INTEGER),
+                            0), 255) AS bin
+      FROM events CROSS JOIN st WHERE value IS NOT NULL
+    ),
+    hist AS (
+      SELECT event_type, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+    ),
+    hist_sh AS (
+      SELECT event_type, shard, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT event_type, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM hist_sh GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT event_type,
+             MAX(n) AS n_rows,
+             MIN(CASE WHEN cum >= -((n * -50) // 100) THEN bin END) AS b50,
+             MIN(CASE WHEN cum >= -((n * -95) // 100) THEN bin END) AS b95,
+             MIN(CASE WHEN cum >= -((n * -99) // 100) THEN bin END) AS b99
+      FROM (SELECT event_type, bin, cnt,
+                   SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(cnt) OVER (PARTITION BY event_type) AS n
+            FROM hist)
+      GROUP BY event_type
+    ),
+    qm AS (
+      SELECT event_type,
+             MIN(CASE WHEN cum >= -((n * -95) // 100) THEN bin END) AS b95m
+      FROM (SELECT event_type, bin, cnt,
+                   SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(cnt) OVER (PARTITION BY event_type) AS n
+            FROM merged)
+      GROUP BY event_type
+    )
+    SELECT q.event_type, CAST(q.n_rows AS BIGINT) AS n_rows,
+           ROUND(st.lo + (q.b50 + 0.5) * (st.hi - st.lo) / 256, 6) AS p50_est,
+           ROUND(st.lo + (q.b95 + 0.5) * (st.hi - st.lo) / 256, 6) AS p95_est,
+           ROUND(st.lo + (q.b99 + 0.5) * (st.hi - st.lo) / 256, 6) AS p99_est,
+           q.b95 = qm.b95m AS merge_ok
+    FROM q JOIN qm USING (event_type) CROSS JOIN st
+    ORDER BY q.event_type
+    """,
+)
+def histogram_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantile sketch over event values: 256
+    equi-width bins per event type, p50/p95/p99 estimated as the first
+    bin whose EXACT-integer cumulative count reaches ceil(q*N), PLUS
+    the merge proof — the same data sketched in two event-id shards and
+    combined by bin-wise count sum must place p95 in the identical bin
+    (the rollup property that lets per-partition/per-day histograms
+    combine at cluster scale without re-reading data). Completes the
+    sketch trio next to HLL (cardinality) and Count-Min (frequency).
+    Bin assignment is plain IEEE double arithmetic and everything after
+    it BIGINT, so the estimates hash-check bit-for-bit. Error is
+    bounded by one bin width ((hi-lo)/256) by construction. See
+    operators/sketches.hist_bins / hist_quantiles."""
+    from rocketmq_flink_spark.operators.sketches import (
+        hist_bins,
+        hist_quantiles,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    st = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    base = ev.crossJoin(F.broadcast(st))
+    lo, hi = F.col("lo"), F.col("hi")
+    hist = hist_bins(base, F.col("value"), ["event_type", "lo", "hi"], lo, hi)
+    q = hist_quantiles(hist, ["event_type", "lo", "hi"], lo, hi)
+    hist_sh = hist_bins(
+        base.withColumn("shard", F.col("event_id") % 2),
+        F.col("value"),
+        ["event_type", "shard", "lo", "hi"],
+        lo,
+        hi,
+    )
+    merged = hist_sh.groupBy("event_type", "lo", "hi", "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    qm = hist_quantiles(
+        merged, ["event_type", "lo", "hi"], lo, hi, quantiles=[("p95", 95, 100)]
+    ).select("event_type", F.col("p95_bin").alias("b95m"))
+    return (
+        q.join(qm, "event_type")
+        .select(
+            "event_type",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "p50_est",
+            "p95_est",
+            "p99_est",
+            (F.col("p95_bin") == F.col("b95m")).alias("merge_ok"),
+        )
+        .orderBy("event_type")
+    )

@@ -1200,3 +1200,45 @@ def test_bloom_filter_no_false_negatives_and_merge(spark):
         .agg(F.expr("bit_or(bits)").alias("bits"))
     )
     assert bloom_filter_words(merged, m=m) == words
+
+
+def test_histogram_quantile_sketch_accuracy_and_merge(spark):
+    """Estimates land within one bin width of the exact percentile and
+    shard-merged histograms reproduce the full histogram exactly."""
+    from pyspark.sql import functions as F
+
+    from rocketmq_flink_spark.operators.sketches import (
+        hist_bins,
+        hist_quantiles,
+    )
+
+    # values 0..999 uniformly: exact p95 = 949.05 (interpolated)
+    df = spark.range(1000).select(
+        F.lit("g").alias("g"),
+        F.col("id").cast("double").alias("v"),
+        F.lit(0.0).alias("lo"),
+        F.lit(999.0).alias("hi"),
+    )
+    lo, hi = F.col("lo"), F.col("hi")
+    hist = hist_bins(df, F.col("v"), ["g", "lo", "hi"], lo, hi)
+    q = hist_quantiles(hist, ["g", "lo", "hi"], lo, hi).first()
+    width = 999.0 / 256
+    assert abs(q["p50_est"] - 499.5) <= width
+    assert abs(q["p95_est"] - 949.05) <= width
+    assert abs(q["p99_est"] - 989.01) <= width
+    assert q["n_rows"] == 1000
+
+    sh = hist_bins(
+        df.withColumn("s", F.col("v").cast("long") % 3),
+        F.col("v"),
+        ["g", "s", "lo", "hi"],
+        lo,
+        hi,
+    )
+    merged = (
+        sh.groupBy("g", "lo", "hi", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = {(r.bin): r.cnt for r in hist.collect()}
+    m = {(r.bin): r.cnt for r in merged.collect()}
+    assert m == full
