@@ -1022,3 +1022,61 @@ def test_stream_stream_left_outer_interval_join(
     ).count()
     assert got.exceptAll(expect).count() == 0
     assert expect.exceptAll(got).count() == 0
+
+
+def test_streaming_histogram_bins_merge_to_batch(spark, tmp_path):
+    """Sketch-on-stream for the quantile histogram: per-microbatch bin
+    counts merged by bin-wise SUM must equal the batch histogram
+    exactly (additive-merge contract — a streaming job maintains a
+    running value distribution with nbins rows of state per group and
+    no replay). Bin edges come from a FIXED domain, as a production
+    stream must (min/max of future data is unknowable)."""
+    import pandas as pd
+
+    from rocketmq_flink_spark.operators.sketches import hist_bins
+
+    ev = load_tables(spark, SF)["events"].select(
+        "event_id", "event_type", "value"
+    )
+    src = tmp_path / "hist_arrivals"
+    ev.withColumn("_f", F.col("event_id") % 3).repartition(3, "_f").drop(
+        "_f"
+    ).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(src)).schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+
+    lo, hi = F.lit(0.0), F.lit(500.0)  # fixed sketch domain
+    acc: list = []
+
+    def sketch_batch(batch_df, epoch_id):
+        h = hist_bins(batch_df, F.col("value"), ["event_type"], lo, hi)
+        acc.append(h.toPandas())
+
+    q = (
+        stream.writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", str(tmp_path / "hist_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(acc) >= 2, "expected multiple microbatches"
+
+    merged = (
+        pd.concat(acc, ignore_index=True)
+        .groupby(["event_type", "bin"], as_index=False)["cnt"]
+        .sum()
+    )
+    batch = hist_bins(
+        ev, F.col("value"), ["event_type"], lo, hi
+    ).toPandas()
+    key = ["event_type", "bin"]
+    m = merged.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        m[key + ["cnt"]], b[key + ["cnt"]], check_dtype=False
+    )
