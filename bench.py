@@ -73,6 +73,7 @@ EXTRA = [
     "bloom_decontamination",
     "token_drift_report",
     "histogram_quantiles_events",
+    "hard_negatives_topk",
 ]
 
 

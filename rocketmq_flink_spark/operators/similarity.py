@@ -898,3 +898,61 @@ def semantic_dedup(
         F.col("w.id_keep").alias("kept_id"),
         F.round(F.col("w.cos_sim"), 12).alias("cos_sim"),
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for
+    each query vector, the k NEAREST corpus vectors with a DIFFERENT
+    label — the negatives that sit closest to the decision boundary and
+    therefore carry the most gradient signal (the standard mining step
+    for embedding-model training data).
+
+    Output: (qid, q_label, vec_id, neg_label, dist2, rank), distances
+    exact-decimal L2 (ties broken by vec_id), so ranks are
+    bit-identical to a SQL oracle. Scale: the query side is the tiny
+    broadcast side of the scoring join; per-query ranking is a bounded
+    window. At corpus scale, swap the exhaustive scorer for an ANN
+    shortlist (ann_topk_lsh / ivf_topk with k' >> k) and apply the same
+    label filter + exact re-rank on the shortlist — the composition is
+    identical, only the candidate generator changes."""
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(label_col).alias("q_label"),
+        _dec(F.col(vec_col)).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("neg_label"),
+        _dec(F.col(vec_col)).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neg_label") != F.col("q_label"))
+        .select(
+            "qid",
+            "q_label",
+            "vec_id",
+            "neg_label",
+            l2_sq(F.col("qv"), F.col("cv")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            "q_label",
+            "vec_id",
+            "neg_label",
+            F.round(F.col("d2"), 12).cast("double").alias("dist2"),
+            "rank",
+        )
+    )

@@ -5981,3 +5981,48 @@ def histogram_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: filtered kNN for contrastive training data.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hard_negatives_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, label AS q_label,
+                      CAST(CAST(embedding AS DOUBLE[]) AS DECIMAL(12,10)[])
+                        AS qv
+               FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, label AS neg_label,
+                      CAST(CAST(embedding AS DOUBLE[]) AS DECIMAL(12,10)[])
+                        AS cv
+               FROM embeddings),
+    scored AS (
+      SELECT qid, q_label, vec_id, neg_label,
+             CAST(ROUND(list_sum(list_transform(list_zip(qv, cv),
+                  p -> (p[1]-p[2])*(p[1]-p[2]))), 12) AS DOUBLE) AS dist2
+      FROM q, c WHERE neg_label <> q_label
+    )
+    SELECT qid, q_label, vec_id, neg_label, dist2, rank FROM (
+      SELECT qid, q_label, vec_id, neg_label, dist2,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist2, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY qid, rank
+    """,
+)
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: the 5 nearest DIFFERENT-label vectors per
+    query — the contrastive-training mining step. Exact decimal L2, so
+    every rank hash-checks; queries broadcast, per-query bounded
+    window. See operators/similarity.hard_negatives for the
+    ANN-shortlist composition at corpus scale."""
+    from rocketmq_flink_spark.operators.similarity import hard_negatives
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return hard_negatives(
+        emb.where(F.col("vec_id") < 8), emb, k=5
+    ).orderBy("qid", "rank")

@@ -1242,3 +1242,25 @@ def test_histogram_quantile_sketch_accuracy_and_merge(spark):
     full = {(r.bin): r.cnt for r in hist.collect()}
     m = {(r.bin): r.cnt for r in merged.collect()}
     assert m == full
+
+
+def test_hard_negatives_excludes_same_label_and_ranks_by_distance(spark):
+    from pyspark.sql import functions as F
+
+    from rocketmq_flink_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (1, 0, [0.0, 0.0]),   # query, label 0
+        (2, 0, [0.1, 0.0]),   # nearest overall but SAME label -> excluded
+        (3, 1, [0.2, 0.0]),   # nearest different-label
+        (4, 1, [0.5, 0.0]),
+        (5, 2, [0.3, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = hard_negatives(
+        df.where(F.col("vec_id") == 1), df, k=2
+    ).collect()
+    assert [(r.vec_id, r.rank) for r in out] == [(3, 1), (5, 2)]
+    assert all(r.neg_label != r.q_label for r in out)
