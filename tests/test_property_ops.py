@@ -162,3 +162,83 @@ def test_quality_filter_matches_model(spark, texts):
     }
     expect = {i: _quality_model(t) for i, t in enumerate(texts)}
     assert got == expect
+
+
+def _hist_model(vals, lo, hi, nbins=256):
+    from collections import Counter
+
+    c = Counter()
+    for v in vals:
+        b = int((v - lo) * nbins / (hi - lo) // 1)
+        c[min(max(b, 0), nbins - 1)] += 1
+    return dict(c)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-10.0, max_value=110.0, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_histogram_bins_match_model_and_merge(spark, vals):
+    from rocketmq_flink_spark.operators.sketches import hist_bins
+
+    lo, hi = 0.0, 100.0
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "i long, v double"
+    ).select(
+        "i", "v", F.lit(lo).alias("lo"), F.lit(hi).alias("hi")
+    )
+    full = {
+        r.bin: r.cnt
+        for r in hist_bins(
+            df, F.col("v"), ["lo", "hi"], F.col("lo"), F.col("hi")
+        ).collect()
+    }
+    assert full == _hist_model(vals, lo, hi)
+    # shard merge (sum) reproduces the full histogram
+    sh = hist_bins(
+        df.withColumn("s", F.col("i") % 2),
+        F.col("v"),
+        ["s", "lo", "hi"],
+        F.col("lo"),
+        F.col("hi"),
+    )
+    merged = {}
+    for r in sh.collect():
+        merged[r.bin] = merged.get(r.bin, 0) + r.cnt
+    assert merged == full
+
+
+@pytest.mark.usefixtures("spark")
+@settings(**SETTINGS)
+@given(
+    inserted=st.lists(st.text(min_size=1, max_size=8), min_size=1,
+                      max_size=30, unique=True),
+    probed=st.lists(st.text(min_size=1, max_size=8), min_size=1,
+                    max_size=30, unique=True),
+)
+def test_bloom_never_false_negative_property(spark, inserted, probed):
+    from rocketmq_flink_spark.operators.sketches import (
+        bloom_build,
+        bloom_filter_words,
+        with_bloom_hit,
+    )
+
+    m, k = 1 << 10, 3
+    ins = spark.createDataFrame([(v,) for v in inserted], "v string")
+    words = bloom_filter_words(
+        bloom_build(ins, F.col("v"), m=m, k=k), m=m
+    )
+    cand = spark.createDataFrame(
+        [(v,) for v in set(inserted) | set(probed)], "v string"
+    )
+    got = {
+        r.v: r.bloom_hit
+        for r in with_bloom_hit(cand, "v", words, m=m, k=k).collect()
+    }
+    for v in inserted:
+        assert got[v] is True  # the Bloom contract: no false negatives
