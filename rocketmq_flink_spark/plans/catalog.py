@@ -2030,6 +2030,85 @@ def _lloyd_step_sql(
       FROM cents{tag}{idx - 1} c0 LEFT JOIN means{tag}{idx} m USING (cid))"""
 
 
+def _pq_ctes_sql(m: int = 8, d: int = 8, k: int = 16,
+                 shortlist: int = 50) -> str:
+    """The PQ retrieval pipeline as a reusable CTE chain (expects an
+    `allv (vec_id, v)` CTE in scope): m per-subspace k-means codebooks
+    retrained from scratch (portable-hash seeded init + 2 Lloyd
+    iterations each, via the shared tagged CTE generator), corpus
+    encoding by argmin, exact-DECIMAL ADC lookup-table scoring, ADC
+    shortlist, full-precision decimal re-rank into `pq_rer (qid,
+    vec_id, dist2)`. Shared by the standalone PQ oracle and the
+    unified ANN recall report."""
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    h = hash60_sql("CAST(vec_id AS VARCHAR)")
+    parts = []
+    for s in range(m):
+        lo, hi = s * d + 1, s * d + d
+        parts.append(f"""
+    sub{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM allv),
+    centsS{s}0 AS (
+      SELECT cid, cv FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY {h}, vec_id) - 1 AS cid,
+               v AS cv
+        FROM sub{s})
+      WHERE cid < {k}),
+    {_lloyd_step_sql(f'centsS{s}0', 1, allv=f'sub{s}', dim=d, tag=f'S{s}')},
+    {_lloyd_step_sql(f'centsS{s}1', 2, allv=f'sub{s}', dim=d, tag=f'S{s}')},
+    codes{s} AS (
+      SELECT vec_id, {s} AS s, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(c.cv, x -> x*x))
+                 - 2 * list_sum(list_transform(list_zip(e.v, c.cv),
+                                               z -> z[1]*z[2])),
+                 c.cid) AS rn
+        FROM sub{s} e CROSS JOIN centsS{s}2 c)
+      WHERE rn = 1)""")
+    codes_union = "\n      UNION ALL ".join(
+        f"SELECT * FROM codes{s}" for s in range(m)
+    )
+    cents_union = "\n      UNION ALL ".join(
+        f"SELECT {s} AS s, cid, cv FROM centsS{s}2" for s in range(m)
+    )
+    dec_q = "CAST(CAST(q.v[c.s*%d+1 : c.s*%d+%d] AS DOUBLE[]) AS DECIMAL(12,10)[])" % (d, d, d)
+    dec_c = "CAST(CAST(c.cv AS DOUBLE[]) AS DECIMAL(12,10)[])"
+    dec_full = (
+        "CAST(ROUND(list_sum(list_transform(list_zip("
+        "CAST(CAST(q.v AS DOUBLE[]) AS DECIMAL(12,10)[]), "
+        "CAST(CAST(e.v AS DOUBLE[]) AS DECIMAL(12,10)[])), "
+        "p -> (p[1]-p[2])*(p[1]-p[2]))), 12) AS DOUBLE)"
+    )
+    return f"""
+    {','.join(parts)},
+    codes AS ({codes_union}),
+    centsall AS ({cents_union}),
+    lut AS (
+      SELECT q.vec_id AS qid, c.s, c.cid,
+             list_sum(list_transform(list_zip({dec_q}, {dec_c}),
+                                     p -> (p[1]-p[2])*(p[1]-p[2]))) AS dd
+      FROM allv q CROSS JOIN centsall c WHERE q.vec_id < 8),
+    adc AS (
+      SELECT l.qid, o.vec_id,
+             CAST(ROUND(SUM(l.dd), 12) AS DOUBLE) AS adc_d2
+      FROM codes o JOIN lut l ON l.s = o.s AND l.cid = o.cid
+      WHERE o.vec_id <> l.qid
+      GROUP BY l.qid, o.vec_id),
+    short AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adc_d2, vec_id) AS rn
+        FROM adc)
+      WHERE rn <= {shortlist}),
+    pq_rer AS (
+      SELECT s.qid, s.vec_id, {dec_full} AS dist2
+      FROM short s
+      JOIN allv e ON e.vec_id = s.vec_id
+      JOIN allv q ON q.vec_id = s.qid)"""
+
+
 def _ann_recall_oracle_sql() -> str:
     """DuckDB replay of the ENTIRE approximate-NN retrieval pipelines on
     the natural corpus — not just the exact truth: the 16 LSH hyperplanes
@@ -2138,6 +2217,15 @@ def _ann_recall_oracle_sql() -> str:
         JOIN allv q ON q.vec_id = p.qid
         JOIN allv c ON c.vec_id = l.vec_id)
       WHERE rank <= 5),
+    -- ======== PQ replay: shared CTE chain -> top-5 ========
+    {_pq_ctes_sql().strip()},
+    pq_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY dist2, vec_id) AS rank
+        FROM pq_rer)
+      WHERE rank <= 5),
     -- ======== recall ========
     t AS (SELECT COUNT(*) AS n_truth, COUNT(DISTINCT qid) AS n_queries
           FROM truth)
@@ -2150,18 +2238,23 @@ def _ann_recall_oracle_sql() -> str:
       UNION ALL
       SELECT 'ivf',
              (SELECT COUNT(*) FROM ivf_topk s JOIN truth USING (qid, vec_id))
+      UNION ALL
+      SELECT 'pq',
+             (SELECT COUNT(*) FROM pq_top s JOIN truth USING (qid, vec_id))
     ) m CROSS JOIN t
     """
 
 
 @query("ann_recall_report", _ann_recall_oracle_sql())
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@5 of the approximate indexes (LSH bands, IVF probes)
-    against exact brute-force kNN on the NATURAL corpus — the retrieval-
-    quality number a production pipeline monitors. The oracle replays
-    BOTH index pipelines end to end in DuckDB (inlined hyperplane
-    literals; portable-hash-seeded Lloyd retraining), so the recall
-    values are hash-checked, not merely measured."""
+    """recall@5 of ALL THREE approximate indexes (LSH bands, IVF
+    probes, PQ codebooks+ADC) against exact brute-force kNN on the
+    NATURAL corpus — the retrieval-quality number a production pipeline
+    monitors. The oracle replays every index pipeline end to end in
+    DuckDB (inlined hyperplane literals; portable-hash-seeded Lloyd
+    retraining for IVF and all 8 PQ subspace codebooks via the shared
+    CTE generators), so the recall values are hash-checked, not merely
+    measured."""
     from rocketmq_flink_spark.operators.similarity import (
         ann_topk_lsh,
         ivf_topk,
@@ -2175,10 +2268,13 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("qid").alias("n_queries"),
         F.count(F.lit(1)).alias("n_truth"),
     )
+    from rocketmq_flink_spark.operators.similarity import pq_topk_rerank
+
     parts = []
     for method, approx in (
         ("lsh", ann_topk_lsh(q, emb, k=5)),
         ("ivf", ivf_topk(q, emb, k=5, n_centroids=32, n_probe=8)),
+        ("pq", pq_topk_rerank(q, emb, k=5, shortlist=50)),
     ):
         parts.append(
             approx.select("qid", "vec_id")
@@ -2186,7 +2282,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_hits"))
             .select(F.lit(method).alias("method"), "n_hits")
         )
-    hits = parts[0].union(parts[1])
+    hits = parts[0].union(parts[1]).union(parts[2])
     return hits.crossJoin(F.broadcast(t)).select(
         "method",
         F.lit(5).cast("int").alias("k"),
@@ -5428,88 +5524,19 @@ REGISTRY["dedup_graph_stats"].oracle = f"""
 """
 
 
+
 def _pq_oracle_sql(m: int = 8, d: int = 8, k: int = 16,
                    shortlist: int = 50, topk: int = 5) -> str:
-    """DuckDB replay of the ENTIRE PQ retrieval pipeline: m per-subspace
-    k-means codebooks retrained from scratch (portable-hash seeded init
-    + 2 Lloyd iterations each, via the shared CTE generator), corpus
-    encoding by argmin, exact-DECIMAL ADC lookup-table scoring, ADC
-    shortlist, and full-precision decimal re-rank. A hash match proves
-    every stage."""
-    from rocketmq_flink_spark.functions.porthash import hash60_sql
-
-    h = hash60_sql("CAST(vec_id AS VARCHAR)")
-    parts = []
-    for s in range(m):
-        lo, hi = s * d + 1, s * d + d
-        parts.append(f"""
-    sub{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM allv),
-    centsS{s}0 AS (
-      SELECT cid, cv FROM (
-        SELECT ROW_NUMBER() OVER (ORDER BY {h}, vec_id) - 1 AS cid,
-               v AS cv
-        FROM sub{s})
-      WHERE cid < {k}),
-    {_lloyd_step_sql(f'centsS{s}0', 1, allv=f'sub{s}', dim=d, tag=f'S{s}')},
-    {_lloyd_step_sql(f'centsS{s}1', 2, allv=f'sub{s}', dim=d, tag=f'S{s}')},
-    codes{s} AS (
-      SELECT vec_id, {s} AS s, cid FROM (
-        SELECT e.vec_id, c.cid,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_sum(list_transform(c.cv, x -> x*x))
-                 - 2 * list_sum(list_transform(list_zip(e.v, c.cv),
-                                               z -> z[1]*z[2])),
-                 c.cid) AS rn
-        FROM sub{s} e CROSS JOIN centsS{s}2 c)
-      WHERE rn = 1)""")
-    codes_union = "\n      UNION ALL ".join(
-        f"SELECT * FROM codes{s}" for s in range(m)
-    )
-    cents_union = "\n      UNION ALL ".join(
-        f"SELECT {s} AS s, cid, cv FROM centsS{s}2" for s in range(m)
-    )
-    dec_q = "CAST(CAST(q.v[c.s*%d+1 : c.s*%d+%d] AS DOUBLE[]) AS DECIMAL(12,10)[])" % (d, d, d)
-    dec_c = "CAST(CAST(c.cv AS DOUBLE[]) AS DECIMAL(12,10)[])"
-    dec_full = (
-        "CAST(ROUND(list_sum(list_transform(list_zip("
-        "CAST(CAST(q.v AS DOUBLE[]) AS DECIMAL(12,10)[]), "
-        "CAST(CAST(e.v AS DOUBLE[]) AS DECIMAL(12,10)[])), "
-        "p -> (p[1]-p[2])*(p[1]-p[2]))), 12) AS DOUBLE)"
-    )
+    """Standalone PQ oracle: the shared CTE chain + final top-k rank."""
     return f"""
     WITH allv AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    {','.join(parts)},
-    codes AS ({codes_union}),
-    centsall AS ({cents_union}),
-    lut AS (
-      SELECT q.vec_id AS qid, c.s, c.cid,
-             list_sum(list_transform(list_zip({dec_q}, {dec_c}),
-                                     p -> (p[1]-p[2])*(p[1]-p[2]))) AS dd
-      FROM allv q CROSS JOIN centsall c WHERE q.vec_id < 8),
-    adc AS (
-      SELECT l.qid, o.vec_id,
-             CAST(ROUND(SUM(l.dd), 12) AS DOUBLE) AS adc_d2
-      FROM codes o JOIN lut l ON l.s = o.s AND l.cid = o.cid
-      WHERE o.vec_id <> l.qid
-      GROUP BY l.qid, o.vec_id),
-    short AS (
-      SELECT qid, vec_id FROM (
-        SELECT qid, vec_id,
-               ROW_NUMBER() OVER (PARTITION BY qid
-                                  ORDER BY adc_d2, vec_id) AS rn
-        FROM adc)
-      WHERE rn <= {shortlist}),
-    rer AS (
-      SELECT s.qid, s.vec_id, {dec_full} AS dist2
-      FROM short s
-      JOIN allv e ON e.vec_id = s.vec_id
-      JOIN allv q ON q.vec_id = s.qid)
+    {_pq_ctes_sql(m, d, k, shortlist).strip().rstrip()}
     SELECT qid, vec_id, dist2, rank FROM (
       SELECT qid, vec_id, dist2,
              ROW_NUMBER() OVER (PARTITION BY qid
                                 ORDER BY dist2, vec_id) AS rank
-      FROM rer)
+      FROM pq_rer)
     WHERE rank <= {topk}
     ORDER BY qid, rank
     """
