@@ -116,14 +116,20 @@ def knn_bruteforce(
     ties broken by vec_id — bit-identical to a decimal-exact SQL oracle.
 
     Two-phase: (1) a vectorized numpy prefilter computes double-precision
-    distances to every query in one matmul per Arrow batch and keeps, per
-    query, everything within MARGIN of the k-th smallest; (2) the exact
-    decimal distance re-ranks only the survivors. Phase 1 is provably a
-    superset of the true top-k: each double distance is within ~1e-12 of
-    its exact value (dims*|x| bounded), so a true top-k member can trail
-    the observed k-th double distance by at most 2e-12 << MARGIN. The
-    expensive interpreted decimal fold runs on O(|Q| * k) rows instead of
-    O(|Q| * |C|).
+    distances to every query in one matmul per Arrow batch and applies
+    MAP-SIDE top-k pruning — within each batch only rows with
+    d2 <= (batch-local k-th smallest + MARGIN) survive, a provable
+    superset of the global top-k (the global k-th is <= every local
+    k-th), so the shuffle moves ~k rows per query per BATCH — each
+    carrying its vector, bounded by k * batches * |Q|, never by |C| —
+    instead of the whole corpus x query grid; (2) a global window
+    tightens to the true k-th + MARGIN and the exact decimal distance
+    re-ranks only those survivors. The double
+    prefilter is a superset of the true top-k because each double
+    distance is within ~1e-12 of its exact value (dims*|x| bounded),
+    so a true top-k member can trail the observed k-th double distance
+    by at most 2e-12 << MARGIN. The expensive interpreted decimal fold
+    runs on O(|Q| * k) rows instead of O(|Q| * |C|).
 
     The query set is collected driver-side ONLY while it is model-sized:
     above max_broadcast_queries rows the operator switches to the
@@ -132,51 +138,63 @@ def knn_bruteforce(
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
     margin = 1e-9
     probe = queries.select(F.col(id_col), F.col(vec_col))
     if probe.limit(max_broadcast_queries + 1).count() > max_broadcast_queries:
         return _knn_exact_join(queries, corpus, id_col, vec_col, k)
     q_rows = probe.collect()
-    qids = [r[id_col] for r in q_rows]
+    qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     qmat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
     qn2 = (qmat * qmat).sum(axis=1)
-    qid_lit = F.array(*[F.lit(i) for i in qids])
 
-    @pandas_udf("array<double>")
-    def d2_all(v):
-        mat = np.vstack(v.to_numpy()).astype(np.float64)
-        n2 = (mat * mat).sum(axis=1)
-        d2 = n2[:, None] - 2.0 * (mat @ qmat.T) + qn2[None, :]
-        return pd.Series(list(d2))
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            cvs = pdf["cv"].to_numpy()
+            mat = np.vstack(cvs).astype(np.float64)
+            n2 = (mat * mat).sum(axis=1)
+            d2 = n2[:, None] - 2.0 * (mat @ qmat.T) + qn2[None, :]
+            out = []
+            for j in range(len(qids)):
+                col = d2[:, j]
+                keep_idx = np.nonzero(ids != qids[j])[0]
+                if len(keep_idx) == 0:
+                    continue
+                colk = col[keep_idx]
+                kth = (
+                    np.partition(colk, k - 1)[k - 1]
+                    if len(colk) > k
+                    else colk.max()
+                )
+                sel = keep_idx[colk <= kth + margin]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.full(len(sel), qids[j]),
+                            "vec_id": ids[sel],
+                            "_d2d": col[sel],
+                            "cv": list(cvs[sel]),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
-    c = corpus.select(
+    slim = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
-    ).withColumn("_d2s", d2_all(F.col("cv")))
-    scored = c.select(
-        "vec_id",
-        "cv",
-        F.posexplode(F.col("_d2s")).alias("_qpos", "_d2d"),
-    ).select(
-        F.element_at(qid_lit, F.col("_qpos") + 1).alias("qid"),
-        "vec_id",
-        "cv",
-        "_d2d",
-    ).where(F.col("vec_id") != F.col("qid"))
-
-    wq = Window.partitionBy("qid")
-    w = wq.orderBy(F.col("_d2d"), F.col("vec_id"))
-    pruned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .withColumn(
-            "_kth", F.max(F.when(F.col("_rn") <= k, F.col("_d2d"))).over(wq)
-        )
-        .where(F.col("_d2d") <= F.col("_kth") + margin)
+    ).mapInPandas(
+        local_topk, "qid long, vec_id long, _d2d double, cv array<float>"
     )
 
+    # No intermediate global-prune pass: the map-side cut already
+    # bounds survivors at ~k per query per batch, so re-ranking them
+    # all costs one bounded decimal fold each and the only shuffle is
+    # the final per-query rank window over those few rows.
     q = queries.select(F.col(id_col).alias("qid"), _dec(F.col(vec_col)).alias("qv"))
-    exact = pruned.join(F.broadcast(q), "qid").select(
+    exact = slim.join(F.broadcast(q), "qid").select(
         "qid", "vec_id", l2_sq(F.col("qv"), _dec(F.col("cv"))).alias("d2")
     )
     w2 = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("vec_id"))
