@@ -451,49 +451,63 @@ def knn_cosine(
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
-    # double-precision prefilter (same margin-superset argument as
-    # knn_bruteforce: double cosine is within ~1e-14 of exact, so keeping
-    # everything within 1e-9 of the k-th best provably contains the true
-    # top-k); exact decimal arithmetic re-ranks only the survivors.
+    # double-precision prefilter with MAP-SIDE top-k pruning (same
+    # superset argument as knn_bruteforce, cosine-flavored: double
+    # cosine is within ~1e-14 of exact, the batch-local k-th best is
+    # <= the global k-th under descending order, so keeping everything
+    # within margin of the batch-local k-th provably contains the true
+    # top-k) — the shuffle moves ~k survivor rows per query per batch,
+    # vector attached, never the corpus x query grid; exact decimal
+    # arithmetic re-ranks only those survivors.
     margin = 1e-9
     probe = queries.select(F.col(id_col), F.col(vec_col))
     if probe.limit(max_broadcast_queries + 1).count() > max_broadcast_queries:
         return _knn_cosine_join(queries, corpus, id_col, vec_col, k)
     q_rows = probe.collect()
-    qids_l = [r[id_col] for r in q_rows]
+    qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     qmat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
     qunit = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-    qid_arr = F.array(*[F.lit(i) for i in qids_l])
 
-    @pandas_udf("array<double>")
-    def cos_all(v):
-        mat = np.vstack(v.to_numpy()).astype(np.float64)
-        unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
-        return pd.Series(list(unit @ qunit.T))
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            cvs = pdf["cvec"].to_numpy()
+            mat = np.vstack(cvs).astype(np.float64)
+            unit = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-300
+            )
+            cs = unit @ qunit.T
+            out = []
+            for j in range(len(qids)):
+                col = cs[:, j]
+                keep_idx = np.nonzero(ids != qids[j])[0]
+                if len(keep_idx) == 0:
+                    continue
+                colk = col[keep_idx]
+                kth = (
+                    -np.partition(-colk, k - 1)[k - 1]
+                    if len(colk) > k
+                    else colk.min()
+                )
+                sel = keep_idx[colk >= kth - margin]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.full(len(sel), qids[j]),
+                            "vec_id": ids[sel],
+                            "cvec": list(cvs[sel]),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
-    pre = (
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
-        .withColumn("_cs", cos_all(F.col("cvec")))
-        .select(
-            "vec_id", "cvec", F.posexplode(F.col("_cs")).alias("_qpos", "_cosd")
-        )
-        .select(
-            F.element_at(qid_arr, F.col("_qpos") + 1).alias("qid"),
-            "vec_id", "cvec", "_cosd",
-        )
-        .where(F.col("vec_id") != F.col("qid"))
-    )
-    wq = Window.partitionBy("qid")
-    wd = wq.orderBy(F.col("_cosd").desc(), F.col("vec_id"))
-    kept = (
-        pre.withColumn("_rn", F.row_number().over(wd))
-        .withColumn(
-            "_kth", F.min(F.when(F.col("_rn") <= k, F.col("_cosd"))).over(wq)
-        )
-        .where(F.col("_cosd") >= F.col("_kth") - margin)
-    )
+    kept = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
+    ).mapInPandas(local_topk, "qid long, vec_id long, cvec array<float>")
 
     q = queries.select(
         F.col(id_col).alias("qid"), _dec(F.col(vec_col)).alias("qv")
