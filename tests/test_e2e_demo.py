@@ -160,7 +160,8 @@ def test_corpus_monitoring_example(spark):
     report = cm.run(spark, "/root/testdata/sf0.001")
     assert set(report) == {
         "vocab_est_by_source", "top_tokens_cm", "surprisal_by_source",
-        "cluster_sizes", "fuzzy_contaminated_docs",
+        "cluster_sizes", "fuzzy_contaminated_docs", "token_drift_tv",
+        "doc_len_quantiles",
     }
     assert all(v > 0 for v in report["vocab_est_by_source"].values())
     assert len(report["top_tokens_cm"]) == 5
@@ -168,3 +169,6 @@ def test_corpus_monitoring_example(spark):
     assert all(v > 0 for v in report["surprisal_by_source"].values())
     assert sum(report["cluster_sizes"].values()) == 500  # every vector
     assert report["fuzzy_contaminated_docs"] >= 0
+    assert 0.0 <= report["token_drift_tv"] <= 1.0
+    q = report["doc_len_quantiles"]
+    assert q["p50"] <= q["p95"] <= q["p99"]
