@@ -74,6 +74,7 @@ EXTRA = [
     "token_drift_report",
     "histogram_quantiles_events",
     "hard_negatives_topk",
+    "media_pixel_features",
 ]
 
 

@@ -1,13 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video are `binary` columns with a `media_type` tag and a
-metadata map. Header decode is REAL for stdlib-parsable containers —
-BMP / WAV / PPM are parsed with struct/bytes (parse_media_header), no
-codec libraries needed. Compressed formats (JPEG/PNG/MP3/video) still
-raise NotImplementedError: their decoders need libraries not present in
-this environment; they slot into decode_media unchanged. Everything
-Spark-side — schema, partition-preserving mapInPandas, Arrow batch
-shapes, UDF signatures — is real and tested.
+metadata map. Decode is REAL for stdlib-parsable containers — BMP /
+WAV / PPM headers are parsed with struct/bytes (parse_media_header),
+and for the raw-dump containers the CONTENT is decoded too: PPM pixels
+and WAV PCM16 samples are exact numpy frombuffer reads, with a genuine
+nearest-neighbor resize re-encoding real pixels (decode_ppm_pixels /
+resize_ppm / decode_wav_samples / media_pixel_features). Only
+compressed formats (JPEG/PNG/MP3/video) raise NotImplementedError:
+their decoders need libraries not present in this environment; they
+slot into decode_media unchanged. Everything Spark-side — schema,
+partition-preserving mapInPandas, Arrow batch shapes, UDF signatures —
+is real and tested.
 
 Scale: feature extraction runs as mapInPandas over Arrow batches (one
 Python hop, vectorized per batch, no per-row serde); batch size is
@@ -301,3 +305,148 @@ def resize_media(df: DataFrame, factor: int = 4) -> DataFrame:
             yield out
 
     return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel/sample codecs for the stdlib-parsable containers: PPM pixel
+# decode + nearest-neighbor resize, WAV PCM16 sample decode. No image or
+# audio libraries — P6 pixels are a raw RGB dump after the text header,
+# PCM16 frames are a raw int16 dump after the RIFF chunks, so numpy
+# frombuffer IS the full decoder. This removes the decode stub for these
+# formats: pixels/samples are genuinely decoded, resampled, re-encoded.
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm_pattern(media_id: int, width: int, height: int) -> bytes:
+    """P6 image whose pixel (y, x, c) = (7*id + 3y + 5x + 11c) mod 256 —
+    a deterministic pattern an oracle can recompute closed-form."""
+    import numpy as np
+
+    y = np.arange(height)[:, None, None]
+    x = np.arange(width)[None, :, None]
+    c = np.arange(3)[None, None, :]
+    px = ((media_id * 7 + y * 3 + x * 5 + c * 11) % 256).astype(np.uint8)
+    return f"P6\n{width} {height}\n255\n".encode() + px.tobytes()
+
+
+def decode_ppm_pixels(payload: bytes):
+    """REAL P6 decode: (height, width, 3) uint8 array of the raw pixels."""
+    import re
+
+    import numpy as np
+
+    m = re.match(rb"P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if not m:
+        raise ValueError("malformed PPM header")
+    w, h = int(m.group(1)), int(m.group(2))
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=m.end())
+    return px.reshape(h, w, 3)
+
+
+def resize_ppm(payload: bytes, factor: int = 2) -> bytes:
+    """REAL nearest-neighbor downsample: decode pixels, keep every
+    factor-th row/column, re-encode as P6."""
+    px = decode_ppm_pixels(payload)[::factor, ::factor, :]
+    h, w = px.shape[0], px.shape[1]
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def encode_wav_pattern(
+    media_id: int, sample_rate: int, n_frames: int
+) -> bytes:
+    """Mono PCM16 WAV whose sample i = ((31*id + 17*i) mod 65536) - 32768
+    — deterministic, oracle-recomputable."""
+    import struct
+
+    import numpy as np
+
+    i = np.arange(n_frames, dtype=np.int64)
+    samples = (((media_id * 31 + i * 17) % 65536) - 32768).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_samples(payload: bytes):
+    """REAL PCM16 decode: int16 numpy array of the frames (mono)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"data":
+            return np.frombuffer(
+                payload, dtype="<i2", count=size // 2, offset=pos + 8
+            )
+        pos += 8 + size + (size & 1)
+    raise ValueError("malformed WAV: no data chunk")
+
+
+PIXEL_FEATURE_SCHEMA = (
+    "media_id bigint, fmt string, width int, height int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint, "
+    "rs_width int, rs_sum_r bigint, "
+    "n_samples bigint, sum_sq bigint, peak int"
+)
+
+
+def media_pixel_features(df: DataFrame, resize_factor: int = 2) -> DataFrame:
+    """REAL content decode over the media envelope: PPM payloads are
+    pixel-decoded (exact per-channel integer sums + the same sums after
+    a genuine nearest-neighbor resize), WAV payloads are PCM16-decoded
+    (exact sum of squares + peak amplitude). One vectorized Arrow hop;
+    every emitted number is an exact integer, so a SQL oracle that
+    regenerates the deterministic pixel/sample patterns hash-checks the
+    entire decode -> transform -> aggregate path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
+                row = {
+                    "media_id": r.media_id, "fmt": None, "width": None,
+                    "height": None, "sum_r": None, "sum_g": None,
+                    "sum_b": None, "rs_width": None, "rs_sum_r": None,
+                    "n_samples": None, "sum_sq": None, "peak": None,
+                }
+                if payload[:2] == b"P6":
+                    px = decode_ppm_pixels(payload).astype(np.int64)
+                    rs = decode_ppm_pixels(
+                        resize_ppm(payload, resize_factor)
+                    ).astype(np.int64)
+                    row.update(
+                        fmt="ppm", width=px.shape[1], height=px.shape[0],
+                        sum_r=int(px[:, :, 0].sum()),
+                        sum_g=int(px[:, :, 1].sum()),
+                        sum_b=int(px[:, :, 2].sum()),
+                        rs_width=rs.shape[1],
+                        rs_sum_r=int(rs[:, :, 0].sum()),
+                    )
+                elif payload[:4] == b"RIFF":
+                    s = decode_wav_samples(payload).astype(np.int64)
+                    row.update(
+                        fmt="wav", n_samples=len(s),
+                        sum_sq=int((s * s).sum()),
+                        peak=int(np.abs(s).max()) if len(s) else 0,
+                    )
+                else:
+                    raise NotImplementedError(
+                        "pixel/sample decode is implemented for PPM/WAV; "
+                        "compressed formats need codec libraries"
+                    )
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema=PIXEL_FEATURE_SCHEMA
+    )
