@@ -282,22 +282,27 @@ def frame_sample(df: DataFrame, every_n: int = 4) -> DataFrame:
 
 
 def resize_media(df: DataFrame, factor: int = 4) -> DataFrame:
-    """'Resize' for binary media — STUB decode, real plumbing.
-
-    A real implementation decodes pixels, resamples, re-encodes (codec
-    libraries unavailable here); the deterministic stand-in keeps every
-    factor-th byte, preserving the exact pipeline shape: binary in,
-    smaller binary out, one vectorized mapInPandas hop, metadata updated
-    with the resize factor."""
+    """Resize for binary media: REAL for PPM payloads (pixels decoded,
+    nearest-neighbor resampled, re-encoded — see resize_ppm); other
+    containers fall back to the deterministic byte-stride stand-in
+    (their pixel decoders need codec libraries not in this
+    environment). Same pipeline shape either way: binary in, smaller
+    binary out, one vectorized mapInPandas hop, metadata updated with
+    the resize factor."""
     from collections.abc import Iterator
+
+    def _one(p):
+        if p is None:
+            return None
+        b = bytes(p)
+        if b[:2] == b"P6":
+            return resize_ppm(b, factor)
+        return bytes(b[::factor])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
-            out["payload"] = [
-                bytes(bytes(p)[::factor]) if p is not None else None
-                for p in pdf["payload"]
-            ]
+            out["payload"] = [_one(p) for p in pdf["payload"]]
             out["meta"] = [
                 {**(dict(m) if m is not None else {}), "resize_factor": str(factor)}
                 for m in pdf["meta"]

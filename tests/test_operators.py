@@ -1298,3 +1298,25 @@ def test_real_ppm_wav_content_codecs_roundtrip():
     assert (s == (((5 * 31 + i * 17) % 65536) - 32768)).all()
     hdr = parse_media_header(w)
     assert hdr["sample_rate"] == 8000 and hdr["n_channels"] == 1
+
+
+def test_resize_media_uses_real_pixels_for_ppm(spark):
+    from rocketmq_flink_spark.operators.multimodal import (
+        decode_ppm_pixels,
+        encode_ppm_pattern,
+        resize_media,
+    )
+
+    rows = [(i, encode_ppm_pattern(i, 12, 8)) for i in range(4)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary").select(
+        "media_id",
+        F.lit("image/x-portable-pixmap").alias("media_type"),
+        "payload",
+        F.create_map(F.lit("origin"), F.lit("t")).alias("meta"),
+    )
+    out = {r.media_id: bytes(r.payload) for r in resize_media(df, 2).collect()}
+    for i in range(4):
+        expect = decode_ppm_pixels(encode_ppm_pattern(i, 12, 8))[::2, ::2, :]
+        got = decode_ppm_pixels(out[i])
+        assert got.shape == (4, 6, 3)
+        assert (got == expect).all()
