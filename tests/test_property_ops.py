@@ -242,3 +242,48 @@ def test_bloom_never_false_negative_property(spark, inserted, probed):
     }
     for v in inserted:
         assert got[v] is True  # the Bloom contract: no false negatives
+
+
+# delimiter-free text: the reference's delimited layout (like any CSV
+# without quoting) cannot represent content containing the delimiters
+# themselves — the property therefore quantifies over the representable
+# domain, which is exactly the codec's contract
+_FIELD_TEXT = st.text(
+    alphabet=st.characters(
+        codec="ascii", exclude_characters=",\n\r\x01\x02", min_codepoint=32
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            _FIELD_TEXT,
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_codec_roundtrip_property(spark, rows):
+    """encode -> decode is the identity on arbitrary representable rows
+    (random ints incl. negatives, random delimiter-free ASCII text,
+    booleans) — the connector's core contract, checked beyond the
+    fixture data."""
+    from rocketmq_flink_spark.functions import decode_envelope, encode_rows
+
+    rows = [(i, *r[1:]) for i, r in enumerate(rows)]  # unique ids
+    df = spark.createDataFrame(rows, "id long, s string, flag boolean")
+    env = encode_rows(
+        df, options={"keyColumns": "id", "writeKeysToBody": "true"}
+    )
+    back = decode_envelope(env, "id long, s string, flag boolean")
+    got = sorted(
+        (r.id, r.s, r.flag) for r in back.select("id", "s", "flag").collect()
+    )
+    assert got == sorted(rows)
