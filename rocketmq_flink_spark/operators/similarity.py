@@ -301,10 +301,20 @@ def ann_topk_lsh(
     vec_col: str = "embedding",
     k: int = 5,
     dim: int = 64,
+    multiprobe: int = 0,
+    band_bits: int = 4,
 ) -> DataFrame:
     """Approximate top-k: candidates share at least one LSH band with
     the query; exact decimal L2 ranks within candidates. Recall vs
     knn_bruteforce is measured in tests (not 100% by construction).
+
+    multiprobe=1 additionally probes, for every query band, each value
+    at Hamming distance 1 (band_bits extra buckets per band) — the
+    classic multi-probe LSH recall lever (Lv et al. 2007): a near
+    neighbor that lands one sign-bit away is still found, at the cost
+    of (1 + band_bits)x candidate lookups on the QUERY side only — the
+    corpus index is untouched, so at scale the extra probes are a few
+    more rows in the tiny broadcast side, not a bigger index.
 
     Candidate generation is an equi-join on exploded (band_idx,
     band_val) — hash-joinable, corpus shuffled once."""
@@ -314,6 +324,18 @@ def ann_topk_lsh(
             "qv", dim,
         )
     )
+    if multiprobe:
+        flips = [0] + [1 << j for j in range(band_bits)]
+        qb = qb.select(
+            "qid",
+            "qv",
+            "band_idx",
+            F.explode(
+                F.array(
+                    *[F.col("band_val").bitwiseXOR(F.lit(f)) for f in flips]
+                )
+            ).alias("band_val"),
+        )
     cb = _explode_bands(
         lsh_bucketed(
             corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")),

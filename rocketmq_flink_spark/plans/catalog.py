@@ -2177,6 +2177,26 @@ def _ann_recall_oracle_sql() -> str:
         JOIN allv q ON q.vec_id = t.qid
         JOIN allv c ON c.vec_id = t.vec_id)
       WHERE rank <= 5),
+    -- ======== multi-probe LSH: query bands + all 1-bit flips ========
+    qprobes AS (
+      SELECT vec_id, band_idx,
+             unnest([band_val, xor(band_val, 1), xor(band_val, 2),
+                     xor(band_val, 4), xor(band_val, 8)]) AS band_val
+      FROM bands WHERE vec_id < 8),
+    lshmp_topk AS (
+      SELECT qid, vec_id FROM (
+        SELECT t.qid, t.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY t.qid ORDER BY
+                 {dec_dist.replace('qv', 'q.v').replace('cv', 'c.v')},
+                 t.vec_id) AS rank
+        FROM (SELECT DISTINCT qb.vec_id AS qid, cb.vec_id
+              FROM qprobes qb
+              JOIN bands cb ON qb.band_idx = cb.band_idx
+                           AND qb.band_val = cb.band_val
+              WHERE cb.vec_id <> qb.vec_id) t
+        JOIN allv q ON q.vec_id = t.qid
+        JOIN allv c ON c.vec_id = t.vec_id)
+      WHERE rank <= 5),
     -- ======== IVF replay: portable-hash init + 2 Lloyd iterations ====
     cents0 AS (
       SELECT cid, cv FROM (
@@ -2239,6 +2259,9 @@ def _ann_recall_oracle_sql() -> str:
       SELECT 'ivf',
              (SELECT COUNT(*) FROM ivf_topk s JOIN truth USING (qid, vec_id))
       UNION ALL
+      SELECT 'lsh_mp',
+             (SELECT COUNT(*) FROM lshmp_topk s JOIN truth USING (qid, vec_id))
+      UNION ALL
       SELECT 'pq',
              (SELECT COUNT(*) FROM pq_top s JOIN truth USING (qid, vec_id))
     ) m CROSS JOIN t
@@ -2273,6 +2296,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for method, approx in (
         ("lsh", ann_topk_lsh(q, emb, k=5)),
+        ("lsh_mp", ann_topk_lsh(q, emb, k=5, multiprobe=1)),
         ("ivf", ivf_topk(q, emb, k=5, n_centroids=32, n_probe=8)),
         ("pq", pq_topk_rerank(q, emb, k=5, shortlist=50)),
     ):
@@ -2282,7 +2306,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_hits"))
             .select(F.lit(method).alias("method"), "n_hits")
         )
-    hits = parts[0].union(parts[1]).union(parts[2])
+    hits = parts[0]
+    for p in parts[1:]:
+        hits = hits.union(p)
     return hits.crossJoin(F.broadcast(t)).select(
         "method",
         F.lit(5).cast("int").alias("k"),
