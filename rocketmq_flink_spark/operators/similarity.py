@@ -878,6 +878,12 @@ def pq_topk_rerank(
     )
 
 
+def _dec2v(col) -> Column:
+    """DOUBLE array -> DECIMAL(12,10) array (inputs already cast via
+    double, so this is the same exact rounding as _dec)."""
+    return col.cast("array<decimal(12,10)>")
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -915,31 +921,48 @@ def semantic_dedup(
         .select(
             F.col(id_col).alias("vid"),
             F.col("_centroid").alias("cid"),
-            _dec(F.col(vec_col)).alias("dv"),
+            F.col(vec_col).cast("array<double>").alias("v"),
         )
         .withColumn(
-            "n2", F.round(dot_dec(F.col("dv"), F.col("dv")), 12).cast("double")
+            "n2",
+            F.round(dot_dec(_dec2v(F.col("v")), _dec2v(F.col("v"))), 12).cast(
+                "double"
+            ),
         )
     )
     lo = base.select(
         "cid",
         F.col("vid").alias("id_keep"),
-        F.col("dv").alias("va"),
+        F.col("v").alias("va"),
         F.col("n2").alias("na2"),
     )
     hi = base.select(
         "cid",
         F.col("vid").alias("id_drop"),
-        F.col("dv").alias("vb"),
+        F.col("v").alias("vb"),
         F.col("n2").alias("nb2"),
     )
+    # Two-tier scoring: a cheap DOUBLE cosine prunes the O(sum c^2)
+    # pair stream with a 1e-9 safety margin (double dot error is
+    # ~1e-14 here), then the exact-decimal cosine — the expensive
+    # interpreted fold — runs only on near-threshold survivors and
+    # makes the final call. Same margin-superset argument as the kNN
+    # prefilter: no pair the decimal test would accept can be pruned.
+    dcos = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
     cos = (
-        F.round(dot_dec(F.col("va"), F.col("vb")), 12).cast("double")
+        F.round(dot_dec(_dec2v(F.col("va")), _dec2v(F.col("vb"))), 12).cast(
+            "double"
+        )
         / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
     )
     pairs = (
         lo.join(hi, "cid")
         .where(F.col("id_keep") < F.col("id_drop"))
+        .where(dcos >= F.lit(threshold) - F.lit(1e-9))
         .withColumn("cos_sim", cos)
         .where(F.col("cos_sim") >= F.lit(threshold))
     )
