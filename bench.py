@@ -75,6 +75,7 @@ EXTRA = [
     "histogram_quantiles_events",
     "hard_negatives_topk",
     "media_pixel_features",
+    "leakage_safe_split",
 ]
 
 

@@ -1048,11 +1048,11 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.5)
 
 
-def _minhash_oracle_sql() -> str:
-    """DuckDB replay of the ENTIRE MinHash pipeline: portable 60-bit md5
-    base hash -> universal-family signatures -> banded LSH candidates ->
-    estimator threshold -> transitive closure (recursive CTE). The same
-    (a_j, b_j) literals are inlined here and in the Spark plan."""
+def _minhash_rep_ctes() -> str:
+    """The MinHash pipeline as a reusable recursive-CTE chain ending in
+    `rep (doc_id, m)` — min reachable id per doc over the LSH pair
+    graph. Shared by the dedup-groups oracle and the leakage-safe-split
+    oracle (must appear inside a WITH RECURSIVE)."""
     from rocketmq_flink_spark.functions.porthash import (
         hash31_sql,
         minhash_coeffs,
@@ -1061,8 +1061,7 @@ def _minhash_oracle_sql() -> str:
     coeffs = minhash_coeffs(64)
     a_lit = "[" + ", ".join(str(a) for a, _ in coeffs) + "]"
     b_lit = "[" + ", ".join(str(b) for _, b in coeffs) + "]"
-    return f"""
-    WITH RECURSIVE sh AS ({_SHINGLES_DUCK}),
+    return f"""sh AS ({_SHINGLES_DUCK}),
     hx AS (SELECT doc_id, {hash31_sql('sh')} AS x FROM sh),
     ab AS (SELECT j, CAST(({a_lit})[j+1] AS BIGINT) AS a,
                   CAST(({b_lit})[j+1] AS BIGINT) AS b
@@ -1096,7 +1095,16 @@ def _minhash_oracle_sql() -> str:
       UNION
       SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
     ),
-    rep AS (SELECT s AS doc_id, MIN(d) AS m FROM reach GROUP BY s)
+    rep AS (SELECT s AS doc_id, MIN(d) AS m FROM reach GROUP BY s)"""
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB replay of the ENTIRE MinHash pipeline: portable 60-bit md5
+    base hash -> universal-family signatures -> banded LSH candidates ->
+    estimator threshold -> transitive closure (recursive CTE). The same
+    (a_j, b_j) literals are inlined here and in the Spark plan."""
+    return f"""
+    WITH RECURSIVE {_minhash_rep_ctes()}
     SELECT d.doc_id,
            LEAST(d.doc_id, COALESCE(r.m, d.doc_id)) AS rep_id,
            LEAST(d.doc_id, COALESCE(r.m, d.doc_id)) <> d.doc_id AS is_dup
@@ -6182,3 +6190,98 @@ def media_pixel_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = ids.mapInPandas(synth, schema=MEDIA_SCHEMA)
     return media_pixel_features(media, resize_factor=2).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/validation split: near-dup groups never straddle.
+# ---------------------------------------------------------------------------
+
+
+def _leakage_split_oracle_sql() -> str:
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    h_rep = hash60_sql("CAST(rep_id AS VARCHAR)")
+    h_doc = hash60_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH RECURSIVE {_minhash_rep_ctes()},
+    lab AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(r.m, d.doc_id)) AS rep_id
+      FROM documents d LEFT JOIN rep r ON r.doc_id = d.doc_id),
+    sp AS (
+      SELECT doc_id, rep_id,
+             CASE WHEN {h_rep} % 10 < 9 THEN 'train' ELSE 'val' END
+               AS split,
+             CASE WHEN {h_doc} % 10 < 9 THEN 'train' ELSE 'val' END
+               AS naive_split
+      FROM lab),
+    leaks AS (
+      SELECT
+        (SELECT COUNT(*) FROM (
+           SELECT rep_id FROM sp GROUP BY rep_id
+           HAVING COUNT(DISTINCT split) > 1)) AS safe_leaks,
+        (SELECT COUNT(*) FROM (
+           SELECT rep_id FROM sp GROUP BY rep_id
+           HAVING COUNT(DISTINCT naive_split) > 1)) AS naive_leaks)
+    SELECT sp.split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT sp.rep_id) AS n_components,
+           CAST(l.safe_leaks AS BIGINT) AS safe_leaks,
+           CAST(l.naive_leaks AS BIGINT) AS naive_leaks
+    FROM sp CROSS JOIN leaks l
+    GROUP BY sp.split, l.safe_leaks, l.naive_leaks
+    ORDER BY sp.split
+    """
+
+
+@query("leakage_safe_split", _leakage_split_oracle_sql())
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/validation split that cannot leak near-duplicates across
+    the boundary: documents are first collapsed to their TRANSITIVE
+    MinHash near-dup component, the portable hash of the component
+    REPRESENTATIVE (not the document) picks the side, and every member
+    follows its representative — so a test document can never have a
+    near-copy in training data, the leakage failure naive per-doc
+    hash splits routinely commit. The report shows both: safe_leaks
+    (components straddling the rep-based split — structurally 0) next
+    to naive_leaks (components a per-doc hash split would straddle).
+    Fully hash-checked: the oracle replays the whole MinHash closure
+    (recursive CTE) plus both split assignments. Scale: one extra
+    8-byte hash on the component label on top of the dedup pipeline;
+    the split is stable under corpus growth because it keys on content
+    hashes, not row order."""
+    from rocketmq_flink_spark.functions.porthash import hash60
+    from rocketmq_flink_spark.operators.dedup import minhash_dedup
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    lab = minhash_dedup(docs, "doc_id", "text", threshold=0.7).select(
+        "doc_id", "rep_id"
+    )
+    sp = lab.select(
+        "doc_id",
+        "rep_id",
+        F.when(hash60(F.col("rep_id").cast("string")) % 10 < 9, "train")
+        .otherwise("val")
+        .alias("split"),
+        F.when(hash60(F.col("doc_id").cast("string")) % 10 < 9, "train")
+        .otherwise("val")
+        .alias("naive_split"),
+    )
+    leaks = sp.groupBy("rep_id").agg(
+        F.count_distinct("split").alias("ns"),
+        F.count_distinct("naive_split").alias("nn"),
+    ).agg(
+        F.sum((F.col("ns") > 1).cast("long")).alias("safe_leaks"),
+        F.sum((F.col("nn") > 1).cast("long")).alias("naive_leaks"),
+    )
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("rep_id").alias("n_components"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .select(
+            "split", "n_docs", "n_components", "safe_leaks", "naive_leaks"
+        )
+        .orderBy("split")
+    )

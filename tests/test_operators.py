@@ -1320,3 +1320,35 @@ def test_resize_media_uses_real_pixels_for_ppm(spark):
         got = decode_ppm_pixels(out[i])
         assert got.shape == (4, 6, 3)
         assert (got == expect).all()
+
+
+def test_leakage_safe_split_members_follow_representative(spark):
+    """All members of a near-dup component land on the SAME side (keyed
+    by the representative), regardless of where their own ids hash."""
+    from rocketmq_flink_spark.functions.porthash import hash60
+    from rocketmq_flink_spark.operators.dedup import minhash_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while seventeen astronauts calibrate the antenna array "
+    ) * 4
+    rows = [(i, base + f" tail{i}") for i in range(10)] + [
+        (100 + i, f"unique document number {i} " * 30) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lab = minhash_dedup(df, "doc_id", "text", threshold=0.5).select(
+        "doc_id", "rep_id"
+    )
+    sp = lab.select(
+        "doc_id",
+        "rep_id",
+        F.when(hash60(F.col("rep_id").cast("string")) % 10 < 9, "train")
+        .otherwise("val")
+        .alias("split"),
+    )
+    per_comp = sp.groupBy("rep_id").agg(
+        F.count_distinct("split").alias("ns"), F.count(F.lit(1)).alias("n")
+    )
+    rowsc = per_comp.collect()
+    assert all(r.ns == 1 for r in rowsc)  # no component straddles
+    assert any(r.n >= 10 for r in rowsc)  # the planted clique is one side
