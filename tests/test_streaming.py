@@ -1080,3 +1080,65 @@ def test_streaming_histogram_bins_merge_to_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(
         m[key + ["cnt"]], b[key + ["cnt"]], check_dtype=False
     )
+
+
+def test_streaming_countmin_counters_merge_to_batch(spark, tmp_path):
+    """Sketch-on-stream for Count-Min: per-microbatch (r, c) counters
+    merged by cell-wise SUM equal the batch sketch exactly (additive-
+    merge contract — d*w rows of cross-batch state, no replay), and the
+    merged sketch still never undercounts."""
+    import pandas as pd
+
+    from rocketmq_flink_spark.operators.sketches import countmin_sketch
+
+    docs = load_tables(spark, SF)["documents"]
+    src = tmp_path / "cm_arrivals"
+    docs.withColumn("_f", F.col("doc_id") % 3).repartition(3, "_f").drop(
+        "_f"
+    ).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+
+    def toks(df):
+        from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+        return df.select(
+            F.explode(
+                F.split(F.expr(normalize_sql("text")), r"\s+")
+            ).alias("tok")
+        ).where("tok <> ''")
+
+    acc: list = []
+
+    def sketch_batch(batch_df, epoch_id):
+        acc.append(countmin_sketch(toks(batch_df), "tok").toPandas())
+
+    q = (
+        stream.writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", str(tmp_path / "cm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(acc) >= 2, "expected multiple microbatches"
+
+    merged = (
+        pd.concat(acc, ignore_index=True)
+        .groupby(["r", "c"], as_index=False)["cnt"]
+        .sum()
+        .sort_values(["r", "c"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        countmin_sketch(toks(docs), "tok")
+        .toPandas()
+        .sort_values(["r", "c"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        merged[["r", "c", "cnt"]], batch[["r", "c", "cnt"]],
+        check_dtype=False,
+    )
