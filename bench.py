@@ -76,6 +76,8 @@ EXTRA = [
     "hard_negatives_topk",
     "media_pixel_features",
     "leakage_safe_split",
+    "snapshot_diff_report",
+    "event_rate_anomalies",
 ]
 
 

@@ -231,3 +231,35 @@ def chunk_documents(
         F.concat_ws(" ", "_chunk").alias("chunk_text"),
         F.size("_chunk").alias("n_tok"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Reconcile two corpus snapshots: per-document status by identity
+    AND content — `added` (id only in new), `removed` (id only in old),
+    `same` (id in both, identical content hash), `changed` (id in both,
+    content differs). The ingest-audit primitive a continuously-updated
+    corpus runs between versions before retraining decisions.
+
+    One full-outer hash join on the id; content equality compares md5
+    hashes computed map-side, so document text never joins — at 100 TB
+    the shuffle moves (id, 32-byte hash) pairs only. Returns
+    (id, status)."""
+    o = old.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_h_old")
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_h_new")
+    )
+    return (
+        o.join(n, "_id", "full_outer")
+        .select(
+            F.col("_id").alias(id_col),
+            F.when(F.col("_h_old").isNull(), "added")
+            .when(F.col("_h_new").isNull(), "removed")
+            .when(F.col("_h_old") == F.col("_h_new"), "same")
+            .otherwise("changed")
+            .alias("status"),
+        )
+    )

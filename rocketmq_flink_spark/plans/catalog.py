@@ -6285,3 +6285,125 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation + event-rate anomaly monitoring.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "snapshot_diff_report",
+    f"""
+    WITH old AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]'
+                      ELSE text END) AS h
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    j AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.h IS NULL THEN 'added'
+                  WHEN n.h IS NULL THEN 'removed'
+                  WHEN o.h = n.h THEN 'same'
+                  ELSE 'changed' END AS status
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT status, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM j GROUP BY status ORDER BY status
+    """,
+)
+def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot reconciliation: yesterday's snapshot (doc_id%7
+    drop-out) vs today's (doc_id%5 drop-out, every 11th doc revised) —
+    per-status document counts (added / removed / same / changed) with
+    id ranges. Content equality is md5-hash-based, computed map-side:
+    the full-outer join shuffles (id, hash) pairs only, never text —
+    the shape that keeps snapshot audits affordable between every
+    ingest cycle at 100 TB. See operators/pipeline.snapshot_diff."""
+    from rocketmq_flink_spark.operators.pipeline import snapshot_diff
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = docs.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")),
+    )
+    d = snapshot_diff(old, new, "doc_id", "text")
+    return (
+        d.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "event_rate_anomalies",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(n) AS BIGINT) AS s,
+             CAST(SUM(n * n) AS BIGINT) AS ss
+      FROM hourly GROUP BY 1
+    )
+    SELECT h.event_type, h.hr, CAST(h.n AS BIGINT) AS n,
+           CAST(h.n * st.n_hours - st.s AS BIGINT) AS dev_scaled,
+           CAST(st.n_hours * st.ss - st.s * st.s AS BIGINT) AS var_scaled
+    FROM hourly h JOIN stats st USING (event_type)
+    WHERE st.n_hours >= 3
+      AND (h.n * st.n_hours - st.s) * (h.n * st.n_hours - st.s)
+          > 9 * (st.n_hours * st.ss - st.s * st.s)
+    ORDER BY h.event_type, h.hr
+    """,
+)
+def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly monitor: hourly counts per event type flagged
+    when they deviate more than 3 sigma from that type's mean hourly
+    rate — entirely in EXACT cross-multiplied integer arithmetic
+    ((n*H - S)^2 > 9*(H*SS - S^2), i.e. (n-mean)^2 > 9*variance scaled
+    by H^2), so the flag decision is bit-deterministic with no
+    floating-point variance in sight. Two map-side-combined
+    aggregations (hourly counts, per-type moment sums) and one
+    broadcast-sized join — the always-on stream-health alarm. Emits
+    the anomalous hours with their scaled deviation and variance."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    dev = F.col("n") * F.col("n_hours") - F.col("s")
+    var = F.col("n_hours") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .where(F.col("n_hours") >= 3)
+        .where(dev * dev > 9 * var)
+        .select(
+            "event_type",
+            "hr",
+            F.col("n").cast("long").alias("n"),
+            dev.cast("long").alias("dev_scaled"),
+            var.cast("long").alias("var_scaled"),
+        )
+        .orderBy("event_type", "hr")
+    )

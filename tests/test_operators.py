@@ -1352,3 +1352,53 @@ def test_leakage_safe_split_members_follow_representative(spark):
     rowsc = per_comp.collect()
     assert all(r.ns == 1 for r in rowsc)  # no component straddles
     assert any(r.n >= 10 for r in rowsc)  # the planted clique is one side
+
+
+def test_snapshot_diff_statuses(spark):
+    from rocketmq_flink_spark.operators.pipeline import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status
+           for r in snapshot_diff(old, new, "doc_id", "text").collect()}
+    assert got == {1: "removed", 2: "same", 3: "changed", 4: "added"}
+
+
+def test_event_rate_anomaly_flags_planted_spike(spark):
+    """A planted 10x spike hour must be flagged; steady hours not."""
+    import datetime as dt
+
+    from rocketmq_flink_spark.plans.catalog import REGISTRY  # noqa: F401
+
+    base = dt.datetime(2030, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(12):
+        n = 500 if h == 6 else 50  # spike at hour 6
+        for i in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h, seconds=i)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp").select(
+        "event_id", F.lit("click").alias("event_type"), "ts"
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    dev = F.col("n") * F.col("n_hours") - F.col("s")
+    var = F.col("n_hours") * F.col("ss") - F.col("s") * F.col("s")
+    flagged = (
+        hourly.join(stats, "event_type")
+        .where(dev * dev > 9 * var)
+        .select("hr")
+        .collect()
+    )
+    assert [r.hr.hour for r in flagged] == [6]
