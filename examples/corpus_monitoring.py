@@ -94,25 +94,9 @@ def run(spark, sf_dir: str) -> dict:
     # 6. Distribution drift alarm: exact total-variation distance between
     #    the doc-id-parity halves' token distributions (yesterday vs
     #    today stand-in) — cross-multiplied BIGINTs, one final division.
-    h = docs.select(
-        (F.col("doc_id") % 2).alias("half"),
-        F.explode(F.split(F.expr(normalize_sql("text")), r"\s+")).alias("tok"),
-    ).where(F.col("tok") != "")
-    c = h.groupBy("tok").agg(
-        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
-    )
-    n = c.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
-    tv = (
-        c.crossJoin(F.broadcast(n))
-        .agg(
-            (
-                F.sum(F.abs(F.col("c0") * F.col("n1") - F.col("c1") * F.col("n0")))
-                / (2.0 * F.first("n0") * F.first("n1"))
-            ).alias("tv")
-        )
-        .first()["tv"]
-    )
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+    tv = REGISTRY["token_drift_report"].fn(spark, sf_dir).first()["tv_dist"]
     out["token_drift_tv"] = round(float(tv), 6)
 
     # 7. Value-distribution watch: mergeable histogram quantiles of

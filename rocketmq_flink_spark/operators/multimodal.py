@@ -417,13 +417,16 @@ def media_pixel_features(df: DataFrame, resize_factor: int = 2) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                payload = bytes(r.payload)
                 row = {
                     "media_id": r.media_id, "fmt": None, "width": None,
                     "height": None, "sum_r": None, "sum_g": None,
                     "sum_b": None, "rs_width": None, "rs_sum_r": None,
                     "n_samples": None, "sum_sq": None, "peak": None,
                 }
+                if r.payload is None:
+                    rows.append(row)  # all-null features, like resize_media
+                    continue
+                payload = bytes(r.payload)
                 if payload[:2] == b"P6":
                     px = decode_ppm_pixels(payload).astype(np.int64)
                     rs = decode_ppm_pixels(

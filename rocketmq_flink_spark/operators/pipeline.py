@@ -244,21 +244,29 @@ def snapshot_diff(
 
     One full-outer hash join on the id; content equality compares md5
     hashes computed map-side, so document text never joins — at 100 TB
-    the shuffle moves (id, 32-byte hash) pairs only. Returns
+    the shuffle moves (id, 32-byte hash) pairs only. Presence is
+    tracked by explicit marker columns (NOT hash nullness: md5(NULL
+    text) is NULL, which would misreport a NULL-text doc present in
+    both snapshots as added/removed) and the hash comparison is
+    null-safe, so two NULL-text versions compare as `same`. Returns
     (id, status)."""
     o = old.select(
-        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_h_old")
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(text_col)).alias("_h_old"),
+        F.lit(1).alias("_in_old"),
     )
     n = new.select(
-        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_h_new")
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(text_col)).alias("_h_new"),
+        F.lit(1).alias("_in_new"),
     )
     return (
         o.join(n, "_id", "full_outer")
         .select(
             F.col("_id").alias(id_col),
-            F.when(F.col("_h_old").isNull(), "added")
-            .when(F.col("_h_new").isNull(), "removed")
-            .when(F.col("_h_old") == F.col("_h_new"), "same")
+            F.when(F.col("_in_old").isNull(), "added")
+            .when(F.col("_in_new").isNull(), "removed")
+            .when(F.col("_h_old").eqNullSafe(F.col("_h_new")), "same")
             .otherwise("changed")
             .alias("status"),
         )

@@ -122,14 +122,15 @@ def knn_bruteforce(
     superset of the global top-k (the global k-th is <= every local
     k-th), so the shuffle moves ~k rows per query per BATCH — each
     carrying its vector, bounded by k * batches * |Q|, never by |C| —
-    instead of the whole corpus x query grid; (2) a global window
-    tightens to the true k-th + MARGIN and the exact decimal distance
-    re-ranks only those survivors. The double
-    prefilter is a superset of the true top-k because each double
-    distance is within ~1e-12 of its exact value (dims*|x| bounded),
-    so a true top-k member can trail the observed k-th double distance
-    by at most 2e-12 << MARGIN. The expensive interpreted decimal fold
-    runs on O(|Q| * k) rows instead of O(|Q| * |C|).
+    instead of the whole corpus x query grid; (2) the exact decimal
+    distance re-ranks ALL survivors directly (no intermediate global
+    prune — survivors are already bounded, so one bounded fold each is
+    cheaper than another pass). The double prefilter is a superset of
+    the true top-k because each double distance is within ~1e-12 of its
+    exact value (dims*|x| bounded), so a true top-k member can trail
+    the observed k-th double distance by at most 2e-12 << MARGIN. The
+    expensive interpreted decimal fold runs on O(|Q| * k * batches)
+    rows instead of O(|Q| * |C|).
 
     The query set is collected driver-side ONLY while it is model-sized:
     above max_broadcast_queries rows the operator switches to the
@@ -144,7 +145,7 @@ def knn_bruteforce(
     if probe.limit(max_broadcast_queries + 1).count() > max_broadcast_queries:
         return _knn_exact_join(queries, corpus, id_col, vec_col, k)
     q_rows = probe.collect()
-    qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    qids = [r[id_col] for r in q_rows]  # untyped: id_col stays generic
     qmat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
     qn2 = (qmat * qmat).sum(axis=1)
 
@@ -173,9 +174,8 @@ def knn_bruteforce(
                 out.append(
                     pd.DataFrame(
                         {
-                            "qid": np.full(len(sel), qids[j]),
+                            "qid": [qids[j]] * len(sel),
                             "vec_id": ids[sel],
-                            "_d2d": col[sel],
                             "cv": list(cvs[sel]),
                         }
                     )
@@ -183,10 +183,11 @@ def knn_bruteforce(
             if out:
                 yield pd.concat(out, ignore_index=True)
 
+    id_t = dict(corpus.dtypes)[id_col]
     slim = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
     ).mapInPandas(
-        local_topk, "qid long, vec_id long, _d2d double, cv array<float>"
+        local_topk, f"qid {id_t}, vec_id {id_t}, cv array<float>"
     )
 
     # No intermediate global-prune pass: the map-side cut already
@@ -487,7 +488,7 @@ def knn_cosine(
     if probe.limit(max_broadcast_queries + 1).count() > max_broadcast_queries:
         return _knn_cosine_join(queries, corpus, id_col, vec_col, k)
     q_rows = probe.collect()
-    qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    qids = [r[id_col] for r in q_rows]  # untyped: id_col stays generic
     qmat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
     qunit = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
 
@@ -518,7 +519,7 @@ def knn_cosine(
                 out.append(
                     pd.DataFrame(
                         {
-                            "qid": np.full(len(sel), qids[j]),
+                            "qid": [qids[j]] * len(sel),
                             "vec_id": ids[sel],
                             "cvec": list(cvs[sel]),
                         }
@@ -527,9 +528,10 @@ def knn_cosine(
             if out:
                 yield pd.concat(out, ignore_index=True)
 
+    id_t = dict(corpus.dtypes)[id_col]
     kept = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
-    ).mapInPandas(local_topk, "qid long, vec_id long, cvec array<float>")
+    ).mapInPandas(local_topk, f"qid {id_t}, vec_id {id_t}, cvec array<float>")
 
     q = queries.select(
         F.col(id_col).alias("qid"), _dec(F.col(vec_col)).alias("qv")
@@ -878,12 +880,6 @@ def pq_topk_rerank(
     )
 
 
-def _dec2v(col) -> Column:
-    """DOUBLE array -> DECIMAL(12,10) array (inputs already cast via
-    double, so this is the same exact rounding as _dec)."""
-    return col.cast("array<decimal(12,10)>")
-
-
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -925,7 +921,7 @@ def semantic_dedup(
         )
         .withColumn(
             "n2",
-            F.round(dot_dec(_dec2v(F.col("v")), _dec2v(F.col("v"))), 12).cast(
+            F.round(dot_dec(_dec(F.col("v")), _dec(F.col("v"))), 12).cast(
                 "double"
             ),
         )
@@ -954,7 +950,7 @@ def semantic_dedup(
         lambda acc, x: acc + x,
     ) / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
     cos = (
-        F.round(dot_dec(_dec2v(F.col("va")), _dec2v(F.col("vb"))), 12).cast(
+        F.round(dot_dec(_dec(F.col("va")), _dec(F.col("vb"))), 12).cast(
             "double"
         )
         / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))

@@ -281,7 +281,8 @@ def hist_quantiles(
     """Quantile estimates from a histogram frame: for q = num/den the
     estimate is the center of the first bin whose cumulative count
     reaches ceil(q * N) — the threshold is computed in EXACT integer
-    arithmetic (-((-N * num) div den)), the cumulative window runs over
+    arithmetic ((N*num + den - 1) div den; integer division truncates
+    identically on positives in both engines), the cumulative window runs over
     at most nbins rows per group, and only the final bin-center
     conversion touches doubles. Error is bounded by one bin width by
     construction ((hi-lo)/nbins), the trade every histogram sketch
@@ -299,7 +300,7 @@ def hist_quantiles(
     aggs = [F.max("n").alias("n_rows")]
     width = (hi - lo) / F.lit(nbins)
     for name, num, den in quantiles:
-        thr = F.expr(f"-((n * -{num}) div {den})")
+        thr = F.expr(f"(n * {num} + {den} - 1) div {den}")
         qbin = F.min(F.when(F.col("cum") >= thr, F.col("bin")))
         aggs.append(qbin.alias(f"{name}_bin"))
     out = cum.groupBy(*group_cols).agg(*aggs)
@@ -383,18 +384,26 @@ def bloom_probe(
         candidates.select(*key_cols, pos)
         .selectExpr(
             *key_cols,
+            "j",
             "pos >> 5 AS word",
             "CAST(pos & 31 AS INT) AS bit",
         )
         .join(F.broadcast(bloom), "word", "left")
         .selectExpr(
             *key_cols,
+            "j",
             "CASE WHEN bits IS NULL THEN 0"
             " ELSE CAST(shiftright(bits, bit) & 1 AS INT) END AS hit",
         )
     )
+    # count DISTINCT probe indexes that hit: keys occurring in several
+    # candidate rows would otherwise sum to 2k != k and report a false
+    # negative, violating the Bloom guarantee
     return probed.groupBy(*key_cols).agg(
-        (F.sum("hit") == F.lit(k)).alias("bloom_hit")
+        (
+            F.count_distinct(F.when(F.col("hit") == 1, F.col("j")))
+            == F.lit(k)
+        ).alias("bloom_hit")
     )
 
 

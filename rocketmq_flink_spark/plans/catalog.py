@@ -5178,14 +5178,16 @@ def fuzzy_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Deterministic 1-in-8 diagnostic row sample for the layout report:
-# multiplicative (Knuth) hash of the unique lineitem identity
-# (l_orderkey * 7 + l_linenumber is injective; linenumber is 1..7),
-# keeping the three well-mixed top bits of the 31-bit product. Pure
-# exact BIGINT arithmetic — the identical text evaluates in Spark and
-# DuckDB (no md5 pass needed just to sample), products stay < 2^57.
+# multiplicative (Knuth) hash of the lineitem identity
+# (l_orderkey * 7 + l_linenumber; linenumber is 1..7), reduced mod 2^28
+# BEFORE the multiply so the product stays < 2^59 at ANY scale factor
+# (without the reduction, sf >~ 3 would overflow int64 — where Spark
+# wraps silently but DuckDB raises, breaking the identical-text
+# invariant). Keeping the three well-mixed top bits of the 31-bit
+# product; pure exact BIGINT arithmetic, no md5 pass needed to sample.
 _ZORDER_SAMPLE_SQL = (
-    "((((l_orderkey * 7 + l_linenumber) * 2654435761) % 2147483648)"
-    " >> 28) = 0"
+    "(((((l_orderkey * 7 + l_linenumber) % 268435456) * 2654435761)"
+    " % 2147483648) >> 28) = 0"
 )
 
 
@@ -5964,9 +5966,9 @@ def token_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (
       SELECT event_type,
              MAX(n) AS n_rows,
-             MIN(CASE WHEN cum >= -((n * -50) // 100) THEN bin END) AS b50,
-             MIN(CASE WHEN cum >= -((n * -95) // 100) THEN bin END) AS b95,
-             MIN(CASE WHEN cum >= -((n * -99) // 100) THEN bin END) AS b99
+             MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END) AS b50,
+             MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN bin END) AS b95,
+             MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) AS b99
       FROM (SELECT event_type, bin, cnt,
                    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
                                   ROWS UNBOUNDED PRECEDING) AS cum,
@@ -5976,7 +5978,7 @@ def token_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     qm AS (
       SELECT event_type,
-             MIN(CASE WHEN cum >= -((n * -95) // 100) THEN bin END) AS b95m
+             MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN bin END) AS b95m
       FROM (SELECT event_type, bin, cnt,
                    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
                                   ROWS UNBOUNDED PRECEDING) AS cum,

@@ -1402,3 +1402,67 @@ def test_event_rate_anomaly_flags_planted_spike(spark):
         .collect()
     )
     assert [r.hr.hour for r in flagged] == [6]
+
+
+def test_hist_quantile_threshold_is_ceil_not_floor(spark):
+    """Review-found bug regression: with values {10, 500, 900} the
+    median threshold is ceil(1.5)=2 cumulative rows, so p50 must land
+    in 500's bin — the floor formulation returned 10's bin."""
+    from pyspark.sql import functions as F
+
+    from rocketmq_flink_spark.operators.sketches import (
+        hist_bins,
+        hist_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(10.0,), (500.0,), (900.0,)], "v double"
+    ).select(
+        "v", F.lit("g").alias("g"), F.lit(0.0).alias("lo"),
+        F.lit(1000.0).alias("hi"),
+    )
+    q = hist_quantiles(
+        hist_bins(df, F.col("v"), ["g", "lo", "hi"], F.col("lo"), F.col("hi")),
+        ["g", "lo", "hi"],
+        F.col("lo"),
+        F.col("hi"),
+    ).first()
+    assert abs(q["p50_est"] - 500.0) <= 1000.0 / 256
+
+
+def test_bloom_probe_duplicate_candidates_no_false_negative(spark):
+    """Review-found bug regression: a candidate key occurring in several
+    rows must still report bloom_hit=true for inserted values (the
+    per-row hit sum formulation double-counted to 2k != k)."""
+    from pyspark.sql import functions as F
+
+    from rocketmq_flink_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    m, k = 1 << 10, 3
+    ins = spark.createDataFrame([("tok1",), ("tok2",)], "v string")
+    bloom = bloom_build(ins, F.col("v"), m=m, k=k)
+    cand = spark.createDataFrame(
+        [("tok1",), ("tok1",), ("tok2",), ("absent_xyz",)], "v string"
+    )
+    got = {
+        r.v: r.bloom_hit
+        for r in bloom_probe(cand, bloom, F.col("v"), ["v"], m=m, k=k).collect()
+    }
+    assert got["tok1"] is True and got["tok2"] is True
+
+
+def test_snapshot_diff_null_text_classified_by_presence(spark):
+    from rocketmq_flink_spark.operators.pipeline import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "x"), (2, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status
+           for r in snapshot_diff(old, new, "doc_id", "text").collect()}
+    assert got == {1: "changed", 2: "same"}
