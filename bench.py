@@ -78,6 +78,7 @@ EXTRA = [
     "leakage_safe_split",
     "snapshot_diff_report",
     "event_rate_anomalies",
+    "sq8_ann_topk",
 ]
 
 

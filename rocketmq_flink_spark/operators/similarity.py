@@ -973,6 +973,118 @@ def semantic_dedup(
     )
 
 
+def sq8_quantize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar 8-bit quantization (SQ8) of an embedding column, the
+    standard 4x ANN memory trick (FAISS ScalarQuantizer shape): each
+    vector stores int8 codes q_i = round(x_i * 127 / max|x|) plus ONE
+    per-vector scale, and approximate distances are computed on the
+    codes alone.
+
+    Exactness trick (what makes SQ8 ranks hash-checkable here, unlike
+    the usual float implementation): the float is first landed on the
+    exact DECIMAL(12,10) grid, i.e. an integer number of 1e-10 ticks
+    t_i, so the rounding divide becomes pure BIGINT arithmetic
+    (|t|*254 + tmax) DIV (2*tmax) — round-half-away-from-zero with no
+    floating point anywhere. The "scale" kept per vector is the integer
+    tmax itself; de-quantized coordinates are q_i * tmax (BIGINT,
+    <= 127e12), identical in any engine.
+
+    Output: (id, q array<bigint> in [-127,127], tmax bigint). All-zero
+    vectors get q = 0, tmax = 0 (exact).
+    """
+    ticks = (
+        f"transform(CAST(CAST({vec_col} AS ARRAY<DOUBLE>)"
+        f" AS ARRAY<DECIMAL(12,10)>),"
+        f" x -> CAST(x * 10000000000 AS BIGINT))"
+    )
+    q = (
+        "transform(_t, x -> CASE WHEN _tmax = 0 THEN CAST(0 AS BIGINT)"
+        " ELSE (CASE WHEN x >= 0 THEN 1 ELSE -1 END)"
+        " * ((abs(x) * 254 + _tmax) DIV (2 * _tmax)) END)"
+    )
+    return (
+        df.selectExpr(id_col, f"{ticks} AS _t")
+        .selectExpr(
+            id_col, "_t",
+            "array_max(transform(_t, x -> abs(x))) AS _tmax",
+        )
+        .selectExpr(id_col, f"{q} AS q", "_tmax AS tmax")
+    )
+
+
+def sq8_topk_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    shortlist: int = 50,
+) -> DataFrame:
+    """SQ8 ANN retrieval, production two-stage shape: approximate L2 on
+    the int8 codes shortlists `shortlist` candidates per query, then
+    ONLY those rows touch full-precision vectors for the exact decimal
+    re-rank to top-k (same schema as knn_bruteforce / pq_topk_rerank).
+
+    The approximate distance is computed entirely in exact integers:
+    de-quantized coordinates are q_i * tmax (BIGINT), and the squared
+    difference sum accumulates in DECIMAL(38,0) (per-term magnitude
+    <= (2*127e12)^2 ~ 6.5e28, x 64 dims < 1e31 — exact, no float ever
+    enters), so the shortlist membership and all ranks are
+    bit-reproducible by a SQL oracle.
+
+    Scale: codes+scale are 8 B + 64 B/vector here (a production layout
+    packs q into 64 int8 = 64 B total, 4x smaller than float32); the
+    query side broadcasts, the corpus is scanned once, and the window
+    ranks |C| rows per query — at billion scale apply the same
+    map-side local top-k cut knn_bruteforce uses. Only shortlist rows
+    (50/query) ever read the full-precision vectors."""
+    qq = sq8_quantize(queries, id_col, vec_col).selectExpr(
+        f"{id_col} AS qid", "q AS quq", "tmax AS qtmax"
+    )
+    cq = sq8_quantize(corpus, id_col, vec_col).selectExpr(
+        f"{id_col} AS vec_id", "q AS quc", "tmax AS ctmax"
+    )
+    approx = (
+        cq.join(F.broadcast(qq), F.col("vec_id") != F.col("qid"))
+        .selectExpr(
+            "qid", "vec_id",
+            "aggregate(zip_with(quc, quq,"
+            " (x, y) -> CAST(x * ctmax - y * qtmax AS DECIMAL(19,0))),"
+            " CAST(0 AS DECIMAL(38,0)),"
+            " (acc, v) -> CAST(acc + v * v AS DECIMAL(38,0))) AS adist",
+        )
+    )
+    ws = Window.partitionBy("qid").orderBy("adist", "vec_id")
+    short = (
+        approx.withColumn("srank", F.row_number().over(ws))
+        .where(F.col("srank") <= shortlist)
+        .select("qid", "vec_id")
+    )
+    qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    cand = (
+        short.join(cv, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(l2_sq(_dec(F.col("qv")), _dec(F.col("cv"))), 12)
+            .cast("double")
+            .alias("dist2"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("dist2", "vec_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "vec_id", "dist2", "rank")
+    )
+
+
 def hard_negatives(
     queries: DataFrame,
     corpus: DataFrame,

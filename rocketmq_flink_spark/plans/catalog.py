@@ -5598,6 +5598,82 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_rerank(q, emb, k=5, shortlist=50).orderBy("qid", "rank")
 
 
+def _sq8_oracle_sql(shortlist: int = 50, topk: int = 5) -> str:
+    """DuckDB replay of the full SQ8 pipeline: decimal-tick integer
+    quantization, HUGEINT approximate distances, shortlist, exact
+    decimal re-rank. Every intermediate is exact integer/decimal, so
+    the match is bit-for-bit."""
+    return f"""
+    WITH tq AS (
+      SELECT vec_id,
+             list_transform(
+               CAST(CAST(embedding AS DOUBLE[]) AS DECIMAL(12,10)[]),
+               x -> CAST(x * 10000000000 AS BIGINT)) AS t
+      FROM embeddings),
+    mx AS (
+      SELECT vec_id, t,
+             list_max(list_transform(t, x -> abs(x))) AS tmax
+      FROM tq),
+    qs AS (
+      SELECT vec_id,
+             list_transform(t, x -> CASE WHEN tmax = 0 THEN 0
+               ELSE ((CASE WHEN x >= 0 THEN 1 ELSE -1 END)
+                     * ((abs(x) * 254 + tmax) // (2 * tmax))) * tmax
+               END) AS qs
+      FROM mx),
+    appr AS (
+      SELECT qu.vec_id AS qid, c.vec_id,
+             list_sum(list_transform(list_zip(c.qs, qu.qs),
+               p -> CAST(p[1] - p[2] AS HUGEINT) * (p[1] - p[2]))) AS adist
+      FROM qs c JOIN qs qu
+        ON qu.vec_id < 8 AND c.vec_id <> qu.vec_id),
+    short AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adist, vec_id) AS rn
+        FROM appr)
+      WHERE rn <= {shortlist}),
+    dv AS (
+      SELECT vec_id,
+             CAST(CAST(embedding AS DOUBLE[]) AS DECIMAL(12,10)[]) AS d
+      FROM embeddings),
+    rer AS (
+      SELECT s.qid, s.vec_id,
+             CAST(ROUND(list_sum(list_transform(list_zip(q.d, e.d),
+               p -> (p[1]-p[2])*(p[1]-p[2]))), 12) AS DOUBLE) AS dist2
+      FROM short s
+      JOIN dv q ON q.vec_id = s.qid
+      JOIN dv e ON e.vec_id = s.vec_id)
+    SELECT qid, vec_id, dist2, rank FROM (
+      SELECT qid, vec_id, dist2,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist2, vec_id) AS rank
+      FROM rer)
+    WHERE rank <= {topk}
+    ORDER BY qid, rank
+    """
+
+
+@query("sq8_ann_topk", _sq8_oracle_sql())
+def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8 / int8) ANN, two-stage production shape:
+    integer-exact approximate L2 on 8-bit codes shortlists 50
+    candidates per query, then exact decimal re-rank to top-5 —
+    completing the ANN index family (LSH / IVF / PQ / SQ8). The
+    quantizer lands floats on the DECIMAL(12,10) tick grid first, so
+    code assignment AND approximate distances are pure BIGINT/HUGEINT
+    arithmetic — the oracle replays quantize -> approx -> shortlist ->
+    re-rank bit-for-bit. Scale: 4x vector-memory cut (64 int8 + one
+    scale vs 64 float32); only shortlist rows touch full vectors.
+    See operators/similarity.py sq8_topk_rerank for the 100 TB notes."""
+    from rocketmq_flink_spark.operators.similarity import sq8_topk_rerank
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.where(F.col("vec_id") < 8)
+    return sq8_topk_rerank(q, emb, k=5, shortlist=50).orderBy("qid", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Semantic deduplication (SemDeDup): cluster-then-pairwise over embeddings.
 # ---------------------------------------------------------------------------

@@ -1068,6 +1068,47 @@ def test_pq_codes_compress_and_rerank_beats_raw_adc(spark, emb):
     assert r_rer >= 0.5, f"PQ rerank recall too low: {r_rer}"
 
 
+def test_sq8_quantize_codes_and_rerank_recall(spark, emb):
+    """SQ8 structural properties: every code is an int in [-127, 127];
+    a vector's max-magnitude coordinate always quantizes to ±127 (the
+    scale anchor); the all-zero vector quantizes to all-zero codes with
+    tmax 0 (no division blowup); and the shortlist+exact-rerank stage
+    must recover most of the exact top-5 (SQ8 keeps 8 of ~33 value
+    bits, so near-perfect recall at shortlist=50 is the expected
+    behavior, not luck)."""
+    from pyspark.sql import functions as F
+
+    from rocketmq_flink_spark.operators.similarity import (
+        knn_bruteforce,
+        sq8_quantize,
+        sq8_topk_rerank,
+    )
+
+    enc = sq8_quantize(emb, "vec_id", "embedding")
+    stats = enc.selectExpr(
+        "min(array_min(q)) AS lo",
+        "max(array_max(q)) AS hi",
+        "min(array_max(transform(q, x -> abs(x)))) AS peak_lo",
+        "min(tmax) AS tmax_lo",
+    ).first()
+    assert stats.lo >= -127 and stats.hi <= 127
+    # the anchor coordinate of every nonzero vector hits exactly 127
+    assert stats.peak_lo == 127 and stats.tmax_lo > 0
+
+    zero = spark.createDataFrame(
+        [(0, [0.0] * 64)], "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    zrow = sq8_quantize(zero, "vec_id", "embedding").first()
+    assert zrow.tmax == 0 and set(zrow.q) == {0}
+
+    q = emb.where(F.col("vec_id") < 8)
+    exact = {(r.qid, r.vec_id) for r in knn_bruteforce(q, emb, k=5).collect()}
+    got = {(r.qid, r.vec_id)
+           for r in sq8_topk_rerank(q, emb, k=5, shortlist=50).collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"SQ8 rerank recall too low: {recall}"
+
+
 def test_zorder_layout_tightens_parquet_file_stats(spark, tmp_path):
     """The actual data-skipping proof: write lineitem under natural
     order and under zorder_layout, read back each parquet file's
