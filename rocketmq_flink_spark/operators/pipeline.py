@@ -233,6 +233,63 @@ def chunk_documents(
     )
 
 
+def pps_systematic_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    strata_col: str,
+    n_per_stratum: int,
+    salt: str = "pps",
+) -> DataFrame:
+    """Weighted sampling: systematic probability-proportional-to-size
+    (PPS) selection of ~n units per stratum, inclusion probability
+    proportional to an integer weight (token/char counts) — the
+    sampler a mixture pipeline uses when "sample 1M documents but let
+    long documents count for more" must be reproducible.
+
+    Classic systematic PPS on the integer weight line: units are laid
+    out in a deterministic pseudo-random order (portable 60-bit hash of
+    salt:id — reshuffling the corpus or changing partitioning cannot
+    change the sample), the stratum's weight line [1, T] is divided
+    into n equal strides, and a unit is hit once for every stride
+    boundary falling inside its weight interval:
+    n_hits = floor(cum*n/T) - floor((cum-w)*n/T), ALL BIGINT (exact in
+    any engine; cum*n stays under 2^63 for corpora up to ~9e15 weight
+    at n=1000). Units with w > T/n can be hit multiple times (the
+    standard PPS multiplicity, reported in n_hits); zero-weight units
+    are never selected.
+
+    Returns the selected rows: (strata, id, weight, n_hits). Shuffles:
+    ONE window partition per stratum (the weight line must be summed in
+    order); at 100 TB, strata are sources/domains — thousands of
+    independent partitions, each bounded — not a global window."""
+    h = hash60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    wl = (
+        Window.partitionBy("stratum")
+        .orderBy("_h", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("stratum")
+    n = F.lit(n_per_stratum).cast("long")
+    base = (
+        df.select(
+            F.col(strata_col).alias("stratum"),
+            F.col(id_col).alias("id"),
+            F.col(weight_col).cast("long").alias("weight"),
+            h.alias("_h"),
+        )
+        .withColumn("_cum", F.sum("weight").over(wl))
+        .withColumn("_t", F.greatest(F.sum("weight").over(wt), F.lit(1)))
+    )
+    hits = F.expr("(_cum * _n) DIV _t - ((_cum - weight) * _n) DIV _t")
+    return (
+        base.withColumn("_n", n)
+        .withColumn("n_hits", hits)
+        .where(F.col("n_hits") >= 1)
+        .select("stratum", "id", "weight", "n_hits")
+    )
+
+
 def snapshot_diff(
     old: DataFrame, new: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -3404,6 +3404,50 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pps_oracle_sql(n: int = 40, salt: str = "pps") -> str:
+    """DuckDB replay of systematic PPS sampling: identical hash order,
+    BIGINT cumulative weight line, integer stride-hit arithmetic."""
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    h = hash60_sql(f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH base AS (
+      SELECT source AS stratum, doc_id AS id, n_chars AS weight,
+             {h} AS hh
+      FROM documents),
+    c AS (
+      SELECT stratum, id, weight,
+             SUM(weight) OVER (PARTITION BY stratum ORDER BY hh, id
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+             GREATEST(SUM(weight) OVER (PARTITION BY stratum), 1) AS t
+      FROM base)
+    SELECT stratum, id, weight,
+           CAST((cum * {n}) // t - ((cum - weight) * {n}) // t
+                AS BIGINT) AS n_hits
+    FROM c
+    WHERE (cum * {n}) // t - ((cum - weight) * {n}) // t >= 1
+    ORDER BY stratum, id
+    """
+
+
+@query("pps_weighted_sample", _pps_oracle_sql())
+def pps_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (probability-proportional-to-size) sampling of ~40
+    documents per source, inclusion probability proportional to
+    n_chars — the "long documents count for more" sampler a mixture
+    pipeline needs to be reproducible. Systematic PPS over a
+    hash-permuted BIGINT weight line: every selection decision is
+    integer arithmetic, so the oracle proves the exact selected set
+    (ids AND multiplicities), not just the rate. Scale notes:
+    operators/pipeline.py pps_systematic_sample."""
+    from rocketmq_flink_spark.operators.pipeline import pps_systematic_sample
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return pps_systematic_sample(
+        docs, "doc_id", "n_chars", "source", 40
+    ).orderBy("stratum", "id")
+
+
 @query(
     "heavy_hitter_tokens",
     f"""

@@ -1068,6 +1068,34 @@ def test_pq_codes_compress_and_rerank_beats_raw_adc(spark, emb):
     assert r_rer >= 0.5, f"PQ rerank recall too low: {r_rer}"
 
 
+def test_pps_systematic_sample_invariants(spark, docs):
+    """Systematic PPS structural invariants: total hits per stratum is
+    EXACTLY n (the floor telescope sums to floor(T*n/T) = n); an
+    oversized unit (weight > T/n) is always selected; zero-weight units
+    never are; and the sample is invariant under repartitioning (the
+    hash order, not the physical order, defines the weight line)."""
+    from pyspark.sql import functions as F
+
+    from rocketmq_flink_spark.operators.pipeline import pps_systematic_sample
+
+    sel = pps_systematic_sample(docs, "doc_id", "n_chars", "source", 40)
+    per = sel.groupBy("stratum").agg(F.sum("n_hits").alias("h")).collect()
+    assert per and all(r.h == 40 for r in per)
+
+    # planted stratum: one giant + many small + one zero-weight
+    rows = [(0, "s", 0)] + [(i, "s", 10) for i in range(1, 40)] + [(99, "s", 100000)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, n_chars LONG")
+    got = {r.id: r.n_hits
+           for r in pps_systematic_sample(df, "doc_id", "n_chars", "source", 10).collect()}
+    assert 0 not in got            # zero weight never sampled
+    assert got.get(99, 0) >= 9     # giant holds >99.6% of the line
+
+    a = sorted(map(tuple, sel.collect()))
+    b = sorted(map(tuple, pps_systematic_sample(
+        docs.repartition(13), "doc_id", "n_chars", "source", 40).collect()))
+    assert a == b
+
+
 def test_sq8_quantize_codes_and_rerank_recall(spark, emb):
     """SQ8 structural properties: every code is an int in [-127, 127];
     a vector's max-magnitude coordinate always quantizes to ±127 (the
