@@ -490,3 +490,71 @@ def bigram_surprisal(
         )
         .withColumnRenamed("grp", key)
     )
+
+
+def vocab_coverage(
+    df: DataFrame, strata_col: str, text_col: str = "text", ngram: int = 1
+) -> DataFrame:
+    """Vocabulary coverage / exclusivity audit per corpus stratum
+    (source, domain, language): how much of the corpus vocabulary each
+    stratum exercises, and how much of its vocabulary exists nowhere
+    else — the tokenizer-coverage / domain-novelty numbers a mixture
+    designer reads before reweighting sources. `ngram` sizes the\n    vocabulary unit (1 = unigrams; 2+ = word n-grams, the standard\n    trick when the unigram vocabulary is saturated).
+
+    Per stratum: n_tokens (occurrences), n_distinct (vocabulary),
+    coverage = n_distinct / corpus vocabulary, n_exclusive (tokens in
+    NO other stratum), exclusive_rate = n_exclusive / n_distinct. All
+    counts exact integers; ratios explicitly rounded — hash-checkable.
+
+    Scale: one map-side-combined groupBy(stratum, token) collapses the
+    token stream to vocabulary-bounded rows; everything downstream
+    (per-stratum rollup, per-token stratum counts, the global vocab
+    scalar) aggregates those, so shuffle volume is O(|vocab| x
+    |strata|), independent of corpus row count."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    grams = (
+        f"CASE WHEN size(_toks) >= {ngram} THEN"
+        f" transform(sequence(0, size(_toks) - {ngram}),"
+        f" i -> concat_ws(' ', slice(_toks, i + 1, {ngram})))"
+        f" ELSE array() END"
+    )
+    toks = (
+        df.selectExpr(
+            f"{strata_col} AS stratum",
+            f"filter(split({normalize_sql(text_col)}, '\\\\s+'),"
+            f" x -> x <> '') AS _toks",
+        )
+        .select("stratum", F.explode(F.expr(grams)).alias("tok"))
+    )
+    stc = toks.groupBy("stratum", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    per = stc.groupBy("stratum").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    tokl = stc.groupBy("tok").agg(F.count(F.lit(1)).alias("n_strata"))
+    vocab = tokl.agg(F.count(F.lit(1)).alias("corpus_vocab"))
+    # NOT broadcast: at web scale the single-stratum token set is
+    # dominated by hapax legomena (most of the vocabulary) — it shuffle-
+    # joins against the already-vocab-bounded (stratum, tok) rows.
+    excl = (
+        stc.join(tokl.where(F.col("n_strata") == 1), "tok")
+        .groupBy("stratum")
+        .agg(F.count(F.lit(1)).alias("n_exclusive"))
+    )
+    return (
+        per.crossJoin(F.broadcast(vocab))
+        .join(excl, "stratum", "left")
+        .na.fill({"n_exclusive": 0})
+        .select(
+            "stratum",
+            "n_tokens",
+            "n_distinct",
+            "corpus_vocab",
+            F.round(F.col("n_distinct") / F.col("corpus_vocab"), 6)
+            .alias("coverage"),
+            "n_exclusive",
+            F.round(F.col("n_exclusive") / F.col("n_distinct"), 6)
+            .alias("exclusive_rate"),
+        )
+    )

@@ -3404,6 +3404,54 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "vocab_coverage_by_source",
+    f"""
+    WITH arr AS (
+      SELECT source AS stratum,
+             list_filter(regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+                         x -> x <> '') AS a
+      FROM documents),
+    toks AS (
+      SELECT stratum, a[i] || ' ' || a[i + 1] AS tok
+      FROM arr, unnest(range(1, len(a))) AS t(i)),
+    stc AS (SELECT stratum, tok, COUNT(*) AS cnt
+            FROM toks GROUP BY 1, 2),
+    per AS (SELECT stratum, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                   COUNT(*) AS n_distinct
+            FROM stc GROUP BY 1),
+    tokl AS (SELECT tok, COUNT(*) AS n_strata FROM stc GROUP BY 1),
+    vocab AS (SELECT COUNT(*) AS corpus_vocab FROM tokl),
+    excl AS (
+      SELECT stratum, COUNT(*) AS n_exclusive
+      FROM stc JOIN tokl USING (tok)
+      WHERE n_strata = 1 GROUP BY 1)
+    SELECT p.stratum, p.n_tokens, p.n_distinct, v.corpus_vocab,
+           ROUND(CAST(p.n_distinct AS DOUBLE) / v.corpus_vocab, 6)
+             AS coverage,
+           COALESCE(e.n_exclusive, 0) AS n_exclusive,
+           ROUND(CAST(COALESCE(e.n_exclusive, 0) AS DOUBLE)
+                 / p.n_distinct, 6) AS exclusive_rate
+    FROM per p CROSS JOIN vocab v
+    LEFT JOIN excl e ON e.stratum = p.stratum
+    ORDER BY p.stratum
+    """,
+)
+def vocab_coverage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / exclusivity per document source over the
+    word-BIGRAM vocabulary (the fixture's unigram vocabulary is
+    saturated — every source covers it — so bigrams are the unit that
+    actually discriminates): how much of the corpus vocabulary each
+    source exercises and how much exists nowhere else —
+    tokenizer-coverage and domain-novelty numbers for mixture design.
+    All counts exact; shuffle volume is vocab-bounded (see
+    operators/text.py vocab_coverage)."""
+    from rocketmq_flink_spark.operators.text import vocab_coverage
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return vocab_coverage(docs, "source", "text", ngram=2).orderBy("stratum")
+
+
 def _pps_oracle_sql(n: int = 40, salt: str = "pps") -> str:
     """DuckDB replay of systematic PPS sampling: identical hash order,
     BIGINT cumulative weight line, integer stride-hit arithmetic."""

@@ -1068,6 +1068,27 @@ def test_pq_codes_compress_and_rerank_beats_raw_adc(spark, emb):
     assert r_rer >= 0.5, f"PQ rerank recall too low: {r_rer}"
 
 
+def test_vocab_coverage_bounds_and_exclusivity(spark):
+    """Coverage and exclusivity must be exact set arithmetic: on a
+    hand-built corpus where stratum A uses {x y, y x, y z} and stratum
+    B uses {x y} (bigrams), the global vocab is 3, A covers 3/3 with 2
+    exclusive bigrams, B covers 1/3 with 0 exclusive."""
+    from rocketmq_flink_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        [("A", "x y x"), ("A", "y z"), ("B", "x y")],
+        "src STRING, text STRING",
+    )
+    out = {r.stratum: r for r in vocab_coverage(df, "src", "text", ngram=2).collect()}
+    a, b = out["A"], out["B"]
+    assert a.corpus_vocab == 3 and b.corpus_vocab == 3
+    assert a.n_distinct == 3 and a.n_exclusive == 2
+    assert b.n_distinct == 1 and b.n_exclusive == 0
+    assert a.coverage == 1.0 and abs(b.coverage - round(1 / 3, 6)) < 1e-9
+    # occurrences: A has "x y","y x" from doc1 and "y z" -> 3 bigrams
+    assert a.n_tokens == 3 and b.n_tokens == 1
+
+
 def test_pps_systematic_sample_invariants(spark, docs):
     """Systematic PPS structural invariants: total hits per stratum is
     EXACTLY n (the floor telescope sums to floor(T*n/T) = n); an
