@@ -160,9 +160,13 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int = 100,
     cache_level: str | None = "MEMORY_AND_DISK",
+    with_counts: bool = False,
 ) -> DataFrame:
     """Exact word-k-shingle Jaccard near-dup pairs (id_a < id_b, jaccard
-    >= threshold), blocked on shared rare shingles.
+    >= threshold), blocked on shared rare shingles. with_counts=True
+    appends the exact integer n_inter / n_union columns (consumers that
+    bin by similarity should bin on the integer ratio, never the
+    rounded double).
 
     Shuffles: map-side-combined groupBy(sh) for the hot-shingle set
     (broadcast anti-joined away), groupBy(doc) for sizes, self-join on
@@ -195,20 +199,21 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
+    out = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ),
+            "n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter")
+        )
+        .withColumn(
+            "jaccard", F.round(F.col("n_inter") / F.col("n_union"), 6)
         )
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
+    cols = ["id_a", "id_b", "jaccard"]
+    if with_counts:
+        cols += ["n_inter", "n_union"]
+    return out.select(*cols)
 
 
 def minhash_signatures(
@@ -334,6 +339,92 @@ def minhash_lsh_pairs(
         cand.withColumn("est_jaccard", F.round(est, 6))
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def pow_chain_sql(expr: str, n: int) -> str:
+    """x^n as an explicit multiplication chain (power-by-squaring) —
+    the SAME expression text runs on Spark and DuckDB, so the float
+    result is bit-identical (each engine performs the identical
+    sequence of IEEE double multiplications; no libm pow involved)."""
+    if n == 1:
+        return expr
+    half = pow_chain_sql(expr, n // 2)
+    sq = f"({half} * {half})"
+    return f"({sq} * {expr})" if n % 2 else sq
+
+
+def lsh_capture_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    bands: int = 16,
+    num_hashes: int = 64,
+    max_doc_freq: int = 100,
+    bins: int = 10,
+    cache_level: str | None = None,
+) -> DataFrame:
+    """LSH parameter-tuning report: the EMPIRICAL s-curve of the
+    MinHash banding against exact ground truth, next to the analytic
+    curve 1-(1-s^r)^b — the table an operator reads before committing
+    a (bands, rows) choice to a 100 TB dedup run.
+
+    For every measurable document pair (pairs sharing >= 1 rare
+    shingle, same blocked universe the exact-Jaccard dedup sees), the
+    pair's exact similarity bin is the INTEGER ratio
+    least(n_inter*bins DIV n_union, bins-1) — never the rounded
+    double — and capture means the pair collides in >= 1 of the LSH
+    bands. Returns per bin: n_pairs, n_captured, recall, and
+    theory_capture at the bin midpoint (computed by an explicit
+    multiplication chain, bit-identical in any engine).
+
+    Scale: the exact side is the doc-freq-capped shingle self-join
+    (bounded candidates); the LSH side is the banded equi-join; the
+    final join moves only (id_a, id_b) pairs. Nothing here is
+    all-pairs."""
+    rows_per = num_hashes // bands
+    exact = ngram_jaccard_pairs(
+        df, id_col, text_col, k, 0.0, max_doc_freq,
+        cache_level=cache_level, with_counts=True,
+    )
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    banded = banded_signatures(sigs, id_col, bands, num_hashes)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("_cap", F.lit(1))
+    )
+    j = exact.join(cand, ["id_a", "id_b"], "left")
+    binc = F.expr(f"least((n_inter * {bins}) DIV n_union, {bins - 1})")
+    s_mid = f"(CAST(2 * sim_bin + 1 AS DOUBLE) / {2 * bins})"
+    theory = (
+        f"round(1.0 - {pow_chain_sql(f'(1.0 - {pow_chain_sql(s_mid, rows_per)})', bands)}, 6)"
+    )
+    return (
+        j.withColumn("sim_bin", binc)
+        .groupBy("sim_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.coalesce(F.col("_cap"), F.lit(0))).alias("n_captured"),
+        )
+        .selectExpr(
+            "sim_bin",
+            "n_pairs",
+            "n_captured",
+            "round(n_captured / n_pairs, 6) AS recall",
+            f"{theory} AS theory_capture",
+        )
+        .orderBy("sim_bin")
     )
 
 

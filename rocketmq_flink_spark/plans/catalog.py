@@ -1048,11 +1048,12 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.5)
 
 
-def _minhash_rep_ctes() -> str:
-    """The MinHash pipeline as a reusable recursive-CTE chain ending in
-    `rep (doc_id, m)` — min reachable id per doc over the LSH pair
-    graph. Shared by the dedup-groups oracle and the leakage-safe-split
-    oracle (must appear inside a WITH RECURSIVE)."""
+def _minhash_cand_ctes() -> str:
+    """The MinHash candidate-generation pipeline as a reusable CTE
+    chain ending in `cand (id_a, id_b, sa, sb)` — banded LSH collision
+    pairs with their signatures. Shared by the dedup-groups /
+    leakage-split oracles (which extend it with the closure) and the
+    LSH tuning-report oracle (which consumes the raw candidates)."""
     from rocketmq_flink_spark.functions.porthash import (
         hash31_sql,
         minhash_coeffs,
@@ -1081,7 +1082,15 @@ def _minhash_rep_ctes() -> str:
                       x.sig AS sa, y.sig AS sb
       FROM banded x JOIN banded y
         ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
-    ),
+    )"""
+
+
+def _minhash_rep_ctes() -> str:
+    """The MinHash pipeline as a reusable recursive-CTE chain ending in
+    `rep (doc_id, m)` — min reachable id per doc over the LSH pair
+    graph. Shared by the dedup-groups oracle and the leakage-safe-split
+    oracle (must appear inside a WITH RECURSIVE)."""
+    return f"""{_minhash_cand_ctes()},
     pairs AS (
       SELECT id_a, id_b FROM cand
       WHERE CAST(list_sum(list_transform(list_zip(sa, sb),
@@ -1122,6 +1131,71 @@ def minhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return minhash_dedup(docs, "doc_id", "text", threshold=0.7).orderBy("doc_id")
+
+
+def _lsh_tuning_oracle_sql(bins: int = 10, rows_per: int = 4,
+                           bands: int = 16) -> str:
+    """DuckDB replay of the LSH tuning report: blocked exact-Jaccard
+    pairs binned by INTEGER ratio, left-joined against the banded
+    MinHash candidates (shared _minhash_cand_ctes chain), plus the
+    analytic capture curve via the same multiplication-chain text the
+    Spark side runs."""
+    from rocketmq_flink_spark.operators.dedup import pow_chain_sql
+
+    s_mid = f"(CAST(2 * sim_bin + 1 AS DOUBLE) / {2 * bins})"
+    theory = (
+        f"round(1.0 - "
+        f"{pow_chain_sql(f'(1.0 - {pow_chain_sql(s_mid, rows_per)})', bands)}"
+        f", 6)"
+    )
+    return f"""
+    WITH {_minhash_cand_ctes()},
+    rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 100),
+    shr AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shr GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT id_a, id_b, n_inter,
+             sa.n_sh + sb.n_sh - n_inter AS n_union
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    ),
+    binned AS (
+      SELECT LEAST(CAST((e.n_inter * {bins}) // e.n_union AS BIGINT),
+                   {bins - 1}) AS sim_bin,
+             CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS cap
+      FROM exact e
+      LEFT JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b
+    )
+    SELECT sim_bin, COUNT(*) AS n_pairs,
+           CAST(SUM(cap) AS BIGINT) AS n_captured,
+           ROUND(CAST(SUM(cap) AS BIGINT) / COUNT(*), 6) AS recall,
+           {theory} AS theory_capture
+    FROM binned
+    GROUP BY sim_bin
+    ORDER BY sim_bin
+    """
+
+
+@query("lsh_tuning_report", _lsh_tuning_oracle_sql())
+def lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter-tuning: the empirical capture s-curve of the
+    16-band/4-row MinHash banding measured against exact blocked
+    Jaccard ground truth, per similarity bin, next to the analytic
+    1-(1-s^4)^16 midpoint value — the tuning table that justifies a
+    (bands, rows) choice BEFORE a 100 TB dedup run. Bins are exact
+    integer ratios; the analytic curve is an explicit multiplication
+    chain (no libm pow), so the whole report hash-matches. Scale notes:
+    operators/dedup.py lsh_capture_report."""
+    from rocketmq_flink_spark.operators.dedup import lsh_capture_report
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return lsh_capture_report(docs, "doc_id", "text").orderBy("sim_bin")
 
 
 def _simhash_oracle_sql() -> str:

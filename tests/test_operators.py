@@ -1068,6 +1068,28 @@ def test_pq_codes_compress_and_rerank_beats_raw_adc(spark, emb):
     assert r_rer >= 0.5, f"PQ rerank recall too low: {r_rer}"
 
 
+def test_lsh_capture_report_theory_and_recall(spark, docs):
+    """The tuning report's analytic curve must match the closed-form
+    1-(1-s^4)^16 at every bin midpoint (the multiplication chain is an
+    exact-power rewrite, not an approximation), recall must live in
+    [0,1] with n_captured <= n_pairs, and the fixture's planted
+    near-dups (top bin) must be fully captured while the noise floor
+    (bin 0) stays essentially uncaptured — the s-curve actually
+    discriminating."""
+    from rocketmq_flink_spark.operators.dedup import lsh_capture_report
+
+    rows = {r.sim_bin: r for r in lsh_capture_report(docs, "doc_id", "text").collect()}
+    assert rows
+    for b, r in rows.items():
+        s = (2 * b + 1) / 20
+        assert abs(r.theory_capture - round(1 - (1 - s**4) ** 16, 6)) < 1e-9
+        assert 0 <= r.n_captured <= r.n_pairs
+        assert abs(r.recall - round(r.n_captured / r.n_pairs, 6)) < 1e-9
+    top = max(rows)
+    assert top == 9 and rows[9].recall == 1.0
+    assert 0 in rows and rows[0].recall <= 0.1
+
+
 def test_vocab_coverage_bounds_and_exclusivity(spark):
     """Coverage and exclusivity must be exact set arithmetic: on a
     hand-built corpus where stratum A uses {x y, y x, y z} and stratum
