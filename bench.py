@@ -79,6 +79,9 @@ EXTRA = [
     "snapshot_diff_report",
     "event_rate_anomalies",
     "sq8_ann_topk",
+    "pps_weighted_sample",
+    "vocab_coverage_by_source",
+    "lsh_tuning_report",
 ]
 
 
