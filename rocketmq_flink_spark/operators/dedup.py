@@ -216,6 +216,96 @@ def ngram_jaccard_pairs(
     return out.select(*cols)
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.5,
+    cache_level: str | None = "MEMORY_AND_DISK",
+) -> DataFrame:
+    """LOSSLESS set-similarity join via prefix filtering (PPJoin-family):
+    exact word-k-shingle Jaccard pairs (id_a < id_b, jaccard >= t) with
+    NO heuristic blocking loss.
+
+    Prefix-filter principle: order every document's shingle set by one
+    global total order (ascending document frequency, ties by hash —
+    rarest first). If |A ∩ B| / |A ∪ B| >= t then A and B must share at
+    least one shingle among each one's first n - ceil(t*n) + 1 shingles
+    in that order (else the overlap is too small to reach t). So the
+    candidate self-join runs only over those PREFIX shingles — which are
+    the globally rarest by construction — yet provably misses no
+    qualifying pair. Unlike the doc-frequency cap in
+    ngram_jaccard_pairs (a recall heuristic), this is exact: the output
+    equals brute-force all-pairs Jaccard, and the DuckDB oracle IS the
+    brute-force computation, so the hash check proves losslessness.
+
+    100 TB notes: candidate volume concentrates on rare shingles (the
+    Zipf tail), so no hot-key pair blowup — the frequency ORDER does the
+    work the cap did, without dropping information. Shuffles: one
+    map-side-combined groupBy(sh) for frequencies, a shuffle join
+    sh-freq (8-byte hashed keys), one per-doc window (bounded by doc
+    length, never by corpus), the prefix self-join, and the candidate
+    verification joins whose left side is the (small) candidate pair
+    set. The window partitions by doc — per-task memory is one
+    document's shingle list, safe at any corpus size."""
+    from pyspark.sql import Window
+
+    sh = exploded_shingles(
+        df, id_col, text_col, k, max_doc_freq=None,
+        cache_level=cache_level, hashed=True,
+    )
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    w_rank = Window.partitionBy("doc").orderBy("_df", "sh")
+    w_size = Window.partitionBy("doc")
+    ranked = (
+        sh.join(freq, "sh")
+        .select(
+            "doc", "sh",
+            F.row_number().over(w_rank).alias("_rn"),
+            F.count(F.lit(1)).over(w_size).alias("n_sh"),
+        )
+    )
+    prefix = ranked.where(
+        F.col("_rn")
+        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b")
+        )
+        .distinct()
+    )
+    # Exact verification: intersection size over the FULL shingle sets,
+    # restricted to candidate pairs (the pair set is prefix-pruned, so
+    # these joins move candidate-bounded rows, not corpus-bounded).
+    inter = (
+        cand.join(sh.select(F.col("doc").alias("id_a"), "sh"), "id_a")
+        .join(
+            sh.select(F.col("doc").alias("id_b"), "sh"), ["id_b", "sh"]
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .withColumn("jaccard", F.round(F.col("n_inter") / F.col("n_union"), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 5, num_hashes: int = 64
 ) -> DataFrame:

