@@ -906,3 +906,75 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Line-level dedup (Falcon/RefinedWeb-style): remove every line
+    whose trimmed content appears in >= min_docs DISTINCT documents,
+    then reassemble each document preserving original line order.
+
+    Returns (doc, n_lines, n_removed, text_clean) — one row per input
+    document, text_clean = surviving lines joined by sep ('' if every
+    line was boilerplate).
+
+    Scale design: the duplicated-line decision moves 8-byte portable
+    hashes (md5-derived hash60, DuckDB-replayable), never line strings:
+      1. (line_hash, doc) pairs are deduplicated per document, then
+         counted with a map-side-combinable groupBy — a hot boilerplate
+         line ("all rights reserved") costs one row per DOCUMENT in the
+         shuffle, not one per occurrence.
+      2. The hot set (df >= min_docs) is NOT broadcast: unlike the
+         stop-shingle cap's Zipf head, the duplicated-line set grows
+         with the corpus (web boilerplate is a constant fraction of
+         lines), so the removal is a plain hash anti-join on the 8-byte
+         key; AQE may still downgrade it to broadcast when small.
+      3. Reassembly is one shuffle keyed by doc id (even distribution);
+         line order is restored by array_sort over (pos, line) structs,
+         so the rebuild is deterministic under any partitioning.
+    Blank lines (trim = '') are never counted and never removed."""
+    import re as _re
+
+    from rocketmq_flink_spark.functions.porthash import hash60
+
+    lines = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep), -1)
+        ).alias("pos", "line"),
+    ).withColumn("key", F.trim(F.col("line")))
+    keyed = lines.withColumn("h", hash60(F.col("key")))
+    hot = (
+        keyed.where(F.col("key") != "")
+        .select("h", "doc")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("h")
+    )
+    kept = keyed.join(hot, "h", "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    totals = lines.groupBy("doc").agg(F.count(F.lit(1)).alias("n_lines"))
+    return totals.join(rebuilt, "doc", "left").select(
+        "doc",
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )

@@ -558,3 +558,68 @@ def vocab_coverage(
             .alias("exclusive_rate"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame, text_col: str = "text", min_count: int = 5, k: int = 20
+) -> DataFrame:
+    """Top-k adjacent-word collocations ranked by PMI lift — the
+    phrase-mining signal a tokenizer/embedding pipeline uses to decide
+    which word pairs deserve a single token ("new york", "machine
+    learning").
+
+    Ranks by lift = p(w1,w2) / (p(w1)·p(w2)) = (c12·N·N) / (M·c1·c2)
+    — exp(PMI), the SAME ordering as PMI but with no libm log whose
+    last ulp differs between engines: the score is a fixed-order IEEE
+    multiply/divide chain over exact BIGINT counts, bit-identical in
+    Spark and DuckDB, so the ranking is oracle-checkable.
+
+    Scale: aggregate-first, same restructuring as bigram_surprisal —
+    bigram instances collapse to per-(w1,w2) counts in one map-side-
+    combined pass; the unigram table is vocab-bounded; the two
+    count-joins and the totals cross-join move aggregate rows, never
+    the token stream; min_count prunes the long tail BEFORE the joins;
+    top-k runs as TakeOrdered (no global sort)."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    toks = F.split(F.expr(normalize_sql(text_col)), r"\s+")
+    t = df.select(toks.alias("_toks"))
+    uni = (
+        t.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_toks) >= 2 THEN"
+                " transform(sequence(0, size(_toks) - 2),"
+                " i -> struct(_toks[i] AS w1, _toks[i+1] AS w2))"
+                " ELSE array() END"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    totals = uni.agg(F.sum("c").alias("n_tok")).crossJoin(
+        big.agg(F.sum("c12").alias("m_big"))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    scored = (
+        big.where(F.col("c12") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            F.round(
+                ((d("c12") * d("n_tok")) * d("n_tok"))
+                / ((d("m_big") * d("c1")) * d("c2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "w1", "w2").limit(k)

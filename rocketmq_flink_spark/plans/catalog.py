@@ -6688,3 +6688,270 @@ def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions (continued): line-level dedup, collocation mining,
+# BPE training, typo mining, stream dedup
+# ---------------------------------------------------------------------------
+
+
+def _line_dedup_oracle_sql(words_per_line: int = 10, min_docs: int = 2) -> str:
+    """DuckDB replay of line_dedup over documents re-chunked into
+    pseudo-lines of words_per_line words (the fixture has no newlines;
+    aligned chunks DO repeat across docs, so the removal is
+    non-vacuous). Identical hash60 line keys, identical rebuild."""
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    w = words_per_line
+    h = hash60_sql("trim(line)")
+    return f"""
+    WITH lined AS (
+      SELECT doc_id,
+             array_to_string(list_transform(
+               range(0, CAST(ceil(len(arr) / {w}.0) AS INT)),
+               i -> array_to_string(arr[i*{w}+1:i*{w}+{w}], ' ')),
+               chr(10)) AS text
+      FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+    ),
+    lines AS (
+      SELECT doc_id, i AS pos, ls[i] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+           unnest(range(1, len(ls) + 1)) AS t(i)
+    ),
+    hot AS (
+      SELECT hh FROM (
+        SELECT {h} AS hh, doc_id FROM lines WHERE trim(line) <> ''
+        GROUP BY 1, 2)
+      GROUP BY hh HAVING COUNT(*) >= {min_docs}
+    ),
+    kept AS (
+      SELECT * FROM lines WHERE {h} NOT IN (SELECT hh FROM hot)
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id),
+    reb AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS text_clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_lines,
+           t.n_lines - COALESCE(r.n_kept, 0) AS n_removed,
+           COALESCE(r.text_clean, '') AS text_clean
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    ORDER BY t.doc_id
+    """
+
+
+@query("line_dedup_docs", _line_dedup_oracle_sql())
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (Falcon/RefinedWeb line dedup):
+    every line appearing verbatim in >= 2 distinct documents is
+    stripped from ALL of them, documents reassembled in original line
+    order. The fixture's texts are single-line, so the query first
+    re-chunks each document into 10-word pseudo-lines (deterministic,
+    replayed by the oracle) — 127 chunk values are shared across docs
+    at sf0.01, so the removal path is exercised for real. The full
+    cleaned text is part of the hash-checked output. Scale notes:
+    operators/dedup.py line_dedup (8-byte portable line hashes in
+    every shuffle; hot-line count map-side combined; one rebuild
+    shuffle keyed by doc)."""
+    from rocketmq_flink_spark.operators.dedup import line_dedup
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    lined = docs.select(
+        "doc_id", F.split("text", " ").alias("_toks")
+    ).select(
+        "doc_id",
+        F.expr(
+            "array_join(transform("
+            " sequence(0, greatest(CAST(ceil(size(_toks) / 10.0) AS INT) - 1, 0)),"
+            " i -> array_join(slice(_toks, i*10 + 1, 10), ' ')), '\n')"
+        ).alias("text"),
+    )
+    return (
+        line_dedup(lined, "doc_id", "text", min_docs=2)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "pmi_collocations",
+    f"""
+    WITH t AS (
+      SELECT regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+') AS arr
+      FROM documents
+    ),
+    u AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(arr) AS w FROM t) GROUP BY w
+    ),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM (
+        SELECT arr[i] AS w1, arr[i + 1] AS w2
+        FROM t, unnest(range(1, len(arr))) AS s(i)
+      ) GROUP BY w1, w2
+    ),
+    tot AS (
+      SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM u) AS n_tok,
+             (SELECT CAST(SUM(c12) AS BIGINT) FROM big) AS m_big
+    )
+    SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+           ROUND(((CAST(b.c12 AS DOUBLE) * CAST(n_tok AS DOUBLE))
+                   * CAST(n_tok AS DOUBLE))
+                 / ((CAST(m_big AS DOUBLE) * CAST(u1.c AS DOUBLE))
+                    * CAST(u2.c AS DOUBLE)), 6) AS lift
+    FROM big b
+    JOIN u u1 ON u1.w = b.w1
+    JOIN u u2 ON u2.w = b.w2
+    CROSS JOIN tot
+    WHERE b.c12 >= 5
+    ORDER BY lift DESC, b.w1, b.w2 LIMIT 20
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-word collocations by PMI lift (exp(PMI) — same
+    ranking, no libm log): the phrase-mining table a tokenizer or
+    embedding pipeline reads to decide which pairs become one token.
+    Counts are exact BIGINTs; the lift is a fixed-order IEEE double
+    chain, bit-identical across engines. Scale notes:
+    operators/text.py pmi_collocations (aggregate-first, vocab-bounded
+    joins, TakeOrdered top-k)."""
+    from rocketmq_flink_spark.operators.text import pmi_collocations as _pmi
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return _pmi(docs, "text", min_count=5, k=20)
+
+
+@query(
+    "fuzzy_name_matches",
+    """
+    WITH v AS (SELECT DISTINCT c_name AS s FROM customer),
+    var AS (
+      SELECT s, unnest(list_distinct(list_prepend(s,
+        list_transform(range(1, len(s) + 1),
+          i -> substr(s, 1, i - 1) || substr(s, i + 1, len(s)))))) AS vr
+      FROM v),
+    cand AS (
+      SELECT a.s AS a, b.s AS b
+      FROM var a JOIN var b ON a.vr = b.vr AND a.s < b.s
+      GROUP BY ALL),
+    pairs AS (SELECT a, b FROM cand WHERE levenshtein(a, b) = 1),
+    per AS (
+      SELECT s, COUNT(*) AS n_matches FROM (
+        SELECT a AS s FROM pairs UNION ALL SELECT b AS s FROM pairs)
+      GROUP BY s)
+    SELECT n_matches, COUNT(*) AS n_customers,
+           MIN(s) AS example_name
+    FROM per GROUP BY n_matches ORDER BY n_matches
+    """,
+)
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate generation: customers whose names sit
+    within Levenshtein distance 1 of another customer's name (typo'd /
+    near-colliding entity keys), found via SymSpell deletion-
+    neighborhood blocking — variant explode + equi-join + exact
+    levenshtein verify, NEVER an O(n^2) name cross join. ~19.5k real
+    distance-1 pairs exist at sf0.01, so the whole path is exercised.
+    Output is the neighbor-count histogram (n_matches -> how many
+    customers, with a deterministic example), so the result stays
+    report-sized while hashing over every pair decision. Scale notes:
+    operators/fuzzy.py."""
+    from rocketmq_flink_spark.operators.fuzzy import edit_distance_pairs
+
+    cust = load_tables(spark, sf_dir)["customer"]
+    pairs = edit_distance_pairs(cust, "c_name")
+    per = (
+        pairs.select(F.col("a").alias("s"))
+        .unionAll(pairs.select(F.col("b").alias("s")))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    return (
+        per.groupBy("n_matches")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("s").alias("example_name"),
+        )
+        .orderBy("n_matches")
+    )
+
+
+def _bpe_oracle_sql(steps: int = 6) -> str:
+    """DuckDB replay of the full iterative BPE trainer: one staged CTE
+    block per merge step. Greedy left-to-right merge application is
+    expressed with the islands formulation (candidate positions grouped
+    into consecutive runs; the 1st, 3rd, 5th... of each run merge) —
+    provably equal to the Spark fold (see operators/bpe.py docstring)."""
+    parts = [
+        f"""
+    WITH words AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest(regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+')) AS w
+        FROM documents)
+      WHERE w <> '' GROUP BY w),
+    v0 AS (
+      SELECT w, c, list_transform(range(1, len(w) + 1), i -> w[i]) AS syms
+      FROM words)"""
+    ]
+    for t in range(1, steps + 1):
+        p = t - 1
+        parts.append(f"""
+    p{t} AS (
+      SELECT syms[i] AS s1, syms[i+1] AS s2, CAST(SUM(c) AS BIGINT) AS n
+      FROM v{p}, unnest(range(1, len(syms))) AS u{t}a(i)
+      GROUP BY 1, 2),
+    b{t} AS (SELECT s1, s2, n FROM p{t} ORDER BY n DESC, s1, s2 LIMIT 1),
+    e{t} AS (
+      SELECT w, c, i AS pos, syms[i] AS sym,
+             COALESCE(i < len(syms)
+                      AND syms[i] = (SELECT s1 FROM b{t})
+                      AND syms[i+1] = (SELECT s2 FROM b{t}), FALSE) AS cnd
+      FROM v{p}, unnest(range(1, len(syms) + 1)) AS u{t}b(i)),
+    g{t} AS (
+      SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY w, cnd ORDER BY pos)
+                AS grp
+      FROM e{t}),
+    m{t} AS (
+      SELECT w, c, pos, sym,
+             cnd AND (ROW_NUMBER() OVER (PARTITION BY w, cnd, grp
+                                         ORDER BY pos) % 2 = 1) AS take
+      FROM g{t}),
+    v{t} AS (
+      SELECT w, c,
+             list(CASE WHEN take THEN sym || nxt ELSE sym END
+                  ORDER BY pos) AS syms
+      FROM (
+        SELECT w, c, pos, sym, take,
+               LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+               COALESCE(LAG(take) OVER (PARTITION BY w ORDER BY pos),
+                        FALSE) AS dropped
+        FROM m{t})
+      WHERE NOT dropped GROUP BY w, c)""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {t} AS step, s1 AS lhs, s2 AS rhs, n AS pair_count"
+        f" FROM b{t}"
+        for t in range(1, steps + 1)
+    )
+    return ",".join(parts) + f"""
+    SELECT step, lhs, rhs, pair_count FROM ({unions}) ORDER BY step
+    """
+
+
+@query("bpe_train_merges", _bpe_oracle_sql(steps=6))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative distributed BPE tokenizer training: six merge steps
+    learned over the corpus, each = one vocab-bounded pair-count
+    aggregation + a TakeOrdered(1) argmax + a codegen'd greedy fold
+    applying the merge to every word's symbol array. The oracle replays
+    ALL six iterations in staged SQL (pair counts, argmax with the same
+    tie-break, islands-formulation greedy merge), so the learned merge
+    table — order, symbols, and exact weighted counts — is
+    hash-checked end-to-end. The only driver sync is one scalar row
+    per step. Scale notes: operators/bpe.py."""
+    from rocketmq_flink_spark.operators.bpe import train_bpe
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    merges, vocab = train_bpe(docs, "text", steps=6)
+    vocab.unpersist()
+    return merges.orderBy("step")

@@ -1608,3 +1608,134 @@ def test_prefix_filter_jaccard_lossless_vs_bruteforce(spark, docs):
     )
     expected = {(r.id_a, r.id_b, r.jaccard) for r in brute.collect()}
     assert out == expected and len(out) > 0
+
+
+def test_line_dedup_removes_cross_doc_lines_preserving_order(spark):
+    from rocketmq_flink_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "keep me one\nAll rights reserved\nunique tail"),
+            (2, "All rights reserved\n\nanother body"),
+            (3, "All rights reserved"),
+            (4, "totally original\ntext here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc"]: r
+        for r in line_dedup(df, "doc_id", "text", min_docs=2).collect()
+    }
+    assert out[1]["text_clean"] == "keep me one\nunique tail"
+    assert out[1]["n_removed"] == 1 and out[1]["n_lines"] == 3
+    # blank lines are kept, never counted as duplicates
+    assert out[2]["text_clean"] == "\nanother body"
+    # a doc that was ALL boilerplate becomes empty
+    assert out[3]["text_clean"] == "" and out[3]["n_removed"] == 1
+    # untouched doc round-trips exactly
+    assert out[4]["text_clean"] == "totally original\ntext here"
+    assert out[4]["n_removed"] == 0
+
+
+def test_line_dedup_min_docs_threshold(spark):
+    from rocketmq_flink_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc"), (3, "a\nb")],
+        ["doc_id", "text"],
+    )
+    # min_docs=3: only 'a' (3 docs) is removed, 'b' (2 docs) survives
+    out = {
+        r["doc"]: r["text_clean"]
+        for r in line_dedup(df, "doc_id", "text", min_docs=3).collect()
+    }
+    assert out == {1: "b", 2: "c", 3: "b"}
+
+
+def test_pmi_collocations_hand_computed(spark):
+    from rocketmq_flink_spark.operators.text import pmi_collocations
+
+    # corpus: tokens x:3 y:3 z:2 -> N=8; bigrams: "x y x y x y" has 5
+    # ((x,y)x3, (y,x)x2), "z z" has 1 -> M=6
+    df = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "z z")], ["doc_id", "text"]
+    )
+    rows = pmi_collocations(df, "text", min_count=1, k=10).collect()
+    got = {(r["w1"], r["w2"]): r for r in rows}
+    n, m = 8, 6
+    r = got[("x", "y")]
+    assert (r["c12"], r["c1"], r["c2"]) == (3, 3, 3)
+    assert abs(r["lift"] - round((3 * n * n) / (m * 3 * 3), 6)) < 1e-9
+    r = got[("z", "z")]
+    assert (r["c12"], r["c1"], r["c2"]) == (1, 2, 2)
+    # ranking: lift desc
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_edit_distance_pairs_symspell_blocking(spark):
+    from rocketmq_flink_spark.operators.fuzzy import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(s,) for s in ["cat", "cut", "cats", "dog", "dgo", "cat"]],
+        ["name"],
+    )
+    got = {
+        (r["a"], r["b"]): r["dist"]
+        for r in edit_distance_pairs(df, "name").collect()
+    }
+    # substitution + insertion pairs found; transposition (dist 2,
+    # "dog"/"dgo") shares a deletion variant but is verified OUT
+    assert got == {("cat", "cats"): 1, ("cat", "cut"): 1}
+
+
+def _py_bpe_reference(words: list[str], steps: int):
+    """Greedy BPE trainer, plain Python, same tie-break (count desc,
+    then lexicographic pair)."""
+    from collections import Counter
+
+    counts = Counter(words)
+    vocab = {w: [ch for ch in w] for w in counts}
+    merges = []
+    for step in range(1, steps + 1):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += counts[w]
+        if not pc:
+            break
+        (a, b), n = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((step, a, b, n))
+        for w, syms in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_train_bpe_matches_python_reference(spark):
+    from rocketmq_flink_spark.operators.bpe import train_bpe
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest widest widest widest",
+        "aaaa aaa banana bandana",
+    ]
+    words = " ".join(texts).split()
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    exp_merges, exp_vocab = _py_bpe_reference(words, steps=7)
+    merges, vocab = train_bpe(df, "text", steps=7)
+    got_merges = [
+        (r["step"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in merges.orderBy("step").collect()
+    ]
+    assert got_merges == exp_merges
+    got_vocab = {r["w"]: list(r["syms"]) for r in vocab.collect()}
+    assert got_vocab == exp_vocab
+    vocab.unpersist()
