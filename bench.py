@@ -82,6 +82,10 @@ EXTRA = [
     "pps_weighted_sample",
     "vocab_coverage_by_source",
     "lsh_tuning_report",
+    "line_dedup_docs",
+    "pmi_collocations",
+    "fuzzy_name_matches",
+    "bpe_train_merges",
 ]
 
 

@@ -139,10 +139,18 @@ def train_bpe(
             break
         s1, s2, n = best[0]["s1"], best[0]["s2"], int(best[0]["n"])
         merges.append((step, s1, s2, n))
+        # localCheckpoint (eager) materializes the step AND truncates
+        # lineage: without it the final vocab is a 6-deep nest of
+        # higher-order aggregate folds, which Catalyst re-analyzes
+        # catastrophically slowly if anything downstream recomputes it
+        # (measured: 18 s vs ~1 s for the corpus-segmentation report).
         nxt = vocab.select(
             "w", "c", _apply_merge(F.col("syms"), s1, s2).alias("syms")
-        ).cache()
-        nxt.count()  # materialize before releasing the parent cache
-        vocab.unpersist()
+        ).localCheckpoint(eager=False)
+        if step == 1:
+            vocab.unpersist()  # release the char-split cache (v0)
+        # checkpointed intermediates are vocab-bounded and released by
+        # the session's block manager GC; explicitly unpersisting a
+        # lazily-checkpointed frame would race its materialization
         vocab = nxt
     return spark.createDataFrame(merges, MERGES_SCHEMA), vocab

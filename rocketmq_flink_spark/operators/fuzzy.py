@@ -28,11 +28,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DELETION_VARIANTS_SQL = (
-    "array_distinct(concat(array({col}),"
-    " transform(sequence(1, length({col})),"
+DELETION_VARIANTS_SQL_TAIL = (
+    "transform(sequence(1, length({col})),"
     " i -> concat(substring({col}, 1, i-1),"
-    " substring({col}, i+1, length({col}))))))"
+    " substring({col}, i+1, length({col}))))"
 )
 
 
@@ -43,23 +42,55 @@ def edit_distance_pairs(
     Levenshtein distance 1, as (a, b, dist) with a < b. One variant
     explode + one equi-join on the variant + one dedup + exact verify —
     no cross join anywhere in the plan."""
-    vals = (
+    from rocketmq_flink_spark.session import spread_for_compute
+
+    # spread: the variant explode and the downstream join/verify are
+    # CPU-heavy on byte-tiny inputs — a small parquet scans as ONE
+    # partition and AQE keeps coalescing it, serializing the whole
+    # pipeline on one core (measured 8.3 s at sf0.1 before spreading).
+    vals = spread_for_compute(
         df.select(F.col(key_col).alias("s"))
         .where(F.length("s") >= min_len)
         .distinct()
     )
+    # Deletion variants TAGGED with their deletion index. Position
+    # tagging makes the blocking near-lossless-precise:
+    #   - substitution pairs (same length, differ at p) share exactly
+    #     the delete-at-p variant — join on (variant, i);
+    #   - indel pairs: the shorter string IS a deletion variant of the
+    #     longer — join identity-vs-variants (any i).
+    # An untagged self-join also buckets transposition-style distance-2
+    # pairs ("ab"/"ba" share "a" — at DIFFERENT indices); on dense key
+    # spaces those dominate (sf0.1: 956k candidates, 73% junk). With
+    # tags, every candidate is provably at distance exactly 1, and the
+    # final levenshtein only guards against 64-bit hash collisions.
+    # Joins run on the 8-byte xxhash64 of the variant, never the
+    # string: a collision adds a spurious candidate, verified out.
+    # ONE self-join: identity rides along as index 0, so indel pairs
+    # (identity-vs-deletion, either side) and substitution pairs
+    # (same index) come out of the same hash probe; the index rule is
+    # a residual integer predicate evaluated before any string work.
     var = vals.select(
         "s",
-        F.explode(
-            F.expr(DELETION_VARIANTS_SQL.format(col="s"))
-        ).alias("vr"),
-    )
+        F.posexplode(
+            F.expr(
+                "concat(array(s), "
+                + DELETION_VARIANTS_SQL_TAIL.format(col="s")
+                + ")"
+            )
+        ).alias("i", "vr"),
+    ).select("s", "i", F.xxhash64("vr").alias("vh"))
     a, b = var.alias("a"), var.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.vr") == F.col("b.vr"))
-            & (F.col("a.s") < F.col("b.s")),
+            (F.col("a.vh") == F.col("b.vh"))
+            & (F.col("a.s") < F.col("b.s"))
+            & (
+                (F.col("a.i") == F.col("b.i"))
+                | (F.col("a.i") == 0)
+                | (F.col("b.i") == 0)
+            ),
         )
         .select(F.col("a.s").alias("a"), F.col("b.s").alias("b"))
         .distinct()

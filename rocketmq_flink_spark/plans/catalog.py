@@ -5034,8 +5034,15 @@ def hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_registers,
     )
 
-    li = load_tables(spark, sf_dir)["lineitem"].select(
-        "l_returnflag", "l_partkey", "l_orderkey"
+    from rocketmq_flink_spark.session import spread_for_compute
+
+    # the register pass is md5-heavy; lineitem's parquet scans as 3
+    # row-group partitions, so without spreading the sketch runs on 3
+    # cores with a straggler (measured 3.2 s -> ~1 s at sf0.1)
+    li = spread_for_compute(
+        load_tables(spark, sf_dir)["lineitem"].select(
+            "l_returnflag", "l_partkey", "l_orderkey"
+        )
     )
     pk = F.col("l_partkey").cast("string")
     reg_full = hll_registers(li, pk, ["l_returnflag"])
@@ -6877,12 +6884,13 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_sql(steps: int = 6) -> str:
-    """DuckDB replay of the full iterative BPE trainer: one staged CTE
-    block per merge step. Greedy left-to-right merge application is
-    expressed with the islands formulation (candidate positions grouped
-    into consecutive runs; the 1st, 3rd, 5th... of each run merge) —
-    provably equal to the Spark fold (see operators/bpe.py docstring)."""
+def _bpe_stages_sql(steps: int = 6) -> str:
+    """Shared staged-CTE prefix replaying `steps` BPE iterations in
+    DuckDB, ending with v{steps} = the final (w, c, syms) segmentation.
+    Greedy left-to-right merge application is expressed with the
+    islands formulation (candidate positions grouped into consecutive
+    runs; the 1st, 3rd, 5th... of each run merge) — provably equal to
+    the Spark fold (see operators/bpe.py docstring)."""
     parts = [
         f"""
     WITH words AS (
@@ -6890,7 +6898,7 @@ def _bpe_oracle_sql(steps: int = 6) -> str:
         SELECT unnest(regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+')) AS w
         FROM documents)
       WHERE w <> '' GROUP BY w),
-    v0 AS (
+    v0 AS MATERIALIZED (
       SELECT w, c, list_transform(range(1, len(w) + 1), i -> w[i]) AS syms
       FROM words)"""
     ]
@@ -6901,7 +6909,8 @@ def _bpe_oracle_sql(steps: int = 6) -> str:
       SELECT syms[i] AS s1, syms[i+1] AS s2, CAST(SUM(c) AS BIGINT) AS n
       FROM v{p}, unnest(range(1, len(syms))) AS u{t}a(i)
       GROUP BY 1, 2),
-    b{t} AS (SELECT s1, s2, n FROM p{t} ORDER BY n DESC, s1, s2 LIMIT 1),
+    b{t} AS MATERIALIZED (
+      SELECT s1, s2, n FROM p{t} ORDER BY n DESC, s1, s2 LIMIT 1),
     e{t} AS (
       SELECT w, c, i AS pos, syms[i] AS sym,
              COALESCE(i < len(syms)
@@ -6917,7 +6926,7 @@ def _bpe_oracle_sql(steps: int = 6) -> str:
              cnd AND (ROW_NUMBER() OVER (PARTITION BY w, cnd, grp
                                          ORDER BY pos) % 2 = 1) AS take
       FROM g{t}),
-    v{t} AS (
+    v{t} AS MATERIALIZED (
       SELECT w, c,
              list(CASE WHEN take THEN sym || nxt ELSE sym END
                   ORDER BY pos) AS syms
@@ -6928,13 +6937,40 @@ def _bpe_oracle_sql(steps: int = 6) -> str:
                         FALSE) AS dropped
         FROM m{t})
       WHERE NOT dropped GROUP BY w, c)""")
+    return ",".join(parts)
+
+
+def _bpe_oracle_sql(steps: int = 6) -> str:
+    """DuckDB replay of the BPE trainer's learned-merge table."""
     unions = "\n      UNION ALL ".join(
         f"SELECT {t} AS step, s1 AS lhs, s2 AS rhs, n AS pair_count"
         f" FROM b{t}"
         for t in range(1, steps + 1)
     )
-    return ",".join(parts) + f"""
+    return _bpe_stages_sql(steps) + f"""
     SELECT step, lhs, rhs, pair_count FROM ({unions}) ORDER BY step
+    """
+
+
+def _bpe_segment_oracle_sql(steps: int = 6) -> str:
+    """DuckDB replay of corpus-wide BPE application: the same staged
+    trainer, then every word occurrence joined to its final
+    segmentation for a per-source compression report."""
+    return _bpe_stages_sql(steps) + f"""
+    , src AS (
+      SELECT source, w, COUNT(*) AS c FROM (
+        SELECT source,
+               unnest(regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+')) AS w
+        FROM documents)
+      WHERE w <> '' GROUP BY 1, 2)
+    SELECT s.source,
+           CAST(SUM(s.c) AS BIGINT) AS n_words,
+           CAST(SUM(s.c * len(v.w)) AS BIGINT) AS n_chars,
+           CAST(SUM(s.c * len(v.syms)) AS BIGINT) AS n_symbols,
+           ROUND(CAST(SUM(s.c * len(v.w)) AS DOUBLE)
+                 / SUM(s.c * len(v.syms)), 6) AS compression
+    FROM src s JOIN v{steps} v ON v.w = s.w
+    GROUP BY s.source ORDER BY s.source
     """
 
 
@@ -6955,3 +6991,175 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, vocab = train_bpe(docs, "text", steps=6)
     vocab.unpersist()
     return merges.orderBy("step")
+
+
+@query(
+    "copurchase_part_pairs",
+    """
+    WITH b AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+      FROM lineitem GROUP BY l_orderkey),
+    p AS (
+      SELECT unnest(flatten(list_transform(range(1, len(ps)),
+               i -> list_transform(range(i + 1, len(ps) + 1),
+                 j -> struct_pack(p1 := ps[i], p2 := ps[j]))))) AS pr
+      FROM b WHERE len(ps) >= 2)
+    SELECT pr.p1 AS p1, pr.p2 AS p2, COUNT(*) AS support
+    FROM p GROUP BY 1, 2
+    ORDER BY support DESC, p1, p2 LIMIT 20
+    """,
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: top-20 part pairs most often
+    bought in the same order — the support-counting core of
+    recommendation / association-rule pipelines. Scale shape: one
+    groupBy(order) builds sorted distinct baskets, pair generation is a
+    codegen'd nested transform bounded by C(basket_size, 2) — never a
+    corpus self-join — and the support count is map-side combined with
+    a TakeOrdered top-k. Basket sizes are bounded (max 13 parts on the
+    fixture; retail baskets at scale are similarly small), so the
+    explode is O(rows x ~tens), not O(rows^2)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ps) >= 2 THEN"
+                " flatten(transform(sequence(0, size(ps) - 2),"
+                "  i -> transform(sequence(i + 1, size(ps) - 1),"
+                "   j -> struct(ps[i] AS p1, ps[j] AS p2))))"
+                " ELSE array() END"
+            )
+        ).alias("pr")
+    ).select("pr.p1", "pr.p2")
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), "p1", "p2")
+        .limit(20)
+    )
+
+
+@query(
+    "order_total_reconciliation",
+    """
+    WITH calc AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                 * (1 + CAST(l_tax AS DECIMAL(4,2)))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS expected
+      FROM lineitem GROUP BY l_orderkey),
+    j AS (
+      SELECT o_orderpriority,
+             ABS(CAST(o_totalprice AS DECIMAL(14,2)) - expected) AS dev
+      FROM orders JOIN calc ON l_orderkey = o_orderkey)
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN dev > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           CAST(SUM(dev) * 1000000 AS BIGINT) AS sum_abs_dev_micros,
+           CAST(MAX(dev) * 1000000 AS BIGINT) AS max_abs_dev_micros
+    FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality rule audit (conditional functional dependency
+    checking): does o_totalprice equal the recomputed
+    sum(extendedprice x (1+tax) x (1-discount)) of the order's lines?
+    Reports per-priority violation counts and exact DECIMAL deviation
+    totals — the reconciliation report an ingest pipeline runs after
+    every load. (The synthetic fixture violates the invariant
+    everywhere, which the audit faithfully reports; the check logic is
+    what's under test.) Scale: one map-side-combined per-order
+    aggregation + one equi-join on the order key + a 5-group rollup;
+    all arithmetic DECIMAL-exact, so the deviations hash-match."""
+    t = load_tables(spark, sf_dir)
+    li, orders = t["lineitem"], t["orders"]
+    calc = li.groupBy("l_orderkey").agg(
+        F.sum(
+            _dec2(F.col("l_extendedprice"), 14)
+            * (F.lit(1) + F.col("l_tax").cast(T.DecimalType(4, 2)))
+            * (F.lit(1) - F.col("l_discount").cast(T.DecimalType(4, 2)))
+        ).alias("expected")
+    )
+    j = orders.join(
+        calc, orders["o_orderkey"] == calc["l_orderkey"]
+    ).select(
+        "o_orderpriority",
+        F.abs(_dec2(F.col("o_totalprice"), 14) - F.col("expected")).alias(
+            "dev"
+        ),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("dev") > 0.05, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_violations"),
+            (F.sum("dev") * 1000000).cast("long").alias(
+                "sum_abs_dev_micros"
+            ),
+            (F.max("dev") * 1000000).cast("long").alias(
+                "max_abs_dev_micros"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("bpe_segment_corpus", _bpe_segment_oracle_sql(steps=6))
+def bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide application of the learned BPE merges: every word
+    occurrence is segmented under the 6-step merge table and rolled up
+    into a per-source compression report (chars vs symbols — the
+    fertility number that tells you whether a tokenizer suits a
+    domain). Scale: segmentation is computed ONCE per distinct word
+    (vocab-bounded) and joined to per-(source, word) occurrence counts
+    — the token stream itself is never re-processed per merge step.
+    Oracle replays training AND application in staged SQL. Scale
+    notes: operators/bpe.py."""
+    from rocketmq_flink_spark.operators.bpe import train_bpe
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    merges, vocab = train_bpe(docs, "text", steps=6)
+    seg = vocab.select(
+        "w",
+        F.length("w").alias("n_chars_w"),
+        F.size("syms").alias("n_syms_w"),
+    )
+    src = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.expr(normalize_sql("text")), r"\s+")
+            ).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = (
+        src.join(seg, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_chars_w")).cast("long").alias(
+                "n_chars"
+            ),
+            F.sum(F.col("c") * F.col("n_syms_w")).cast("long").alias(
+                "n_symbols"
+            ),
+            F.round(
+                F.sum(F.col("c") * F.col("n_chars_w")).cast("double")
+                / F.sum(F.col("c") * F.col("n_syms_w")),
+                6,
+            ).alias("compression"),
+        )
+        .orderBy("source")
+    )
+    vocab.unpersist()
+    return out
