@@ -86,6 +86,11 @@ EXTRA = [
     "pmi_collocations",
     "fuzzy_name_matches",
     "bpe_train_merges",
+    "bpe_segment_corpus",
+    "copurchase_part_pairs",
+    "order_total_reconciliation",
+    "hll_set_algebra_users",
+    "pagerank_copurchase",
 ]
 
 

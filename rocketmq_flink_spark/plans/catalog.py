@@ -7163,3 +7163,210 @@ def bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab.unpersist()
     return out
+
+
+def _hll_setops_oracle_sql() -> str:
+    """DuckDB replay of HLL set algebra over click/purchase user sets."""
+    from rocketmq_flink_spark.operators.sketches import (
+        hll_estimate_sql,
+        hll_registers_sql,
+    )
+
+    ra = hll_registers_sql(
+        "CAST(user_id AS VARCHAR)",
+        "FROM events WHERE event_type = 'click'",
+        "'click'",
+    )
+    rb = hll_registers_sql(
+        "CAST(user_id AS VARCHAR)",
+        "FROM events WHERE event_type = 'purchase'",
+        "'purchase'",
+    )
+    return f"""
+    WITH ra AS ({ra}),
+    rb AS ({rb}),
+    rall AS (
+      SELECT 'u' AS grp, bucket, MAX(m) AS m
+      FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1, 2),
+    ea AS ({hll_estimate_sql("ra")}),
+    eb AS ({hll_estimate_sql("rb")}),
+    eu AS ({hll_estimate_sql("rall")}),
+    ex AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY user_id)
+    SELECT ea.est_distinct AS est_clickers,
+           eb.est_distinct AS est_buyers,
+           eu.est_distinct AS est_union,
+           ROUND(ea.est_distinct + eb.est_distinct - eu.est_distinct, 4)
+             AS est_intersection,
+           (SELECT CAST(SUM(a) AS BIGINT) FROM ex) AS exact_clickers,
+           (SELECT CAST(SUM(b) AS BIGINT) FROM ex) AS exact_buyers,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS exact_union,
+           (SELECT CAST(SUM(a * b) AS BIGINT) FROM ex) AS exact_intersection
+    FROM ea, eb, eu
+    """
+
+
+@query("hll_set_algebra_users", _hll_setops_oracle_sql())
+def hll_set_algebra_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: HLL estimates for the clicker set, the buyer
+    set, their union (register max-merge — the mergeability that makes
+    per-shard sketching valid), and their INTERSECTION via
+    inclusion-exclusion — the audience-overlap question every
+    segmentation pipeline answers from sketches because the exact
+    distinct-join is unaffordable at scale. Exact counts ride along
+    from ONE per-user flag aggregation for error visibility. All
+    register arithmetic is exact BIGINT; estimates are fixed-order
+    doubles rounded to 4dp — bit-identical in the oracle."""
+    from rocketmq_flink_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+    from rocketmq_flink_spark.session import spread_for_compute
+
+    ev = spread_for_compute(
+        load_tables(spark, sf_dir)["events"]
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "user_id")
+    )
+    uid = F.col("user_id").cast("string")
+    reg = hll_registers(ev, uid, ["event_type"])
+    est = hll_estimate(reg, ["event_type"])
+    ea = est.where(F.col("event_type") == "click").select(
+        F.col("est_distinct").alias("est_clickers")
+    )
+    eb = est.where(F.col("event_type") == "purchase").select(
+        F.col("est_distinct").alias("est_buyers")
+    )
+    eu = hll_estimate(hll_merge(reg, []), []).select(
+        F.col("est_distinct").alias("est_union")
+    )
+    ex = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                (F.col("event_type") == "click").cast("int")
+            ).alias("a"),
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("b"),
+        )
+        .agg(
+            F.sum("a").cast("long").alias("exact_clickers"),
+            F.sum("b").cast("long").alias("exact_buyers"),
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(F.col("a") * F.col("b")).cast("long").alias(
+                "exact_intersection"
+            ),
+        )
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .withColumn(
+            "est_intersection",
+            F.round(
+                F.col("est_clickers") + F.col("est_buyers")
+                - F.col("est_union"),
+                4,
+            ),
+        )
+        .crossJoin(ex)
+        .select(
+            "est_clickers", "est_buyers", "est_union", "est_intersection",
+            "exact_clickers", "exact_buyers", "exact_union",
+            "exact_intersection",
+        )
+    )
+
+
+def _pagerank_oracle_sql(iters: int = 3, min_support: int = 2) -> str:
+    """DuckDB replay of integer PageRank over the co-purchase graph:
+    same basket -> pair -> support pipeline, then `iters` staged
+    power-iteration CTEs in exact BIGINT floor-division arithmetic.
+    Multi-referenced CTEs are MATERIALIZED (DuckDB otherwise re-inlines
+    the chain exponentially — same lesson as the BPE oracle)."""
+    base = (15 * 1_000_000) // 100
+    parts = [f"""
+    WITH b AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+      FROM lineitem GROUP BY l_orderkey),
+    pp AS (
+      SELECT unnest(flatten(list_transform(range(1, len(ps)),
+               i -> list_transform(range(i + 1, len(ps) + 1),
+                 j -> struct_pack(p1 := ps[i], p2 := ps[j]))))) AS pr
+      FROM b WHERE len(ps) >= 2),
+    sup AS (
+      SELECT pr.p1 AS p1, pr.p2 AS p2 FROM pp GROUP BY 1, 2
+      HAVING COUNT(*) >= {min_support}),
+    e AS MATERIALIZED (
+      SELECT p1 AS src, p2 AS dst FROM sup
+      UNION ALL SELECT p2, p1 FROM sup),
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    n AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+    s0 AS MATERIALIZED (SELECT node, 1000000::BIGINT AS score FROM n)"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f"""
+    c{t} AS (
+      SELECT e.dst, CAST(SUM(s.score // d.deg) AS BIGINT) AS inc
+      FROM e JOIN s{p} s ON s.node = e.src
+             JOIN deg d ON d.src = e.src
+      GROUP BY e.dst),
+    s{t} AS MATERIALIZED (
+      SELECT n.node,
+             CAST({base} + (85 * COALESCE(c{t}.inc, 0)) // 100 AS BIGINT)
+               AS score
+      FROM n LEFT JOIN c{t} ON c{t}.dst = n.node)""")
+    return ",".join(parts) + f"""
+    SELECT node AS part, score FROM s{iters}
+    ORDER BY score DESC, node LIMIT 20
+    """
+
+
+@query("pagerank_copurchase", _pagerank_oracle_sql())
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized PageRank over the co-purchase part graph
+    (edges = part pairs bought together in >= 2 orders, both
+    directions): three damped power iterations entirely in BIGINT
+    floor-division arithmetic, so scores are bit-deterministic under
+    any partitioning (a double-sum PageRank is order-dependent in the
+    last ulp and can't be hash-checked). Top-20 most-central parts.
+    No driver sync at all — fixed iteration count, pure join+groupBy
+    per step. Scale notes: operators/graph.py."""
+    from rocketmq_flink_spark.operators.graph import pagerank_integer
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    sup = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ps) >= 2 THEN"
+                    " flatten(transform(sequence(0, size(ps) - 2),"
+                    "  i -> transform(sequence(i + 1, size(ps) - 1),"
+                    "   j -> struct(ps[i] AS p1, ps[j] AS p2))))"
+                    " ELSE array() END"
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.p1", "pr.p2")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 2)
+        .select("p1", "p2")
+    )
+    edges = sup.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionAll(sup.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+    return (
+        pagerank_integer(edges, iters=3)
+        .select(F.col("node").alias("part"), "score")
+        .orderBy(F.desc("score"), "part")
+        .limit(20)
+    )

@@ -1739,3 +1739,41 @@ def test_train_bpe_matches_python_reference(spark):
     got_vocab = {r["w"]: list(r["syms"]) for r in vocab.collect()}
     assert got_vocab == exp_vocab
     vocab.unpersist()
+
+
+def test_pagerank_integer_matches_python_reference(spark):
+    from rocketmq_flink_spark.operators.graph import pagerank_integer
+
+    # small directed graph (every node has out-degree >= 1)
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 1), (1, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+
+    def py_pagerank(edges, iters=3, scale=1_000_000):
+        from collections import defaultdict
+
+        outs = defaultdict(list)
+        nodes = set()
+        for s, d in edges:
+            outs[s].append(d)
+            nodes |= {s, d}
+        score = {n: scale for n in nodes}
+        for _ in range(iters):
+            inc = defaultdict(int)
+            for s, ds in outs.items():
+                c = score[s] // len(ds)
+                for d in ds:
+                    inc[d] += c
+            score = {
+                n: (15 * scale) // 100 + (85 * inc[n]) // 100
+                for n in nodes
+            }
+        return score
+
+    exp = py_pagerank(edges)
+    got = {
+        r["node"]: r["score"]
+        for r in pagerank_integer(df, iters=3).collect()
+    }
+    assert got == exp
+    # rank sanity: node 1 (most inlinks) scores highest
+    assert max(exp, key=exp.get) == 1

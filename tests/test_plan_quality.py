@@ -182,3 +182,43 @@ def test_bloom_probe_is_pure_expression_no_gram_join_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # gram-side joins are broadcast
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fuzzy_pairs_no_cartesian_and_hashed_join(spark):
+    # the SymSpell blocking must be a hash equi-join on the variant
+    # hash — never a cartesian/broadcast-nested-loop over names
+    plan = _plan(REGISTRY["fuzzy_name_matches"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "xxhash64" in plan  # join key is the 8-byte variant hash
+
+
+def test_copurchase_topk_is_take_ordered(spark):
+    plan = _plan(REGISTRY["copurchase_part_pairs"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_no_window_over_line_key(spark):
+    # the hot-line decision must be a combiner-reduced groupBy + anti
+    # join, never a Window exchange materializing every occurrence of a
+    # hot line in one task (the same rule as the shingle blocking)
+    import re
+
+    plan = _plan(REGISTRY["line_dedup_docs"].fn(spark, SF))
+    # no Window operator partitioned by the line hash
+    assert not re.search(r"Window .*partition.*\bh\b", plan)
+    assert "LeftAnti" in plan
+
+
+def test_pmi_totals_broadcast_and_no_python(spark):
+    plan = _plan(REGISTRY["pmi_collocations"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pagerank_no_cartesian_no_python(spark):
+    plan = _plan(REGISTRY["pagerank_copurchase"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
