@@ -91,6 +91,8 @@ EXTRA = [
     "order_total_reconciliation",
     "hll_set_algebra_users",
     "pagerank_copurchase",
+    "scd2_user_event_history",
+    "skew_audit_suppkey",
 ]
 
 

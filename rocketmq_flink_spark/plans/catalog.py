@@ -7370,3 +7370,122 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "part")
         .limit(20)
     )
+
+
+@query(
+    "scd2_user_event_history",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    ch AS (
+      SELECT user_id, event_type, ts_us
+      FROM o WHERE prev_type IS NULL OR event_type <> prev_type),
+    v AS (
+      SELECT user_id, event_type, ts_us AS valid_from_us,
+             LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+               AS valid_to_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us)
+               AS version
+      FROM ch)
+    SELECT user_id, version, event_type, valid_from_us,
+           COALESCE(valid_to_us, -1) AS valid_to_us
+    FROM v ORDER BY user_id, version
+    """,
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (SCD Type 2) history build: collapse
+    each user's event stream into validity intervals of their current
+    event_type — one row per CHANGE with [valid_from, valid_to)
+    microsecond bounds and a per-user version number (-1 = current
+    row). This is the standard warehouse temporal-modeling operator an
+    ingest pipeline runs to turn a changelog into a time-travelable
+    dimension. One window pass keyed by user (even distribution), no
+    self-joins; timestamps emitted as epoch micros for cross-engine
+    exactness. Total order within a user = (ts, event_id)."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    ch = o.where(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us")
+    return (
+        ch.select(
+            "user_id",
+            F.row_number().over(w2).alias("version"),
+            "event_type",
+            F.col("ts_us").alias("valid_from_us"),
+            F.coalesce(
+                F.lead("ts_us").over(w2), F.lit(-1).cast("long")
+            ).alias("valid_to_us"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+@query(
+    "skew_audit_suppkey",
+    """
+    WITH f AS (
+      SELECT l_suppkey AS k, COUNT(*) AS freq FROM lineitem GROUP BY 1),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(freq) AS BIGINT) AS n_rows,
+             CAST(MAX(freq) AS BIGINT) AS max_freq
+      FROM f),
+    hot AS (
+      SELECT k AS hottest_key, freq AS hottest_freq
+      FROM f ORDER BY freq DESC, k LIMIT 1)
+    SELECT s.n_keys, s.n_rows, s.max_freq,
+           (s.n_rows * 1000000) // s.n_keys AS avg_freq_micros,
+           (s.max_freq * 1000000 * s.n_keys) // s.n_rows
+             AS skew_ratio_micros,
+           h.hottest_key
+    FROM s, hot h
+    """,
+)
+def skew_audit_suppkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit for lineitem.l_suppkey — the measurement a
+    pipeline takes BEFORE choosing a join strategy (broadcast / salt /
+    AQE skew hints; operators/joins.py salted_join is the remedy this
+    report justifies). Emits key count, row count, max key frequency,
+    and the max/avg skew ratio in exact integer micro-units (floor
+    division — no float in the decision path). One map-side-combined
+    count plus a 1-row argmax with a deterministic tie-break."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    f = li.groupBy(F.col("l_suppkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    s = f.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("freq").cast("long").alias("n_rows"),
+        F.max("freq").cast("long").alias("max_freq"),
+    )
+    hot = (
+        f.orderBy(F.desc("freq"), "k")
+        .limit(1)
+        .select(F.col("k").alias("hottest_key"))
+    )
+    return s.crossJoin(F.broadcast(hot)).select(
+        "n_keys",
+        "n_rows",
+        "max_freq",
+        F.expr("(n_rows * 1000000) div n_keys").alias("avg_freq_micros"),
+        F.expr("(max_freq * 1000000 * n_keys) div n_rows").alias(
+            "skew_ratio_micros"
+        ),
+        "hottest_key",
+    )
