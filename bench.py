@@ -93,6 +93,7 @@ EXTRA = [
     "pagerank_copurchase",
     "scd2_user_event_history",
     "skew_audit_suppkey",
+    "containment_pairs_docs",
 ]
 
 

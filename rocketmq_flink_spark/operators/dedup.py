@@ -978,3 +978,64 @@ def line_dedup(
         ),
         F.coalesce("text_clean", F.lit("")).alias("text_clean"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold_pct: int = 60,
+    max_doc_freq: int = 100,
+    cache_level: str | None = None,
+) -> DataFrame:
+    """Directed shingle-CONTAINMENT pairs: |A ∩ B| / |A| >= pct% —
+    the asymmetric near-dup relation Jaccard misses. A short document
+    quoted inside a long one has tiny Jaccard (the union is dominated
+    by the long doc) but containment ~1; this is the operator that
+    finds subsumed/quoted/excerpted documents for corpus dedup.
+
+    Returns (contained, container, n_inter, n_contained, containment)
+    for BOTH directions of every candidate pair that passes. The
+    threshold is decided in exact integers (100 * n_inter >= pct *
+    n_contained) — no float in the decision path; the rounded double
+    is output-only. Same blocking/shuffle shape as ngram_jaccard_pairs
+    (rare-shingle candidates, hashed 8-byte shingle keys, map-side-
+    combined counts)."""
+    sh = exploded_shingles(
+        df, id_col, text_col, k, max_doc_freq,
+        cache_level=cache_level, hashed=True,
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    joined = inter.join(
+        sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a")),
+        "id_a",
+    ).join(
+        sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b")),
+        "id_b",
+    )
+
+    def _direction(contained, container, n_c):
+        return joined.where(
+            100 * F.col("n_inter") >= threshold_pct * F.col(n_c)
+        ).select(
+            F.col(contained).alias("contained"),
+            F.col(container).alias("container"),
+            "n_inter",
+            F.col(n_c).alias("n_contained"),
+            F.round(F.col("n_inter") / F.col(n_c), 6).alias("containment"),
+        )
+
+    return _direction("id_a", "id_b", "n_a").unionAll(
+        _direction("id_b", "id_a", "n_b")
+    )

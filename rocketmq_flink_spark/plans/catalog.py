@@ -7489,3 +7489,45 @@ def skew_audit_suppkey(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "hottest_key",
     )
+
+
+@query(
+    "containment_pairs_docs",
+    f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 100),
+    shr AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shr GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    j AS (
+      SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b)
+    SELECT contained, container, n_inter, n_contained,
+           ROUND(CAST(n_inter AS DOUBLE) / n_contained, 6) AS containment
+    FROM (
+      SELECT id_a AS contained, id_b AS container, n_inter,
+             n_a AS n_contained FROM j WHERE 100 * n_inter >= 60 * n_a
+      UNION ALL
+      SELECT id_b, id_a, n_inter, n_b FROM j
+      WHERE 100 * n_inter >= 60 * n_b)
+    ORDER BY contained, container
+    """,
+)
+def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: documents whose rare-shingle set
+    is >= 60% CONTAINED in another document's — the quoted/excerpted/
+    subsumed relation that symmetric Jaccard misses (a short doc inside
+    a long one has tiny Jaccard but containment ~1). Both directions
+    emitted; the threshold decision is exact integer cross-
+    multiplication. Same blocking as ngram_jaccard_dedup. Scale notes:
+    operators/dedup.py containment_pairs."""
+    from rocketmq_flink_spark.operators.dedup import containment_pairs
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return containment_pairs(
+        docs, "doc_id", "text", k=5, threshold_pct=60
+    ).orderBy("contained", "container")

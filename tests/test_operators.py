@@ -1777,3 +1777,22 @@ def test_pagerank_integer_matches_python_reference(spark):
     assert got == exp
     # rank sanity: node 1 (most inlinks) scores highest
     assert max(exp, key=exp.get) == 1
+
+
+def test_containment_pairs_finds_subsumed_doc(spark):
+    from rocketmq_flink_spark.operators.dedup import containment_pairs
+
+    long_text = " ".join(f"w{i}" for i in range(40))
+    short_text = " ".join(f"w{i}" for i in range(10, 22))  # inside long
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, other)], ["doc_id", "text"]
+    )
+    rows = containment_pairs(
+        df, "doc_id", "text", k=5, threshold_pct=60
+    ).collect()
+    got = {(r["contained"], r["container"]): r["containment"] for r in rows}
+    # the short doc is fully contained in the long one...
+    assert got.get((2, 1)) == 1.0
+    # ...but NOT the reverse (long doc is not contained in short)
+    assert (1, 2) not in got and len(got) == 1
