@@ -77,6 +77,25 @@ AUDIT = [
      "Bloom probe is a constant-folded scalar expression (no join, no "
      "Python); exact flag is a broadcast left join; only the per-doc "
      "flag aggregation shuffles"),
+    ("fuzzy_name_matches",
+     "SymSpell variant blocking: hash equi-join on 8-byte xxhash64 "
+     "variant keys with an integer index predicate — no cartesian, no "
+     "nested loop; exact levenshtein only as collision guard"),
+    ("line_dedup_docs",
+     "hot-line decision = map-side-combined groupBy over 8-byte line "
+     "hashes feeding a LeftAnti hash join — no Window over the line key; "
+     "one rebuild shuffle keyed by doc id"),
+    ("pagerank_copurchase",
+     "per iteration: one hash join edges x scores on src + one "
+     "map-side-combinable groupBy(dst); BIGINT floor-div arithmetic, "
+     "no driver sync, TakeOrdered final top-20"),
+    ("bpe_segment_corpus",
+     "segmentation computed once per distinct word (vocab-bounded) and "
+     "joined to per-(source, word) counts — the token stream is never "
+     "re-processed per merge step"),
+    ("containment_pairs_docs",
+     "same rare-shingle blocking as the Jaccard pairs; threshold decided "
+     "by integer cross-multiplication before any double appears"),
     ("token_drift_report",
      "one tokenize pass; map-side-combined (token,half) counts; "
      "scalar totals broadcast; TakeOrdered top-k of drift scores"),
