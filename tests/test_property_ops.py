@@ -287,3 +287,80 @@ def test_codec_roundtrip_property(spark, rows):
         (r.id, r.s, r.flag) for r in back.select("id", "s", "flag").collect()
     )
     assert got == sorted(rows)
+
+
+WORD = st.sampled_from(["alpha", "beta", "gamma", "delta", "x", "yy"])
+LINE = st.lists(WORD, min_size=0, max_size=4).map(" ".join)
+DOC = st.lists(LINE, min_size=1, max_size=5).map("\n".join)
+
+
+def _line_dedup_model(docs, min_docs):
+    """Pure-Python reference for line_dedup."""
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    for i, text in enumerate(docs):
+        for ln in text.split("\n"):
+            key = ln.strip()
+            if key:
+                seen[key].add(i)
+    hot = {k for k, s in seen.items() if len(s) >= min_docs}
+    out = {}
+    for i, text in enumerate(docs):
+        lines = text.split("\n")
+        kept = [ln for ln in lines if ln.strip() not in hot]
+        out[i] = (len(lines), len(lines) - len(kept), "\n".join(kept))
+    return out
+
+
+@given(docs=st.lists(DOC, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_line_dedup_matches_model(spark, docs):
+    from rocketmq_flink_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {
+        r["doc"]: (r["n_lines"], r["n_removed"], r["text_clean"])
+        for r in line_dedup(df, "doc_id", "text", min_docs=2).collect()
+    }
+    assert got == _line_dedup_model(docs, 2)
+
+
+NAME = st.text(alphabet="abc1", min_size=1, max_size=5)
+
+
+def _edit1_model(names):
+    """Brute-force Levenshtein-1 pairs over distinct names."""
+    import itertools
+
+    def lev(a, b):
+        if abs(len(a) - len(b)) > 1:
+            return 2
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    uniq = sorted(set(names))
+    return {
+        (a, b)
+        for a, b in itertools.combinations(uniq, 2)
+        if lev(a, b) == 1
+    }
+
+
+@given(names=st.lists(NAME, min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_edit_distance_pairs_match_bruteforce(spark, names):
+    from rocketmq_flink_spark.operators.fuzzy import edit_distance_pairs
+
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    got = {
+        (r["a"], r["b"])
+        for r in edit_distance_pairs(df, "name").collect()
+    }
+    assert got == _edit1_model(names)
