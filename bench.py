@@ -94,6 +94,7 @@ EXTRA = [
     "scd2_user_event_history",
     "skew_audit_suppkey",
     "containment_pairs_docs",
+    "kcenter_coreset_vectors",
 ]
 
 

@@ -1141,3 +1141,79 @@ def hard_negatives(
             "rank",
         )
     )
+
+
+def kcenter_coreset(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 6,
+) -> DataFrame:
+    """Greedy k-center (max-min / farthest-point) coreset selection —
+    the diversity sampler a pipeline uses to pick an eval set or seed
+    set that COVERS the embedding space (every point is within the
+    final max-min radius of some chosen center; a 2-approximation of
+    the optimal k-center cover).
+
+    Deterministic: the seed is the vector with the smallest portable
+    md5 hash of its id (same convention as the IVF seeding), each next
+    center is the point FARTHEST from the chosen set, ties broken by
+    id; distances are exact decimal L2^2 rounded to 12 dp only for the
+    argmax ordering (the established cross-engine convention), so the
+    selected set is bit-reproducible and SQL-replayable.
+
+    Scale shape: the running min-distance column makes each iteration
+    ONE map pass + one TakeOrdered(1) — never k x corpus distance
+    recomputation. The (id, vec, dmin) state is lazily checkpointed per
+    step, so iteration t+1 reads materialized state instead of
+    re-deriving t folds of lineage; driver sync is one row per center
+    (the vector is model-sized). Returns (rank, vec_id, dist2) where
+    dist2 is the max-min radius at selection time (0 for the seed) —
+    monotonically non-increasing, the coverage curve."""
+    from rocketmq_flink_spark.functions.porthash import hash60
+
+    c = corpus.select(
+        F.col(id_col).alias("vid"), _dec(F.col(vec_col)).alias("v")
+    )
+    seed = (
+        c.withColumn("_h", hash60(F.col("vid").cast("string")))
+        .orderBy("_h", "vid")
+        .limit(1)
+        .collect()[0]
+    )
+    chosen = [(1, seed["vid"], 0.0)]
+
+    def center_lit(vec) -> Column:
+        return F.array(
+            *[F.lit(str(x)).cast(T.DecimalType(12, 10)) for x in vec]
+        )
+
+    state = c.withColumn("dmin", l2_sq(F.col("v"), center_lit(seed["v"])))
+    for rank in range(2, k + 1):
+        state = state.localCheckpoint(eager=False)
+        nxt = (
+            state.orderBy(
+                F.round(F.col("dmin"), 12).desc(), F.col("vid")
+            )
+            .limit(1)
+            .collect()[0]
+        )
+        # HALF_UP quantize: Python round() is banker's, but Spark round
+        # and DuckDB ROUND are half-up — keep all three identical
+        from decimal import ROUND_HALF_UP, Decimal
+
+        d12 = Decimal(nxt["dmin"]).quantize(
+            Decimal("1e-12"), rounding=ROUND_HALF_UP
+        )
+        chosen.append((rank, nxt["vid"], float(d12)))
+        if rank < k:
+            state = state.withColumn(
+                "dmin",
+                F.least(
+                    F.col("dmin"), l2_sq(F.col("v"), center_lit(nxt["v"]))
+                ),
+            )
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        chosen, "rank INT, vec_id BIGINT, dist2 DOUBLE"
+    )

@@ -7531,3 +7531,67 @@ def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         docs, "doc_id", "text", k=5, threshold_pct=60
     ).orderBy("contained", "container")
+
+
+def _kcenter_oracle_sql(k: int = 6) -> str:
+    """DuckDB replay of greedy k-center selection: staged MATERIALIZED
+    CTEs carrying the running min-distance column, same hash60 seed and
+    ROUND(.,12)+id argmax tie-break as the Spark operator."""
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    h = hash60_sql("CAST(vec_id AS VARCHAR)")
+    l2 = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+    parts = [f"""
+    WITH c AS MATERIALIZED (
+      SELECT vec_id, CAST(CAST(embedding AS DOUBLE[]) AS DECIMAL(12,10)[])
+               AS v
+      FROM embeddings),
+    s1 AS MATERIALIZED (
+      SELECT vec_id, v FROM c ORDER BY {h}, vec_id LIMIT 1),
+    d1 AS MATERIALIZED (
+      SELECT c.vec_id, c.v,
+             {l2.format(a="c.v", b="s1.v")} AS dmin
+      FROM c, s1)"""]
+    for t in range(2, k + 1):
+        p = t - 1
+        parts.append(f"""
+    s{t} AS MATERIALIZED (
+      SELECT vec_id, v, dmin FROM d{p}
+      ORDER BY ROUND(dmin, 12) DESC, vec_id LIMIT 1)""")
+        if t < k:
+            parts.append(f"""
+    d{t} AS MATERIALIZED (
+      SELECT d.vec_id, d.v,
+             LEAST(d.dmin, {l2.format(a="d.v", b="s.v")}) AS dmin
+      FROM d{p} d, s{t} s)""")
+    unions = "\n      UNION ALL ".join(
+        [f"SELECT 1 AS rank, vec_id, 0.0 AS dist2 FROM s1"]
+        + [
+            f"SELECT {t}, vec_id, CAST(ROUND(dmin, 12) AS DOUBLE)"
+            f" FROM s{t}"
+            for t in range(2, k + 1)
+        ]
+    )
+    return ",".join(parts) + f"""
+    SELECT rank, vec_id, dist2 FROM ({unions}) ORDER BY rank
+    """
+
+
+@query("kcenter_coreset_vectors", _kcenter_oracle_sql(k=6))
+def kcenter_coreset_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset: 6 embedding vectors chosen so every
+    corpus vector is within the final max-min radius of some center —
+    the deterministic diversity sampler for eval-set / seed-set
+    selection (farthest-point 2-approximation of the optimal cover).
+    The emitted dist2 column is the coverage-radius curve. Exact
+    decimal distances, hash-seeded start, one map pass + TakeOrdered
+    argmax per iteration with a running min-distance column (never
+    k x corpus recomputation). Oracle replays every selection step in
+    staged SQL. Scale notes: operators/similarity.py kcenter_coreset."""
+    from rocketmq_flink_spark.operators.similarity import kcenter_coreset
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return kcenter_coreset(emb, k=6).orderBy("rank")

@@ -1796,3 +1796,50 @@ def test_containment_pairs_finds_subsumed_doc(spark):
     assert got.get((2, 1)) == 1.0
     # ...but NOT the reverse (long doc is not contained in short)
     assert (1, 2) not in got and len(got) == 1
+
+
+def test_kcenter_coreset_matches_python_reference(spark):
+    from decimal import Decimal
+
+    from rocketmq_flink_spark.functions.porthash import hash60
+    from rocketmq_flink_spark.operators.similarity import kcenter_coreset
+
+    import hashlib
+
+    vecs = {
+        1: [0.0, 0.0], 2: [10.0, 0.0], 3: [0.0, 10.0],
+        4: [10.0, 10.0], 5: [5.0, 5.0], 6: [0.1, 0.1],
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def py_kcenter(vecs, k):
+        seed = min(vecs, key=lambda i: (h60(str(i)), i))
+        chosen = [seed]
+        dmin = {i: _d2(vecs[i], vecs[seed]) for i in vecs}
+        out = [(1, seed, 0.0)]
+        for rank in range(2, k + 1):
+            nxt = max(vecs, key=lambda i: (dmin[i], -i))
+            out.append((rank, nxt, float(dmin[nxt])))
+            for i in vecs:
+                dmin[i] = min(dmin[i], _d2(vecs[i], vecs[nxt]))
+        return out
+
+    def _d2(a, b):
+        return sum((Decimal(str(x)) - Decimal(str(y))) ** 2
+                   for x, y in zip(a, b))
+
+    got = [
+        (r["rank"], r["vec_id"], r["dist2"])
+        for r in kcenter_coreset(df, k=4).orderBy("rank").collect()
+    ]
+    exp = py_kcenter(vecs, 4)
+    assert [(g[0], g[1]) for g in got] == [(e[0], e[1]) for e in exp]
+    # radius curve is non-increasing after the seed
+    radii = [g[2] for g in got][1:]
+    assert radii == sorted(radii, reverse=True)
