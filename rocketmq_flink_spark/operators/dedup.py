@@ -1039,3 +1039,74 @@ def containment_pairs(
     return _direction("id_a", "id_b", "n_a").unionAll(
         _direction("id_b", "id_a", "n_b")
     )
+
+
+def line_hot_index(
+    df: DataFrame, id_col: str, text_col: str,
+    min_docs: int = 2, sep: str = "\n",
+) -> DataFrame:
+    """Build the boilerplate-line index for line_scrub: 8-byte portable
+    hashes of every trimmed line appearing in >= min_docs distinct
+    documents. Persist/ship this model-sized frame; it is the static
+    side a streaming scrubber probes."""
+    import re as _re
+
+    from rocketmq_flink_spark.functions.porthash import hash60
+
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.split(F.col(text_col), _re.escape(sep), -1)
+            ).alias("line"),
+        )
+        .select("doc", F.trim("line").alias("key"))
+        .where(F.col("key") != "")
+        .select(F.col("doc"), hash60(F.col("key")).alias("h"))
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("h")
+    )
+
+
+def line_scrub(
+    df: DataFrame, index: DataFrame, id_col: str, text_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """Remove every line whose trimmed hash appears in `index` (built
+    by line_hot_index) and reassemble documents in original order —
+    the INCREMENTAL form of line_dedup: new documents are scrubbed
+    against a persisted boilerplate index instead of re-counting the
+    whole corpus (same new-vs-index semantics as
+    incremental_minhash_dedup). Deterministic; one anti-join on the
+    8-byte hash + one rebuild shuffle keyed by doc. Works identically
+    inside foreachBatch (the stream==batch test pins it)."""
+    import re as _re
+
+    from rocketmq_flink_spark.functions.porthash import hash60
+
+    lines = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep), -1)
+        ).alias("pos", "line"),
+    ).withColumn("h", hash60(F.trim(F.col("line"))))
+    kept = lines.join(index, "h", "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    totals = df.select(F.col(id_col).alias("doc"))
+    return totals.join(rebuilt, "doc", "left").select(
+        "doc",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )

@@ -1142,3 +1142,81 @@ def test_streaming_countmin_counters_merge_to_batch(spark, tmp_path):
         merged[["r", "c", "cnt"]], batch[["r", "c", "cnt"]],
         check_dtype=False,
     )
+
+
+def test_streaming_line_scrub_matches_batch(spark, tmp_path):
+    """Streaming line-level boilerplate scrub: new documents stream in
+    over several microbatches and probe the STATIC hot-line index
+    (built once from the historical corpus) via foreachBatch — the
+    incremental form of line_dedup for continuous ingest. Batches
+    interact only with the index, so the union over epochs must equal
+    the batch line_scrub of the full new set."""
+    from rocketmq_flink_spark.operators.dedup import (
+        line_hot_index,
+        line_scrub,
+    )
+
+    docs = load_tables(spark, SF)["documents"]
+    # re-chunk into pseudo-lines so cross-doc repeats exist (fixture
+    # texts are single-line), as in the line_dedup_docs catalog query
+    lined = docs.select(
+        "doc_id", F.split("text", " ").alias("_t")
+    ).select(
+        "doc_id",
+        F.expr(
+            "array_join(transform("
+            " sequence(0, greatest(CAST(ceil(size(_t) / 10.0) AS INT) - 1, 0)),"
+            " i -> array_join(slice(_t, i*10 + 1, 10), ' ')), '\n')"
+        ).alias("text"),
+    )
+    hist = lined.where(F.col("doc_id") % 2 == 0)
+    new = lined.where(F.col("doc_id") % 2 == 1)
+    idx = line_hot_index(hist, "doc_id", "text", min_docs=2)
+    idx = idx.localCheckpoint()  # the persisted model a deployment ships
+
+    src = tmp_path / "arrivals"
+    new.withColumn("_f", F.col("doc_id") % 3).repartition(3, "_f").drop(
+        "_f"
+    ).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+
+    results: list = []
+
+    def scrub(batch_df, epoch_id):
+        out = line_scrub(batch_df, idx, "doc_id", "text")
+        results.append(out.toPandas())
+
+    q = (
+        stream.writeStream.foreachBatch(scrub)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(results) >= 2, "expected multiple microbatches"
+
+    import pandas as pd
+
+    got = (
+        pd.concat(results, ignore_index=True)
+        .sort_values(["doc"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        line_scrub(new, idx, "doc_id", "text")
+        .toPandas()
+        .sort_values(["doc"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect)
+    # the scrub is non-vacuous: boilerplate lines were actually removed
+    n_lines_in = (
+        new.select(
+            F.size(F.split("text", "\n", -1)).alias("n")
+        ).agg(F.sum("n")).collect()[0][0]
+    )
+    assert int(got["n_kept"].sum()) < n_lines_in
