@@ -95,6 +95,7 @@ EXTRA = [
     "skew_audit_suppkey",
     "containment_pairs_docs",
     "kcenter_coreset_vectors",
+    "ols_price_per_brand",
 ]
 
 

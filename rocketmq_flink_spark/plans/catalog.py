@@ -7595,3 +7595,84 @@ def kcenter_coreset_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     return kcenter_coreset(emb, k=6).orderBy("rank")
+
+
+@query(
+    "ols_price_per_brand",
+    """
+    WITH j AS (
+      SELECT p.p_brand,
+             CAST(l.l_quantity AS DECIMAL(12,2)) AS x,
+             CAST(l.l_extendedprice AS DECIMAL(12,2)) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    a AS (
+      SELECT p_brand, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM j GROUP BY p_brand),
+    s AS (
+      SELECT p_brand, n,
+             ROUND(CAST(CAST(n AS DECIMAL(8,0)) * CAST(sxy AS DECIMAL(28,4))
+                        - CAST(sx AS DECIMAL(18,2)) * CAST(sy AS DECIMAL(18,2))
+                        AS DOUBLE)
+                   / CAST(CAST(n AS DECIMAL(8,0)) * CAST(sxx AS DECIMAL(28,4))
+                          - CAST(sx AS DECIMAL(18,2)) * CAST(sx AS DECIMAL(18,2))
+                          AS DOUBLE), 6) AS slope,
+             CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+      FROM a)
+    SELECT p_brand, CAST(n AS BIGINT) AS n, slope,
+           ROUND((syd - slope * sxd) / n, 6) AS intercept
+    FROM s ORDER BY p_brand
+    """,
+)
+def ols_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped closed-form OLS: price-vs-quantity regression line per
+    part brand — the distributed trend-estimation staple (feature
+    drift slopes, per-segment elasticity) computed from the five
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) in ONE map-side-
+    combined pass; no iterative solver, no driver math. The slope
+    numerator/denominator are exact DECIMAL cross-terms (HUGEINT-safe
+    in the oracle); the only doubles are two identical-order casts and
+    divisions, so results hash-match. Broadcast join to the part dim
+    for the brand key."""
+    t = load_tables(spark, sf_dir)
+    li, part = t["lineitem"], t["part"]
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == part["p_partkey"],
+    ).select(
+        "p_brand",
+        _dec2(F.col("l_quantity")).alias("x"),
+        _dec2(F.col("l_extendedprice")).alias("y"),
+    )
+    a = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # explicit downcasts: Spark's decimal-precision growth rules would
+    # push n*sxy past 38 digits and silently lose scale; (8,0)x(28,4)
+    # and (18,2)x(18,2) both land at (37,4) — exact and in range for
+    # any per-group n < 10^8 (re-widen if a group exceeds that)
+    nd = F.col("n").cast(T.DecimalType(8, 0))
+    d28 = lambda c: F.col(c).cast(T.DecimalType(28, 4))  # noqa: E731
+    d18 = lambda c: F.col(c).cast(T.DecimalType(18, 2))  # noqa: E731
+    num = nd * d28("sxy") - d18("sx") * d18("sy")
+    den = nd * d28("sxx") - d18("sx") * d18("sx")
+    s = a.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("slope"),
+        F.col("sy").cast("double").alias("syd"),
+        F.col("sx").cast("double").alias("sxd"),
+    )
+    return s.select(
+        "p_brand",
+        "n",
+        "slope",
+        F.round(
+            (F.col("syd") - F.col("slope") * F.col("sxd")) / F.col("n"), 6
+        ).alias("intercept"),
+    ).orderBy("p_brand")
