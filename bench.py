@@ -96,6 +96,7 @@ EXTRA = [
     "containment_pairs_docs",
     "kcenter_coreset_vectors",
     "ols_price_per_brand",
+    "mannwhitney_value_drift",
 ]
 
 

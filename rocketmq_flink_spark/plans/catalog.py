@@ -7676,3 +7676,96 @@ def ols_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("syd") - F.col("slope") * F.col("sxd")) / F.col("n"), 6
         ).alias("intercept"),
     ).orderBy("p_brand")
+
+
+@query(
+    "mannwhitney_value_drift",
+    """
+    WITH e AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+             event_type = 'purchase' AS is_a
+      FROM events WHERE event_type IN ('purchase', 'click')),
+    g AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+      FROM e GROUP BY v),
+    c AS (
+      SELECT v, na, nb,
+             COALESCE(SUM(na) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cuma
+      FROM g),
+    s AS (
+      SELECT CAST(SUM(na) AS BIGINT) AS n1,
+             CAST(SUM(nb) AS BIGINT) AS n2,
+             CAST(SUM(nb * (2 * cuma + na)) AS BIGINT) AS u2
+      FROM c)
+    SELECT n1, n2, u2,
+           ROUND(CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)
+                 * CAST(n2 AS DOUBLE)), 6) AS auc,
+           ROUND((CAST(u2 AS DOUBLE) - CAST(n1 AS DOUBLE)
+                  * CAST(n2 AS DOUBLE))
+                 / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                    / 12.0)), 6) AS z
+    FROM s
+    """,
+)
+def mannwhitney_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based distribution-drift test: Mann-Whitney U comparing
+    purchase vs click event values — the nonparametric two-sample test
+    a monitoring pipeline runs when a mean-based 3-sigma alarm is too
+    distribution-shape-sensitive. The doubled statistic 2U = 2·#(a<b)
+    + #(a=b) is assembled in exact BIGINTs from per-distinct-value
+    counts (values are exact cents, so binning is lossless): one
+    map-side-combined count, then ONE window over the ~thousands of
+    distinct values (value-vocabulary-bounded, never the event
+    stream). Outputs the AUC effect size (U/(n1·n2)) and the normal
+    z — sqrt is IEEE exact-rounded, so even the z hash-matches.
+    Ties handled by the standard 0.5 convention; no tie variance
+    correction (documented)."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    g = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        (F.col("event_type") == "purchase").alias("is_a"),
+    ).groupBy("v").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias(
+            "na"
+        ),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias(
+            "nb"
+        ),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "na",
+        "nb",
+        F.coalesce(F.sum("na").over(w), F.lit(0)).alias("cuma"),
+    )
+    s = c.agg(
+        F.sum("na").cast("long").alias("n1"),
+        F.sum("nb").cast("long").alias("n2"),
+        F.sum(F.col("nb") * (2 * F.col("cuma") + F.col("na")))
+        .cast("long")
+        .alias("u2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return s.select(
+        "n1",
+        "n2",
+        "u2",
+        F.round(d("u2") / (F.lit(2.0) * d("n1") * d("n2")), 6).alias("auc"),
+        F.round(
+            (d("u2") - d("n1") * d("n2"))
+            / (
+                F.lit(2.0)
+                * F.sqrt(d("n1") * d("n2") * (d("n1") + d("n2") + 1.0) / 12.0)
+            ),
+            6,
+        ).alias("z"),
+    )
