@@ -97,6 +97,7 @@ EXTRA = [
     "kcenter_coreset_vectors",
     "ols_price_per_brand",
     "mannwhitney_value_drift",
+    "bootstrap_ci_order_value",
 ]
 
 

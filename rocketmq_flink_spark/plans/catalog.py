@@ -7769,3 +7769,131 @@ def mannwhitney_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z"),
     )
+
+
+def _poisson_thresholds(max_k: int = 6) -> list[int]:
+    """Cumulative Poisson(1) thresholds scaled to the 60-bit hash
+    space: a uniform 60-bit hash below thresholds[k] maps to weight k
+    (the standard inverse-CDF table, frozen to integer literals so both
+    engines branch on identical constants)."""
+    import math
+
+    cum, out = 0.0, []
+    for k in range(max_k):
+        cum += math.exp(-1.0) / math.factorial(k)
+        out.append(int(cum * (1 << 60)))
+    return out
+
+
+def _bootstrap_oracle_sql(b: int = 32) -> str:
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    th = _poisson_thresholds()
+    h = hash60_sql(
+        "'boot:' || CAST(o_orderkey AS VARCHAR) || ':' || CAST(i AS VARCHAR)"
+    )
+    cases = " ".join(
+        f"WHEN hh < {t} THEN {k}" for k, t in enumerate(th)
+    )
+    return f"""
+    WITH r AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             i, {h} AS hh
+      FROM orders, unnest(range(0, {b})) AS u(i)),
+    w AS (
+      SELECT i, cents, CASE {cases} ELSE {len(th)} END AS wt FROM r),
+    m AS (
+      SELECT i,
+             ROUND(CAST(SUM(wt * cents) AS DOUBLE)
+                   / CAST(SUM(wt) AS DOUBLE) / 100.0, 6) AS mean_b
+      FROM w GROUP BY i),
+    o AS (
+      SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, i) AS rk FROM m),
+    pt AS (
+      SELECT ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE)
+                   / COUNT(*) / 100.0, 6) AS point_est,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders)
+    SELECT pt.point_est, pt.n_rows, {b} AS n_resamples,
+           (SELECT mean_b FROM o WHERE rk = 2) AS ci_lo,
+           (SELECT mean_b FROM o WHERE rk = {b - 1}) AS ci_hi
+    FROM pt
+    """
+
+
+@query("bootstrap_ci_order_value", _bootstrap_oracle_sql())
+def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean order value —
+    THE resampling technique that works at cluster scale (Chamandy et
+    al.): instead of drawing B resamples (impossible without global
+    coordination), each row contributes a Poisson(1) weight per
+    resample, drawn here from the portable 60-bit hash through a frozen
+    inverse-CDF table — fully deterministic, so the WHOLE bootstrap
+    (all 32 resample means and the CI bounds) is hash-checked by the
+    oracle. Shuffle shape: the B-way row explode is collapsed by a
+    map-side-combined groupBy(resample) before anything moves; what
+    shuffles is B partial-sum rows per map task. CI = 2nd and 31st of
+    the 32 sorted resample means (~93.75% coverage for B=32;
+    order-statistic convention documented)."""
+    from rocketmq_flink_spark.functions.porthash import hash60
+
+    B = 32
+    th = _poisson_thresholds()
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    r = orders.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("i"),
+    ).withColumn(
+        "hh",
+        hash60(
+            F.concat(
+                F.lit("boot:"),
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("i").cast("string"),
+            )
+        ),
+    )
+    wt = F.lit(len(th))
+    for k in range(len(th) - 1, -1, -1):
+        wt = F.when(F.col("hh") < th[k], F.lit(k)).otherwise(wt)
+    m = (
+        r.withColumn("wt", wt)
+        .groupBy("i")
+        .agg(
+            F.round(
+                F.sum(F.col("wt") * F.col("cents")).cast("double")
+                / F.sum("wt").cast("double")
+                / 100.0,
+                6,
+            ).alias("mean_b")
+        )
+    )
+    from pyspark.sql import Window
+
+    o = m.withColumn(
+        "rk", F.row_number().over(Window.orderBy("mean_b", "i"))
+    )
+    pt = orders.agg(
+        F.round(
+            F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0, 6
+        ).alias("point_est"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    lo = o.where(F.col("rk") == 2).select(F.col("mean_b").alias("ci_lo"))
+    hi = o.where(F.col("rk") == B - 1).select(
+        F.col("mean_b").alias("ci_hi")
+    )
+    return (
+        pt.withColumn("n_resamples", F.lit(B))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "point_est", "n_rows", "n_resamples", "ci_lo", "ci_hi"
+        )
+    )
