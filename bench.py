@@ -98,6 +98,8 @@ EXTRA = [
     "ols_price_per_brand",
     "mannwhitney_value_drift",
     "bootstrap_ci_order_value",
+    "chi2_type_by_hour",
+    "event_transition_matrix",
 ]
 
 

@@ -7897,3 +7897,139 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "point_est", "n_rows", "n_resamples", "ci_lo", "ci_hi"
         )
     )
+
+
+@query(
+    "chi2_type_by_hour",
+    """
+    WITH o AS (
+      SELECT event_type AS t, CAST(hour(ts) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2),
+    rt AS (SELECT t, CAST(SUM(obs) AS BIGINT) AS r FROM o GROUP BY t),
+    ct AS (SELECT h, CAST(SUM(obs) AS BIGINT) AS c FROM o GROUP BY h),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS nn FROM o),
+    cell AS (
+      SELECT CAST(ROUND(
+               CAST((o.obs * n.nn - rt.r * ct.c)
+                    * (o.obs * n.nn - rt.r * ct.c) AS DOUBLE)
+               / CAST(rt.r * ct.c * n.nn AS DOUBLE) * 1e9) AS BIGINT)
+             AS term_nanos
+      FROM o JOIN rt USING (t) JOIN ct USING (h) CROSS JOIN n),
+    agg AS (
+      SELECT CAST(SUM(term_nanos) AS BIGINT) AS chi2_nanos,
+             CAST(COUNT(*) AS BIGINT) AS n_cells
+      FROM cell)
+    SELECT ROUND(CAST(chi2_nanos AS DOUBLE) / 1e9, 6) AS chi2,
+           n_cells,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS n_types,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS n_hours
+    FROM agg
+    """,
+)
+def chi2_type_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test: is event type independent of
+    hour-of-day? Completes the statistical-testing trio (3-sigma
+    anomalies, Mann-Whitney, chi-squared). Each cell's
+    (O·N − r·c)²/(r·c·N) is computed once in exact BIGINT numerators,
+    quantized to integer nano-units, and summed EXACTLY — a double
+    groupBy-sum would be order-dependent in the last ulp, integer sums
+    are not, so chi2 hash-matches. Contingency table is
+    cardinality-bounded (types x hours), built from one
+    map-side-combined count."""
+    ev = load_tables(spark, sf_dir)["events"]
+    o = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.hour("ts").cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    rt = o.groupBy("t").agg(F.sum("obs").cast("long").alias("r"))
+    ct = o.groupBy("h").agg(F.sum("obs").cast("long").alias("c"))
+    n = o.agg(F.sum("obs").cast("long").alias("nn"))
+    num = F.col("obs") * F.col("nn") - F.col("r") * F.col("c")
+    cell = (
+        o.join(F.broadcast(rt), "t")
+        .join(F.broadcast(ct), "h")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.round(
+                (num * num).cast("double")
+                / (F.col("r") * F.col("c") * F.col("nn")).cast("double")
+                * 1e9
+            )
+            .cast("long")
+            .alias("term_nanos")
+        )
+    )
+    agg = cell.agg(
+        F.sum("term_nanos").cast("long").alias("chi2_nanos"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    return (
+        agg.crossJoin(
+            F.broadcast(rt.agg(F.count(F.lit(1)).alias("n_types")))
+        )
+        .crossJoin(F.broadcast(ct.agg(F.count(F.lit(1)).alias("n_hours"))))
+        .select(
+            F.round(F.col("chi2_nanos").cast("double") / 1e9, 6).alias(
+                "chi2"
+            ),
+            "n_cells",
+            "n_types",
+            "n_hours",
+        )
+    )
+
+
+@query(
+    "event_transition_matrix",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events),
+    t AS (
+      SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n
+      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    tot AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n FROM t GROUP BY 1)
+    SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+           (t.n * 1000000) // tot.row_n AS p_micros
+    FROM t JOIN tot USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey Markov transition matrix: counts and probabilities
+    (integer micro-units, floor division — no float in the estimate)
+    of moving from one event type to the next within a user's
+    time-ordered stream. One window pass keyed by user (even
+    distribution), one cardinality-bounded count — the behavioral
+    model behind funnel design and next-event prediction baselines.
+    Total order within user = (ts, event_id)."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    t = s.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("nxt").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = t.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("row_n")
+    )
+    return (
+        t.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n"),
+            F.expr("(n * 1000000) div row_n").alias("p_micros"),
+        )
+        .orderBy("from_type", "to_type")
+    )
