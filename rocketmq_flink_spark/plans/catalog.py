@@ -7613,10 +7613,10 @@ def kcenter_coreset_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT p_brand, n,
              ROUND(CAST(CAST(n AS DECIMAL(8,0)) * CAST(sxy AS DECIMAL(28,4))
-                        - CAST(sx AS DECIMAL(18,2)) * CAST(sy AS DECIMAL(18,2))
+                        - CAST(sx AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(19,2))
                         AS DOUBLE)
                    / CAST(CAST(n AS DECIMAL(8,0)) * CAST(sxx AS DECIMAL(28,4))
-                          - CAST(sx AS DECIMAL(18,2)) * CAST(sx AS DECIMAL(18,2))
+                          - CAST(sx AS DECIMAL(19,2)) * CAST(sx AS DECIMAL(19,2))
                           AS DOUBLE), 6) AS slope,
              CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
       FROM a)
@@ -7631,10 +7631,13 @@ def ols_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift slopes, per-segment elasticity) computed from the five
     sufficient statistics (n, Σx, Σy, Σxy, Σx²) in ONE map-side-
     combined pass; no iterative solver, no driver math. The slope
-    numerator/denominator are exact DECIMAL cross-terms (HUGEINT-safe
-    in the oracle); the only doubles are two identical-order casts and
-    divisions, so results hash-match. Broadcast join to the part dim
-    for the brand key."""
+    numerator/denominator are exact DECIMAL cross-terms; the only
+    doubles are two identical-order casts and divisions, so results
+    hash-match. (The oracle casts sx/sy to DECIMAL(19,2) — one digit
+    wider than Spark — because DuckDB evaluates 18x18-digit products
+    in int64 and overflows at sf0.1; width 19 forces int128. Values
+    are identical either way.) Broadcast join to the part dim for the
+    brand key."""
     t = load_tables(spark, sf_dir)
     li, part = t["lineitem"], t["part"]
     j = li.join(
