@@ -8036,3 +8036,100 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+def _pca_oracle_sql(iters: int = 6) -> str:
+    """DuckDB replay of the PCA power iteration: exact-decimal scatter
+    matrix, then one MATERIALIZED CTE block per iteration carrying the
+    quantized vector, with the same seed/sign/rounding conventions as
+    operators/linalg.py (oracle indices are 1-based internally; only
+    values reach the output)."""
+    sql = """
+    WITH x AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(CAST(embedding AS DOUBLE[]) AS DECIMAL(12,10)[]) AS v
+      FROM embeddings),
+    nn AS (SELECT COUNT(*) AS n FROM x),
+    mu AS MATERIALIZED (
+      SELECT i, CAST(ROUND(CAST(SUM(xi) AS DOUBLE) / (SELECT n FROM nn),
+                           10) AS DECIMAL(12,10)) AS m
+      FROM (SELECT v[i] AS xi, i
+            FROM x, unnest(range(1, len(v) + 1)) AS u(i))
+      GROUP BY i),
+    cent AS MATERIALIZED (
+      SELECT x.vec_id, mu.i,
+             CAST(x.v[mu.i] - mu.m AS DECIMAL(12,10)) AS c
+      FROM x, mu),
+    cells AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j,
+             CAST(SUM(CAST(a.c AS DECIMAL(19,10)) * b.c)
+                  AS DECIMAL(16,12)) AS s
+      FROM cent a JOIN cent b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2),
+    seed AS (SELECT i FROM cells WHERE i = j ORDER BY s DESC, i LIMIT 1),
+    v0 AS MATERIALIZED (
+      SELECT i AS j,
+             CAST(CASE WHEN i = (SELECT i FROM seed) THEN 1 ELSE 0 END
+                  AS DECIMAL(12,10)) AS v
+      FROM (SELECT DISTINCT i FROM cells))"""
+    for t in range(1, iters + 1):
+        p = t - 1
+        sql += f""",
+    av{t} AS MATERIALIZED (
+      SELECT c.i, CAST(SUM(CAST(c.s AS DECIMAL(19,12)) * p.v)
+                       AS DECIMAL(16,8)) AS w
+      FROM cells c JOIN v{p} p ON p.j = c.j GROUP BY c.i),
+    nr{t} AS (SELECT sqrt(CAST(SUM(CAST(w AS DECIMAL(19,8)) * w)
+                           AS DOUBLE)) AS nrm FROM av{t}),
+    v{t} AS MATERIALIZED (
+      SELECT i AS j,
+             CAST(ROUND(CAST(w AS DOUBLE) / (SELECT nrm FROM nr{t}), 10)
+                  AS DECIMAL(12,10)) AS v
+      FROM av{t})"""
+    T_ = iters
+    return sql + f""",
+    pv AS (
+      SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sgn
+      FROM v{T_} ORDER BY abs(v) DESC, j LIMIT 1),
+    vc AS MATERIALIZED (
+      SELECT j, CAST(v * (SELECT sgn FROM pv) AS DECIMAL(12,10)) AS v
+      FROM v{T_}),
+    sv AS (
+      SELECT c.i, CAST(SUM(CAST(c.s AS DECIMAL(19,12)) * w.v)
+                       AS DECIMAL(16,8)) AS svi
+      FROM cells c JOIN vc w ON w.j = c.j GROUP BY c.i),
+    num AS (
+      SELECT SUM(CAST(s.svi AS DECIMAL(19,8)) * w.v) AS vsv
+      FROM sv s JOIN vc w ON w.j = s.i),
+    den AS (SELECT SUM(CAST(v AS DECIMAL(19,10)) * v) AS vv FROM vc),
+    tr AS (SELECT SUM(s) AS trace FROM cells WHERE i = j)
+    SELECT ROUND(CAST(vsv AS DOUBLE) / CAST(vv AS DOUBLE), 6) AS lambda1,
+           ROUND(CAST(trace AS DOUBLE), 6) AS trace,
+           ROUND((CAST(vsv AS DOUBLE) / CAST(vv AS DOUBLE))
+                 / CAST(trace AS DOUBLE), 6) AS explained_ratio,
+           {iters} AS n_iters,
+           (SELECT ROUND(CAST(v AS DOUBLE), 6) FROM vc WHERE j = 1) AS v0,
+           (SELECT ROUND(CAST(v AS DOUBLE), 6) FROM vc WHERE j = 2) AS v1,
+           (SELECT ROUND(CAST(v AS DOUBLE), 6) FROM vc WHERE j = 3) AS v2,
+           (SELECT ROUND(CAST(v AS DOUBLE), 6) FROM vc WHERE j = 4) AS v3
+    FROM num, den, tr
+    """
+
+
+@query("pca_top_component_embeddings", _pca_oracle_sql(iters=6))
+def pca_top_component_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (top principal component by power iteration) —
+    the embedding-space health check / whitening prerequisite. The
+    scatter matrix is ONE map-side-combined aggregation over dim^2
+    per-row products (the only data-sized work); six power steps are
+    dim^2 x dim joins over the model-sized cell table. Every sum is an
+    exact DECIMAL with budgeted scales (textbook float PCA is
+    partition-order-dependent), the vector re-quantizes to
+    DECIMAL(12,10) each step, and the only floating point is IEEE
+    sqrt + fixed-order double division — so eigenvalue, explained
+    ratio, AND eigenvector components hash-match the staged SQL
+    replay. Scale notes: operators/linalg.py."""
+    from rocketmq_flink_spark.operators.linalg import pca_top_component
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return pca_top_component(emb, iters=6)
