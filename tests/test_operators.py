@@ -1843,3 +1843,29 @@ def test_kcenter_coreset_matches_python_reference(spark):
     # radius curve is non-increasing after the seed
     radii = [g[2] for g in got][1:]
     assert radii == sorted(radii, reverse=True)
+
+
+def test_pca_power_iteration_matches_numpy(spark):
+    import numpy as np
+
+    from rocketmq_flink_spark.operators.linalg import pca_top_component
+
+    # anisotropic cloud with a dominant direction along (3,1)/|.|
+    rows = []
+    for i in range(60):
+        t = (i - 30) / 10.0
+        rows.append((i, [3.0 * t + 0.05 * ((i * 7) % 5 - 2),
+                         1.0 * t + 0.04 * ((i * 11) % 7 - 3)]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = pca_top_component(df, vec_col="embedding", iters=8).collect()[0]
+
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    xc = x - x.mean(axis=0)
+    s = xc.T @ xc
+    w, vecs = np.linalg.eigh(s)
+    lam, vec = w[-1], vecs[:, -1]
+    if vec[np.argmax(np.abs(vec))] < 0:
+        vec = -vec
+    assert abs(got["lambda1"] - lam) / lam < 1e-3
+    assert abs(got["explained_ratio"] - lam / np.trace(s)) < 1e-3
+    assert abs(got["v0"] - vec[0]) < 1e-3 and abs(got["v1"] - vec[1]) < 1e-3
