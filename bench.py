@@ -100,6 +100,7 @@ EXTRA = [
     "bootstrap_ci_order_value",
     "chi2_type_by_hour",
     "event_transition_matrix",
+    "cusum_changepoint_events",
 ]
 
 

@@ -8133,3 +8133,89 @@ def pca_top_component_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     return pca_top_component(emb, iters=6)
+
+
+@query(
+    "cusum_changepoint_events",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    st AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS t
+      FROM h GROUP BY 1),
+    p AS (
+      SELECT h.event_type, h.hr,
+             SUM(h.x * st.n - st.t) OVER (PARTITION BY h.event_type
+               ORDER BY h.hr ROWS UNBOUNDED PRECEDING) AS pref,
+             st.n
+      FROM h JOIN st USING (event_type)),
+    q AS (
+      SELECT *, MIN(pref) OVER (PARTITION BY event_type ORDER BY hr
+               ROWS UNBOUNDED PRECEDING) AS minpref
+      FROM p),
+    s AS (
+      SELECT event_type, hr, CAST(pref - minpref AS BIGINT) AS drift, n
+      FROM q),
+    best AS (
+      SELECT event_type, epoch_us(hr) AS changepoint_hr_us,
+             drift AS max_drift_scaled, n
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY drift DESC, hr) AS rk FROM s)
+      WHERE rk = 1)
+    SELECT event_type, changepoint_hr_us, max_drift_scaled,
+           CAST(n AS BIGINT) AS n_hours
+    FROM best ORDER BY event_type
+    """,
+)
+def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: the hour where the
+    cumulative drift of hourly counts away from the mean peaks — the
+    classic sequential shift detector, in CLOSED FORM: the recursive
+    S_t = max(0, S_{t-1} + (x_t - mean)) equals prefix_t - min(prefix
+    up to t), so two stacked windows replace the recurrence (no UDF,
+    no iteration). All arithmetic is mean-cleared by cross-
+    multiplication (x·n - T), so drift values are exact BIGINTs and
+    the argmax is deterministic (ties to the earliest hour). Windows
+    are bounded by hours-per-type, never event rows."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    st = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("t")
+    )
+    j = h.join(F.broadcast(st), "event_type").select(
+        "event_type", "hr", (F.col("x") * F.col("n") - F.col("t")).alias("r"),
+        "n",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = j.withColumn("pref", F.sum("r").over(w)).withColumn(
+        "minpref", F.min("pref").over(w)
+    )
+    s = p.select(
+        "event_type",
+        "hr",
+        (F.col("pref") - F.col("minpref")).cast("long").alias("drift"),
+        "n",
+    )
+    rk = Window.partitionBy("event_type").orderBy(F.desc("drift"), "hr")
+    return (
+        s.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.unix_micros("hr").alias("changepoint_hr_us"),
+            F.col("drift").alias("max_drift_scaled"),
+            F.col("n").cast("long").alias("n_hours"),
+        )
+        .orderBy("event_type")
+    )
