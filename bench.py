@@ -101,6 +101,7 @@ EXTRA = [
     "chi2_type_by_hour",
     "event_transition_matrix",
     "cusum_changepoint_events",
+    "abtest_conversion_ztest",
 ]
 
 

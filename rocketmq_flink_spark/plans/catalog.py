@@ -8219,3 +8219,105 @@ def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _abtest_oracle_sql() -> str:
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    h = hash60_sql("'ab:' || CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH u AS (
+      SELECT user_id, ({h}) % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS c
+      FROM u GROUP BY arm),
+    w AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+             MAX(CASE WHEN arm = 0 THEN c END) AS c_a,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+             MAX(CASE WHEN arm = 1 THEN c END) AS c_b
+      FROM s)
+    SELECT n_a, c_a, n_b, c_b,
+           ROUND(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           ROUND(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0.0
+           ELSE
+           ROUND((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / sqrt((CAST(c_a + c_b AS DOUBLE)
+                         / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 - CAST(c_a + c_b AS DOUBLE)
+                           / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / CAST(n_a AS DOUBLE)
+                           + 1.0 / CAST(n_b AS DOUBLE))), 6)
+           END AS z
+    FROM w
+    """
+
+
+@query("abtest_conversion_ztest", _abtest_oracle_sql())
+def abtest_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout: users are deterministically hash-split
+    into two arms (the portable 60-bit hash mod 2 — the same
+    reproducible bucketing a real experiment platform uses), per-arm
+    conversion (any purchase) is counted exactly, and the two-
+    proportion pooled z-statistic is computed in fixed-order doubles
+    (sqrt is IEEE exact-rounded, so z hash-matches). On the fixture
+    the split is null — the |z| < 2 readout is itself the correct
+    A/A-test result, proving the bucketing doesn't bias. One user-
+    keyed aggregation + a 2-row pivot; nothing user-level leaves the
+    shuffle stage."""
+    from rocketmq_flink_spark.functions.porthash import hash60
+
+    ev = load_tables(spark, sf_dir)["events"]
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (
+            hash60(F.concat(F.lit("ab:"), F.col("user_id").cast("string")))
+            % 2
+        ).alias("arm"),
+        "converted",
+    )
+    s = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").cast("long").alias("c")
+    )
+    w = s.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("c"))).alias("c_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("c"))).alias("c_b"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pool = (d("c_a") + d("c_b")) / (d("n_a") + d("n_b"))
+    return w.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(d("c_a") / d("n_a"), 6).alias("rate_a"),
+        F.round(d("c_b") / d("n_b"), 6).alias("rate_b"),
+        F.when(
+            (F.col("c_a") + F.col("c_b") == 0)
+            | (F.col("c_a") + F.col("c_b") == F.col("n_a") + F.col("n_b")),
+            F.lit(0.0),
+        )
+        .otherwise(
+            F.round(
+                (d("c_a") / d("n_a") - d("c_b") / d("n_b"))
+                / F.sqrt(
+                    pool
+                    * (F.lit(1.0) - pool)
+                    * (F.lit(1.0) / d("n_a") + F.lit(1.0) / d("n_b"))
+                ),
+                6,
+            )
+        )
+        .alias("z"),
+    )
