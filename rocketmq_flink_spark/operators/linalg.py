@@ -178,3 +178,95 @@ def pca_top_component(
             F.round(F.col("3").cast("double"), 6).alias("v3"),
         )
     )
+
+
+def pca_projection_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 6,
+    k: int = 10,
+) -> DataFrame:
+    """Embedding outlier report: the k vectors with the largest
+    |projection| onto the top principal component — the cheap
+    first-line anomaly filter for corrupt/degenerate embeddings (a
+    vector far out along the dominant axis of variation). Reuses the
+    exact-decimal scatter/power machinery; the per-row score is an
+    exact decimal dot product of the centered vector with the
+    quantized, sign-canonicalized eigenvector (model-sized literals),
+    so scores and ranking are bit-reproducible. One data pass beyond
+    training."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    cells, mu = scatter_matrix(df, vec_col)
+    cells = cells.localCheckpoint()
+    seed = (
+        cells.where(F.col("i") == F.col("j"))
+        .orderBy(F.desc("s"), "i")
+        .limit(1)
+        .collect()[0]["i"]
+    )
+    dim = cells.agg(F.max("i")).collect()[0][0] + 1
+    v = spark.createDataFrame(
+        [(j, "1" if j == seed else "0") for j in range(dim)],
+        "j INT, vs STRING",
+    ).select("j", F.col("vs").cast(D1610).alias("v"))
+    for _ in range(iters):
+        av = (
+            cells.join(v, cells["j"] == v["j"])
+            .groupBy("i")
+            .agg(F.sum(F.col("s") * F.col("v")).alias("raw"))
+            .select("i", F.col("raw").cast(T.DecimalType(16, 8)).alias("w"))
+        )
+        norm2 = av.agg(F.sum(F.col("w") * F.col("w")).alias("n2")).select(
+            F.sqrt(F.col("n2").cast("double")).alias("nrm")
+        )
+        v = (
+            av.crossJoin(F.broadcast(norm2)).select(
+                F.col("i").alias("j"),
+                F.round(F.col("w").cast("double") / F.col("nrm"), 10)
+                .cast(D1610)
+                .alias("v"),
+            )
+        ).localCheckpoint()
+    rows = sorted(
+        v.collect(), key=lambda r: (-abs(r["v"]), r["j"])
+    )
+    sgn = -1 if rows[0]["v"] < 0 else 1
+    vs = {r["j"]: r["v"] * sgn for r in v.collect()}
+    mu_rows = {r["i"]: r["m"] for r in mu.collect()}
+    v_arr = F.array(*[F.lit(str(vs[j])).cast(D1610) for j in range(dim)])
+    mu_arr = F.array(
+        *[F.lit(str(mu_rows[i])).cast(D1610) for i in range(dim)]
+    )
+    acc_t = T.DecimalType(38, 20)
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>").cast("array<decimal(12,10)>"),
+        mu_arr,
+        lambda a, b: (a - b).cast(D1610),
+    )
+    score = F.aggregate(
+        F.zip_with(centered, v_arr, lambda a, b: (a * b).cast(acc_t)),
+        F.lit(0).cast(acc_t),
+        lambda acc, x: (acc + x).cast(acc_t),
+    )
+    # TakeOrdered top-k (never a global row_number window over the
+    # corpus); rank is attached to the k-row result afterwards
+    top = (
+        df.select(F.col(id_col).alias("vid"), score.alias("sc"))
+        .orderBy(
+            F.round(F.abs(F.col("sc")).cast("double"), 12).desc(),
+            F.col("vid"),
+        )
+        .limit(k)
+    )
+    w = Window.orderBy(
+        F.round(F.abs(F.col("sc")).cast("double"), 12).desc(),
+        F.col("vid"),
+    )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("vid").alias(id_col),
+        F.round(F.col("sc").cast("double"), 6).alias("score"),
+        "rank",
+    )

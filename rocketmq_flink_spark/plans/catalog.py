@@ -8038,12 +8038,10 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pca_oracle_sql(iters: int = 6) -> str:
-    """DuckDB replay of the PCA power iteration: exact-decimal scatter
-    matrix, then one MATERIALIZED CTE block per iteration carrying the
-    quantized vector, with the same seed/sign/rounding conventions as
-    operators/linalg.py (oracle indices are 1-based internally; only
-    values reach the output)."""
+def _pca_stages_sql(iters: int = 6) -> str:
+    """Shared DuckDB CTE chain replaying the PCA power iteration up to
+    the canonicalized vector `vc` (same seed/sign/rounding conventions
+    as operators/linalg.py; 1-based indices internally)."""
     sql = """
     WITH x AS MATERIALIZED (
       SELECT vec_id,
@@ -8093,7 +8091,12 @@ def _pca_oracle_sql(iters: int = 6) -> str:
       FROM v{T_} ORDER BY abs(v) DESC, j LIMIT 1),
     vc AS MATERIALIZED (
       SELECT j, CAST(v * (SELECT sgn FROM pv) AS DECIMAL(12,10)) AS v
-      FROM v{T_}),
+      FROM v{T_})"""
+
+
+def _pca_oracle_sql(iters: int = 6) -> str:
+    """DuckDB replay of the full PCA top-component report."""
+    return _pca_stages_sql(iters) + f""",
     sv AS (
       SELECT c.i, CAST(SUM(CAST(c.s AS DECIMAL(19,12)) * w.v)
                        AS DECIMAL(16,8)) AS svi
@@ -8321,3 +8324,38 @@ def abtest_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("z"),
     )
+
+
+def _pca_outliers_oracle_sql(iters: int = 6, k: int = 10) -> str:
+    """DuckDB replay: shared PCA stage chain + exact-decimal projection
+    of every centered vector onto the canonicalized component."""
+    return _pca_stages_sql(iters) + f""",
+    proj AS (
+      SELECT c.vec_id,
+             SUM(CAST(c.c AS DECIMAL(19,10)) * w.v) AS sc
+      FROM cent c JOIN vc w ON w.j = c.i GROUP BY c.vec_id)
+    SELECT vec_id, ROUND(CAST(sc AS DOUBLE), 6) AS score,
+           ROW_NUMBER() OVER (
+             ORDER BY ROUND(CAST(abs(sc) AS DOUBLE), 12) DESC, vec_id)
+             AS rank
+    FROM proj
+    ORDER BY ROUND(CAST(abs(sc) AS DOUBLE), 12) DESC, vec_id
+    LIMIT {k}
+    """
+
+
+@query("pca_projection_outliers", _pca_outliers_oracle_sql())
+def pca_projection_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding anomaly report: the 10 vectors furthest out along the
+    corpus's top principal component — the cheap first-line filter for
+    corrupt/degenerate embeddings. The projection is an exact decimal
+    dot product of each centered vector with the trained,
+    sign-canonicalized eigenvector (model-sized literal), ranked by
+    TakeOrdered — never a global window over the corpus. The oracle
+    replays training AND scoring. Scale notes: operators/linalg.py."""
+    from rocketmq_flink_spark.operators.linalg import (
+        pca_projection_outliers as _po,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return _po(emb, iters=6, k=10)
