@@ -36,12 +36,14 @@ DELETION_VARIANTS_SQL_TAIL = (
 
 
 def edit_distance_pairs(
-    df: DataFrame, key_col: str, min_len: int = 1
+    df: DataFrame, key_col: str, min_len: int = 0
 ) -> DataFrame:
-    """All unordered pairs of DISTINCT values of key_col within
-    Levenshtein distance 1, as (a, b, dist) with a < b. One variant
-    explode + one equi-join on the variant + one dedup + exact verify —
-    no cross join anywhere in the plan."""
+    """All unordered pairs of DISTINCT non-null values of key_col
+    within Levenshtein distance 1, as (a, b, dist) with a < b. One
+    variant explode + one equi-join on the variant + one dedup + exact
+    verify — no cross join anywhere in the plan. The empty string
+    participates (its identity variant joins any 1-char string's
+    deletion variant); pass min_len > 0 to exclude short keys."""
     from rocketmq_flink_spark.session import spread_for_compute
 
     # spread: the variant explode and the downstream join/verify are
@@ -50,7 +52,7 @@ def edit_distance_pairs(
     # pipeline on one core (measured 8.3 s at sf0.1 before spreading).
     vals = spread_for_compute(
         df.select(F.col(key_col).alias("s"))
-        .where(F.length("s") >= min_len)
+        .where(F.col(key_col).isNotNull() & (F.length("s") >= min_len))
         .distinct()
     )
     # Deletion variants TAGGED with their deletion index. Position
@@ -70,13 +72,16 @@ def edit_distance_pairs(
     # (identity-vs-deletion, either side) and substitution pairs
     # (same index) come out of the same hash probe; the index rule is
     # a residual integer predicate evaluated before any string work.
+    # length-0 guard: Spark's sequence(1, 0) is DESCENDING ([1, 0]),
+    # so the empty string must take the identity-only branch.
     var = vals.select(
         "s",
         F.posexplode(
             F.expr(
-                "concat(array(s), "
+                "CASE WHEN length(s) = 0 THEN array(s)"
+                " ELSE concat(array(s), "
                 + DELETION_VARIANTS_SQL_TAIL.format(col="s")
-                + ")"
+                + ") END"
             )
         ).alias("i", "vr"),
     ).select("s", "i", F.xxhash64("vr").alias("vh"))

@@ -1,78 +1,121 @@
-"""Distributed linear algebra on DataFrames: the PCA power iteration.
+"""Distributed linear algebra on DataFrames: PCA power iteration in
+PURE INTEGER arithmetic.
 
 Embedding pipelines whiten / reduce / health-check their vector spaces
-with the top principal component(s); at cluster scale the scatter
-matrix is a map-side-combined aggregation and the power iteration is a
-sequence of (dim^2 x dim)-sized joins — data-sized work happens exactly
-once, in the scatter pass.
+with the top principal component(s); at cluster scale the covariance
+matrix is ONE map-side-combined aggregation (the only data-sized work)
+and the power iteration is model-sized (dim^2 cells).
 
-Exactness design (what makes this oracle-checkable when textbook PCA is
-float-order-dependent):
-- the mean vector and the scatter matrix S = sum (x-mu)(x-mu)^T are
-  exact DECIMAL sums (order-independent), with every scale budgeted so
-  Spark's 38-digit cap is never hit: cells quantize to DECIMAL(16,12);
-- each power step A.v runs in decimal — products (16,12)x(12,10), an
-  exact (38,22) sum — then the new vector is re-quantized to
-  DECIMAL(12,10) after dividing by its norm;
-- the ONLY floating point is sqrt (IEEE exact-rounded) and fixed-order
-  double divisions, so both engines produce bit-identical vectors at
-  every iteration;
-- deterministic start: the coordinate basis vector of the
-  highest-variance dimension (argmax of diag(S), ties to the lowest
-  index) — no RNG;
-- sign canonicalization: the component with the largest |value|
-  (ties to the lowest index) is made positive.
+Exactness design — this operator contains NO floating point and NO
+decimal scale-reduction casts anywhere. Both were removed after round-4
+cross-engine findings:
+  * `ROUND(double, k)` disagrees between engines in the last ulp
+    (Spark rounds the shortest-string repr half-up; DuckDB rounds the
+    binary value), so any double in the chain eventually breaks a hash
+    gate;
+  * decimal DOWNCASTS disagree too: Spark rounds HALF_UP, DuckDB 1.0
+    TRUNCATES toward zero (verified: CAST(1.9999999999995 AS
+    DECIMAL(16,12)) -> 2.000000000000 vs 1.999999999999). A power
+    iteration self-corrects mid-chain divergence (which is why earlier
+    rounds stayed green), but the Rayleigh quotient surfaces it.
 
-The eigenvalue is the Rayleigh quotient v^T S v / v^T v of the final
-quantized vector; explained_ratio = lambda / trace(S) (the 1/(n-1)
-normalizations cancel).
+Instead every quantity is an exact INTEGER in fixed tick units, and
+every rounding is explicit rational arithmetic, identical by
+construction in Python, Spark SQL, and DuckDB SQL:
+
+    half_up(u / d)  =  sign(u) * ((2*|u| + d) // (2*d))
+    trunc (u / d)   =  sign(u) * (|u| // d)
+
+Pipeline (ticks in parentheses):
+  - inputs land on the DECIMAL(12,10) grid via the engine-stable floor
+    formula (functions/quant.py), i.e. integer ticks of 1e-10;
+  - mean:      mu_i  = half_up(sum_ticks / n)                 (1e-10)
+  - centered:  c_i   = x_i - mu_i                             (1e-10)
+  - covariance cells: s_ij = half_up(sum(c_i c_j) / (n*1e8))  (1e-12)
+    — normalizing by n INSIDE the cell keeps |s| < max|x|^2 at ANY
+    row count (a raw scatter sum grows with n and would overflow its
+    type past ~1e4 unit-variance rows);
+  - power step: raw_i = sum_j s_ij v_j                        (1e-22)
+                v_i   = half_up(raw_i * 1e10 / max|raw|)      (1e-10)
+    — max-norm instead of L2-norm: no sqrt, same fixed point
+    direction, and the Rayleigh quotient is normalization-invariant;
+  - Rayleigh:  t_i  = trunc(sum_j s_ij v_j / 1e6)             (1e-16)
+               vsv  = sum t_i v_i                             (1e-26)
+               den  = sum v_i^2                               (1e-20)
+               lambda1 = half_up(vsv / den) ticks of          (1e-6)
+  - outputs are integer 1e-6 ticks cast to DOUBLE and divided by 1e6 —
+    both exact IEEE ops, bit-identical everywhere.
+
+The model-sized iteration runs driver-side on the collected dim^2
+cells (the same driver-sync class as any centroid/seed collect); the
+DuckDB oracle replays the identical integer recurrence in staged
+HUGEINT CTEs. int128 bounds for the SQL replay: dim * max|cov| must
+stay under ~8.5e5 (dim<=85 at the DECIMAL(16,12) cell-type cap, far
+wider for unit-scale embeddings); the Python side is unbounded.
+
+lambda1 is the covariance eigenvalue; explained_ratio = lambda1/trace
+(identical to the scatter-matrix ratio — 1/n cancels).
 """
 
 from __future__ import annotations
 
+import decimal
+from decimal import Decimal
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-D1610 = T.DecimalType(12, 10)
-DCELL = T.DecimalType(16, 12)
+D10 = "decimal(12,10)"
 
 
-def scatter_matrix(
+def _half_up(u: int, d: int) -> int:
+    q = (2 * abs(u) + d) // (2 * d)
+    return q if u >= 0 else -q
+
+
+def _trunc(u: int, d: int) -> int:
+    q = abs(u) // d
+    return q if u >= 0 else -q
+
+
+def exact_moments(
     df: DataFrame, vec_col: str = "embedding"
-) -> tuple[DataFrame, DataFrame]:
-    """(S, mu): exact-decimal scatter matrix cells (i, j, s) and the
-    mean vector (i, m). One pass for the mean, one explode pass of
-    dim^2 products per row (map-side combined to dim^2 cells)."""
-    x = df.select(
-        F.col(vec_col)
-        .cast("array<double>")
-        .cast("array<decimal(12,10)>")
-        .alias("v")
-    )
+) -> tuple[int, int, dict[int, int], dict[tuple[int, int], int]]:
+    """The distributed passes: (n, dim, mu ticks 1e-10, covariance
+    cells ticks 1e-12), all exact integers.
+
+    Pass 1 sums each coordinate (exact decimal scale 10); pass 2
+    explodes dim^2 centered products per row, map-side combined to
+    dim^2 exact sums. Only these touch data; everything after is
+    model-sized."""
+    from rocketmq_flink_spark.functions.quant import dec10_array
+
+    x = df.select(dec10_array(F.col(vec_col)).alias("v"))
     n = x.count()
-    # the mean must come from an EXACT decimal sum — a double sum is
-    # partition-order-dependent in the last ulp
-    mu = (
+    sums = (
         x.select(F.posexplode("v").alias("i", "xi"))
         .groupBy("i")
-        .agg(
-            F.round(F.sum("xi").cast("double") / F.lit(n), 10)
-            .cast(D1610)
-            .alias("m")
-        )
+        .agg(F.sum("xi").alias("sx"))  # exact decimal, scale 10
     )
-    mu_rows = {r["i"]: r["m"] for r in mu.collect()}
-    dim = len(mu_rows)
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        mu = {
+            r["i"]: _half_up(int(Decimal(r["sx"]).scaleb(10)), n)
+            for r in sums.collect()
+        }
+    dim = len(mu)
     mu_arr = F.array(
-        *[F.lit(str(mu_rows[i])).cast(D1610) for i in range(dim)]
+        *[
+            F.lit(str(Decimal(mu[i]).scaleb(-10))).cast(D10)
+            for i in range(dim)
+        ]
     )
     centered = x.select(
         F.zip_with(
-            F.col("v"), mu_arr, lambda a, b: (a - b).cast(D1610)
+            F.col("v"), mu_arr, lambda a, b: (a - b).cast(D10)
         ).alias("c")
     )
-    cells = (
+    raw = (
         centered.select(
             F.explode(
                 F.expr(
@@ -83,100 +126,111 @@ def scatter_matrix(
             ).alias("e")
         )
         .groupBy("e.i", "e.j")
-        .agg(F.sum("e.p").cast(DCELL).alias("s"))
+        .agg(F.sum("e.p").alias("p"))  # exact decimal, scale 20
     )
-    return cells, mu
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        cells = {
+            (r["i"], r["j"]): _half_up(
+                int(Decimal(r["p"]).scaleb(20)), n * 10**8
+            )
+            for r in raw.collect()
+        }
+    return n, dim, mu, cells
+
+
+def _power_iteration(
+    cells: dict[tuple[int, int], int], dim: int, iters: int
+) -> tuple[list[int], int]:
+    """Integer power iteration; returns (v ticks 1e-10, iters run).
+    Seed = basis vector of the max-variance dimension (ties lowest)."""
+    seed = max(range(dim), key=lambda i: (cells.get((i, i), 0), -i))
+    v = [10**10 if j == seed else 0 for j in range(dim)]
+    for _ in range(iters):
+        raw = [
+            sum(cells.get((i, j), 0) * v[j] for j in range(dim))
+            for i in range(dim)
+        ]
+        wmax = max(abs(r) for r in raw)
+        if wmax == 0:
+            break
+        v = [_half_up(r * 10**10, wmax) for r in raw]
+    # sign canonicalization: largest |component| (ties lowest j) > 0
+    pivot = max(range(dim), key=lambda j: (abs(v[j]), -j))
+    if v[pivot] < 0:
+        v = [-x for x in v]
+    return v, iters
+
+
+def pca_train(
+    df: DataFrame, vec_col: str = "embedding", iters: int = 6
+) -> dict:
+    """Shared trainer: exact moments + integer power iteration +
+    integer Rayleigh quotient. Returns a dict of integer results
+    (ticks noted per field)."""
+    n, dim, mu, cells = exact_moments(df, vec_col)
+    v, _ = _power_iteration(cells, dim, iters)
+    t = [
+        _trunc(
+            sum(cells.get((i, j), 0) * v[j] for j in range(dim)), 10**6
+        )
+        for i in range(dim)
+    ]
+    vsv = sum(t[i] * v[i] for i in range(dim))  # ticks 1e-26
+    den = sum(x * x for x in v)  # ticks 1e-20
+    tr = sum(cells.get((i, i), 0) for i in range(dim))  # ticks 1e-12
+    lam6 = _half_up(vsv, den) if den else 0  # ticks 1e-6
+    tr6 = _half_up(tr, 10**6)  # ticks 1e-6
+    exp6 = _half_up(lam6 * 10**12, tr) if tr else 0  # ticks 1e-6
+    return {
+        "n": n,
+        "dim": dim,
+        "mu": mu,
+        "cells": cells,
+        "v": v,
+        "lam6": lam6,
+        "tr6": tr6,
+        "exp6": exp6,
+    }
 
 
 def pca_top_component(
     df: DataFrame, vec_col: str = "embedding", iters: int = 6
 ) -> DataFrame:
-    """Top principal component by power iteration over the exact
-    scatter matrix. Returns one row: (lambda1, trace, explained_ratio,
-    n_iters) plus the first four canonicalized eigenvector components
-    (v0..v3), everything rounded to 6 dp for output."""
-    spark = df.sparkSession
-    cells, _mu = scatter_matrix(df, vec_col)
-    cells = cells.localCheckpoint()  # S is dim^2 rows — model-sized
-    # deterministic start: basis vector of the max-variance dimension
-    seed = (
-        cells.where(F.col("i") == F.col("j"))
-        .orderBy(F.desc("s"), "i")
-        .limit(1)
-        .collect()[0]["i"]
-    )
-    dim = cells.agg(F.max("i")).collect()[0][0] + 1
-    v = spark.createDataFrame(
-        [(j, "1" if j == seed else "0") for j in range(dim)],
-        "j INT, vs STRING",
-    ).select("j", F.col("vs").cast(D1610).alias("v"))
-    for _ in range(iters):
-        av = (
-            cells.join(v, cells["j"] == v["j"])
-            .groupBy("i")
-            .agg(F.sum(F.col("s") * F.col("v")).alias("raw"))
-            .select("i", F.col("raw").cast(T.DecimalType(16, 8)).alias("w"))
+    """Top principal component of the covariance matrix by integer
+    power iteration. One row: (lambda1, trace, explained_ratio,
+    n_iters, v0..v3), every value an exact 1e-6 tick rendered as
+    DOUBLE (integer-to-double conversion and /1e6 are exact IEEE —
+    no engine-dependent rounding anywhere)."""
+    m = pca_train(df, vec_col, iters)
+    v6 = [_half_up(x, 10**4) for x in m["v"][:4]]  # 1e-10 -> 1e-6
+    row = [
+        (
+            m["lam6"],
+            m["tr6"],
+            m["exp6"],
+            iters,
+            v6[0] if len(v6) > 0 else 0,
+            v6[1] if len(v6) > 1 else 0,
+            v6[2] if len(v6) > 2 else 0,
+            v6[3] if len(v6) > 3 else 0,
         )
-        norm2 = av.agg(
-            F.sum(F.col("w") * F.col("w")).alias("n2")
-        ).select(F.sqrt(F.col("n2").cast("double")).alias("nrm"))
-        v = (
-            av.crossJoin(F.broadcast(norm2))
-            .select(
-                F.col("i").alias("j"),
-                F.round(
-                    F.col("w").cast("double") / F.col("nrm"), 10
-                ).cast(D1610).alias("v"),
-            )
-        ).localCheckpoint()
-    # sign canonicalization + Rayleigh quotient
-    pivot = (
-        v.orderBy(F.abs(F.col("v")).desc(), "j").limit(1)
-        .select(F.when(F.col("v") < 0, -1).otherwise(1).alias("sgn"))
+    ]
+    t6 = (
+        "lam6 LONG, tr6 LONG, exp6 LONG, n_iters INT, "
+        "w0 LONG, w1 LONG, w2 LONG, w3 LONG"
     )
-    v = v.crossJoin(F.broadcast(pivot)).select(
-        "j", (F.col("v") * F.col("sgn")).cast(D1610).alias("v")
-    )
-    sv = (
-        cells.join(v.select(F.col("j"), F.col("v").alias("vj")), "j")
-        .groupBy("i")
-        .agg(
-            F.sum(F.col("s") * F.col("vj"))
-            .cast(T.DecimalType(16, 8))
-            .alias("svi")
-        )
-    )
-    num = (
-        sv.join(v.select(F.col("j").alias("i"), F.col("v").alias("vi")), "i")
-        .agg(F.sum(F.col("svi") * F.col("vi")).alias("vsv"))
-    )
-    den = v.agg(F.sum(F.col("v") * F.col("v")).alias("vv"))
-    tr = cells.where(F.col("i") == F.col("j")).agg(
-        F.sum("s").alias("trace")
-    )
-    comps = v.where(F.col("j") < 4).groupBy().pivot("j", [0, 1, 2, 3]).agg(
-        F.first("v")
-    )
-    d = lambda c: F.col(c).cast("double")  # noqa: E731
-    return (
-        num.crossJoin(F.broadcast(den))
-        .crossJoin(F.broadcast(tr))
-        .select(
-            F.round(d("vsv") / d("vv"), 6).alias("lambda1"),
-            F.round(d("trace"), 6).alias("trace"),
-            F.round((d("vsv") / d("vv")) / d("trace"), 6).alias(
-                "explained_ratio"
-            ),
-            F.lit(iters).alias("n_iters"),
-        )
-        .crossJoin(F.broadcast(comps))
-        .select(
-            "lambda1", "trace", "explained_ratio", "n_iters",
-            F.round(F.col("0").cast("double"), 6).alias("v0"),
-            F.round(F.col("1").cast("double"), 6).alias("v1"),
-            F.round(F.col("2").cast("double"), 6).alias("v2"),
-            F.round(F.col("3").cast("double"), 6).alias("v3"),
-        )
+    out = df.sparkSession.createDataFrame(row, t6)
+    tick = lambda c: (F.col(c).cast("double") / F.lit(1e6))  # noqa: E731
+    return out.select(
+        tick("lam6").alias("lambda1"),
+        tick("tr6").alias("trace"),
+        tick("exp6").alias("explained_ratio"),
+        F.col("n_iters"),
+        tick("w0").alias("v0"),
+        tick("w1").alias("v1"),
+        tick("w2").alias("v2"),
+        tick("w3").alias("v3"),
     )
 
 
@@ -189,84 +243,62 @@ def pca_projection_outliers(
 ) -> DataFrame:
     """Embedding outlier report: the k vectors with the largest
     |projection| onto the top principal component — the cheap
-    first-line anomaly filter for corrupt/degenerate embeddings (a
-    vector far out along the dominant axis of variation). Reuses the
-    exact-decimal scatter/power machinery; the per-row score is an
-    exact decimal dot product of the centered vector with the
-    quantized, sign-canonicalized eigenvector (model-sized literals),
-    so scores and ranking are bit-reproducible. One data pass beyond
-    training."""
+    first-line anomaly filter for corrupt/degenerate embeddings.
+
+    The per-row score is an exact INTEGER dot product: centered ticks
+    (1e-10, from the model-sized mean literal) times eigenvector ticks
+    (1e-10), accumulated in DECIMAL(38,0) — ticks of 1e-20, exact at
+    any dim < 1e14. Ranking compares those integers directly (no
+    rounding in the ORDER BY at all); the reported score is the 1e-6
+    half-up tick as DOUBLE. One data pass beyond training, TakeOrdered
+    top-k — never a global window over the corpus."""
     from pyspark.sql import Window
 
-    spark = df.sparkSession
-    cells, mu = scatter_matrix(df, vec_col)
-    cells = cells.localCheckpoint()
-    seed = (
-        cells.where(F.col("i") == F.col("j"))
-        .orderBy(F.desc("s"), "i")
-        .limit(1)
-        .collect()[0]["i"]
-    )
-    dim = cells.agg(F.max("i")).collect()[0][0] + 1
-    v = spark.createDataFrame(
-        [(j, "1" if j == seed else "0") for j in range(dim)],
-        "j INT, vs STRING",
-    ).select("j", F.col("vs").cast(D1610).alias("v"))
-    for _ in range(iters):
-        av = (
-            cells.join(v, cells["j"] == v["j"])
-            .groupBy("i")
-            .agg(F.sum(F.col("s") * F.col("v")).alias("raw"))
-            .select("i", F.col("raw").cast(T.DecimalType(16, 8)).alias("w"))
-        )
-        norm2 = av.agg(F.sum(F.col("w") * F.col("w")).alias("n2")).select(
-            F.sqrt(F.col("n2").cast("double")).alias("nrm")
-        )
-        v = (
-            av.crossJoin(F.broadcast(norm2)).select(
-                F.col("i").alias("j"),
-                F.round(F.col("w").cast("double") / F.col("nrm"), 10)
-                .cast(D1610)
-                .alias("v"),
-            )
-        ).localCheckpoint()
-    rows = sorted(
-        v.collect(), key=lambda r: (-abs(r["v"]), r["j"])
-    )
-    sgn = -1 if rows[0]["v"] < 0 else 1
-    vs = {r["j"]: r["v"] * sgn for r in v.collect()}
-    mu_rows = {r["i"]: r["m"] for r in mu.collect()}
-    v_arr = F.array(*[F.lit(str(vs[j])).cast(D1610) for j in range(dim)])
+    from rocketmq_flink_spark.functions.quant import dec10_array
+
+    m = pca_train(df, vec_col, iters)
+    dim, mu, v = m["dim"], m["mu"], m["v"]
     mu_arr = F.array(
-        *[F.lit(str(mu_rows[i])).cast(D1610) for i in range(dim)]
+        *[
+            F.lit(str(Decimal(mu[i]).scaleb(-10))).cast(D10)
+            for i in range(dim)
+        ]
     )
-    acc_t = T.DecimalType(38, 20)
-    centered = F.zip_with(
-        F.col(vec_col).cast("array<double>").cast("array<decimal(12,10)>"),
+    v_arr = F.array(*[F.lit(v[j]).cast("long") for j in range(dim)])
+    # centered ticks: (dec10(x) - mu) * 1e10 is integral by
+    # construction -> exact BIGINT
+    c_ticks = F.zip_with(
+        dec10_array(F.col(vec_col)),
         mu_arr,
-        lambda a, b: (a - b).cast(D1610),
+        lambda a, b: ((a - b) * F.lit(10_000_000_000)).cast("long"),
     )
+    acc = "decimal(38,0)"
     score = F.aggregate(
-        F.zip_with(centered, v_arr, lambda a, b: (a * b).cast(acc_t)),
-        F.lit(0).cast(acc_t),
-        lambda acc, x: (acc + x).cast(acc_t),
+        F.zip_with(
+            c_ticks,
+            v_arr,
+            lambda a, b: (a.cast("decimal(20,0)") * b.cast("decimal(11,0)")).cast(acc),
+        ),
+        F.lit(0).cast(acc),
+        lambda s, x: (s + x).cast(acc),
     )
-    # TakeOrdered top-k (never a global row_number window over the
-    # corpus); rank is attached to the k-row result afterwards
     top = (
-        df.select(F.col(id_col).alias("vid"), score.alias("sc"))
-        .orderBy(
-            F.round(F.abs(F.col("sc")).cast("double"), 12).desc(),
-            F.col("vid"),
-        )
+        df.select(F.col(id_col).alias("vid"), score.alias("su"))
+        .orderBy(F.abs(F.col("su")).desc(), F.col("vid"))
         .limit(k)
     )
-    w = Window.orderBy(
-        F.round(F.abs(F.col("sc")).cast("double"), 12).desc(),
-        F.col("vid"),
+    w = Window.orderBy(F.abs(F.col("su")).desc(), F.col("vid"))
+    # su ticks 1e-20 -> half-up 1e-6 ticks -> exact double
+    q6 = F.expr(
+        "CASE WHEN su >= 0 THEN (2 * su + 100000000000000)"
+        " div 200000000000000"
+        " ELSE -((-2 * su + 100000000000000) div 200000000000000) END"
     )
-    return top.withColumn("rank", F.row_number().over(w)).select(
-        F.col("vid").alias(id_col),
-        F.round(F.col("sc").cast("double"), 6).alias("score"),
-        "rank",
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col("vid").alias(id_col),
+            (q6.cast("double") / F.lit(1e6)).alias("score"),
+            "rank",
+        )
     )

@@ -5,11 +5,13 @@ two scale paths — random-hyperplane LSH banding and IVF (inverted-file
 centroid cells) — plus embedding near-duplicate detection.
 
 Numerics: distances are computed in DECIMAL, not double. Float32
-inputs cast to DECIMAL(12,10) round identically in every engine (an
-exact decimal .5 tie is impossible for a binary fraction), and decimal
-subtract/multiply/sum are exact — so distances, and therefore ranks,
-are bit-identical between Spark and any SQL oracle. This is what makes
-ANN/kNN results hash-checkable.
+inputs land on the DECIMAL(12,10) grid via the engine-stable floor
+formula in functions/quant.py — NOT a bare cast: a binary fraction
+CAN be an exact scale-10 decimal tie (e.g. -561/2048 =
+-0.27392578125), and Spark (half-up) and DuckDB (half-even) casts
+disagree there. Decimal subtract/multiply/sum are exact — so
+distances, and therefore ranks, are bit-identical between Spark and
+any SQL oracle. This is what makes ANN/kNN results hash-checkable.
 
 Scale design:
 - knn_bruteforce / knn_cosine: ONE corpus pass, no corpus shuffle — a
@@ -32,10 +34,13 @@ from pyspark.sql import types as T
 
 
 def _dec(col) -> Column:
-    # float -> double -> decimal: the double hop matters for oracle
-    # parity (DuckDB's direct FLOAT->DECIMAL cast is lossy; via DOUBLE
-    # both engines round the exact binary value identically).
-    return col.cast("array<double>").cast("array<decimal(12,10)>")
+    # float -> double -> decimal via the engine-stable floor formula:
+    # a plain double->decimal CAST rounds exact scale-10 ties half-up
+    # in Spark but half-to-even in DuckDB (functions/quant.py) — the
+    # r4 fixture contains such a tie (-0.27392578125).
+    from rocketmq_flink_spark.functions.quant import dec10_array
+
+    return dec10_array(col)
 
 
 def l2_sq(a: Column, b: Column) -> Column:
@@ -809,7 +814,7 @@ def pq_topk(
             "cid",
             l2_sq(
                 _dec(F.expr("slice(qv, s * " + str(d) + " + 1, " + str(d) + ")")),
-                F.col("cv").cast("array<decimal(12,10)>"),
+                _dec(F.col("cv")),
             ).alias("dd"),
         )
     )
@@ -996,10 +1001,11 @@ def sq8_quantize(
     Output: (id, q array<bigint> in [-127,127], tmax bigint). All-zero
     vectors get q = 0, tmax = 0 (exact).
     """
+    # ticks via the engine-stable floor formula (functions/quant.py):
+    # floor(x*1e10 + 0.5) IS the integer tick of the dec10 grid value.
     ticks = (
-        f"transform(CAST(CAST({vec_col} AS ARRAY<DOUBLE>)"
-        f" AS ARRAY<DECIMAL(12,10)>),"
-        f" x -> CAST(x * 10000000000 AS BIGINT))"
+        f"transform(CAST({vec_col} AS ARRAY<DOUBLE>),"
+        f" x -> floor(x * 1e10 + 0.5D))"
     )
     q = (
         "transform(_t, x -> CASE WHEN _tmax = 0 THEN CAST(0 AS BIGINT)"
@@ -1169,7 +1175,12 @@ def kcenter_coreset(
     re-deriving t folds of lineage; driver sync is one row per center
     (the vector is model-sized). Returns (rank, vec_id, dist2) where
     dist2 is the max-min radius at selection time (0 for the seed) —
-    monotonically non-increasing, the coverage curve."""
+    monotonically non-increasing, the coverage curve. Stops early
+    (fewer than k rows) once the farthest remaining distance is 0:
+    the chosen set already covers every distinct vector exactly, and
+    continuing would re-select chosen ids. The SQL oracle replays a
+    fixed k steps, so callers wanting hash-parity must use
+    k <= #distinct vectors (the catalog query does)."""
     from rocketmq_flink_spark.functions.porthash import hash60
 
     c = corpus.select(
@@ -1205,6 +1216,11 @@ def kcenter_coreset(
         d12 = Decimal(nxt["dmin"]).quantize(
             Decimal("1e-12"), rounding=ROUND_HALF_UP
         )
+        if d12 == 0:
+            # every remaining point coincides with a chosen center
+            # (k > #distinct vectors): the cover is already exact, and
+            # continuing would re-select an already-chosen id forever.
+            break
         chosen.append((rank, nxt["vid"], float(d12)))
         if rank < k:
             state = state.withColumn(

@@ -1292,9 +1292,9 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "knn_exact_topk",
     """
-    WITH q AS (SELECT vec_id AS qid, CAST(CAST(embedding AS DOUBLE[]) AS DECIMAL(12,10)[]) AS qv
+    WITH q AS (SELECT vec_id AS qid, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT) * CAST(0.0000000001 AS DECIMAL(11,10)) AS DECIMAL(12,10))) AS qv
                FROM embeddings WHERE vec_id < 8),
-         c AS (SELECT vec_id, CAST(CAST(embedding AS DOUBLE[]) AS DECIMAL(12,10)[]) AS cv
+         c AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT) * CAST(0.0000000001 AS DECIMAL(11,10)) AS DECIMAL(12,10))) AS cv
                FROM embeddings),
     scored AS (
       SELECT qid, vec_id,
@@ -1342,10 +1342,10 @@ _ANN_PLANTED_DUCK = """
       UNION ALL SELECT vec_id, embedding FROM planted
     ),
     q AS (SELECT vec_id AS qid,
-                 CAST(CAST(embedding AS DOUBLE[]) AS DECIMAL(12,10)[]) AS qv
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT) * CAST(0.0000000001 AS DECIMAL(11,10)) AS DECIMAL(12,10))) AS qv
           FROM embeddings WHERE vec_id < 8),
     c AS (SELECT vec_id,
-                 CAST(CAST(embedding AS DOUBLE[]) AS DECIMAL(12,10)[]) AS cv
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT) * CAST(0.0000000001 AS DECIMAL(11,10)) AS DECIMAL(12,10))) AS cv
           FROM corpus),
     scored AS (
       SELECT qid, vec_id,
@@ -1418,8 +1418,8 @@ def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              CAST(ROUND(list_sum(list_transform(
-                    list_zip(CAST(CAST(a.embedding AS DOUBLE[]) AS DECIMAL(12,10)[]),
-                             CAST(CAST(b.embedding AS DOUBLE[]) AS DECIMAL(12,10)[])),
+                    list_zip(list_transform(CAST(a.embedding AS DOUBLE[]), x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT) * CAST(0.0000000001 AS DECIMAL(11,10)) AS DECIMAL(12,10))),
+                             list_transform(CAST(b.embedding AS DOUBLE[]), x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT) * CAST(0.0000000001 AS DECIMAL(11,10)) AS DECIMAL(12,10)))),
                     p -> (p[1]-p[2])*(p[1]-p[2]))), 12) AS DOUBLE) AS dist2
       FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
     )
@@ -1795,7 +1795,7 @@ def delay_level_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_cosine_topk",
     """
     WITH v AS (SELECT vec_id,
-                      CAST(CAST(embedding AS DOUBLE[]) AS DECIMAL(12,10)[]) AS ve
+                      list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT) * CAST(0.0000000001 AS DECIMAL(11,10)) AS DECIMAL(12,10))) AS ve
                FROM embeddings),
     q AS (SELECT vec_id AS qid, ve AS qv,
                  CAST(ROUND(list_sum(list_transform(ve, x -> x*x)), 12) AS DOUBLE) AS qn2
@@ -2191,12 +2191,12 @@ def _pq_ctes_sql(m: int = 8, d: int = 8, k: int = 16,
     cents_union = "\n      UNION ALL ".join(
         f"SELECT {s} AS s, cid, cv FROM centsS{s}2" for s in range(m)
     )
-    dec_q = "CAST(CAST(q.v[c.s*%d+1 : c.s*%d+%d] AS DOUBLE[]) AS DECIMAL(12,10)[])" % (d, d, d)
-    dec_c = "CAST(CAST(c.cv AS DOUBLE[]) AS DECIMAL(12,10)[])"
+    dec_q = "list_transform(CAST(q.v[c.s*%d+1 : c.s*%d+%d] AS DOUBLE[]), x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT) * CAST(0.0000000001 AS DECIMAL(11,10)) AS DECIMAL(12,10)))" % (d, d, d)
+    dec_c = "list_transform(CAST(c.cv AS DOUBLE[]), x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT) * CAST(0.0000000001 AS DECIMAL(11,10)) AS DECIMAL(12,10)))"
     dec_full = (
         "CAST(ROUND(list_sum(list_transform(list_zip("
-        "CAST(CAST(q.v AS DOUBLE[]) AS DECIMAL(12,10)[]), "
-        "CAST(CAST(e.v AS DOUBLE[]) AS DECIMAL(12,10)[])), "
+        "list_transform(CAST(q.v AS DOUBLE[]), x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT) * CAST(0.0000000001 AS DECIMAL(11,10)) AS DECIMAL(12,10))), "
+        "list_transform(CAST(e.v AS DOUBLE[]), x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT) * CAST(0.0000000001 AS DECIMAL(11,10)) AS DECIMAL(12,10)))), "
         "p -> (p[1]-p[2])*(p[1]-p[2]))), 12) AS DOUBLE)"
     )
     return f"""
@@ -2247,8 +2247,8 @@ def _ann_recall_oracle_sql() -> str:
     h = hash60_sql("CAST(vec_id AS VARCHAR)")
     dec_dist = (
         "CAST(ROUND(list_sum(list_transform(list_zip("
-        "CAST(CAST(qv AS DOUBLE[]) AS DECIMAL(12,10)[]), "
-        "CAST(CAST(cv AS DOUBLE[]) AS DECIMAL(12,10)[])), "
+        "list_transform(CAST(qv AS DOUBLE[]), x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT) * CAST(0.0000000001 AS DECIMAL(11,10)) AS DECIMAL(12,10))), "
+        "list_transform(CAST(cv AS DOUBLE[]), x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT) * CAST(0.0000000001 AS DECIMAL(11,10)) AS DECIMAL(12,10)))), "
         "p -> (p[1]-p[2])*(p[1]-p[2]))), 12) AS DOUBLE)"
     )
 
@@ -2263,8 +2263,8 @@ def _ann_recall_oracle_sql() -> str:
         SELECT q.vec_id AS qid, c.vec_id,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
                  CAST(ROUND(list_sum(list_transform(
-                   list_zip(CAST(CAST(q.v AS DOUBLE[]) AS DECIMAL(12,10)[]),
-                            CAST(CAST(c.v AS DOUBLE[]) AS DECIMAL(12,10)[])),
+                   list_zip(list_transform(CAST(q.v AS DOUBLE[]), x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT) * CAST(0.0000000001 AS DECIMAL(11,10)) AS DECIMAL(12,10))),
+                            list_transform(CAST(c.v AS DOUBLE[]), x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT) * CAST(0.0000000001 AS DECIMAL(11,10)) AS DECIMAL(12,10)))),
                    p -> (p[1]-p[2])*(p[1]-p[2]))), 12) AS DOUBLE),
                  c.vec_id) AS rank
         FROM allv q CROSS JOIN allv c
@@ -5817,8 +5817,8 @@ def _sq8_oracle_sql(shortlist: int = 50, topk: int = 5) -> str:
     WITH tq AS (
       SELECT vec_id,
              list_transform(
-               CAST(CAST(embedding AS DOUBLE[]) AS DECIMAL(12,10)[]),
-               x -> CAST(x * 10000000000 AS BIGINT)) AS t
+               CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS t
       FROM embeddings),
     mx AS (
       SELECT vec_id, t,
@@ -5846,7 +5846,7 @@ def _sq8_oracle_sql(shortlist: int = 50, topk: int = 5) -> str:
       WHERE rn <= {shortlist}),
     dv AS (
       SELECT vec_id,
-             CAST(CAST(embedding AS DOUBLE[]) AS DECIMAL(12,10)[]) AS d
+             list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT) * CAST(0.0000000001 AS DECIMAL(11,10)) AS DECIMAL(12,10))) AS d
       FROM embeddings),
     rer AS (
       SELECT s.qid, s.vec_id,
@@ -5912,7 +5912,7 @@ def _semantic_dedup_oracle_sql() -> str:
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM corpus),
     dv AS (
       SELECT vec_id,
-             CAST(CAST(embedding AS DOUBLE[]) AS DECIMAL(12,10)[]) AS d
+             list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT) * CAST(0.0000000001 AS DECIMAL(11,10)) AS DECIMAL(12,10))) AS d
       FROM corpus),
     cents0 AS (
       SELECT cid, cv FROM (
@@ -6341,11 +6341,11 @@ def histogram_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hard_negatives_topk",
     """
     WITH q AS (SELECT vec_id AS qid, label AS q_label,
-                      CAST(CAST(embedding AS DOUBLE[]) AS DECIMAL(12,10)[])
+                      list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT) * CAST(0.0000000001 AS DECIMAL(11,10)) AS DECIMAL(12,10)))
                         AS qv
                FROM embeddings WHERE vec_id < 8),
          c AS (SELECT vec_id, label AS neg_label,
-                      CAST(CAST(embedding AS DOUBLE[]) AS DECIMAL(12,10)[])
+                      list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT) * CAST(0.0000000001 AS DECIMAL(11,10)) AS DECIMAL(12,10)))
                         AS cv
                FROM embeddings),
     scored AS (
@@ -7376,20 +7376,19 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_user_event_history",
     """
     WITH o AS (
-      SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
              LAG(event_type) OVER w AS prev_type
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
     ch AS (
-      SELECT user_id, event_type, ts_us
+      SELECT user_id, event_type, event_id, ts_us
       FROM o WHERE prev_type IS NULL OR event_type <> prev_type),
     v AS (
       SELECT user_id, event_type, ts_us AS valid_from_us,
-             LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
-               AS valid_to_us,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us)
-               AS version
-      FROM ch)
+             LEAD(ts_us) OVER w2 AS valid_to_us,
+             ROW_NUMBER() OVER w2 AS version
+      FROM ch
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id))
     SELECT user_id, version, event_type, valid_from_us,
            COALESCE(valid_to_us, -1) AS valid_to_us
     FROM v ORDER BY user_id, version
@@ -7414,6 +7413,7 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = ev.select(
         "user_id",
         "event_type",
+        "event_id",
         F.unix_micros("ts").alias("ts_us"),
         F.lag("event_type").over(w).alias("prev_type"),
     )
@@ -7421,7 +7421,9 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_type").isNull()
         | (F.col("event_type") != F.col("prev_type"))
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts_us")
+    # event_id tie-break keeps version numbering deterministic when two
+    # change rows share (user_id, ts) — same total order as window w.
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     return (
         ch.select(
             "user_id",
@@ -7546,7 +7548,7 @@ def _kcenter_oracle_sql(k: int = 6) -> str:
     )
     parts = [f"""
     WITH c AS MATERIALIZED (
-      SELECT vec_id, CAST(CAST(embedding AS DOUBLE[]) AS DECIMAL(12,10)[])
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT) * CAST(0.0000000001 AS DECIMAL(11,10)) AS DECIMAL(12,10)))
                AS v
       FROM embeddings),
     s1 AS MATERIALIZED (
@@ -8039,99 +8041,135 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pca_stages_sql(iters: int = 6) -> str:
-    """Shared DuckDB CTE chain replaying the PCA power iteration up to
-    the canonicalized vector `vc` (same seed/sign/rounding conventions
-    as operators/linalg.py; 1-based indices internally)."""
+    """Shared DuckDB CTE chain replaying the PURE-INTEGER PCA power
+    iteration up to the canonicalized vector `vc` (ticks 1e-10,
+    HUGEINT) — identical rational-rounding recurrence as
+    operators/linalg.py (no doubles, no decimal downcasts: Spark
+    rounds decimal downcasts half-up while DuckDB truncates, and
+    ROUND(double) disagrees in the last ulp; integers are the only
+    engine-neutral ground). 1-based indices internally.
+
+      half_up(u/d) = sign * ((2|u| + d) // (2d));  ticks:
+      x 1e-10, mu 1e-10, cent 1e-10, cells 1e-12, v 1e-10."""
     sql = """
     WITH x AS MATERIALIZED (
       SELECT vec_id,
-             CAST(CAST(embedding AS DOUBLE[]) AS DECIMAL(12,10)[]) AS v
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS t
       FROM embeddings),
     nn AS (SELECT COUNT(*) AS n FROM x),
+    xi AS MATERIALIZED (
+      SELECT vec_id, i, t[i] AS xt
+      FROM x, unnest(range(1, len(t) + 1)) AS u(i)),
     mu AS MATERIALIZED (
-      SELECT i, CAST(ROUND(CAST(SUM(xi) AS DOUBLE) / (SELECT n FROM nn),
-                           10) AS DECIMAL(12,10)) AS m
-      FROM (SELECT v[i] AS xi, i
-            FROM x, unnest(range(1, len(v) + 1)) AS u(i))
-      GROUP BY i),
+      SELECT i, CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+                ELSE -((-2*s + n) // (2*n)) END AS m
+      FROM (SELECT i, CAST(SUM(xt) AS HUGEINT) AS s,
+                   (SELECT n FROM nn) AS n
+            FROM xi GROUP BY i)),
     cent AS MATERIALIZED (
-      SELECT x.vec_id, mu.i,
-             CAST(x.v[mu.i] - mu.m AS DECIMAL(12,10)) AS c
-      FROM x, mu),
+      SELECT xi.vec_id, xi.i, CAST(xi.xt - mu.m AS HUGEINT) AS c
+      FROM xi JOIN mu USING (i)),
     cells AS MATERIALIZED (
-      SELECT a.i AS i, b.i AS j,
-             CAST(SUM(CAST(a.c AS DECIMAL(19,10)) * b.c)
-                  AS DECIMAL(16,12)) AS s
-      FROM cent a JOIN cent b ON a.vec_id = b.vec_id
-      GROUP BY 1, 2),
+      SELECT i, j, CASE WHEN u >= 0 THEN (2*u + d) // (2*d)
+                   ELSE -((-2*u + d) // (2*d)) END AS s
+      FROM (
+        SELECT a.i AS i, b.i AS j, SUM(a.c * b.c) AS u,
+               CAST((SELECT n FROM nn) AS HUGEINT) * 100000000 AS d
+        FROM cent a JOIN cent b ON a.vec_id = b.vec_id
+        GROUP BY 1, 2)),
     seed AS (SELECT i FROM cells WHERE i = j ORDER BY s DESC, i LIMIT 1),
     v0 AS MATERIALIZED (
       SELECT i AS j,
-             CAST(CASE WHEN i = (SELECT i FROM seed) THEN 1 ELSE 0 END
-                  AS DECIMAL(12,10)) AS v
+             CAST(CASE WHEN i = (SELECT i FROM seed)
+                  THEN 10000000000 ELSE 0 END AS HUGEINT) AS v
       FROM (SELECT DISTINCT i FROM cells))"""
     for t in range(1, iters + 1):
         p = t - 1
         sql += f""",
     av{t} AS MATERIALIZED (
-      SELECT c.i, CAST(SUM(CAST(c.s AS DECIMAL(19,12)) * p.v)
-                       AS DECIMAL(16,8)) AS w
+      SELECT c.i, SUM(c.s * p.v) AS raw
       FROM cells c JOIN v{p} p ON p.j = c.j GROUP BY c.i),
-    nr{t} AS (SELECT sqrt(CAST(SUM(CAST(w AS DECIMAL(19,8)) * w)
-                           AS DOUBLE)) AS nrm FROM av{t}),
+    wm{t} AS (SELECT MAX(abs(raw)) AS wmax FROM av{t}),
     v{t} AS MATERIALIZED (
-      SELECT i AS j,
-             CAST(ROUND(CAST(w AS DOUBLE) / (SELECT nrm FROM nr{t}), 10)
-                  AS DECIMAL(12,10)) AS v
-      FROM av{t})"""
+      SELECT a.i AS j,
+             CASE WHEN wmax = 0 THEN p.v
+                  WHEN raw >= 0 THEN
+                    (2*raw*10000000000 + wmax) // (2*wmax)
+                  ELSE -(((-2*raw)*10000000000 + wmax) // (2*wmax))
+             END AS v
+      FROM av{t} a JOIN v{p} p ON p.j = a.i, wm{t})"""
     T_ = iters
     return sql + f""",
     pv AS (
       SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sgn
       FROM v{T_} ORDER BY abs(v) DESC, j LIMIT 1),
     vc AS MATERIALIZED (
-      SELECT j, CAST(v * (SELECT sgn FROM pv) AS DECIMAL(12,10)) AS v
-      FROM v{T_})"""
+      SELECT j, v * (SELECT sgn FROM pv) AS v FROM v{T_})"""
 
 
 def _pca_oracle_sql(iters: int = 6) -> str:
-    """DuckDB replay of the full PCA top-component report."""
+    """DuckDB replay of the full PCA top-component report — integer
+    Rayleigh quotient, outputs as exact 1e-6 ticks cast to DOUBLE."""
     return _pca_stages_sql(iters) + f""",
-    sv AS (
-      SELECT c.i, CAST(SUM(CAST(c.s AS DECIMAL(19,12)) * w.v)
-                       AS DECIMAL(16,8)) AS svi
+    tt AS MATERIALIZED (
+      SELECT c.i, SUM(c.s * w.v) AS t
       FROM cells c JOIN vc w ON w.j = c.j GROUP BY c.i),
-    num AS (
-      SELECT SUM(CAST(s.svi AS DECIMAL(19,8)) * w.v) AS vsv
-      FROM sv s JOIN vc w ON w.j = s.i),
-    den AS (SELECT SUM(CAST(v AS DECIMAL(19,10)) * v) AS vv FROM vc),
-    tr AS (SELECT SUM(s) AS trace FROM cells WHERE i = j)
-    SELECT ROUND(CAST(vsv AS DOUBLE) / CAST(vv AS DOUBLE), 6) AS lambda1,
-           ROUND(CAST(trace AS DOUBLE), 6) AS trace,
-           ROUND((CAST(vsv AS DOUBLE) / CAST(vv AS DOUBLE))
-                 / CAST(trace AS DOUBLE), 6) AS explained_ratio,
+    tq AS (
+      SELECT i, CASE WHEN t >= 0 THEN t // 1000000
+                ELSE -((-t) // 1000000) END AS tq
+      FROM tt),
+    ray AS (
+      SELECT SUM(tq.tq * w.v) AS vsv
+      FROM tq JOIN vc w ON w.j = tq.i),
+    den AS (SELECT SUM(v * v) AS dn FROM vc),
+    tr AS (SELECT SUM(s) AS tr FROM cells WHERE i = j),
+    lam AS (
+      SELECT CASE WHEN dn = 0 THEN 0
+                  WHEN vsv >= 0 THEN (2*vsv + dn) // (2*dn)
+                  ELSE -((-2*vsv + dn) // (2*dn)) END AS lam6
+      FROM ray, den),
+    tr6 AS (
+      SELECT CASE WHEN tr >= 0 THEN (2*tr + 1000000) // 2000000
+                  ELSE -((-2*tr + 1000000) // 2000000) END AS tr6
+      FROM tr),
+    ex6 AS (
+      SELECT CASE WHEN tr = 0 THEN 0
+                  WHEN lam6 >= 0 THEN
+                    (2*lam6*1000000000000 + tr) // (2*tr)
+                  ELSE -((-2*lam6*1000000000000 + tr) // (2*tr))
+             END AS ex6
+      FROM lam, tr),
+    vq AS (
+      SELECT j, CASE WHEN v >= 0 THEN (2*v + 10000) // 20000
+                ELSE -((-2*v + 10000) // 20000) END AS v6
+      FROM vc)
+    SELECT CAST(lam6 AS DOUBLE) / 1e6 AS lambda1,
+           CAST(tr6 AS DOUBLE) / 1e6 AS trace,
+           CAST(ex6 AS DOUBLE) / 1e6 AS explained_ratio,
            {iters} AS n_iters,
-           (SELECT ROUND(CAST(v AS DOUBLE), 6) FROM vc WHERE j = 1) AS v0,
-           (SELECT ROUND(CAST(v AS DOUBLE), 6) FROM vc WHERE j = 2) AS v1,
-           (SELECT ROUND(CAST(v AS DOUBLE), 6) FROM vc WHERE j = 3) AS v2,
-           (SELECT ROUND(CAST(v AS DOUBLE), 6) FROM vc WHERE j = 4) AS v3
-    FROM num, den, tr
+           (SELECT CAST(v6 AS DOUBLE) / 1e6 FROM vq WHERE j = 1) AS v0,
+           (SELECT CAST(v6 AS DOUBLE) / 1e6 FROM vq WHERE j = 2) AS v1,
+           (SELECT CAST(v6 AS DOUBLE) / 1e6 FROM vq WHERE j = 3) AS v2,
+           (SELECT CAST(v6 AS DOUBLE) / 1e6 FROM vq WHERE j = 4) AS v3
+    FROM lam, tr6, ex6
     """
 
 
 @query("pca_top_component_embeddings", _pca_oracle_sql(iters=6))
 def pca_top_component_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA (top principal component by power iteration) —
-    the embedding-space health check / whitening prerequisite. The
-    scatter matrix is ONE map-side-combined aggregation over dim^2
-    per-row products (the only data-sized work); six power steps are
-    dim^2 x dim joins over the model-sized cell table. Every sum is an
-    exact DECIMAL with budgeted scales (textbook float PCA is
-    partition-order-dependent), the vector re-quantizes to
-    DECIMAL(12,10) each step, and the only floating point is IEEE
-    sqrt + fixed-order double division — so eigenvalue, explained
-    ratio, AND eigenvector components hash-match the staged SQL
-    replay. Scale notes: operators/linalg.py."""
+    """Distributed PCA (top principal component of the covariance
+    matrix by power iteration) — the embedding-space health check /
+    whitening prerequisite. The covariance pass is ONE
+    map-side-combined aggregation over dim^2 per-row products (the
+    only data-sized work); the power iteration runs on the collected
+    model-sized cell table in PURE INTEGER arithmetic — no floating
+    point, no decimal downcasts (engines disagree on both: Spark
+    rounds decimal downcasts half-up, DuckDB truncates; ROUND(double)
+    differs in the last ulp). Max-norm power steps, integer Rayleigh
+    quotient, outputs as exact 1e-6 ticks — eigenvalue, explained
+    ratio AND eigenvector components hash-match the staged HUGEINT
+    SQL replay at any SF. Scale notes: operators/linalg.py."""
     from rocketmq_flink_spark.operators.linalg import pca_top_component
 
     emb = load_tables(spark, sf_dir)["embeddings"]
@@ -8327,19 +8365,22 @@ def abtest_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pca_outliers_oracle_sql(iters: int = 6, k: int = 10) -> str:
-    """DuckDB replay: shared PCA stage chain + exact-decimal projection
-    of every centered vector onto the canonicalized component."""
+    """DuckDB replay: shared integer PCA stage chain + exact INTEGER
+    projection of every centered tick vector onto the canonicalized
+    component (ticks 1e-20); ranking compares raw integers, the
+    reported score is the half-up 1e-6 tick as DOUBLE."""
     return _pca_stages_sql(iters) + f""",
     proj AS (
-      SELECT c.vec_id,
-             SUM(CAST(c.c AS DECIMAL(19,10)) * w.v) AS sc
+      SELECT c.vec_id, SUM(c.c * w.v) AS su
       FROM cent c JOIN vc w ON w.j = c.i GROUP BY c.vec_id)
-    SELECT vec_id, ROUND(CAST(sc AS DOUBLE), 6) AS score,
-           ROW_NUMBER() OVER (
-             ORDER BY ROUND(CAST(abs(sc) AS DOUBLE), 12) DESC, vec_id)
-             AS rank
+    SELECT vec_id,
+           CAST(CASE WHEN su >= 0 THEN
+                  (2*su + 100000000000000) // 200000000000000
+                ELSE -((-2*su + 100000000000000) // 200000000000000)
+                END AS DOUBLE) / 1e6 AS score,
+           ROW_NUMBER() OVER (ORDER BY abs(su) DESC, vec_id) AS rank
     FROM proj
-    ORDER BY ROUND(CAST(abs(sc) AS DOUBLE), 12) DESC, vec_id
+    ORDER BY abs(su) DESC, vec_id
     LIMIT {k}
     """
 
@@ -8348,11 +8389,13 @@ def _pca_outliers_oracle_sql(iters: int = 6, k: int = 10) -> str:
 def pca_projection_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding anomaly report: the 10 vectors furthest out along the
     corpus's top principal component — the cheap first-line filter for
-    corrupt/degenerate embeddings. The projection is an exact decimal
-    dot product of each centered vector with the trained,
-    sign-canonicalized eigenvector (model-sized literal), ranked by
-    TakeOrdered — never a global window over the corpus. The oracle
-    replays training AND scoring. Scale notes: operators/linalg.py."""
+    corrupt/degenerate embeddings. The projection is an exact INTEGER
+    dot product of each centered tick vector with the trained,
+    sign-canonicalized eigenvector ticks (model-sized literal);
+    ranking compares the raw integers (no rounding in the ORDER BY),
+    TakeOrdered top-k — never a global window over the corpus. The
+    oracle replays training AND scoring in HUGEINT. Scale notes:
+    operators/linalg.py."""
     from rocketmq_flink_spark.operators.linalg import (
         pca_projection_outliers as _po,
     )

@@ -35,10 +35,10 @@ import pyarrow as pa
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
-    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -341,66 +341,141 @@ class StagedBatch(WriterCommitMessage):
         self.staged = staged  # (topic, queue_id, tmp_path)
 
 
-def _write_rows(root: str, topic: str, num_queues: int, iterator):
-    """Task-side write: group rows by (topic, queue), stage one parquet
-    per bucket.
+def _write_batches(root: str, topic: str, num_queues: int, batches):
+    """Task-side write, Arrow-native: consume `pa.RecordBatch`es (the
+    DataSourceArrowWriter contract), route rows to (topic, queue)
+    buckets with COLUMNAR ops, stage one parquet per bucket.
 
-    Input rows follow the encode_rows envelope (keys, tags, props, value,
-    born_ts [, queue_id]). A non-empty `topic` column overrides the
-    option topic per row — the TopicSelector surface (R1-R3), Kafka-sink
-    style. Queue routing: explicit queue_id column if present, else
-    hash(keys) % numQueues, else a per-task round-robin — mirroring the
-    reference's MessageQueueSelector usage.
+    Input columns follow the encode_rows envelope (keys, tags, props,
+    value, born_ts [, queue_id] [, topic]). A non-empty `topic` column
+    overrides the option topic per row — the TopicSelector surface
+    (R1-R3), Kafka-sink style. Queue routing: explicit queue_id column
+    if present, else crc32(keys) % numQueues, else a per-task
+    round-robin — mirroring the reference's MessageQueueSelector usage
+    (RocketMQSink.java:110-116 buffers 32 messages per send; an Arrow
+    record batch is the Spark-native batching unit, and rows never
+    materialize as Python objects — the single remaining per-row op is
+    the crc32 over the keys column, and only for rows without an
+    explicit queue_id).
     """
-    from pyspark.sql import Row  # noqa: F401
+    import numpy as np
+    import pyarrow.compute as pc
 
-    buckets: dict[tuple[str, int], dict[str, list]] = {}
+    parts: dict[tuple[str, int], list[pa.Table]] = {}
     rr = 0
-    for row in iterator:
-        d = row.asDict() if hasattr(row, "asDict") else dict(row)
-        row_topic = d.get("topic") or topic
-        qid = d.get("queue_id")
-        if qid is None:
-            keys = d.get("keys")
-            if keys is not None:
-                # stable across processes (builtin hash is salted per run)
-                qid = zlib.crc32(str(keys).encode("utf-8")) % num_queues
-            else:
-                qid = rr % num_queues
-                rr += 1
-        qid = int(qid)
-        b = buckets.setdefault(
-            (row_topic, qid),
-            {"born_ts": [], "keys": [], "tags": [], "props": [], "body": []},
-        )
-        born = d.get("born_ts")
-        b["born_ts"].append(
-            int(born.timestamp() * 1_000_000) if born is not None else 0
-        )
-        b["keys"].append(d.get("keys"))
-        b["tags"].append(d.get("tags"))
-        props = d.get("props")
-        b["props"].append(list(props.items()) if props else [])
-        body = d.get("value")
-        b["body"].append(bytes(body) if body is not None else b"")
+    for rb in batches:
+        n = rb.num_rows
+        if n == 0:
+            continue
+        names = rb.schema.names
 
-    broker = Broker(root)
-    staged = []
-    for (btopic, qid), b in buckets.items():
-        n = len(b["body"])
-        tbl = pa.Table.from_arrays(
+        def col(c, rb=rb, names=names):
+            return rb.column(names.index(c)) if c in names else None
+
+        # --- normalized segment columns (vectorized casts) ---
+        born = col("born_ts")
+        if born is not None:
+            born_us = pc.fill_null(
+                born.cast(pa.timestamp("us")).cast(pa.int64()), 0
+            )
+        else:
+            born_us = pa.array([0] * n, pa.int64())
+        keys_c = col("keys")
+        keys_arr = (
+            keys_c.cast(pa.string())
+            if keys_c is not None
+            else pa.array([None] * n, pa.string())
+        )
+        tags_c = col("tags")
+        tags_arr = (
+            tags_c.cast(pa.string())
+            if tags_c is not None
+            else pa.array([None] * n, pa.string())
+        )
+        props_c = col("props")
+        if props_c is None:
+            props_arr = pa.array([[]] * n, pa.map_(pa.string(), pa.string()))
+        elif props_c.null_count:
+            # nulls become EMPTY maps (historic row-writer behavior);
+            # map arrays have no fill_null, so only this rare case
+            # drops to pylist
+            props_arr = pa.array(
+                [m if m is not None else [] for m in props_c.to_pylist()],
+                pa.map_(pa.string(), pa.string()),
+            )
+        else:
+            props_arr = props_c.cast(pa.map_(pa.string(), pa.string()))
+        body_c = col("value")
+        if body_c is None:
+            body_arr = pa.array([b""] * n, pa.binary())
+        else:
+            body_arr = pc.fill_null(body_c.cast(pa.binary()), b"")
+        norm = pa.Table.from_arrays(
             [
                 pa.array([0] * n, pa.int64()),  # offset: assigned at commit
-                pa.array(b["born_ts"], pa.int64()),
+                pa.chunked_array([born_us]).combine_chunks(),
                 pa.array([0] * n, pa.int64()),  # store_ts: stamped at commit
                 pa.array([""] * n, pa.string()),  # msg_id: stamped at commit
-                pa.array(b["keys"], pa.string()),
-                pa.array(b["tags"], pa.string()),
-                pa.array(b["props"], pa.map_(pa.string(), pa.string())),
-                pa.array(b["body"], pa.binary()),
+                keys_arr,
+                tags_arr,
+                props_arr,
+                body_arr,
             ],
             schema=SEGMENT_SCHEMA,
         )
+
+        # --- per-row routing key (topic index * num_queues + qid) ---
+        qcol = col("queue_id")
+        if qcol is not None:
+            qids = pc.fill_null(qcol.cast(pa.int64()), -1).to_numpy(
+                zero_copy_only=False
+            ).copy()
+        else:
+            qids = np.full(n, -1, dtype=np.int64)
+        if (qids < 0).any():
+            keys_l = keys_arr.to_pylist()
+            for i in np.nonzero(qids < 0)[0]:
+                k = keys_l[i]
+                if k is not None:
+                    # crc32: stable across processes (builtin hash is
+                    # salted per run)
+                    qids[i] = zlib.crc32(str(k).encode("utf-8")) % num_queues
+                else:
+                    qids[i] = rr % num_queues
+                    rr += 1
+        tcol = col("topic")
+        if tcol is not None and tcol.null_count < n:
+            t_l = tcol.to_pylist()
+            topics = [t if t else topic for t in t_l]
+            uniq_topics = sorted(set(topics))
+            t_idx = {t: i for i, t in enumerate(uniq_topics)}
+            codes = (
+                np.fromiter(
+                    (t_idx[t] for t in topics), np.int64, count=n
+                )
+                * num_queues
+                + qids
+            )
+        else:
+            uniq_topics = [topic]
+            codes = qids
+
+        # --- stable sort-split into buckets, zero row copies ---
+        order = np.argsort(codes, kind="stable")
+        sorted_tbl = norm.take(pa.array(order))
+        sorted_codes = codes[order]
+        uniq_codes, starts = np.unique(sorted_codes, return_index=True)
+        bounds = list(starts) + [n]
+        for ci, code in enumerate(uniq_codes):
+            btopic = uniq_topics[int(code) // num_queues]
+            qid = int(code) % num_queues
+            sub = sorted_tbl.slice(bounds[ci], bounds[ci + 1] - bounds[ci])
+            parts.setdefault((btopic, qid), []).append(sub)
+
+    broker = Broker(root)
+    staged = []
+    for (btopic, qid), tbls in parts.items():
+        tbl = pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
         staged.append((btopic, qid, broker.write_tmp(btopic, tbl)))
     return StagedBatch(staged)
 
@@ -430,7 +505,7 @@ def _commit_staged(
         )
 
 
-class RocketMQBatchWriter(DataSourceWriter):
+class RocketMQBatchWriter(DataSourceArrowWriter):
     def __init__(self, options: dict):
         from rocketmq_flink_spark.sources.broker import check_acl
 
@@ -442,7 +517,7 @@ class RocketMQBatchWriter(DataSourceWriter):
         check_acl(self.root, self.opts.get("accessKey"), self.opts.get("secretKey"))
 
     def write(self, iterator):
-        return _write_rows(self.root, self.topic, self.num_queues, iterator)
+        return _write_batches(self.root, self.topic, self.num_queues, iterator)
 
     def commit(self, messages):
         staged = [s for m in messages if m for s in m.staged]
@@ -457,9 +532,9 @@ class RocketMQBatchWriter(DataSourceWriter):
         Broker(self.root).abort_tmp([(q, p) for _, q, p in staged])
 
 
-class RocketMQStreamWriter(DataSourceStreamWriter):
+class RocketMQStreamWriter(DataSourceStreamArrowWriter):
     """Per-epoch commit (flush-on-checkpoint analog, W9); epoch markers
-    make retried epochs idempotent."""
+    make retried epochs idempotent. Arrow-batch write path."""
 
     def __init__(self, options: dict):
         from rocketmq_flink_spark.sources.broker import check_acl
@@ -472,7 +547,7 @@ class RocketMQStreamWriter(DataSourceStreamWriter):
         check_acl(self.root, self.opts.get("accessKey"), self.opts.get("secretKey"))
 
     def write(self, iterator):
-        return _write_rows(self.root, self.topic, self.num_queues, iterator)
+        return _write_batches(self.root, self.topic, self.num_queues, iterator)
 
     def commit(self, messages, batchId):
         staged = [s for m in messages if m for s in m.staged]

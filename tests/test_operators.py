@@ -1689,6 +1689,25 @@ def test_edit_distance_pairs_symspell_blocking(spark):
     assert got == {("cat", "cats"): 1, ("cat", "cut"): 1}
 
 
+def test_edit_distance_pairs_empty_string(spark):
+    from rocketmq_flink_spark.operators.fuzzy import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(s,) for s in ["", "a", "b", "ab", None]], ["name"]
+    )
+    got = {
+        (r["a"], r["b"]): r["dist"]
+        for r in edit_distance_pairs(df, "name").collect()
+    }
+    assert got == {
+        ("", "a"): 1,
+        ("", "b"): 1,
+        ("a", "ab"): 1,
+        ("ab", "b"): 1,
+        ("a", "b"): 1,
+    }
+
+
 def _py_bpe_reference(words: list[str], steps: int):
     """Greedy BPE trainer, plain Python, same tie-break (count desc,
     then lexicographic pair)."""
@@ -1861,11 +1880,12 @@ def test_pca_power_iteration_matches_numpy(spark):
 
     x = np.array([r[1] for r in rows], dtype=np.float64)
     xc = x - x.mean(axis=0)
-    s = xc.T @ xc
+    s = xc.T @ xc / len(rows)  # covariance (cells normalize by n)
     w, vecs = np.linalg.eigh(s)
     lam, vec = w[-1], vecs[:, -1]
-    if vec[np.argmax(np.abs(vec))] < 0:
-        vec = -vec
+    # operator emits the MAX-normalized vector (||v||_inf = 1, pivot
+    # positive) — rescale numpy's L2-normalized one to compare
+    vec = vec / vec[np.argmax(np.abs(vec))]
     assert abs(got["lambda1"] - lam) / lam < 1e-3
     assert abs(got["explained_ratio"] - lam / np.trace(s)) < 1e-3
     assert abs(got["v0"] - vec[0]) < 1e-3 and abs(got["v1"] - vec[1]) < 1e-3

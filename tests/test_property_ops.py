@@ -326,7 +326,7 @@ def test_line_dedup_matches_model(spark, docs):
     assert got == _line_dedup_model(docs, 2)
 
 
-NAME = st.text(alphabet="abc1", min_size=1, max_size=5)
+NAME = st.text(alphabet="abc1", min_size=0, max_size=5)
 
 
 def _edit1_model(names):
