@@ -390,19 +390,61 @@ def minhash_lsh_pairs(
     id_col: str,
     bands: int = 16,
     threshold: float = 0.7,
+    cache_level: str | None = "MEMORY_AND_DISK",
 ) -> DataFrame:
-    """Candidate pairs from LSH banding + signature-estimated Jaccard.
+    """Near-dup EDGES from LSH banding + signature-estimated Jaccard:
+    connectivity-equivalent to the full candidate-pair set, but with
+    identical signatures collapsed to one representative BEFORE the
+    band self-join.
 
-    bands=16 over a 64-hash signature -> rows_per_band=4; the s-curve
-    catches jaccard>=~0.5 with high probability. The band key is the
-    ','-joined signature slice itself (a short string) — an equi-join
-    key identical in any engine, no extra hash hop. Estimated jaccard =
-    fraction of agreeing signature positions (unbiased MinHash
-    estimator); pairs below threshold are dropped."""
-    # cache: the banded self-join would recompute the signature
-    # aggregation per alias (K longs per doc cached)
-    signatures = signatures.cache()
-    banded = banded_signatures(signatures, id_col, bands)
+    Why the collapse is the load-bearing scale property: exact_dedup
+    removes exact COPIES, not near-dup families — a boilerplate
+    template repeated m times (m ~ 1e6 at 100 TB) shares every band,
+    so a naive band self-join puts m rows in one (band, bh) bucket and
+    emits m^2/2 pairs in a single task. Collapsing by signature first
+    makes every bucket hold DISTINCT signatures only; the template
+    family contributes ONE rep row per band plus m-1 linear
+    star edges (rep -> member, est 1.0 — identical signatures have
+    estimator exactly 1). The star preserves every connected
+    component (members reach their rep; reps pair via the band join),
+    which is all any consumer here uses (transitive dedup groups /
+    graph stats / leakage split). Edge count is O(n + rep_pairs),
+    never O(m^2). tests: test_minhash_planted_template_linear.
+
+    Mechanics: bands=16 over a 64-hash signature -> rows_per_band=4;
+    the s-curve catches jaccard>=~0.5 with high probability. The band
+    key is the ','-joined signature slice (a short string) — an
+    equi-join key identical in any engine. Estimated jaccard =
+    fraction of agreeing positions (unbiased MinHash estimator);
+    rep pairs below threshold are dropped. The rep table groups by
+    the signature ARRAY itself (exact — an 8-byte sig-hash key would
+    make hash collisions silently merge groups), and the star join
+    reuses the groupBy(sig) partitioning, so no extra exchange of the
+    corpus side. cache_level persists the INPUT signatures (the
+    md5-heavy map pipeline, scanned by both the collapse and the star
+    join; a pyspark StorageLevel name; None recomputes instead of
+    storing — the caller owns unpersisting)."""
+    if cache_level is not None:
+        from pyspark import StorageLevel
+
+        signatures = signatures.persist(
+            getattr(StorageLevel, cache_level)
+        )
+    rep = F.min(id_col).alias("rep")
+    groups = signatures.groupBy("sig").agg(rep)
+    # star edges: member -> its group rep (rep = min id, so rep < m
+    # keeps the (id_a < id_b) output convention for free)
+    star = (
+        signatures.join(groups, "sig")
+        .where(F.col(id_col) != F.col("rep"))
+        .select(
+            F.col("rep").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(1.0).alias("est_jaccard"),
+        )
+    )
+    reps = groups.select(F.col("rep").alias(id_col), "sig")
+    banded = banded_signatures(reps, id_col, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -425,11 +467,12 @@ def minhash_lsh_pairs(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),"
         " 0, (acc, v) -> acc + v)"
     ) / F.size("sig_a").cast("double")
-    return (
+    rep_pairs = (
         cand.withColumn("est_jaccard", F.round(est, 6))
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+    return rep_pairs.unionAll(star)
 
 
 def pow_chain_sql(expr: str, n: int) -> str:
@@ -598,11 +641,21 @@ def minhash_dedup(
     the LSH pair graph). Returns (id, rep_id, is_dup). A chain A~B~C
     where A and C never collide directly still collapses to one
     representative — what a real corpus-dedup pipeline requires."""
-    sigs = minhash_signatures(df, id_col, text_col)
-    pairs = minhash_lsh_pairs(sigs, id_col, threshold=threshold)
+    from pyspark import StorageLevel
+
+    # caller-owned cache: the pair builder scans signatures twice
+    # (collapse + star join); connected_components eagerly
+    # checkpoints the edge list, so the cache can drop right after.
+    sigs = minhash_signatures(df, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pairs = minhash_lsh_pairs(
+        sigs, id_col, threshold=threshold, cache_level=None
+    )
     comp = connected_components(
         df.select(F.col(id_col)), pairs, id_col, "id_a", "id_b"
     )
+    sigs.unpersist()
     return comp.select(
         F.col(id_col),
         F.col("component").alias("rep_id"),
@@ -869,10 +922,22 @@ def simhash_near_pairs(
             "smaller min_key_bits explicitly for a small corpus."
         )
     mask = (1 << width) - 1
-    # materialize before the self-join: both aliases would otherwise
-    # recompute the fingerprint aggregation (one long per doc cached —
-    # ~8 bytes/doc cluster-wide, fine at any corpus size)
+    # materialize before the joins: the collapse, both expansion
+    # probes, and the intra-group join all reuse it (one long per doc
+    # cached — ~8 bytes/doc cluster-wide, fine at any corpus size)
     fingerprints = fingerprints.cache()
+    docs = fingerprints.select(F.col(id_col).alias("doc"), "simhash")
+    # ---- identical-fingerprint collapse (hot-bucket hardening) ----
+    # A template family of m identical fingerprints (exact_dedup only
+    # removes exact COPIES of the text, and distinct texts can share a
+    # fingerprint) would put m rows into every one of its C(h+2,2)
+    # bucket keys and square inside one task. Index DISTINCT
+    # fingerprints only: the family is ONE index row per key; the
+    # member pairs come back from output-sized expansion joins below
+    # (AQE skew-split handles the one hot fingerprint value there).
+    # min_key_bits guards average collisions; this guards identical
+    # ones — both are needed.
+    fps = fingerprints.select("simhash").distinct()
 
     # key structs as one JVM-parsed SQL string: C(h+2, 2) Column-object
     # structs would cost hundreds of py4j round trips per query build
@@ -885,27 +950,55 @@ def simhash_near_pairs(
         for i in range(n_blocks)
         for j in range(i + 1, n_blocks)
     )
-    indexed = fingerprints.selectExpr(
-        f"{id_col} AS doc", "simhash", f"explode(array({keys})) AS kp"
-    ).select("doc", "simhash", "kp.bp", "kp.bk")
+    indexed = fps.selectExpr(
+        "simhash", f"explode(array({keys})) AS kp"
+    ).select("simhash", "kp.bp", "kp.bk")
     a, b = indexed.alias("a"), indexed.alias("b")
-    return (
+    fp_pairs = (
         a.join(
             b,
             (F.col("a.bp") == F.col("b.bp"))
             & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.doc") < F.col("b.doc")),
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
         .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
+            F.col("a.simhash").alias("fa"),
+            F.col("b.simhash").alias("fb"),
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["fa", "fb"])
     )
+    # expansion back to doc pairs (output-sized): cross-group pairs
+    # inherit the rep hamming; identical-fingerprint pairs are
+    # hamming 0 by definition
+    da = docs.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("fa"))
+    db = docs.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("fb"))
+    cross = (
+        fp_pairs.join(da, "fa")
+        .join(db, "fb")
+        .select(
+            F.least("doc_a", "doc_b").alias("id_a"),
+            F.greatest("doc_a", "doc_b").alias("id_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        docs.alias("x")
+        .join(
+            docs.alias("y"),
+            (F.col("x.simhash") == F.col("y.simhash"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("id_a"),
+            F.col("y.doc").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    return cross.unionAll(intra)
 
 
 def line_dedup(

@@ -382,9 +382,23 @@ def embedding_near_dups(
     Bands are 16-bit (64 planes / 4 bands): near-identical vectors still
     collide with probability ~1, while random pairs land in ~65k buckets
     per band, keeping the O(sum bucket^2) candidate count linear-ish in
-    corpus size."""
+    corpus size.
+
+    Hot-bucket hardening: EXACTLY-identical vectors (a media-caption
+    template embedded m times) share every band, and a naive self-join
+    squares m inside one bucket task. Vectors are collapsed to one
+    representative per distinct raw vector BEFORE banding; member
+    pairs come back from output-sized expansion joins (intra-group
+    pairs are dist2 = 0 by identity; cross-group pairs inherit the rep
+    distance exactly, because members equal their rep bit-for-bit)."""
+    v = df.select(id_col, vec_col)
+    groups = v.groupBy(vec_col).agg(F.min(id_col).alias("rep"))
+    members = v.join(groups, vec_col).select(
+        "rep", F.col(id_col).alias("m")
+    )
+    reps = groups.select(F.col("rep").alias(id_col), vec_col)
     b = _explode_bands(
-        lsh_bucketed(df.select(id_col, vec_col), vec_col, dim, num_planes=64)
+        lsh_bucketed(reps, vec_col, dim, num_planes=64)
     )
     a1 = b.select(
         "band_idx", "band_val",
@@ -394,7 +408,7 @@ def embedding_near_dups(
         "band_idx", "band_val",
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
     )
-    return (
+    rep_pairs = (
         a1.join(a2, ["band_idx", "band_val"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
@@ -403,8 +417,36 @@ def embedding_near_dups(
             l2_sq(_dec(F.col("va")), _dec(F.col("vb"))).alias("d2"),
         )
         .where(F.col("d2") <= F.lit(max_dist2).cast(T.DecimalType(30, 20)))
-        .select("id_a", "id_b", F.round(F.col("d2"), 12).cast("double").alias("dist2"))
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("d2"), 12).cast("double").alias("dist2"),
+        )
     )
+    ma = members.select(F.col("rep").alias("id_a"), F.col("m").alias("m_a"))
+    mb = members.select(F.col("rep").alias("id_b"), F.col("m").alias("m_b"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("m_a", "m_b").alias("id_a"),
+            F.greatest("m_a", "m_b").alias("id_b"),
+            "dist2",
+        )
+    )
+    intra = (
+        members.alias("x")
+        .join(
+            members.alias("y"),
+            (F.col("x.rep") == F.col("y.rep"))
+            & (F.col("x.m") < F.col("y.m")),
+        )
+        .select(
+            F.col("x.m").alias("id_a"),
+            F.col("y.m").alias("id_b"),
+            F.lit(0.0).alias("dist2"),
+        )
+    )
+    return cross.unionAll(intra)
 
 
 def dot_dec(a: Column, b: Column) -> Column:

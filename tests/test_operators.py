@@ -86,6 +86,76 @@ def test_simhash_near_pairs_on_planted(spark, docs):
     assert exact <= wide
 
 
+def test_minhash_planted_template_linear(spark):
+    """Hot-bucket hardening proof: a template repeated m times must
+    produce O(n) LSH edges (star to the group rep + rep pairs), never
+    the m^2/2 clique a naive band self-join emits — THE failure mode
+    at 100 TB, where a boilerplate page repeats millions of times."""
+    m = 2000
+    rows = [(i, "the same boilerplate template text repeated "
+                "for every mirror of the page again and again") for i in range(m)]
+    rows += [(m + i, f"distinct document number {i} with its own "
+                     f"unique words alpha{i} beta{i} gamma{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    sigs = D.minhash_signatures(docs, "doc_id", "text")
+    pairs = D.minhash_lsh_pairs(sigs, "doc_id", cache_level=None)
+    n_edges = pairs.count()
+    # linear: m-1 star edges for the template family + a handful of
+    # rep-level pairs; the clique would be m*(m-1)/2 ~ 2e6
+    assert n_edges < 3 * (m + 20), n_edges
+    # connectivity preserved: the whole family collapses to doc 0
+    rep = {r.doc_id: r.rep_id
+           for r in D.minhash_dedup(docs, "doc_id", "text").collect()}
+    assert all(rep[i] == 0 for i in range(m))
+    assert all(rep[m + i] == m + i for i in range(20))
+
+
+def test_simhash_identical_fingerprints_expand_exact(spark):
+    """Identical fingerprints are indexed ONCE (distinct-fp collapse);
+    the expansion must still emit every member pair with hamming 0 and
+    every cross pair with the rep hamming."""
+    docs = spark.createDataFrame(
+        [(i, "same text template for everyone here") for i in range(6)]
+        + [(100, "same text template for everyone there")],
+        "doc_id LONG, text STRING",
+    )
+    fps = D.simhash_fingerprints(docs, "doc_id", "text")
+    fp_vals = {r.doc_id: r.simhash for r in fps.collect()}
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in D.simhash_near_pairs(fps, "doc_id", max_hamming=10,
+                                         min_key_bits=8).collect()}
+    # all 15 intra pairs at hamming 0
+    for i in range(6):
+        for j in range(i + 1, 6):
+            assert got[(i, j)] == 0
+    import math
+    expected_cross = bin(fp_vals[0] ^ fp_vals[100]).count("1")
+    if expected_cross <= 10:
+        for i in range(6):
+            assert got[(i, 100)] == expected_cross
+    assert math.comb(6, 2) + (6 if expected_cross <= 10 else 0) == len(got)
+
+
+def test_embedding_near_dups_identical_family(spark, emb):
+    """Identical vectors collapse to a rep before banding; expansion
+    returns the full pair set with dist2 = 0 intra and exact cross."""
+    base = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    fam = spark.createDataFrame(
+        [(1000 + i, base) for i in range(5)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    corpus = emb.where(F.col("vec_id") < 50).select(
+        "vec_id", "embedding"
+    ).union(fam)
+    got = {(r.id_a, r.id_b): r.dist2
+           for r in S.embedding_near_dups(corpus, max_dist2=0.01).collect()}
+    # vec 0 and the 5 copies form a 6-clique at dist2 = 0
+    fam_ids = [0] + [1000 + i for i in range(5)]
+    for i, a in enumerate(fam_ids):
+        for b in fam_ids[i + 1:]:
+            assert got[(a, b)] == 0.0
+
+
 def test_knn_bruteforce_shape_and_selfexclusion(spark, emb):
     q = emb.where(F.col("vec_id") < 3)
     out = S.knn_bruteforce(q, emb, k=5).collect()
