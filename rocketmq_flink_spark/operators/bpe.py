@@ -111,8 +111,55 @@ MERGES_SCHEMA = T.StructType(
 )
 
 
+def _select_batch(rows, remaining: int, batch: int):
+    """Greedy-equivalent batch selection from one sorted candidate
+    list (n desc, s1, s2 — the sequential comparator).
+
+    Accept the maximal PREFIX of pairwise symbol-disjoint candidates,
+    then trim to counts STRICTLY greater than the first non-accepted
+    candidate's count. Why this equals the sequential greedy:
+
+    - counts of symbol-disjoint pairs are invariant under each other's
+      merges (the merge rewrites 'a b' runs only; other adjacencies
+      are untouched), so every accepted candidate's recorded
+      pair_count equals what a sequential recount would report;
+    - a merge (a,b) can only CREATE pairs (x,ab)/(ab,y), and
+      count(x,ab) <= count_old(x,a): every new-pair count is bounded
+      by an OLD pair touching {a,b}. The first such touching pair in
+      sort order is exactly what stopped the prefix, so every pair a
+      sequential step could newly prefer has count <= the stop
+      count — and the strict trim guarantees every accepted candidate
+      outranks it. Ties inside the accepted prefix resolve by the
+      same (s1, s2) lexicographic order sequential uses.
+
+    Falls back to top-1 (trivially sequential) when the trim empties
+    the batch."""
+    selected, used = [], set()
+    c_next = None
+    for r in rows:
+        if len(selected) >= min(remaining, batch):
+            c_next = int(r["n"])
+            break
+        if r["s1"] in used or r["s2"] in used:
+            c_next = int(r["n"])
+            break
+        selected.append((r["s1"], r["s2"], int(r["n"])))
+        used.add(r["s1"])
+        used.add(r["s2"])
+    # c_next None <=> the collect returned fewer rows than its limit,
+    # i.e. the whole candidate universe is in `rows` — nothing hidden
+    # below to guard against (the size cap breaks first otherwise,
+    # because batch < window).
+    if c_next is not None:
+        selected = [s for s in selected if s[2] > c_next]
+    if not selected and rows:
+        r = rows[0]
+        selected = [(r["s1"], r["s2"], int(r["n"]))]
+    return selected
+
+
 def train_bpe(
-    df: DataFrame, text_col: str = "text", steps: int = 6
+    df: DataFrame, text_col: str = "text", steps: int = 6, batch: int = 1
 ) -> tuple[DataFrame, DataFrame]:
     """Run `steps` BPE merge iterations over the corpus.
 
@@ -120,7 +167,15 @@ def train_bpe(
     (step, lhs, rhs, pair_count) in training order; vocab = the final
     (w, c, syms) segmentation of every distinct word under the learned
     merges. Ties on pair count break lexicographically on (lhs, rhs) —
-    deterministic and replayed exactly by the SQL oracle."""
+    deterministic and replayed exactly by the SQL oracle.
+
+    batch > 1 is the production-scale path: each driver sync collects
+    the top candidate WINDOW once and applies up to `batch` compatible
+    (symbol-disjoint) merges from it — provably identical output to
+    batch=1 (see _select_batch), with ~batch x fewer driver round
+    trips and Spark jobs. A 50k-merge tokenizer at batch=16 is ~3k
+    syncs instead of 50k. tests:
+    test_bpe_batched_equals_sequential."""
     spark = df.sparkSession
     vocab = (
         word_counts(df, text_col)
@@ -128,27 +183,40 @@ def train_bpe(
         .cache()
     )
     merges: list[tuple[int, str, str, int]] = []
-    for step in range(1, steps + 1):
-        best = (
+    first = True
+    while len(merges) < steps:
+        remaining = steps - len(merges)
+        window = 1 if batch <= 1 else min(4 * batch, remaining * 4, 64)
+        rows = (
             _pair_counts(vocab)
             .orderBy(F.desc("n"), "s1", "s2")
-            .limit(1)
+            .limit(window + 1)
             .collect()
         )
-        if not best:
+        if not rows:
             break
-        s1, s2, n = best[0]["s1"], best[0]["s2"], int(best[0]["n"])
-        merges.append((step, s1, s2, n))
-        # localCheckpoint (eager) materializes the step AND truncates
-        # lineage: without it the final vocab is a 6-deep nest of
-        # higher-order aggregate folds, which Catalyst re-analyzes
+        if batch <= 1:
+            r = rows[0]
+            selected = [(r["s1"], r["s2"], int(r["n"]))]
+        else:
+            selected = _select_batch(rows, remaining, batch)
+        col = F.col("syms")
+        for s1, s2, n in selected:
+            merges.append((len(merges) + 1, s1, s2, n))
+            # in-batch merges chain left-to-right in ONE projection —
+            # disjointness makes this identical to separate passes
+            col = _apply_merge(col, s1, s2)
+        # localCheckpoint (eager=False) materializes the step AND
+        # truncates lineage: without it the final vocab is a deep nest
+        # of higher-order aggregate folds, which Catalyst re-analyzes
         # catastrophically slowly if anything downstream recomputes it
         # (measured: 18 s vs ~1 s for the corpus-segmentation report).
-        nxt = vocab.select(
-            "w", "c", _apply_merge(F.col("syms"), s1, s2).alias("syms")
-        ).localCheckpoint(eager=False)
-        if step == 1:
+        nxt = vocab.select("w", "c", col.alias("syms")).localCheckpoint(
+            eager=False
+        )
+        if first:
             vocab.unpersist()  # release the char-split cache (v0)
+            first = False
         # checkpointed intermediates are vocab-bounded and released by
         # the session's block manager GC; explicitly unpersisting a
         # lazily-checkpointed frame would race its materialization

@@ -335,11 +335,9 @@ def minhash_signatures(
         f" sequence(0, greatest(size(_toks) - {k}, 0)),"
         f" i -> concat_ws(' ', slice(_toks, i + 1, {k}))))"
     )
-    hashes = (
-        "transform(_sh, s ->"
-        " CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
-        " % 2147483647)"
-    )
+    from rocketmq_flink_spark.functions.porthash import hash60_spark_sql
+
+    hashes = f"transform(_sh, s -> {hash60_spark_sql('s')} % 2147483647)"
     mins = ", ".join(
         f"array_min(transform(_hs, x ->"
         f" (CAST({a} AS BIGINT) * x + CAST({b} AS BIGINT)) % 2147483647))"
@@ -692,10 +690,9 @@ def repeated_passages(
         f"transform({starts}, i ->"
         f" concat_ws(' ', slice(_toks, i * {stride} + 1, {window})))"
     )
-    hashes = (
-        f"transform({passage}, p ->"
-        f" CAST(conv(substring(md5(p), 1, 15), 16, 10) AS BIGINT))"
-    )
+    from rocketmq_flink_spark.functions.porthash import hash60_spark_sql
+
+    hashes = f"transform({passage}, p -> {hash60_spark_sql('p')})"
     from rocketmq_flink_spark.session import spread_for_compute
 
     toks = f"split({normalize_sql(text_col)}, '\\\\s+')"
@@ -834,10 +831,9 @@ def simhash_fingerprints(
 
     df = spread_for_compute(df)
     toks = f"filter(split({normalize_sql(text_col)}, '\\\\s+'), x -> x <> '')"
-    hashes = (
-        f"transform({toks},"
-        f" t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
-    )
+    from rocketmq_flink_spark.functions.porthash import hash60_spark_sql
+
+    hashes = f"transform({toks}, t -> {hash60_spark_sql('t')})"
     lane_exprs = [
         (
             f"aggregate(_h, CAST(0 AS BIGINT), (acc, h) -> acc +"
@@ -890,6 +886,7 @@ def simhash_near_pairs(
     max_hamming: int = 6,
     n_bits: int = 60,
     min_key_bits: int = 12,
+    cache_level: str | None = "MEMORY_AND_DISK",
 ) -> DataFrame:
     """Pairs with hamming(simhash) <= max_hamming.
 
@@ -924,8 +921,14 @@ def simhash_near_pairs(
     mask = (1 << width) - 1
     # materialize before the joins: the collapse, both expansion
     # probes, and the intra-group join all reuse it (one long per doc
-    # cached — ~8 bytes/doc cluster-wide, fine at any corpus size)
-    fingerprints = fingerprints.cache()
+    # — ~8 bytes/doc cluster-wide; cache_level is a pyspark
+    # StorageLevel name, None recomputes, caller owns unpersisting)
+    if cache_level is not None:
+        from pyspark import StorageLevel
+
+        fingerprints = fingerprints.persist(
+            getattr(StorageLevel, cache_level)
+        )
     docs = fingerprints.select(F.col(id_col).alias("doc"), "simhash")
     # ---- identical-fingerprint collapse (hot-bucket hardening) ----
     # A template family of m identical fingerprints (exact_dedup only

@@ -980,6 +980,99 @@ def broker_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bounded_window_scan",
+    """
+    SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events WHERE event_id % 2 = 1 GROUP BY event_type
+    """,
+)
+def bounded_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded broker scan — the S6/S14/W6/S10 anchor. Events are
+    committed in TWO epochs (even event_ids, then odd); the read then
+    positions every queue with `startingOffsets=timestamp:<ms>` AND
+    bounds it with `endingTimestamp` chosen to bracket exactly the
+    second commit's store timestamp. Timestamp resolution follows the
+    reference's searchOffset semantics (store time, not born time:
+    `RocketMQSourceFunction.java:330-365`,
+    `RocketMQPartitionSplitReader.java:190-199`), so the bounded read
+    must return precisely the odd-id batch — which the oracle selects
+    relationally. The `ENDINGTIMESTAMP` option is deliberately
+    mis-cased to pin S10 option case-normalization
+    (`RocketMQDynamicTableSourceFactory.java:66-215`)."""
+    import tempfile
+    import time as _time
+
+    from rocketmq_flink_spark.functions import decode_envelope, encode_rows
+    from rocketmq_flink_spark.sources import register
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="rocketmq_bounded_")
+    ev = _events_typed(spark, sf_dir).select(
+        "event_id", "user_id", "value", "ts", "event_type"
+    )
+
+    def _write(batch):
+        env = encode_rows(
+            batch,
+            options={
+                "topic": "events_tw",
+                "keyColumns": "event_id",
+                "writeKeysToBody": "true",
+                "isDynamicTag": "true",
+                "dynamicTagColumn": "event_type",
+            },
+            born_ts_col="ts",
+        )
+        (
+            env.write.format("rocketmq")
+            .option("path", root)
+            .option("topic", "events_tw")
+            .option("numQueues", "4")
+            .mode("append")
+            .save()
+        )
+
+    _write(ev.where(F.col("event_id") % 2 == 0))
+    _time.sleep(0.02)  # distinct store_ts for the second epoch
+    _write(ev.where(F.col("event_id") % 2 == 1))
+    stamps = sorted(
+        r["store_ts"]
+        for r in (
+            spark.read.format("rocketmq")
+            .option("path", root)
+            .option("topic", "events_tw")
+            .load()
+            .select(F.unix_micros("store_ts").alias("store_ts"))
+            .distinct()
+            .collect()
+        )
+    )
+    assert len(stamps) == 2, f"expected two commit stamps, got {stamps}"
+    assert stamps[1] // 1000 > stamps[0] // 1000, stamps
+    cut_ms = stamps[1] // 1000  # > epoch-1 stamp, <= epoch-2 stamp
+    envelope = (
+        spark.read.format("rocketmq")
+        .option("path", root)
+        .option("topic", "events_tw")
+        .option("startingOffsets", f"timestamp:{cut_ms}")
+        .option("ENDINGTIMESTAMP", str(cut_ms))  # case-norm pin (S10)
+        .load()
+    )
+    decoded = decode_envelope(
+        envelope,
+        "event_id BIGINT, user_id BIGINT, value DOUBLE, ts TIMESTAMP",
+        metadata_columns=["tags"],
+    )
+    return decoded.groupBy(F.col("tags").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec2(F.col("value"))).cast("double").alias("sum_value"),
+        F.sum("event_id").alias("sum_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star operators (BASELINE.json: dedup / similarity search /
 # multimodal / text analysis — designed for 100 TB)
@@ -6988,7 +7081,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rocketmq_flink_spark.operators.bpe import train_bpe
 
     docs = load_tables(spark, sf_dir)["documents"]
-    merges, vocab = train_bpe(docs, "text", steps=6)
+    merges, vocab = train_bpe(docs, "text", steps=6, batch=4)
     vocab.unpersist()
     return merges.orderBy("step")
 
@@ -7125,7 +7218,7 @@ def bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rocketmq_flink_spark.operators.dedup import normalize_sql
 
     docs = load_tables(spark, sf_dir)["documents"]
-    merges, vocab = train_bpe(docs, "text", steps=6)
+    merges, vocab = train_bpe(docs, "text", steps=6, batch=4)
     seg = vocab.select(
         "w",
         F.length("w").alias("n_chars_w"),
