@@ -102,6 +102,12 @@ EXTRA = [
     "event_transition_matrix",
     "cusum_changepoint_events",
     "abtest_conversion_ztest",
+    # round 4
+    "bounded_window_scan",
+    "bm25_search_docs",
+    "kmv_distinct_users",
+    "ewma_event_rate",
+    "pca_top_component_embeddings",
 ]
 
 

@@ -1,0 +1,178 @@
+"""Full-text retrieval: exact-arithmetic BM25 top-k search.
+
+The text-side counterpart of the ANN family: given a query table and a
+document corpus, rank documents by Okapi BM25 (k1 = 1.2, b = 0.75,
+Lucene idf form ln(1 + (N - df + 0.5)/(df + 0.5))) and return the
+top-k per query.
+
+Exactness design — BM25 scores are floats in every textbook
+implementation, which makes ranks unverifiable across engines. Here the
+ENTIRE score is integer arithmetic:
+
+  * idf: the Lucene argument simplifies to (N + 1)/(df + 0.5)
+    = (2N + 2)/(2df + 1), an integer ratio — and because scaling every
+    idf by a constant scales all scores uniformly (score = sum of
+    idf * tf-saturation terms), ranking under log2 equals ranking
+    under ln EXACTLY. log2 of the integer ratio is computed in
+    FIXED-POINT (20 fraction bits) by the classic repeated-squaring
+    bit-extraction algorithm — integer shifts/multiplies only, with a
+    30-bit mantissa truncation so every product fits in signed 64-bit.
+    The identical recurrence runs as a Catalyst `aggregate` fold, a
+    DuckDB recursive CTE, and a pure-Python reference; all three are
+    bit-equal (test_fp_log2_three_witnesses), and the absolute error
+    vs true log2 is < 1e-6.
+  * tf saturation: tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with
+    avgdl = L/N multiplies through to the integer ratio
+    22*tf*L / (10*L*tf + 3*L + 9*dl*N), rounded half-up to 1e-6 ticks
+    with the engine-stable rational formula (DECIMAL(38,0) on Spark,
+    HUGEINT in DuckDB).
+  * score = sum over query terms of idf_fp * wtf6 — an exact BIGINT;
+    ranking compares raw integers (ties break on doc id); the
+    reported score converts by /2^20 (exact) and /1e6 (one identical
+    IEEE op).
+
+Scale design: pure postings-list joins. Documents tokenize in one
+pass; tf is a map-side-combined (doc, term) count; df and idf live on
+the VOCABULARY table (never the corpus); query terms equi-join the
+postings so only documents sharing >= 1 query term are ever scored —
+no corpus x query product anywhere. The only driver sync is the
+(N, L) scalar pair. Top-k per query is a per-query window over the
+candidate set (term-frequency bounded), not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FP_BITS = 20
+
+
+def fp_log2_sql(p0: str, q0: str) -> str:
+    """Fixed-point log2(p0/q0) (20 fraction bits) as a Spark SQL
+    expression over integer expressions p0 > q0 > 0. Pure integer
+    shifts/multiplies; bit-identical to the DuckDB recursive CTE
+    (fp_log2_duck_cte) and the Python reference."""
+    s = "greatest(0, length(bin(st.q)) - 30)"
+    p2 = f"(shiftrightunsigned(st.p, {s}) * shiftrightunsigned(st.p, {s}))"
+    q2 = f"(shiftrightunsigned(st.q, {s}) * shiftrightunsigned(st.q, {s}))"
+    k = f"(length(bin({p0} div {q0})) - 1)"
+    return (
+        f"aggregate(sequence(1, {FP_BITS}),"
+        f" struct(CAST({p0} AS BIGINT) AS p,"
+        f" shiftleft(CAST({q0} AS BIGINT), {k}) AS q,"
+        f" CAST(0 AS BIGINT) AS acc),"
+        f" (st, i) -> struct("
+        f" CAST(CASE WHEN {p2} >= 2 * {q2} THEN shiftrightunsigned({p2}, 1)"
+        f" ELSE {p2} END AS BIGINT) AS p,"
+        f" CAST({q2} AS BIGINT) AS q,"
+        f" CAST(st.acc * 2 + CASE WHEN {p2} >= 2 * {q2} THEN 1 ELSE 0 END"
+        f" AS BIGINT) AS acc),"
+        f" st -> st.acc + shiftleft(CAST({k} AS BIGINT), {FP_BITS}))"
+    )
+
+
+def fp_log2_py(p: int, q: int, bits: int = FP_BITS) -> int:
+    """Pure-Python witness of the same fixed-point log2."""
+    k = (p // q).bit_length() - 1
+    q <<= k
+    acc = 0
+    for _ in range(bits):
+        s = max(0, q.bit_length() - 30)
+        p >>= s
+        q >>= s
+        p *= p
+        q *= q
+        if p >= 2 * q:
+            acc = acc * 2 + 1
+            p >>= 1
+        else:
+            acc *= 2
+    return (k << bits) + acc
+
+
+def _tokens(text_col: str):
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    return (
+        f"filter(split({normalize_sql(text_col)}, '\\\\s+'), x -> x <> '')"
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k BM25 documents per query: (query_id, doc_id, score, rank).
+
+    See the module docstring for the exact-integer scoring design.
+    Query-side term frequency is ignored (standard for short queries);
+    duplicate query terms count once."""
+    toks = docs.selectExpr(
+        f"{id_col} AS doc", _tokens(text_col) + " AS tk"
+    ).withColumn("dl", F.size("tk"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("l")
+    ).collect()[0]
+    n_docs, total_len = int(stats["n"]), int(stats["l"])
+    tf = (
+        toks.select("doc", "dl", F.explode("tk").alias("term"))
+        .groupBy("doc", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.selectExpr(
+        "term",
+        fp_log2_sql(f"CAST({2 * n_docs + 2} AS BIGINT)", "(2*df + 1)")
+        + " AS idf_fp",
+    )
+    qterms = (
+        queries.selectExpr(
+            f"{qid_col} AS qid", _tokens(qtext_col) + " AS qtk"
+        )
+        .select("qid", F.explode("qtk").alias("term"))
+        .distinct()
+    )
+    # wtf6 = half_up(22*tf*L * 1e6 / (10*L*tf + 3*L + 9*dl*N)) — the
+    # k1=1.2 / b=0.75 saturation multiplied through to integers
+    dec = "decimal(38,0)"
+    num = (
+        F.lit(22 * total_len * 1_000_000).cast(dec) * F.col("tf").cast(dec)
+    )
+    den = (
+        F.lit(10 * total_len).cast(dec) * F.col("tf").cast(dec)
+        + F.lit(3 * total_len).cast(dec)
+        + F.lit(9 * n_docs).cast(dec) * F.col("dl").cast(dec)
+    )
+    scored = (
+        qterms.join(tf, "term")
+        .join(idf, "term")
+        .withColumn("_num", num)
+        .withColumn("_den", den)
+        .withColumn(
+            "wtf6",
+            F.expr("CAST((2 * _num + _den) div (2 * _den) AS BIGINT)"),
+        )
+        .withColumn("_tick", F.col("idf_fp") * F.col("wtf6"))
+        .groupBy("qid", "doc")
+        .agg(F.sum("_tick").alias("ticks"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("ticks"), "doc")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(qid_col),
+            F.col("doc").alias(id_col),
+            (
+                (F.col("ticks").cast("double") / F.lit(float(1 << FP_BITS)))
+                / F.lit(1e6)
+            ).alias("score"),
+            "rank",
+        )
+    )

@@ -505,3 +505,64 @@ __all__ = [
     "hist_quantiles",
     "HIST_BINS",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k (KMV) distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def bottomk_sketch(
+    df,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    salt_buckets: int = 32,
+):
+    """Bottom-k (k-minimum-values) distinct sketch per group: the k
+    smallest 60-bit hashes of value_col, as a sorted array column
+    `kmv`. The fourth mergeable sketch (HLL / Count-Min / histogram /
+    KMV): union = bottom-k of the concatenated arrays, so per-shard
+    sketches combine exactly (test_bottomk_merge_equals_direct).
+
+    Scale shape: distinct (group, hash) first (map-side combinable),
+    then a SALTED two-phase bottom-k — a per-(group, hash%32) window
+    keeps k rows max per salted cell, and the final per-group combine
+    aggregates at most 32*k values into one bounded buffer. A direct
+    collect_list-per-group would buffer EVERY distinct value of a hot
+    group; a direct global window would funnel the hot group through
+    one task. Never more than salt_buckets*k values in any buffer.
+    """
+    from pyspark.sql import Window
+
+    from rocketmq_flink_spark.functions.porthash import hash60
+
+    d = df.select(
+        *group_cols, hash60(F.col(value_col).cast("string")).alias("h")
+    ).distinct()
+    salted = d.withColumn("_s", F.pmod(F.col("h"), F.lit(salt_buckets)))
+    w = Window.partitionBy(*group_cols, "_s").orderBy("h")
+    part = salted.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= k
+    )
+    return part.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("kmv")
+    )
+
+
+def bottomk_estimate(sk, k: int = 64):
+    """Distinct-count estimate from a KMV sketch column: when the
+    sketch is full, est = (k-1) * 2^60 // kmv[k] (the classic KMV
+    estimator, integer floor division — engine-neutral); when fewer
+    than k distinct values exist the sketch IS the exact set and the
+    estimate is its size."""
+    full = F.size(F.col("kmv")) >= k
+    kth = F.element_at(F.col("kmv"), k)
+    est = F.expr(
+        f"CAST(CAST({(k - 1) * (1 << 60)} AS DECIMAL(38,0))"
+        f" div CAST(element_at(kmv, {k}) AS DECIMAL(38,0)) AS BIGINT)"
+    )
+    return sk.withColumn(
+        "est_distinct",
+        F.when(full & (kth > 0), est).otherwise(F.size("kmv").cast("long")),
+    )

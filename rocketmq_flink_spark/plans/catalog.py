@@ -8495,3 +8495,252 @@ def pca_projection_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     return _po(emb, iters=6, k=10)
+
+
+def _bm25_oracle_sql(k: int = 10, n_queries: int = 5, qlen: int = 6) -> str:
+    """DuckDB replay of the exact-integer BM25 pipeline: tokenize,
+    postings tf/df, the fixed-point log2 idf as a recursive CTE
+    (bit-identical to the Catalyst fold — operators/retrieval.py),
+    integer tf-saturation ticks, integer ranking."""
+    return f"""
+    WITH RECURSIVE t0 AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    dls AS (SELECT doc_id, len(tk) AS dl FROM t0),
+    nn AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS l FROM dls),
+    tok AS (
+      SELECT doc_id, i AS pos, tk[i] AS term
+      FROM t0, unnest(range(1, len(tk) + 1)) AS u(i)),
+    tf AS (
+      SELECT t.doc_id, d.dl, t.term, COUNT(*) AS tf
+      FROM tok t JOIN dls d USING (doc_id)
+      GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    base AS (
+      SELECT term, df,
+             2 * (SELECT n FROM nn) + 2 AS p0, 2 * df + 1 AS q0,
+             length(bin((2 * (SELECT n FROM nn) + 2) // (2 * df + 1))) - 1
+               AS kk
+      FROM dfreq),
+    it AS (
+      SELECT term, kk, 0 AS i, p0 AS p, (q0 << kk) AS q,
+             CAST(0 AS BIGINT) AS acc
+      FROM base
+      UNION ALL
+      SELECT term, kk, i + 1,
+             CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                  THEN ((p >> s)*(p >> s)) >> 1 ELSE (p >> s)*(p >> s) END,
+             (q >> s)*(q >> s),
+             acc*2 + CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                     THEN 1 ELSE 0 END
+      FROM (SELECT *, greatest(0, length(bin(q)) - 30) AS s FROM it)
+      WHERE i < 20),
+    idf AS (
+      SELECT term, acc + (CAST(kk AS BIGINT) << 20) AS idf_fp
+      FROM it WHERE i = 20),
+    qtok AS (
+      SELECT doc_id AS qid, term, MIN(pos) AS fpos
+      FROM tok WHERE doc_id < {n_queries} GROUP BY 1, 2),
+    qterms AS (
+      SELECT qid, term FROM (
+        SELECT qid, term,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY fpos) AS rn
+        FROM qtok)
+      WHERE rn <= {qlen}),
+    sc AS (
+      SELECT q.qid, t.doc_id,
+             SUM(i.idf_fp *
+               ((2 * (CAST(22 AS HUGEINT) * (SELECT l FROM nn)
+                      * 1000000 * t.tf)
+                 + (CAST(10 AS HUGEINT) * (SELECT l FROM nn) * t.tf
+                    + 3 * (SELECT l FROM nn)
+                    + CAST(9 AS HUGEINT) * (SELECT n FROM nn) * t.dl))
+                // (2 * (CAST(10 AS HUGEINT) * (SELECT l FROM nn) * t.tf
+                         + 3 * (SELECT l FROM nn)
+                         + CAST(9 AS HUGEINT) * (SELECT n FROM nn) * t.dl))))
+               AS ticks
+      FROM qterms q JOIN tf t USING (term) JOIN idf i USING (term)
+      GROUP BY 1, 2)
+    SELECT qid AS query_id, doc_id,
+           (CAST(ticks AS DOUBLE) / 1048576.0) / 1e6 AS score, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY ticks DESC, doc_id) AS rank
+          FROM sc)
+    WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@query("bm25_search_docs", _bm25_oracle_sql())
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text BM25 top-10 retrieval over the documents corpus —
+    the text-side counterpart of the ANN index family. Five queries
+    derive deterministically from the corpus itself (the first six
+    distinct normalized tokens of docs 0-4, so each query has a known
+    strongly-relevant document). Scoring is EXACT integer arithmetic
+    end to end: fixed-point base-2 idf (ranking-identical to ln-BM25
+    because uniform idf scaling preserves score order) via the
+    repeated-squaring bit-extraction fold, integer tf-saturation
+    ticks, integer ranking — the oracle replays the identical
+    recurrence in a recursive CTE. Postings-list joins only: df/idf
+    live on the vocabulary table, only documents sharing a query term
+    are scored, top-k is a per-query window over that candidate set.
+    Scale notes: operators/retrieval.py."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+    from rocketmq_flink_spark.operators.retrieval import bm25_topk
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        "filter(split("
+        + normalize_sql("text")
+        + ", '\\\\s+'), x -> x <> '')"
+    )
+    queries = docs.where(F.col("doc_id") < 5).selectExpr(
+        "doc_id AS query_id",
+        f"concat_ws(' ', slice(array_distinct({toks}), 1, 6)) AS qtext",
+    )
+    return bm25_topk(docs, queries, k=10).orderBy("query_id", "rank")
+
+
+def _kmv_oracle_sql(k: int = 64) -> str:
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    h = hash60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH h AS (SELECT DISTINCT event_type, {h} AS h FROM events),
+    r AS (SELECT event_type, h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+                   AS rn
+          FROM h),
+    agg AS (SELECT event_type, COUNT(*) AS n_exact,
+                   MAX(CASE WHEN rn = {k} THEN h END) AS kth
+            FROM r GROUP BY 1),
+    est AS (SELECT event_type, n_exact,
+                   CASE WHEN kth IS NOT NULL THEN
+                     CAST((CAST({k - 1} AS HUGEINT) * 1152921504606846976)
+                          // kth AS BIGINT)
+                   ELSE n_exact END AS est_distinct
+            FROM agg)
+    SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact, est_distinct,
+           CAST((abs(est_distinct - n_exact) * 1000000) // n_exact
+                AS BIGINT) AS err_micro
+    FROM est ORDER BY event_type
+    """
+
+
+@query("kmv_distinct_users", _kmv_oracle_sql())
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) distinct-user sketch per event type next to the
+    exact count and the integer-micro relative error — the fourth
+    mergeable sketch (HLL / Count-Min / histogram / KMV), the one
+    that also supports set EXPRESSIONS over distinct values
+    (intersection sizes via inclusion-exclusion on merged sketches).
+    Two-phase salted bottom-k keeps every aggregation buffer under
+    salt_buckets*k values regardless of group skew; the estimator is
+    integer floor division — engine-neutral. Scale notes:
+    operators/sketches.py bottomk_sketch."""
+    from rocketmq_flink_spark.operators.sketches import (
+        bottomk_estimate,
+        bottomk_sketch,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    sk = bottomk_estimate(
+        bottomk_sketch(ev, ["event_type"], "user_id", k=64), k=64
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        exact.join(sk.select("event_type", "est_distinct"), "event_type")
+        .select(
+            "event_type",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            "est_distinct",
+            F.expr(
+                "CAST((abs(est_distinct - n_exact) * 1000000)"
+                " div n_exact AS BIGINT)"
+            ).alias("err_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ewma_event_rate",
+    """
+    WITH RECURSIVE dc AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY d) AS rn
+           FROM dc),
+    it AS (
+      SELECT event_type, d, cnt, rn, CAST(-1 AS BIGINT) AS prev,
+             CAST(cnt << 20 AS BIGINT) AS s
+      FROM rk WHERE rn = 1
+      UNION ALL
+      SELECT r.event_type, r.d, r.cnt, r.rn, it.s AS prev,
+             CAST((3 * it.s + (r.cnt << 20)) >> 2 AS BIGINT) AS s
+      FROM rk r JOIN it
+        ON r.event_type = it.event_type AND r.rn = it.rn + 1)
+    SELECT event_type, CAST(d AS VARCHAR) AS day,
+           CAST(cnt AS BIGINT) AS n_events,
+           s AS ewma_ticks,
+           (prev >= 0 AND 2 * abs((cnt << 20) - prev) > prev) AS flagged
+    FROM it ORDER BY event_type, day
+    """,
+)
+def ewma_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving-average rate monitor over daily
+    event counts per type, with spike/drop flags (deviation > 50% of
+    the running level). alpha = 1/4 is DYADIC, so the recurrence
+    s_t = (3*s_{t-1} + x_t*2^20) >> 2 is pure integer shifts — exact,
+    engine-neutral, hash-checkable (a float EWMA drifts in the last
+    ulp and differs across engines). Complements the 3-sigma
+    `event_rate_anomalies`: EWMA adapts to level shifts instead of
+    flagging forever after one. Scale: the fold runs per event_type
+    over its DAILY count array (bounded by the time range, never by
+    row count); daily counts are one map-side-combined aggregation."""
+    ev = load_tables(spark, sf_dir)["events"]
+    dc = (
+        ev.groupBy(
+            "event_type", F.to_date("ts").alias("d")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    arr = dc.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("d", "cnt"))).alias("a")
+    )
+    folded = arr.selectExpr(
+        "event_type",
+        """
+        aggregate(a,
+          struct(CAST(-1 AS BIGINT) AS s,
+                 CAST(array() AS ARRAY<STRUCT<d: DATE, cnt: BIGINT,
+                                              prev: BIGINT>>) AS out),
+          (st, e) -> struct(
+            CAST(CASE WHEN st.s < 0 THEN shiftleft(e.cnt, 20)
+                 ELSE shiftrightunsigned(3 * st.s + shiftleft(e.cnt, 20), 2)
+                 END AS BIGINT),
+            concat(st.out, array(struct(e.d AS d,
+                                        CAST(e.cnt AS BIGINT) AS cnt,
+                                        st.s AS prev)))),
+          st -> st.out) AS rows
+        """,
+    ).select("event_type", F.explode("rows").alias("r"))
+    return folded.select(
+        "event_type",
+        F.date_format("r.d", "yyyy-MM-dd").alias("day"),
+        F.col("r.cnt").alias("n_events"),
+        F.expr(
+            "CAST(CASE WHEN r.prev < 0 THEN shiftleft(r.cnt, 20)"
+            " ELSE shiftrightunsigned(3 * r.prev + shiftleft(r.cnt, 20), 2)"
+            " END AS BIGINT)"
+        ).alias("ewma_ticks"),
+        F.expr(
+            "r.prev >= 0 AND"
+            " 2 * abs(shiftleft(r.cnt, 20) - r.prev) > r.prev"
+        ).alias("flagged"),
+    ).orderBy("event_type", "day")

@@ -1830,6 +1830,147 @@ def test_train_bpe_matches_python_reference(spark):
     vocab.unpersist()
 
 
+def test_bottomk_merge_equals_direct(spark):
+    """KMV mergeability: bottom-k of two shard sketches' union equals
+    the sketch of the full data — the property that makes per-shard /
+    per-day sketches combinable without re-reading data."""
+    from rocketmq_flink_spark.operators.sketches import (
+        bottomk_estimate,
+        bottomk_sketch,
+    )
+
+    rows = [(i % 3, f"u{i * 7 % 997}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "g INT, user STRING")
+    direct = {
+        r["g"]: list(r["kmv"])
+        for r in bottomk_sketch(df, ["g"], "user", k=16).collect()
+    }
+    h1 = bottomk_sketch(df.where("user < 'u5'"), ["g"], "user", k=16)
+    h2 = bottomk_sketch(df.where("user >= 'u5'"), ["g"], "user", k=16)
+    merged = (
+        h1.unionAll(h2)
+        .groupBy("g")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("kmv")))
+                ),
+                1,
+                16,
+            ).alias("kmv")
+        )
+    )
+    got = {r["g"]: list(r["kmv"]) for r in merged.collect()}
+    assert got == direct
+    # estimator sanity: within 50% of the true distinct count
+    est = {
+        r["g"]: r["est_distinct"]
+        for r in bottomk_estimate(
+            bottomk_sketch(df, ["g"], "user", k=16), k=16
+        ).collect()
+    }
+    import collections
+
+    truth = collections.defaultdict(set)
+    for g, u in rows:
+        truth[g].add(u)
+    for g, n in ((g, len(s)) for g, s in truth.items()):
+        assert 0.5 * n <= est[g] <= 1.5 * n, (g, n, est[g])
+
+
+def _py_bm25(docs, queries, k=10):
+    """Pure-Python witness of the exact-integer BM25 pipeline."""
+    import re
+    from collections import Counter
+
+    from rocketmq_flink_spark.operators.retrieval import FP_BITS, fp_log2_py
+
+    def norm_toks(t):
+        t = re.sub(r"[^\w\s]", " ", t.lower())
+        return [x for x in re.split(r"\s+", t.strip()) if x]
+
+    toks = {d: norm_toks(t) for d, t in docs}
+    n, total = len(toks), sum(len(v) for v in toks.values())
+    tf = {d: Counter(v) for d, v in toks.items()}
+    dfreq = Counter(t for d in tf.values() for t in d)
+    idf = {t: fp_log2_py(2 * n + 2, 2 * df + 1) for t, df in dfreq.items()}
+    out = {}
+    for qid, qt in queries:
+        terms = set(norm_toks(qt))
+        scores = {}
+        for d, cnt in tf.items():
+            s = 0
+            dl = len(toks[d])
+            for t in terms & cnt.keys():
+                num = 22 * total * 1_000_000 * cnt[t]
+                den = 10 * total * cnt[t] + 3 * total + 9 * n * dl
+                wtf6 = (2 * num + den) // (2 * den)
+                s += idf[t] * wtf6
+            if s:
+                scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[qid] = [
+            (d, round(t / (1 << FP_BITS) / 1e6, 9), r + 1)
+            for r, (d, t) in enumerate(ranked)
+        ]
+    return out
+
+
+def test_bm25_matches_python_and_textbook(spark):
+    import math
+
+    from rocketmq_flink_spark.operators.retrieval import bm25_topk
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown cat sleeps on the warm mat"),
+        (3, "foxes and dogs are common household animals"),
+        (4, "quantum computing uses qubits instead of classical bits"),
+        (5, "the dog chased the fox across the brown field"),
+        (6, "a field guide to quantum field theory and computing"),
+    ]
+    queries = [(1, "quick brown fox"), (2, "quantum computing"), (3, "dog")]
+    ddf = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    qdf = spark.createDataFrame(queries, "query_id LONG, qtext STRING")
+    got = {}
+    for r in bm25_topk(ddf, qdf, k=4).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 9), r["rank"])
+        )
+    for qid in got:
+        got[qid].sort(key=lambda x: x[2])
+    exp = _py_bm25(docs, queries, k=4)
+    assert got == exp
+    # ranking parity with textbook ln-BM25 (log2 scaling is uniform)
+    import re
+    from collections import Counter
+
+    def norm_toks(t):
+        t = re.sub(r"[^\w\s]", " ", t.lower())
+        return [x for x in re.split(r"\s+", t.strip()) if x]
+
+    toks = {d: norm_toks(t) for d, t in docs}
+    n, total = len(toks), sum(len(v) for v in toks.values())
+    avgdl = total / n
+    tf = {d: Counter(v) for d, v in toks.items()}
+    dfreq = Counter(t for d in tf.values() for t in d)
+    for qid, qt in queries:
+        terms = set(norm_toks(qt))
+        ref = {}
+        for d, cnt in tf.items():
+            s = 0.0
+            for t in terms & cnt.keys():
+                idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                s += idf * cnt[t] * 2.2 / (
+                    cnt[t] + 1.2 * (0.25 + 0.75 * len(toks[d]) / avgdl)
+                )
+            if s:
+                ref[d] = s
+        ref_rank = [d for d, _ in sorted(ref.items(),
+                                         key=lambda kv: (-kv[1], kv[0]))][:4]
+        assert [d for d, _, _ in exp[qid]] == ref_rank
+
+
 def test_fast_hash_mode_domain_and_dedup(spark):
     """SPARK_GRAFT_HASH_MODE=fast swaps md5 for xxhash64: same
     non-negative 60-bit domain, statistically equivalent behavior —
