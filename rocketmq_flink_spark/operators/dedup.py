@@ -907,7 +907,26 @@ def simhash_near_pairs(
     max_hamming=6 survive web scale — the min_key_bits guard refuses
     parameterizations whose combined key still collapses below ~4K
     buckets.
-    """
+
+    Hot-bucket hardening (round 4): only DISTINCT fingerprints are
+    indexed. A template family of m identical fingerprints
+    (exact_dedup removes exact text copies, but distinct texts can
+    share a fingerprint) would otherwise put m rows into every one of
+    its C(h+2,2) bucket keys and square inside one band task; after
+    the collapse it contributes ONE index row per key. min_key_bits
+    guards average collisions; the collapse guards identical ones —
+    both are needed. Everything hangs off ONE groupBy(simhash): its
+    key set is the distinct-fingerprint index input, its sorted
+    member lists expand rep pairs back to doc pairs ARRAY-side
+    (intra-group pairs at hamming 0, cross-group pairs inheriting the
+    rep hamming — exact, since members equal their rep), so the
+    whole rewrite costs a single extra shuffle over the naive
+    self-join. The member buffer is linear in family size; the pair
+    OUTPUT is inherently quadratic in it (that is the contract —
+    consumers that only need connectivity should use the minhash star
+    path). cache_level persists the per-fingerprint group table that
+    the index and both expansions reuse (StorageLevel name; None
+    recomputes; caller owns unpersisting)."""
     n_blocks = max_hamming + 2
     width = n_bits // n_blocks
     if 2 * width < min_key_bits:
@@ -919,28 +938,14 @@ def simhash_near_pairs(
             "smaller min_key_bits explicitly for a small corpus."
         )
     mask = (1 << width) - 1
-    # materialize before the joins: the collapse, both expansion
-    # probes, and the intra-group join all reuse it (one long per doc
-    # — ~8 bytes/doc cluster-wide; cache_level is a pyspark
-    # StorageLevel name, None recomputes, caller owns unpersisting)
+    g = (
+        fingerprints.groupBy("simhash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ds"))
+    )
     if cache_level is not None:
         from pyspark import StorageLevel
 
-        fingerprints = fingerprints.persist(
-            getattr(StorageLevel, cache_level)
-        )
-    docs = fingerprints.select(F.col(id_col).alias("doc"), "simhash")
-    # ---- identical-fingerprint collapse (hot-bucket hardening) ----
-    # A template family of m identical fingerprints (exact_dedup only
-    # removes exact COPIES of the text, and distinct texts can share a
-    # fingerprint) would put m rows into every one of its C(h+2,2)
-    # bucket keys and square inside one task. Index DISTINCT
-    # fingerprints only: the family is ONE index row per key; the
-    # member pairs come back from output-sized expansion joins below
-    # (AQE skew-split handles the one hot fingerprint value there).
-    # min_key_bits guards average collisions; this guards identical
-    # ones — both are needed.
-    fps = fingerprints.select("simhash").distinct()
+        g = g.persist(getattr(StorageLevel, cache_level))
 
     # key structs as one JVM-parsed SQL string: C(h+2, 2) Column-object
     # structs would cost hundreds of py4j round trips per query build
@@ -953,9 +958,12 @@ def simhash_near_pairs(
         for i in range(n_blocks)
         for j in range(i + 1, n_blocks)
     )
-    indexed = fps.selectExpr(
-        "simhash", f"explode(array({keys})) AS kp"
-    ).select("simhash", "kp.bp", "kp.bk")
+    # the member list rides THROUGH the index (one row per distinct
+    # fingerprint per key, the array alongside), so expansion needs no
+    # re-join against g — one groupBy + one self-join total
+    indexed = g.selectExpr(
+        "simhash", "ds", f"explode(array({keys})) AS kp"
+    ).select("simhash", "ds", "kp.bp", "kp.bk")
     a, b = indexed.alias("a"), indexed.alias("b")
     fp_pairs = (
         a.join(
@@ -967,6 +975,8 @@ def simhash_near_pairs(
         .select(
             F.col("a.simhash").alias("fa"),
             F.col("b.simhash").alias("fb"),
+            F.col("a.ds").alias("dsa"),
+            F.col("b.ds").alias("dsb"),
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
@@ -974,35 +984,37 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["fa", "fb"])
     )
-    # expansion back to doc pairs (output-sized): cross-group pairs
-    # inherit the rep hamming; identical-fingerprint pairs are
-    # hamming 0 by definition
-    da = docs.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("fa"))
-    db = docs.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("fb"))
+    # cross-group expansion: doc pairs inherit the rep hamming exactly
     cross = (
-        fp_pairs.join(da, "fa")
-        .join(db, "fb")
-        .select(
-            F.least("doc_a", "doc_b").alias("id_a"),
-            F.greatest("doc_a", "doc_b").alias("id_b"),
+        fp_pairs.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(dsa, x ->"
+                    " transform(dsb, y ->"
+                    " struct(least(x, y) AS id_a,"
+                    " greatest(x, y) AS id_b))))"
+                )
+            ).alias("p"),
             "hamming",
         )
+        .select("p.id_a", "p.id_b", "hamming")
     )
+    # intra-group pairs (identical fingerprints): hamming 0, all
+    # member pairs straight out of the sorted array — no join at all
     intra = (
-        docs.alias("x")
-        .join(
-            docs.alias("y"),
-            (F.col("x.simhash") == F.col("y.simhash"))
-            & (F.col("x.doc") < F.col("y.doc")),
-        )
+        g.where(F.size("ds") >= 2)
         .select(
-            F.col("x.doc").alias("id_a"),
-            F.col("y.doc").alias("id_b"),
-            F.lit(0).alias("hamming"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(ds) - 2), i ->"
+                    " transform(sequence(i + 1, size(ds) - 1), j ->"
+                    " struct(ds[i] AS id_a, ds[j] AS id_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.id_a", "p.id_b", F.lit(0).alias("hamming"))
     )
     return cross.unionAll(intra)
-
 
 def line_dedup(
     df: DataFrame,
