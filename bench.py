@@ -108,6 +108,7 @@ EXTRA = [
     "kmv_distinct_users",
     "ewma_event_rate",
     "pca_top_component_embeddings",
+    "dsir_importance_select",
 ]
 
 

@@ -176,3 +176,13 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+def signed_fp_log2_sql(a: str, b: str) -> str:
+    """Signed fixed-point log2(a/b) for positive integer expressions —
+    +fp_log2(a,b) when a >= b else -fp_log2(b,a). Building block for
+    log-ratio scoring (importance weights) with zero libm."""
+    return (
+        f"CASE WHEN ({a}) >= ({b}) THEN ({fp_log2_sql(a, b)})"
+        f" ELSE -({fp_log2_sql(b, a)}) END"
+    )

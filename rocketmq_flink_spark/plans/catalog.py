@@ -8744,3 +8744,179 @@ def ewma_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 2 * abs(shiftleft(r.cnt, 20) - r.prev) > r.prev"
         ).alias("flagged"),
     ).orderBy("event_type", "day")
+
+
+def _dsir_oracle_sql(buckets: int = 8192, k: int = 20) -> str:
+    """DuckDB replay of the hashed-feature importance scorer: bucket
+    counts, signed fixed-point log-ratio per bucket (recursive CTE,
+    bit-equal to the Catalyst fold), per-doc tick sums, trunc-division
+    length normalization, top-k."""
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    h = hash60_sql("tok")
+    return f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, source,
+             unnest(list_filter(
+               regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+               x -> x <> '')) AS tok
+      FROM documents),
+    tgt AS (SELECT MIN(source) AS s FROM documents),
+    occ AS (SELECT doc_id, source, {h} % {buckets} AS b FROM tok),
+    cq AS (SELECT b, COUNT(*) AS cq FROM occ GROUP BY b),
+    ct AS (SELECT b, COUNT(*) AS ct FROM occ
+           WHERE source = (SELECT s FROM tgt) GROUP BY b),
+    bk AS (
+      SELECT cq.b, COALESCE(ct.ct, 0) + 1 AS a, cq.cq + 1 AS c
+      FROM cq LEFT JOIN ct ON cq.b = ct.b),
+    tot AS (
+      SELECT (SELECT COALESCE(SUM(cq), 0) FROM cq) + {buckets} AS tq,
+             (SELECT COALESCE(SUM(ct), 0) FROM ct) + {buckets} AS tt),
+    fb AS (
+      SELECT b, CASE WHEN a >= c THEN 1 ELSE -1 END AS sgn,
+             GREATEST(a, c) AS p0, LEAST(a, c) AS q0,
+             length(bin(GREATEST(a, c) // LEAST(a, c))) - 1 AS kk
+      FROM bk),
+    it AS (
+      SELECT b, sgn, kk, 0 AS i, p0 AS p, (q0 << kk) AS q,
+             CAST(0 AS BIGINT) AS acc
+      FROM fb
+      UNION ALL
+      SELECT b, sgn, kk, i + 1,
+             CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                  THEN ((p >> s)*(p >> s)) >> 1 ELSE (p >> s)*(p >> s) END,
+             (q >> s)*(q >> s),
+             acc*2 + CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                     THEN 1 ELSE 0 END
+      FROM (SELECT *, greatest(0, length(bin(q)) - 30) AS s FROM it)
+      WHERE i < 20),
+    sb AS (
+      SELECT b, sgn * (acc + (CAST(kk AS BIGINT) << 20)) AS sb
+      FROM it WHERE i = 20),
+    ctot AS (
+      SELECT CASE WHEN tq >= tt THEN 1 ELSE -1 END AS sgn,
+             GREATEST(tq, tt) AS p0, LEAST(tq, tt) AS q0,
+             length(bin(GREATEST(tq, tt) // LEAST(tq, tt))) - 1 AS kk
+      FROM tot),
+    itc AS (
+      SELECT sgn, kk, 0 AS i, p0 AS p, (q0 << kk) AS q,
+             CAST(0 AS BIGINT) AS acc
+      FROM ctot
+      UNION ALL
+      SELECT sgn, kk, i + 1,
+             CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                  THEN ((p >> s)*(p >> s)) >> 1 ELSE (p >> s)*(p >> s) END,
+             (q >> s)*(q >> s),
+             acc*2 + CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                     THEN 1 ELSE 0 END
+      FROM (SELECT *, greatest(0, length(bin(q)) - 30) AS s FROM itc)
+      WHERE i < 20),
+    cc AS (
+      SELECT sgn * (acc + (CAST(kk AS BIGINT) << 20)) AS c
+      FROM itc WHERE i = 20),
+    ds AS (
+      SELECT o.doc_id, ANY_VALUE(o.source) AS source,
+             COUNT(*) AS n_tokens,
+             SUM(sb.sb) + COUNT(*) * (SELECT c FROM cc) AS ticks
+      FROM occ o JOIN sb ON sb.b = o.b
+      GROUP BY o.doc_id),
+    sc AS (
+      SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(CASE WHEN ticks >= 0 THEN abs(ticks) // n_tokens
+                  ELSE -(abs(ticks) // n_tokens) END AS BIGINT)
+               AS score_ticks
+      FROM ds)
+    SELECT doc_id, source, n_tokens, score_ticks, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            ORDER BY score_ticks DESC, doc_id) AS rank
+          FROM sc)
+    WHERE rank <= {k}
+    ORDER BY rank
+    """
+
+
+@query("dsir_importance_select", _dsir_oracle_sql())
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection via importance resampling (DSIR-style, Xie et
+    al. 2023): score every document by how much its hashed-unigram
+    feature distribution looks like a TARGET domain (here: the
+    lexicographically-first source, a stand-in for "quality" data)
+    relative to the raw corpus — the standard method for targeted
+    pretraining-data selection. Per 8192-bucket hashed feature:
+    signed log-ratio log2((ct+1)/(cq+1)) + log2((Tq+B)/(Tt+B)) in
+    FIXED-POINT integer ticks (the BM25 fp_log2 fold — zero libm, so
+    scores and ranks are engine-exact); per-doc score = mean ticks
+    per token (sign-split trunc division — Spark `div` truncates,
+    DuckDB `//` floors, so the sign-split makes them agree). Top-20
+    report. Scale: bucket table is 8192 rows (broadcast to the
+    occurrence stream), doc scores are one map-side-combined sum —
+    one pass over tokens beyond the counting pass. Scale notes:
+    operators/retrieval.py."""
+    from rocketmq_flink_spark.functions.porthash import hash60
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+    from rocketmq_flink_spark.operators.retrieval import (
+        fp_log2_py,
+        signed_fp_log2_sql,
+    )
+
+    B = 8192
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
+    )
+    occ = docs.selectExpr(
+        "doc_id", "source", f"explode({toks}) AS tok"
+    ).select(
+        "doc_id", "source", (hash60(F.col("tok")) % B).alias("b")
+    )
+    tgt = docs.agg(F.min("source")).collect()[0][0]
+    cq = occ.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
+    ct = (
+        occ.where(F.col("source") == tgt)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    bk = (
+        cq.join(ct, "b", "left")
+        .select(
+            "b",
+            (F.coalesce(F.col("ct"), F.lit(0)) + 1).alias("a"),
+            (F.col("cq") + 1).alias("c"),
+        )
+    )
+    sb = bk.selectExpr(
+        "b", signed_fp_log2_sql("a", "c") + " AS sb"
+    )
+    tots = bk.agg(
+        (F.sum(F.col("c") - 1) + B).alias("tq"),
+        (F.sum(F.col("a") - 1) + B).alias("tt"),
+    ).collect()[0]
+    tq, tt = int(tots["tq"]), int(tots["tt"])
+    c_const = (
+        fp_log2_py(tq, tt) if tq >= tt else -fp_log2_py(tt, tq)
+    )
+    ds = (
+        occ.join(F.broadcast(sb), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("sb") + F.count(F.lit(1)) * F.lit(c_const)).alias(
+                "ticks"
+            ),
+        )
+    )
+    sc = ds.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.expr(
+            "CASE WHEN ticks >= 0 THEN abs(ticks) div n_tokens"
+            " ELSE -(abs(ticks) div n_tokens) END"
+        ).alias("score_ticks"),
+    )
+    from pyspark.sql import Window
+
+    top = sc.orderBy(F.desc("score_ticks"), "doc_id").limit(20)
+    w = Window.orderBy(F.desc("score_ticks"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
