@@ -7883,20 +7883,49 @@ def _poisson_thresholds(max_k: int = 6) -> list[int]:
     return out
 
 
+def _bootstrap_coeffs(b: int = 32) -> list[tuple[int, int]]:
+    """Per-resample (a_j, b_j) of the mod-P31 universal family — ONE
+    md5 base hash per row expands to all B resample draws with two
+    integer ops each (the MinHash coefficient trick; 32 md5s/row was
+    the bench's single largest cost, 4.5 s -> ~1.5 s at sf0.1)."""
+    from rocketmq_flink_spark.functions.porthash import P31, _const
+
+    return [
+        (_const("boot-a", j, 1, P31), _const("boot-b", j, 0, P31))
+        for j in range(b)
+    ]
+
+
+def _poisson_thresholds31(max_k: int = 6) -> list[int]:
+    """Cumulative Poisson(1) inverse-CDF thresholds scaled to the
+    mod-P31 field (31-bit granularity — frozen integer literals)."""
+    import math
+
+    from rocketmq_flink_spark.functions.porthash import P31
+
+    cum, out = 0.0, []
+    for k in range(max_k):
+        cum += math.exp(-1.0) / math.factorial(k)
+        out.append(int(cum * P31))
+    return out
+
+
 def _bootstrap_oracle_sql(b: int = 32) -> str:
     from rocketmq_flink_spark.functions.porthash import hash60_sql
 
-    th = _poisson_thresholds()
-    h = hash60_sql(
-        "'boot:' || CAST(o_orderkey AS VARCHAR) || ':' || CAST(i AS VARCHAR)"
-    )
+    th = _poisson_thresholds31()
+    coeffs = _bootstrap_coeffs(b)
+    alist = "[" + ", ".join(str(a) for a, _ in coeffs) + "]"
+    blist = "[" + ", ".join(str(bb) for _, bb in coeffs) + "]"
+    h = hash60_sql("'boot:' || CAST(o_orderkey AS VARCHAR)")
     cases = " ".join(
         f"WHEN hh < {t} THEN {k}" for k, t in enumerate(th)
     )
     return f"""
     WITH r AS (
       SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-             i, {h} AS hh
+             i, ({alist}[i + 1] * ({h} % 2147483647)
+                 + {blist}[i + 1]) % 2147483647 AS hh
       FROM orders, unnest(range(0, {b})) AS u(i)),
     w AS (
       SELECT i, cents, CASE {cases} ELSE {len(th)} END AS wt FROM r),
@@ -7936,26 +7965,39 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-statistic convention documented)."""
     from rocketmq_flink_spark.functions.porthash import hash60
 
+    from rocketmq_flink_spark.functions.porthash import P31
+
     B = 32
-    th = _poisson_thresholds()
+    th = _poisson_thresholds31()
+    coeffs = _bootstrap_coeffs(B)
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(bb).cast("long") for _, bb in coeffs])
     orders = load_tables(spark, sf_dir)["orders"].select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    r = orders.select(
-        "o_orderkey",
-        "cents",
-        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("i"),
-    ).withColumn(
-        "hh",
-        hash60(
-            F.concat(
-                F.lit("boot:"),
-                F.col("o_orderkey").cast("string"),
-                F.lit(":"),
-                F.col("i").cast("string"),
+    # ONE portable md5 per row; each resample draw is an affine
+    # multiply-mod over it (JVM integer ops) — not 32 md5s
+    r = (
+        orders.withColumn(
+            "x31",
+            hash60(F.concat(F.lit("boot:"), F.col("o_orderkey").cast("string")))
+            % F.lit(P31).cast("long"),
+        )
+        .select(
+            "o_orderkey",
+            "cents",
+            "x31",
+            F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("i"),
+        )
+        .withColumn(
+            "hh",
+            (
+                F.element_at(a_arr, F.col("i") + 1) * F.col("x31")
+                + F.element_at(b_arr, F.col("i") + 1)
             )
-        ),
+            % F.lit(P31).cast("long"),
+        )
     )
     wt = F.lit(len(th))
     for k in range(len(th) - 1, -1, -1):
