@@ -109,6 +109,8 @@ EXTRA = [
     "ewma_event_rate",
     "pca_top_component_embeddings",
     "dsir_importance_select",
+    "mad_outlier_days",
+    "schema_profile_events",
 ]
 
 

@@ -8962,3 +8962,147 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = sc.orderBy(F.desc("score_ticks"), "doc_id").limit(20)
     w = Window.orderBy(F.desc("score_ticks"), "doc_id")
     return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
+
+@query(
+    "mad_outlier_days",
+    """
+    WITH dc AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2),
+    st AS (
+      SELECT event_type, list_sort(list(n_events)) AS cs
+      FROM dc GROUP BY 1),
+    md AS (
+      SELECT event_type, cs[(len(cs) + 1) // 2] AS med FROM st),
+    mad AS (
+      SELECT s.event_type, m.med,
+             list_sort(list_transform(s.cs, x -> abs(x - m.med)))
+               [(len(s.cs) + 1) // 2] AS mad
+      FROM st s JOIN md m USING (event_type))
+    SELECT d.event_type, d.day, d.n_events,
+           CAST(a.med AS BIGINT) AS med, CAST(a.mad AS BIGINT) AS mad,
+           abs(d.n_events - a.med) > 3 * a.mad AS flagged
+    FROM dc d JOIN mad a USING (event_type)
+    ORDER BY event_type, day
+    """,
+)
+def mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-rate outlier report: median / MAD (median absolute
+    deviation) flags per event type — the anomaly detector that one
+    extreme day cannot poison (mean/stddev monitors move WITH the
+    outlier; the median does not). Completes the monitor family:
+    3-sigma (event_rate_anomalies), EWMA (ewma_event_rate), CUSUM
+    (cusum_changepoint_events), MAD (this). All integer: the LOWER
+    median of the sorted daily counts (deterministic tie handling),
+    integer |x - med| > 3*MAD decision — no float anywhere, so flags
+    hash-match (days where MAD = 0 flag any deviation — documented
+    sharpness of the integer rule). Scale: daily counts are one
+    map-side-combined pass; the per-type fold runs over the DAY array
+    (bounded by the time range, never row count)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    dc = ev.groupBy(
+        "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    st = dc.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("n_events")).alias("cs")
+    )
+    md = st.selectExpr(
+        "event_type",
+        "cs",
+        "element_at(cs, CAST((size(cs) + 1) / 2 AS INT)) AS med",
+    )
+    mad = md.selectExpr(
+        "event_type",
+        "med",
+        "element_at(array_sort(transform(cs, x -> abs(x - med))),"
+        " CAST((size(cs) + 1) / 2 AS INT)) AS mad",
+    )
+    return (
+        dc.join(mad, "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.col("n_events").cast("long"),
+            F.col("med").cast("long"),
+            F.col("mad").cast("long"),
+            (F.expr("abs(n_events - med)") > 3 * F.col("mad")).alias(
+                "flagged"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "schema_profile_events",
+    """
+    SELECT 'event_id' AS col,
+           CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(MIN(event_id) AS BIGINT) AS min_v,
+           CAST(MAX(event_id) AS BIGINT) AS max_v
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*) - COUNT(user_id),
+           COUNT(DISTINCT user_id),
+           MIN(user_id), MAX(user_id) FROM events
+    UNION ALL
+    SELECT 'event_type', COUNT(*) - COUNT(event_type),
+           COUNT(DISTINCT event_type), NULL, NULL FROM events
+    UNION ALL
+    SELECT 'value_cents', COUNT(*) - COUNT(value),
+           COUNT(DISTINCT CAST(ROUND(value * 100) AS BIGINT)),
+           MIN(CAST(ROUND(value * 100) AS BIGINT)),
+           MAX(CAST(ROUND(value * 100) AS BIGINT)) FROM events
+    UNION ALL
+    SELECT 'ts_us', COUNT(*) - COUNT(ts), COUNT(DISTINCT ts),
+           MIN(epoch_us(ts)), MAX(epoch_us(ts)) FROM events
+    ORDER BY col
+    """,
+)
+def schema_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card column profile of the events stream: null count,
+    exact distinct count, and typed min/max per column — the
+    first-look data-quality report every ingest pipeline emits before
+    training consumes a source (null spikes and cardinality cliffs
+    are THE cheap schema-drift tripwires). Doubles profile in integer
+    cents and timestamps in epoch micros so every figure is
+    engine-exact. One pass per column over one scan each (Catalyst
+    merges the aggregates; distinct counts are exact, not approximate
+    — the sketch variants exist separately as HLL/KMV)."""
+    ev = _events_typed(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def prof(col_name, nulls_col, dist_col, min_col, max_col):
+        return ev.agg(
+            F.lit(col_name).alias("col"),
+            (F.count(F.lit(1)) - F.count(nulls_col)).cast("long").alias(
+                "n_nulls"
+            ),
+            F.countDistinct(dist_col).cast("long").alias("n_distinct"),
+            (
+                F.min(min_col).cast("long")
+                if min_col is not None
+                else F.lit(None).cast("long")
+            ).alias("min_v"),
+            (
+                F.max(max_col).cast("long")
+                if max_col is not None
+                else F.lit(None).cast("long")
+            ).alias("max_v"),
+        )
+
+    out = (
+        prof("event_id", F.col("event_id"), F.col("event_id"),
+             F.col("event_id"), F.col("event_id"))
+        .unionAll(prof("user_id", F.col("user_id"), F.col("user_id"),
+                       F.col("user_id"), F.col("user_id")))
+        .unionAll(prof("event_type", F.col("event_type"),
+                       F.col("event_type"), None, None))
+        .unionAll(prof("value_cents", F.col("value"), cents, cents, cents))
+        .unionAll(prof("ts_us", F.col("ts"), F.col("ts"),
+                       F.unix_micros("ts"), F.unix_micros("ts")))
+    )
+    return out.orderBy("col")
