@@ -111,6 +111,7 @@ EXTRA = [
     "dsir_importance_select",
     "mad_outlier_days",
     "schema_profile_events",
+    "triangle_count_copurchase",
 ]
 
 

@@ -9106,3 +9106,104 @@ def schema_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.unix_micros("ts"), F.unix_micros("ts")))
     )
     return out.orderBy("col")
+
+
+def _triangle_oracle_sql(min_support: int = 2, k: int = 20) -> str:
+    """DuckDB replay of degree-oriented triangle counting over the
+    co-purchase graph (same basket->pair->support pipeline as the
+    PageRank oracle)."""
+    return f"""
+    WITH b AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+      FROM lineitem GROUP BY l_orderkey),
+    pp AS (
+      SELECT unnest(flatten(list_transform(range(1, len(ps)),
+               i -> list_transform(range(i + 1, len(ps) + 1),
+                 j -> struct_pack(p1 := ps[i], p2 := ps[j]))))) AS pr
+      FROM b WHERE len(ps) >= 2),
+    sup AS MATERIALIZED (
+      SELECT pr.p1 AS a, pr.p2 AS b FROM pp GROUP BY 1, 2
+      HAVING COUNT(*) >= {min_support}),
+    deg AS MATERIALIZED (
+      SELECT n, COUNT(*) AS d FROM (
+        SELECT a AS n FROM sup UNION ALL SELECT b FROM sup)
+      GROUP BY n),
+    ori AS MATERIALIZED (
+      SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND s.a < s.b)
+                  THEN s.a ELSE s.b END AS u,
+             CASE WHEN (da.d < db.d) OR (da.d = db.d AND s.a < s.b)
+                  THEN s.b ELSE s.a END AS v
+      FROM sup s JOIN deg da ON da.n = s.a JOIN deg db ON db.n = s.b),
+    wedge AS (
+      SELECT w1.u, w1.v AS x, w2.v AS y
+      FROM ori w1 JOIN ori w2 ON w1.u = w2.u AND w1.v < w2.v),
+    closer AS (
+      SELECT LEAST(u, v) AS x, GREATEST(u, v) AS y FROM ori),
+    tri AS (
+      SELECT w.u, w.x, w.y FROM wedge w JOIN closer c
+        ON c.x = w.x AND c.y = w.y),
+    pn AS (
+      SELECT n, COUNT(*) AS n_triangles FROM (
+        SELECT u AS n FROM tri UNION ALL SELECT x FROM tri
+        UNION ALL SELECT y FROM tri)
+      GROUP BY n)
+    SELECT deg.n AS part,
+           CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(deg.d AS BIGINT) AS degree
+    FROM deg LEFT JOIN pn ON pn.n = deg.n
+    ORDER BY n_triangles DESC, part LIMIT {k}
+    """
+
+
+@query("triangle_count_copurchase", _triangle_oracle_sql())
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counts over the co-purchase part graph — the
+    clustering/community-density measurement next to PageRank
+    (centrality) and connected components (reachability). Uses
+    degree-ordered edge orientation, the standard trick that bounds
+    wedge fan-out by O(sqrt(m)) for ANY degree distribution: a
+    celebrity node's wedges route through its few higher-ordered
+    neighbors, so total join volume is O(m^1.5) instead of
+    sum(deg^2) — the difference between feasible and not on a
+    power-law graph at 100 TB. Top-20 parts by triangle count (with
+    degree). Scale notes: operators/graph.py triangle_count."""
+    from rocketmq_flink_spark.operators.graph import triangle_count
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    sup = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ps) >= 2 THEN"
+                    " flatten(transform(sequence(0, size(ps) - 2),"
+                    "  i -> transform(sequence(i + 1, size(ps) - 1),"
+                    "   j -> struct(ps[i] AS p1, ps[j] AS p2))))"
+                    " ELSE array() END"
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.p1", "pr.p2")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 2)
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+    deg = (
+        sup.select(F.col("src").alias("n"))
+        .unionAll(sup.select(F.col("dst").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tc = triangle_count(sup, "src", "dst")
+    return (
+        tc.join(deg, tc["node"] == deg["n"])
+        .select(
+            F.col("node").alias("part"),
+            F.col("n_triangles"),
+            F.col("degree").cast("long").alias("degree"),
+        )
+        .orderBy(F.desc("n_triangles"), "part")
+        .limit(20)
+    )

@@ -2031,6 +2031,25 @@ def test_bpe_batched_equals_sequential(spark):
     assert got_vocab == exp_vocab
 
 
+def test_triangle_count_matches_bruteforce(spark):
+    from itertools import combinations
+
+    from rocketmq_flink_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} + a pendant + a separate triangle {10,11,12}
+    edges = (
+        [(a, b) for a, b in combinations([1, 2, 3, 4], 2)]
+        + [(4, 5)]
+        + [(10, 11), (11, 12), (10, 12)]
+        + [(2, 1)]  # duplicate reverse edge must not double-count
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_count(df).collect()}
+    # K4: each node in C(3,2)=3 triangles; pendant 0; triangle nodes 1
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 10: 1, 11: 1, 12: 1}
+
+
 def test_pagerank_integer_matches_python_reference(spark):
     from rocketmq_flink_spark.operators.graph import pagerank_integer
 
