@@ -8572,9 +8572,10 @@ def _bm25_oracle_sql(k: int = 10, n_queries: int = 5, qlen: int = 6) -> str:
       FROM base
       UNION ALL
       SELECT term, kk, i + 1,
+             (p >> s)*(p >> s),
              CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
-                  THEN ((p >> s)*(p >> s)) >> 1 ELSE (p >> s)*(p >> s) END,
-             (q >> s)*(q >> s),
+                  THEN ((q >> s)*(q >> s)) << 1
+                  ELSE (q >> s)*(q >> s) END,
              acc*2 + CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
                      THEN 1 ELSE 0 END
       FROM (SELECT *, greatest(0, length(bin(q)) - 30) AS s FROM it)
@@ -8825,9 +8826,10 @@ def _dsir_oracle_sql(buckets: int = 8192, k: int = 20) -> str:
       FROM fb
       UNION ALL
       SELECT b, sgn, kk, i + 1,
+             (p >> s)*(p >> s),
              CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
-                  THEN ((p >> s)*(p >> s)) >> 1 ELSE (p >> s)*(p >> s) END,
-             (q >> s)*(q >> s),
+                  THEN ((q >> s)*(q >> s)) << 1
+                  ELSE (q >> s)*(q >> s) END,
              acc*2 + CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
                      THEN 1 ELSE 0 END
       FROM (SELECT *, greatest(0, length(bin(q)) - 30) AS s FROM it)
@@ -8846,9 +8848,10 @@ def _dsir_oracle_sql(buckets: int = 8192, k: int = 20) -> str:
       FROM ctot
       UNION ALL
       SELECT sgn, kk, i + 1,
+             (p >> s)*(p >> s),
              CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
-                  THEN ((p >> s)*(p >> s)) >> 1 ELSE (p >> s)*(p >> s) END,
-             (q >> s)*(q >> s),
+                  THEN ((q >> s)*(q >> s)) << 1
+                  ELSE (q >> s)*(q >> s) END,
              acc*2 + CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
                      THEN 1 ELSE 0 END
       FROM (SELECT *, greatest(0, length(bin(q)) - 30) AS s FROM itc)

@@ -364,3 +364,118 @@ def test_edit_distance_pairs_match_bruteforce(spark, names):
         for r in edit_distance_pairs(df, "name").collect()
     }
     assert got == _edit1_model(names)
+
+
+# ---------------------------------------------------------------------------
+# Engine-parity primitives (round 4): dec10 quantization and fp_log2
+# ---------------------------------------------------------------------------
+
+_DEC10_ADVERSARIAL = [
+    -0.27392578125,   # -561/2048: the r4 fixture's exact scale-10 tie
+    0.27392578125,
+    5e-11, -5e-11, 1.5e-10, -1.5e-10, 2.5e-10, -2.5e-10,
+    0.99999999995, -0.99999999995, 0.0, 1.0, -1.0,
+    0.1, -0.1, 3.14159265358979, 1.0000000000499999,
+]
+
+
+def test_dec10_engine_parity_adversarial(spark):
+    """The floor-formula quantization must agree with the DuckDB
+    spelling VALUE-for-value on exact decimal ties — the case where
+    plain casts diverge (Spark half-up vs DuckDB half-even)."""
+    import duckdb
+
+    from rocketmq_flink_spark.functions.quant import (
+        dec10_array,
+        duck_dec10_list,
+    )
+
+    vals = list(_DEC10_ADVERSARIAL)
+    df = spark.createDataFrame([(vals,)], "v array<double>")
+    sp = df.select(dec10_array(F.col("v")).alias("d")).collect()[0]["d"]
+    con = duckdb.connect()
+    du = con.execute(
+        "SELECT " + duck_dec10_list("?::DOUBLE[]"), [vals]
+    ).fetchone()[0]
+    for v, a, b in zip(vals, sp, du):
+        assert a == b, (v, a, b)  # Decimal value equality
+
+
+@given(
+    xs=st.lists(
+        st.floats(
+            min_value=-99.0, max_value=99.0,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1, max_size=24,
+    )
+)
+@settings(**SETTINGS)
+def test_dec10_engine_parity_random(spark, xs):
+    import duckdb
+
+    from rocketmq_flink_spark.functions.quant import (
+        dec10_array,
+        duck_dec10_list,
+    )
+
+    df = spark.createDataFrame([(xs,)], "v array<double>")
+    sp = df.select(dec10_array(F.col("v")).alias("d")).collect()[0]["d"]
+    con = duckdb.connect()
+    du = con.execute(
+        "SELECT " + duck_dec10_list("?::DOUBLE[]"), [xs]
+    ).fetchone()[0]
+    assert [a == b for a, b in zip(sp, du)].count(False) == 0
+
+
+@given(
+    p=st.integers(min_value=1, max_value=10**12),
+    q=st.integers(min_value=1, max_value=10**12),
+)
+@settings(**SETTINGS)
+def test_fp_log2_three_witnesses(spark, p, q):
+    """fp_log2 (fixed-point repeated-squaring log2) must be bit-equal
+    across the Catalyst fold, the DuckDB recursive CTE, and Python —
+    and within 2e-6 of true log2."""
+    import math
+
+    import duckdb
+
+    from rocketmq_flink_spark.operators.retrieval import (
+        fp_log2_py,
+        fp_log2_sql,
+    )
+
+    hi, lo = max(p, q), min(p, q)
+    exp = fp_log2_py(hi, lo)
+    got_spark = (
+        spark.range(1)
+        .selectExpr(
+            fp_log2_sql(f"CAST({hi} AS BIGINT)", f"CAST({lo} AS BIGINT)")
+            + " AS fp"
+        )
+        .collect()[0]["fp"]
+    )
+    assert got_spark == exp
+    con = duckdb.connect()
+    got_duck = con.execute(f"""
+    WITH RECURSIVE base AS (
+      SELECT CAST({hi} AS BIGINT) AS p0, CAST({lo} AS BIGINT) AS q0,
+             length(bin({hi} // {lo})) - 1 AS k),
+    it AS (
+      SELECT k, 0 AS i, p0 AS p, (q0 << k) AS q, CAST(0 AS BIGINT) AS acc
+      FROM base
+      UNION ALL
+      SELECT k, i + 1,
+             (p >> s)*(p >> s),
+             CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                  THEN ((q >> s)*(q >> s)) << 1
+                  ELSE (q >> s)*(q >> s) END,
+             acc*2 + CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                     THEN 1 ELSE 0 END
+      FROM (SELECT *, greatest(0, length(bin(q)) - 30) AS s FROM it)
+      WHERE i < 20)
+    SELECT acc + (CAST(k AS BIGINT) << 20) FROM it WHERE i = 20
+    """).fetchone()[0]
+    assert got_duck == exp
+    assert abs(exp / (1 << 20) - math.log2(hi / lo)) < 2e-6
