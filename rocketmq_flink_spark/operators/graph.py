@@ -157,3 +157,101 @@ def triangle_count(
             "n_triangles"
         ),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts as its own label; each round every node adopts the most
+    frequent label among its neighbors, ties broken by the SMALLEST
+    label — fully deterministic, unlike the classic randomized LPA.
+    Input is an undirected graph (either/both edge directions; deduped
+    and symmetrized here). Returns (node, community) after `iters`
+    synchronous rounds.
+
+    Complements the rest of the graph family: connected components
+    answers reachability, PageRank centrality, triangles local
+    density; LPA splits a connected component into dense communities.
+
+    Scale shape per round: one hash join edges x labels on src (labels
+    node-sized), one map-side-combinable (dst, label) count, one
+    deterministic argmax agg per dst — the same join volume as a
+    PageRank step; no driver synchronization (fixed round count)."""
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    e = (
+        und.select("a", "b")
+        .unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+    )
+    labels = e.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").cast("long").alias("lab")
+    )
+    for _ in range(iters):
+        nb = (
+            e.join(labels, e["a"] == labels["node"])
+            .select(F.col("b"), F.col("lab"))
+            .groupBy("b", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax by (count desc, label asc): max of (c, -lab)
+        labels = (
+            nb.groupBy("b")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("lab")).alias("nl"))
+                ).alias("m")
+            )
+            .select(
+                F.col("b").alias("node"),
+                (-F.col("m.nl")).cast("long").alias("lab"),
+            )
+        )
+    return labels.select("node", F.col("lab").alias("community"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS: exact shortest hop distance from the seed set,
+    up to `max_hops`. Input is an undirected graph (symmetrized here);
+    returns (node, dist) for every node reached within the horizon —
+    unreached nodes are absent (at 100 TB materializing "infinity" rows
+    for the whole node set would dwarf the frontier).
+
+    Scale shape per level: one hash join edges x known-distances on
+    src, then a min-combine groupBy — level-synchronous BFS, the
+    standard distributed formulation; no driver sync (fixed horizon).
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    e = (
+        und.select("a", "b")
+        .unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+    )
+    dist = seeds.select(
+        F.col(seed_col).alias("node"), F.lit(0).cast("int").alias("dist")
+    ).distinct()
+    for t in range(1, max_hops + 1):
+        step = (
+            e.join(dist, e["a"] == dist["node"])
+            .select(F.col("b").alias("node"), F.lit(t).cast("int").alias("dist"))
+        )
+        dist = (
+            dist.unionAll(step)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist

@@ -9210,3 +9210,350 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "part")
         .limit(20)
     )
+
+
+_COPURCHASE_EDGES_DUCK = """
+    b AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+      FROM lineitem GROUP BY l_orderkey),
+    pp AS (
+      SELECT unnest(flatten(list_transform(range(1, len(ps)),
+               i -> list_transform(range(i + 1, len(ps) + 1),
+                 j -> struct_pack(p1 := ps[i], p2 := ps[j]))))) AS pr
+      FROM b WHERE len(ps) >= 2),
+    sup AS (
+      SELECT pr.p1 AS p1, pr.p2 AS p2 FROM pp GROUP BY 1, 2
+      HAVING COUNT(*) >= 2),
+    e AS MATERIALIZED (
+      SELECT p1 AS a, p2 AS b2 FROM sup
+      UNION ALL SELECT p2, p1 FROM sup)"""
+
+
+def _lpa_oracle_sql(iters: int = 4, k: int = 20) -> str:
+    """DuckDB replay of deterministic synchronous label propagation over
+    the co-purchase graph: staged per-round CTEs (same lesson as the
+    PageRank oracle), mode-label update with (count DESC, label ASC)
+    tie-break via ROW_NUMBER."""
+    parts = [
+        "WITH "
+        + _COPURCHASE_EDGES_DUCK
+        + """,
+    s0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab FROM e)"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f"""
+    c{t} AS (
+      SELECT e.b2 AS node, s.lab, COUNT(*) AS c
+      FROM e JOIN s{p} s ON s.node = e.a
+      GROUP BY 1, 2),
+    s{t} AS MATERIALIZED (
+      SELECT node, lab FROM (
+        SELECT node, lab, ROW_NUMBER() OVER (
+          PARTITION BY node ORDER BY c DESC, lab) AS rn
+        FROM c{t}) WHERE rn = 1)""")
+    return ",".join(parts) + f"""
+    SELECT CAST(lab AS BIGINT) AS community, CAST(COUNT(*) AS BIGINT) AS size,
+           CAST(MIN(node) AS BIGINT) AS min_part,
+           CAST(MAX(node) AS BIGINT) AS max_part
+    FROM s{iters} GROUP BY lab
+    ORDER BY size DESC, community LIMIT {k}
+    """
+
+
+@query("label_propagation_communities", _lpa_oracle_sql())
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    co-purchase part graph — splits a connected component into dense
+    communities (connected components = reachability, PageRank =
+    centrality, triangles = local density; LPA = mesoscale structure).
+    Deterministic variant: mode-of-neighbors update with ties broken
+    by the smallest label, synchronous rounds — bit-reproducible under
+    any partitioning, unlike the classic randomized LPA. Four rounds;
+    top-20 communities by size. Scale: each round is one edges-x-labels
+    hash join + a map-side-combinable (node, label) count + one
+    deterministic argmax agg — PageRank-step join volume, zero driver
+    sync. Scale notes: operators/graph.py label_propagation."""
+    from rocketmq_flink_spark.operators.graph import label_propagation
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    sup = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ps) >= 2 THEN"
+                    " flatten(transform(sequence(0, size(ps) - 2),"
+                    "  i -> transform(sequence(i + 1, size(ps) - 1),"
+                    "   j -> struct(ps[i] AS p1, ps[j] AS p2))))"
+                    " ELSE array() END"
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.p1", "pr.p2")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 2)
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+    lp = label_propagation(sup, iters=4)
+    return (
+        lp.groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("size"),
+            F.min("node").cast("long").alias("min_part"),
+            F.max("node").cast("long").alias("max_part"),
+        )
+        .select(
+            F.col("community").cast("long").alias("community"),
+            "size", "min_part", "max_part",
+        )
+        .orderBy(F.desc("size"), "community")
+        .limit(20)
+    )
+
+
+def _bfs_oracle_sql(max_hops: int = 3) -> str:
+    """DuckDB replay of level-synchronous multi-source BFS over the
+    co-purchase graph (seeds = three smallest part ids in the graph):
+    staged min-combine CTEs per level."""
+    parts = [
+        "WITH "
+        + _COPURCHASE_EDGES_DUCK
+        + """,
+    d0 AS MATERIALIZED (
+      SELECT node, 0 AS dist FROM (
+        SELECT DISTINCT a AS node FROM e ORDER BY node LIMIT 3))"""
+    ]
+    for t in range(1, max_hops + 1):
+        p = t - 1
+        parts.append(f"""
+    d{t} AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{p}
+        UNION ALL
+        SELECT e.b2, d.dist + 1 FROM e JOIN d{p} d ON d.node = e.a)
+      GROUP BY node)""")
+    return ",".join(parts) + f"""
+    SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_part,
+           CAST(MAX(node) AS BIGINT) AS max_part
+    FROM d{max_hops} GROUP BY dist ORDER BY dist
+    """
+
+
+@query("bfs_hops_copurchase", _bfs_oracle_sql())
+def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the co-purchase part graph: exact hop
+    distance from the three smallest part ids, horizon 3 — the
+    reachability-with-distance primitive (recommendation radius,
+    contamination spread). Per-level report (dist, n_nodes, min/max
+    part). Scale: level-synchronous BFS — one edges-x-frontier hash
+    join + min-combine per level, frontier-sized state, unreached
+    nodes never materialized; zero driver sync (fixed horizon). Scale
+    notes: operators/graph.py bfs_hops."""
+    from rocketmq_flink_spark.operators.graph import bfs_hops
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    sup = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ps) >= 2 THEN"
+                    " flatten(transform(sequence(0, size(ps) - 2),"
+                    "  i -> transform(sequence(i + 1, size(ps) - 1),"
+                    "   j -> struct(ps[i] AS p1, ps[j] AS p2))))"
+                    " ELSE array() END"
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.p1", "pr.p2")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 2)
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+    nodes = (
+        sup.select(F.col("src").alias("node"))
+        .unionAll(sup.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("node").limit(3)
+    d = bfs_hops(sup, seeds, max_hops=3)
+    return (
+        d.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").cast("long").alias("min_part"),
+            F.max("node").cast("long").alias("max_part"),
+        )
+        .select(
+            F.col("dist").cast("long").alias("dist"),
+            "n_nodes", "min_part", "max_part",
+        )
+        .orderBy("dist")
+    )
+
+
+@query(
+    "source_vocab_jaccard",
+    f"""
+    WITH st AS (
+      SELECT DISTINCT source,
+             unnest(list_filter(
+               regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+               x -> x <> '')) AS tok
+      FROM documents),
+    sz AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+    inter AS (
+      SELECT a.source AS s1, b.source AS s2, COUNT(*) AS shared
+      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT s1, s2, CAST(z1.n AS BIGINT) AS n1, CAST(z2.n AS BIGINT) AS n2,
+           CAST(shared AS BIGINT) AS shared,
+           CAST((2 * 1000000 * shared + (z1.n + z2.n - shared))
+                // (2 * (z1.n + z2.n - shared)) AS BIGINT) AS jaccard_micro
+    FROM inter JOIN sz z1 ON z1.source = s1 JOIN sz z2 ON z2.source = s2
+    ORDER BY jaccard_micro DESC, s1, s2 LIMIT 20
+    """,
+)
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard similarity between corpus sources —
+    the corpus-curation diagnostic for "are two crawls/dumps the same
+    text distribution?" (drives mixture decisions and dedup priority
+    across sources). Vocabulary = distinct normalized tokens per
+    source; jaccard_micro = half-up(1e6 * |A∩B| / |A∪B|) in pure
+    integer arithmetic. Scale: the self-join key is the TOKEN — each
+    token fans out at most (#sources with the token)^2 <= S^2 pairs
+    where S is the source count (~20), so join volume is
+    O(vocab * S^2), bounded by the vocabulary (not corpus) size;
+    per-source vocab sets are never collected. Top-20 most-similar
+    pairs."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
+    )
+    st = docs.selectExpr(
+        "source", f"explode({toks}) AS tok"
+    ).distinct()
+    sz = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = st.select(F.col("source").alias("s1"), "tok")
+    b = st.select(F.col("source").alias("s2"), "tok")
+    inter = (
+        a.join(b, ["tok"])
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    z1 = sz.select(F.col("source").alias("s1"), F.col("n").alias("n1"))
+    z2 = sz.select(F.col("source").alias("s2"), F.col("n").alias("n2"))
+    return (
+        inter.join(F.broadcast(z1), "s1")
+        .join(F.broadcast(z2), "s2")
+        .selectExpr(
+            "s1",
+            "s2",
+            "CAST(n1 AS BIGINT) AS n1",
+            "CAST(n2 AS BIGINT) AS n2",
+            "CAST(shared AS BIGINT) AS shared",
+            "CAST((2 * 1000000 * shared + (n1 + n2 - shared))"
+            " div (2 * (n1 + n2 - shared)) AS BIGINT) AS jaccard_micro",
+        )
+        .orderBy(F.desc("jaccard_micro"), "s1", "s2")
+        .limit(20)
+    )
+
+
+@query(
+    "autocorr_daily_counts",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    pr AS (
+      SELECT lg.lag, a.x AS x, b.x AS y
+      FROM (SELECT unnest(range(1, 8)) AS lag) lg
+      JOIN d a ON TRUE
+      JOIN d b ON b.day = a.day + CAST(lg.lag AS INTEGER)),
+    ag AS (
+      SELECT lag, COUNT(*) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x*y) AS HUGEINT) AS sxy,
+             CAST(SUM(x*x) AS HUGEINT) AS sxx,
+             CAST(SUM(y*y) AS HUGEINT) AS syy
+      FROM pr GROUP BY lag),
+    rr AS (
+      SELECT lag, n,
+             n * sxy - sx * sy AS cov_n,
+             n * sxx - sx * sx AS vx_n,
+             n * syy - sy * sy AS vy_n
+      FROM ag)
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN vx_n = 0 OR vy_n = 0 THEN 0
+                WHEN cov_n >= 0 THEN
+                  (2 * 1000000 * cov_n * cov_n + vx_n * vy_n)
+                    // (2 * vx_n * vy_n)
+                ELSE -((2 * 1000000 * cov_n * cov_n + vx_n * vy_n)
+                    // (2 * vx_n * vy_n)) END AS BIGINT) AS r2_signed_micro
+    FROM rr ORDER BY lag
+    """,
+)
+def autocorr_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily event-count series — the
+    time-series seasonality diagnostic (a weekly cycle shows as a
+    lag-7 peak). Reported as SIGNED r-squared in half-up 1e-6 ticks:
+    r^2 = cov^2/(varx*vary) is an exact RATIONAL of the integer daily
+    counts (no sqrt anywhere), so the statistic is bit-identical
+    across engines; the sign restores the correlation direction.
+    Calendar-lag pairs: a missing day yields no pair (self-join on
+    day+lag). Exactness bound (cf. ols_price_per_brand): the ticks
+    numerator is ~1e6 * (n * max_count^2)^2 and must stay under
+    HUGEINT/DECIMAL(38) — holds for any series with
+    n * max_count^2 < 3e15 (a decade of days at 1.5M events/day);
+    normalize counts to thousands beyond that. Scale: the daily
+    series is one map-side-combined count (output rows = days), the
+    lag self-join is day-keyed and tiny; nothing here grows with raw
+    event volume."""
+    ev = load_tables(spark, sf_dir)["events"]
+    d = (
+        ev.select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    b = d.select(F.col("day").alias("day2"), F.col("x").alias("y"))
+    pr = (
+        lags.crossJoin(d)
+        .join(b, F.expr("day2 = date_add(day, lag)"))
+    )
+    dec = "decimal(38,0)"
+    ag = pr.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(dec).alias("syy"),
+    )
+    rr = ag.selectExpr(
+        "lag",
+        "n",
+        "n * sxy - sx * sy AS cov_n",
+        "n * sxx - sx * sx AS vx_n",
+        "n * syy - sy * sy AS vy_n",
+    )
+    return rr.selectExpr(
+        "CAST(lag AS BIGINT) AS lag",
+        "CAST(n AS BIGINT) AS n_pairs",
+        "CAST(CASE WHEN vx_n = 0 OR vy_n = 0 THEN 0"
+        " WHEN cov_n >= 0 THEN"
+        "  (2 * 1000000 * cov_n * cov_n + vx_n * vy_n)"
+        "    div (2 * vx_n * vy_n)"
+        " ELSE -((2 * 1000000 * cov_n * cov_n + vx_n * vy_n)"
+        "    div (2 * vx_n * vy_n)) END AS BIGINT) AS r2_signed_micro",
+    ).orderBy("lag")
