@@ -9212,6 +9212,313 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rrf_oracle_sql(
+    n_queries: int = 5, qlen: int = 6, list_k: int = 20, topk: int = 10
+) -> str:
+    """DuckDB replay of reciprocal-rank fusion over the BM25 ranked
+    list (same CTE chain as the bm25_search_docs oracle, k=20) and the
+    exact-cosine dense ranked list (same decimal-exact arithmetic as
+    the knn_cosine_topk oracle): integer RRF ticks, full-outer merge,
+    tie-break on doc id."""
+    return f"""
+    WITH RECURSIVE t0 AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    dls AS (SELECT doc_id, len(tk) AS dl FROM t0),
+    nn AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS l FROM dls),
+    tok AS (
+      SELECT doc_id, i AS pos, tk[i] AS term
+      FROM t0, unnest(range(1, len(tk) + 1)) AS u(i)),
+    tf AS (
+      SELECT t.doc_id, d.dl, t.term, COUNT(*) AS tf
+      FROM tok t JOIN dls d USING (doc_id)
+      GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    base AS (
+      SELECT term, df,
+             2 * (SELECT n FROM nn) + 2 AS p0, 2 * df + 1 AS q0,
+             length(bin((2 * (SELECT n FROM nn) + 2) // (2 * df + 1))) - 1
+               AS kk
+      FROM dfreq),
+    it AS (
+      SELECT term, kk, 0 AS i, p0 AS p, (q0 << kk) AS q,
+             CAST(0 AS BIGINT) AS acc
+      FROM base
+      UNION ALL
+      SELECT term, kk, i + 1,
+             (p >> s)*(p >> s),
+             CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                  THEN ((q >> s)*(q >> s)) << 1
+                  ELSE (q >> s)*(q >> s) END,
+             acc*2 + CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                     THEN 1 ELSE 0 END
+      FROM (SELECT *, greatest(0, length(bin(q)) - 30) AS s FROM it)
+      WHERE i < 20),
+    idf AS (
+      SELECT term, acc + (CAST(kk AS BIGINT) << 20) AS idf_fp
+      FROM it WHERE i = 20),
+    qtok AS (
+      SELECT doc_id AS qid, term, MIN(pos) AS fpos
+      FROM tok WHERE doc_id < {n_queries} GROUP BY 1, 2),
+    qterms AS (
+      SELECT qid, term FROM (
+        SELECT qid, term,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY fpos) AS rn
+        FROM qtok)
+      WHERE rn <= {qlen}),
+    sc AS (
+      SELECT q.qid, t.doc_id,
+             SUM(i.idf_fp *
+               ((2 * (CAST(22 AS HUGEINT) * (SELECT l FROM nn)
+                      * 1000000 * t.tf)
+                 + (CAST(10 AS HUGEINT) * (SELECT l FROM nn) * t.tf
+                    + 3 * (SELECT l FROM nn)
+                    + CAST(9 AS HUGEINT) * (SELECT n FROM nn) * t.dl))
+                // (2 * (CAST(10 AS HUGEINT) * (SELECT l FROM nn) * t.tf
+                         + 3 * (SELECT l FROM nn)
+                         + CAST(9 AS HUGEINT) * (SELECT n FROM nn) * t.dl))))
+               AS ticks
+      FROM qterms q JOIN tf t USING (term) JOIN idf i USING (term)
+      GROUP BY 1, 2),
+    bmr AS (
+      SELECT qid, doc_id, rank FROM (
+        SELECT qid, doc_id, ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY ticks DESC, doc_id) AS rank
+        FROM sc) WHERE rank <= {list_k}),
+    v AS (SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT)
+                        * CAST(0.0000000001 AS DECIMAL(11,10))
+                        AS DECIMAL(12,10))) AS ve
+          FROM embeddings),
+    qv AS (SELECT vec_id AS qid, ve AS qvec,
+                  CAST(ROUND(list_sum(list_transform(ve, x -> x*x)), 12)
+                       AS DOUBLE) AS qn2
+           FROM v WHERE vec_id < {n_queries}),
+    cv AS (SELECT vec_id, ve AS cvec,
+                  CAST(ROUND(list_sum(list_transform(ve, x -> x*x)), 12)
+                       AS DOUBLE) AS cn2
+           FROM v),
+    dsc AS (
+      SELECT qid, vec_id,
+             CAST(ROUND(list_sum(list_transform(list_zip(qvec, cvec),
+                  p -> p[1]*p[2])), 12) AS DOUBLE)
+               / (sqrt(qn2) * sqrt(cn2)) AS cos_sim
+      FROM qv, cv WHERE vec_id != qid),
+    dnr AS (
+      SELECT qid, vec_id, rank FROM (
+        SELECT qid, vec_id, ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM dsc) WHERE rank <= {list_k}),
+    allr AS (
+      SELECT COALESCE(b.qid, d.qid) AS qid,
+             COALESCE(b.doc_id, d.vec_id) AS doc,
+             COALESCE(b.rank, 0) AS bm25_rank,
+             COALESCE(d.rank, 0) AS dense_rank,
+             COALESCE(1000000000 // (60 + b.rank), 0)
+               + COALESCE(1000000000 // (60 + d.rank), 0) AS rrf_ticks
+      FROM bmr b FULL OUTER JOIN dnr d
+        ON d.qid = b.qid AND d.vec_id = b.doc_id)
+    SELECT qid AS query_id, doc AS doc_id, bm25_rank, dense_rank,
+           rrf_ticks, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY rrf_ticks DESC, doc) AS rank
+          FROM allr)
+    WHERE rank <= {topk} ORDER BY query_id, rank
+    """
+
+
+@query("rrf_hybrid_search", _rrf_oracle_sql())
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    ranking and the exact-cosine dense ranking — the standard
+    two-tower search architecture (sparse + dense, fused by rank so no
+    score calibration is needed). Query i = the first six distinct
+    tokens of document i (lexical side) + embedding vector i (dense
+    side), i < 5; each side contributes its top-20; fused score =
+    sum of 1e9 div (60 + rank) integer ticks (Cormack et al. 2009,
+    K=60), ties on doc id; top-10 reported with the per-ranker ranks.
+    Scale: fusion is rank arithmetic on candidate lists (k rows per
+    query per ranker), one union + map-side-combinable groupBy — the
+    corpus is touched only inside the BM25/ANN operators with their
+    own scale designs. Scale notes: operators/fusion.py."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+    from rocketmq_flink_spark.operators.fusion import rrf_fuse
+    from rocketmq_flink_spark.operators.retrieval import bm25_topk
+    from rocketmq_flink_spark.operators.similarity import knn_cosine
+
+    tables = load_tables(spark, sf_dir)
+    docs, emb = tables["documents"], tables["embeddings"]
+    toks = (
+        "filter(split("
+        + normalize_sql("text")
+        + ", '\\\\s+'), x -> x <> '')"
+    )
+    queries = docs.where(F.col("doc_id") < 5).selectExpr(
+        "doc_id AS query_id",
+        f"concat_ws(' ', slice(array_distinct({toks}), 1, 6)) AS qtext",
+    )
+    bm = bm25_topk(docs, queries, k=20).select(
+        F.col("query_id").alias("qid"),
+        F.col("doc_id").alias("doc"),
+        "rank",
+    )
+    dn = knn_cosine(emb.where(F.col("vec_id") < 5), emb, k=20).select(
+        "qid", F.col("vec_id").alias("doc"), "rank"
+    )
+    fused = rrf_fuse({"bm25": bm, "dense": dn}, topk=10)
+    return fused.select(
+        F.col("qid").alias("query_id"),
+        F.col("doc").alias("doc_id"),
+        "bm25_rank",
+        "dense_rank",
+        "rrf_ticks",
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
+def _nb_oracle_sql(buckets: int = 8192) -> str:
+    """DuckDB replay of the hashed-feature multinomial NB classifier:
+    train counts, Laplace-smoothed fixed-point log-likelihood ticks
+    (recursive CTE, bit-equal to the Catalyst fold), prior ticks,
+    argmax prediction, confusion matrix."""
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    h = hash60_sql("tok")
+    return f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, source,
+             unnest(list_filter(
+               regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+               x -> x <> '')) AS tok
+      FROM documents),
+    occ AS (SELECT doc_id, source, doc_id % 5 = 0 AS is_test,
+                   {h} % {buckets} AS b
+            FROM tok),
+    trn AS (SELECT * FROM occ WHERE NOT is_test),
+    tst AS (SELECT * FROM occ WHERE is_test),
+    cnt AS (SELECT source AS c, b, COUNT(*) AS cnt FROM trn GROUP BY 1, 2),
+    tot AS (SELECT c, CAST(SUM(cnt) AS BIGINT) AS tot FROM cnt GROUP BY c),
+    ndc AS (SELECT source AS c, COUNT(DISTINCT doc_id) AS ndc
+            FROM trn GROUP BY 1),
+    ndall AS (SELECT CAST(SUM(ndc) AS BIGINT) AS nd FROM ndc),
+    tb AS (SELECT DISTINCT b FROM tst),
+    grid AS (
+      SELECT tot.c, tb.b, COALESCE(cnt.cnt, 0) + 1 AS a,
+             tot.tot + {buckets} AS q
+      FROM tb CROSS JOIN tot
+      LEFT JOIN cnt ON cnt.c = tot.c AND cnt.b = tb.b),
+    gb AS (
+      SELECT c, b, q AS p0, a AS q0,
+             length(bin(q // a)) - 1 AS kk
+      FROM grid),
+    it AS (
+      SELECT c, b, kk, 0 AS i, p0 AS p, (q0 << kk) AS q,
+             CAST(0 AS BIGINT) AS acc
+      FROM gb
+      UNION ALL
+      SELECT c, b, kk, i + 1,
+             (p >> s)*(p >> s),
+             CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                  THEN ((q >> s)*(q >> s)) << 1
+                  ELSE (q >> s)*(q >> s) END,
+             acc*2 + CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                     THEN 1 ELSE 0 END
+      FROM (SELECT *, greatest(0, length(bin(q)) - 30) AS s FROM it)
+      WHERE i < 20),
+    model AS (
+      SELECT c, b, -(acc + (CAST(kk AS BIGINT) << 20)) AS ticks
+      FROM it WHERE i = 20),
+    pb AS (
+      SELECT c, (SELECT nd FROM ndall) AS p0, ndc AS q0,
+             length(bin((SELECT nd FROM ndall) // ndc)) - 1 AS kk
+      FROM ndc),
+    itp AS (
+      SELECT c, kk, 0 AS i, p0 AS p, (q0 << kk) AS q,
+             CAST(0 AS BIGINT) AS acc
+      FROM pb
+      UNION ALL
+      SELECT c, kk, i + 1,
+             (p >> s)*(p >> s),
+             CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                  THEN ((q >> s)*(q >> s)) << 1
+                  ELSE (q >> s)*(q >> s) END,
+             acc*2 + CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                     THEN 1 ELSE 0 END
+      FROM (SELECT *, greatest(0, length(bin(q)) - 30) AS s FROM itp)
+      WHERE i < 20),
+    priors AS (
+      SELECT c, -(acc + (CAST(kk AS BIGINT) << 20)) AS prior_ticks
+      FROM itp WHERE i = 20),
+    sc AS (
+      SELECT t.doc_id, ANY_VALUE(t.source) AS source, m.c,
+             SUM(m.ticks) AS s
+      FROM tst t JOIN model m ON m.b = t.b
+      GROUP BY t.doc_id, m.c),
+    scored AS (
+      SELECT sc.doc_id, sc.source, sc.c, sc.s + p.prior_ticks AS score
+      FROM sc JOIN priors p ON p.c = sc.c),
+    pred AS (
+      SELECT doc_id, source, c AS predicted FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, c) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT source, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@query("nb_source_classifier", _nb_oracle_sql())
+def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature multinomial Naive Bayes source classifier — the
+    quality/domain-classifier primitive of a pretraining pipeline
+    (fastText-style scoring), trained and evaluated fully distributed.
+    Train on doc_id % 5 != 0, predict the source of the held-out fifth,
+    report the confusion matrix. Every log-probability is a FIXED-POINT
+    integer tick (the BM25 fp_log2 fold — zero libm), so scores, argmax
+    predictions, and the confusion matrix are bit-identical across
+    engines. Scale: training is ONE map-side-combinable (class, bucket)
+    count (no iterations); the model is <= 8192 x |classes| rows and
+    BROADCASTS to the scoring join — one pass over test tokens; no
+    shuffle grows with corpus size. Scale notes: operators/classify.py.
+    """
+    from rocketmq_flink_spark.functions.porthash import hash60
+    from rocketmq_flink_spark.operators.classify import (
+        nb_model_ticks,
+        nb_predict,
+        nb_train,
+    )
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    B = 8192
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
+    )
+    occ = docs.selectExpr(
+        "doc_id", "source", f"explode({toks}) AS tok"
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 5 == 0).alias("is_test"),
+        (hash60(F.col("tok")) % B).alias("b"),
+    )
+    trn = occ.where(~F.col("is_test"))
+    tst = occ.where(F.col("is_test"))
+    counts, priors = nb_train(trn, B)
+    model = nb_model_ticks(counts, tst, B)
+    pred = nb_predict(tst, model, priors)
+    truth = tst.select(F.col("doc_id").alias("doc"), "source").distinct()
+    return (
+        pred.join(truth, "doc")
+        .groupBy("source", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("source", "predicted")
+    )
+
+
 _COPURCHASE_EDGES_DUCK = """
     b AS (
       SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps

@@ -1,0 +1,125 @@
+"""Unit tests for the round-4 additions: deterministic label
+propagation, multi-source BFS, reciprocal-rank fusion, and the
+fixed-point Naive Bayes classifier (vs a pure-Python witness)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rocketmq_flink_spark.operators.classify import (
+    nb_model_ticks,
+    nb_predict,
+    nb_train,
+)
+from rocketmq_flink_spark.operators.fusion import rrf_fuse
+from rocketmq_flink_spark.operators.graph import bfs_hops, label_propagation
+from rocketmq_flink_spark.operators.retrieval import fp_log2_py
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src LONG, dst LONG")
+
+
+def test_label_propagation_two_cliques(spark):
+    # two 4-cliques bridged by a single edge: LPA must separate them
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    out = label_propagation(
+        _edges(spark, c1 + c2 + [(3, 10)]), iters=4
+    ).collect()
+    comm = {r.node: r.community for r in out}
+    assert len(set(comm[n] for n in range(4))) == 1
+    assert len(set(comm[n] for n in range(10, 14))) == 1
+    assert comm[0] != comm[11]
+    # smallest-label tie-break makes the community ids the clique minima
+    assert comm[1] == 0 and comm[11] == 10
+
+
+def test_label_propagation_deterministic_under_repartition(spark):
+    pairs = [(a, b) for a in range(6) for b in range(6) if a < b][:9]
+    e = _edges(spark, pairs)
+    r1 = sorted(map(tuple, label_propagation(e, iters=3).collect()))
+    r2 = sorted(
+        map(tuple, label_propagation(e.repartition(7), iters=3).collect())
+    )
+    assert r1 == r2
+
+
+def test_bfs_hops_path_graph(spark):
+    # path 0-1-2-3-4-5, seed {0}: dist = node index, horizon cuts at 3
+    e = _edges(spark, [(i, i + 1) for i in range(5)])
+    seeds = e.select(F.lit(0).cast("long").alias("node")).limit(1)
+    out = {r.node: r.dist for r in bfs_hops(e, seeds, max_hops=3).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}  # 4,5 beyond horizon: absent
+
+
+def test_bfs_multi_source_takes_min(spark):
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    seeds = spark.createDataFrame([(0,), (4,)], "node LONG")
+    out = {r.node: r.dist for r in bfs_hops(e, seeds, max_hops=3).collect()}
+    assert out == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_rrf_fuse_hand_computed(spark):
+    bm = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "qid LONG, doc LONG, rank INT"
+    )
+    dn = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "qid LONG, doc LONG, rank INT"
+    )
+    out = {
+        r.doc: (r.rrf_ticks, r.bm25_rank, r.dense_rank, r.rank)
+        for r in rrf_fuse({"bm25": bm, "dense": dn}, topk=10).collect()
+    }
+    s = 1_000_000_000
+    assert out[11] == (s // 62 + s // 61, 2, 1, 1)  # in both lists: wins
+    assert out[10] == (s // 61, 1, 0, 2)
+    assert out[13] == (s // 62, 0, 2, 3)
+    assert out[12] == (s // 63, 3, 0, 4)
+
+
+def test_nb_matches_python_witness(spark):
+    # tiny 2-class corpus over 8 buckets; python witness replays the
+    # identical fixed-point arithmetic
+    B = 8
+    rows = [  # (doc, class, bucket)
+        (0, "a", 0), (0, "a", 0), (0, "a", 1),
+        (1, "a", 0), (1, "a", 2),
+        (2, "b", 3), (2, "b", 3), (2, "b", 4),
+        (3, "b", 3), (3, "b", 5),
+    ]
+    test_rows = [(10, 0), (10, 1), (11, 3), (11, 4), (12, 0), (12, 3)]
+    trn = spark.createDataFrame(rows, "doc_id LONG, source STRING, b INT")
+    tst = spark.createDataFrame(test_rows, "doc_id LONG, b INT")
+    counts, priors = nb_train(trn, B)
+    model = nb_model_ticks(counts, tst, B)
+    got = {
+        r.doc: r.predicted
+        for r in nb_predict(tst, model, priors).collect()
+    }
+
+    # python witness
+    from collections import Counter
+
+    cnt = Counter((c, b) for _, c, b in rows)
+    tot = Counter()
+    for (c, _), n in cnt.items():
+        tot[c] += n
+    ndc = {"a": 2, "b": 2}
+    nd = 4
+    prior = {c: -fp_log2_py(nd, ndc[c]) for c in ndc}
+
+    def ticks(c, b):
+        return -fp_log2_py(tot[c] + B, cnt.get((c, b), 0) + 1)
+
+    want = {}
+    from itertools import groupby
+
+    for doc, grp in groupby(sorted(test_rows), key=lambda r: r[0]):
+        bs = [b for _, b in grp]
+        scores = {
+            c: prior[c] + sum(ticks(c, b) for b in bs) for c in ndc
+        }
+        want[doc] = min(scores, key=lambda c: (-scores[c], c))
+    assert got == want
+    assert got[10] == "a" and got[11] == "b"  # sanity: separable docs
