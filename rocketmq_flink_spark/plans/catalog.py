@@ -22,7 +22,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -9209,6 +9209,151 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_triangles"), "part")
         .limit(20)
+    )
+
+
+def _temperature_oracle_sql() -> str:
+    from rocketmq_flink_spark.functions.intmath import isqrt_sql
+
+    r = isqrt_sql("n_tok")
+    return f"""
+    WITH tc AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM (SELECT source,
+                   unnest(list_filter(
+                     regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+                     x -> x <> '')) AS tok
+            FROM documents)
+      GROUP BY source),
+    rt AS (SELECT source, n_tok, {r} AS r FROM tc),
+    tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS nt,
+                   CAST(SUM(r) AS BIGINT) AS rs FROM rt)
+    SELECT source, n_tok,
+           CAST((2 * 1000000 * n_tok + (SELECT nt FROM tot))
+                // (2 * (SELECT nt FROM tot)) AS BIGINT) AS baseline_ppm,
+           CAST((2 * 1000000 * r + (SELECT rs FROM tot))
+                // (2 * (SELECT rs FROM tot)) AS BIGINT) AS w_ppm
+    FROM rt ORDER BY source
+    """
+
+
+@query("temperature_mixture_weights", _temperature_oracle_sql())
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling weights (alpha = 0.5): the
+    standard multilingual/multi-source rebalancing rule w_c ∝ p_c^alpha
+    that upsamples low-resource sources (used by mBERT/XLM-R-style
+    pipelines). With alpha = 1/2 the unnormalized weight is EXACTLY
+    isqrt(token_count) — floor integer sqrt, engine-stable via the
+    corrected-double-sqrt formula (functions/intmath.py), so the whole
+    weight table is integer-exact (half-up ppm normalization), no
+    libm pow anywhere. Reports per source: token mass, baseline share
+    (alpha=1), and the temperature share. Scale: one
+    map-side-combined token count per source + a source-sized
+    normalization — nothing grows with corpus size."""
+    from rocketmq_flink_spark.functions.intmath import isqrt_sql
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
+    )
+    tc = (
+        docs.selectExpr("source", f"explode({toks}) AS tok")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    )
+    rt = tc.selectExpr("source", "n_tok", isqrt_sql("n_tok") + " AS r")
+    tot = rt.agg(
+        F.sum("n_tok").cast("long").alias("nt"),
+        F.sum("r").cast("long").alias("rs"),
+    )
+    return (
+        rt.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "n_tok",
+            "CAST((2 * 1000000 * n_tok + nt) div (2 * nt) AS BIGINT)"
+            " AS baseline_ppm",
+            "CAST((2 * 1000000 * r + rs) div (2 * rs) AS BIGINT)"
+            " AS w_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "vocab_top_p_cutoff",
+    f"""
+    WITH tc AS (
+      SELECT source, tok, COUNT(*) AS cnt
+      FROM (SELECT source,
+                   unnest(list_filter(
+                     regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+                     x -> x <> '')) AS tok
+            FROM documents)
+      GROUP BY source, tok),
+    cum AS (
+      SELECT source, cnt,
+             ROW_NUMBER() OVER w AS rn,
+             SUM(cnt) OVER (w ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY source) AS total,
+             COUNT(*) OVER (PARTITION BY source) AS vocab
+      FROM tc
+      WINDOW w AS (PARTITION BY source ORDER BY cnt DESC, tok))
+    SELECT source, CAST(MIN(vocab) AS BIGINT) AS vocab_size,
+           CAST(MIN(total) AS BIGINT) AS total_tokens,
+           CAST(MIN(CASE WHEN 100 * cum >= 90 * total THEN rn END)
+                AS BIGINT) AS n90,
+           CAST(MIN(CASE WHEN 100 * cum >= 99 * total THEN rn END)
+                AS BIGINT) AS n99
+    FROM cum GROUP BY source ORDER BY source
+    """,
+)
+def vocab_top_p_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p vocabulary cutoffs per source: the smallest vocabulary
+    size covering 90% / 99% of the token mass — the tokenizer-budget
+    planning metric (how much vocab a source actually needs, how
+    heavy its tail is). Deterministic: tokens order by (count DESC,
+    token ASC); thresholds compare 100*cumsum >= p*total in integers.
+    Scale: one (source, token) count — map-side combinable — then
+    windows over VOCABULARY-sized partitions (bounded by distinct
+    tokens, not corpus size). Output: one row per source."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
+    )
+    tc = (
+        docs.selectExpr("source", f"explode({toks}) AS tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), "tok")
+    wp = Window.partitionBy("source")
+    cum = tc.select(
+        "source",
+        "cnt",
+        F.row_number().over(w).alias("rn"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+        F.sum("cnt").over(wp).alias("total"),
+        F.count(F.lit(1)).over(wp).alias("vocab"),
+    )
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.min("vocab").cast("long").alias("vocab_size"),
+            F.min("total").cast("long").alias("total_tokens"),
+            F.min(
+                F.when(100 * F.col("cum") >= 90 * F.col("total"), F.col("rn"))
+            ).cast("long").alias("n90"),
+            F.min(
+                F.when(100 * F.col("cum") >= 99 * F.col("total"), F.col("rn"))
+            ).cast("long").alias("n99"),
+        )
+        .orderBy("source")
     )
 
 

@@ -479,3 +479,51 @@ def test_fp_log2_three_witnesses(spark, p, q):
     """).fetchone()[0]
     assert got_duck == exp
     assert abs(exp / (1 << 20) - math.log2(hi / lo)) < 2e-6
+
+
+@settings(
+    deadline=None,
+    max_examples=12,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    xs=st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=1 << 62),
+            # adversarial band: perfect squares and their neighbors,
+            # where a 1-ulp double-sqrt error flips the floor
+            st.integers(min_value=0, max_value=1 << 31).map(
+                lambda r: r * r
+            ),
+            st.integers(min_value=1, max_value=1 << 31).map(
+                lambda r: r * r - 1
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_isqrt_engine_parity(spark, xs):
+    """isqrt (corrected double sqrt) must equal math.isqrt exactly in
+    BOTH engines — including on perfect squares +-1 where Spark's
+    truncating and DuckDB's rounding double->int casts disagree."""
+    import math
+
+    import duckdb
+
+    from rocketmq_flink_spark.functions.intmath import isqrt_sql
+
+    want = [math.isqrt(x) for x in xs]
+    df = spark.createDataFrame([(x,) for x in xs], "x LONG")
+    got_spark = [
+        r.s for r in df.selectExpr(isqrt_sql("x") + " AS s").collect()
+    ]
+    assert got_spark == want
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT {isqrt_sql(str(x))} AS s"
+        ).fetchone()[0]
+        for x in xs
+    ]
+    assert got_duck == want
