@@ -98,6 +98,28 @@ def nb_model_ticks(
     )
 
 
+def nb_scores(
+    test_occ: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    doc_col: str = "doc_id",
+    bucket_col: str = "b",
+) -> DataFrame:
+    """Score every test document against every class: (doc, c, score)
+    exact BIGINT ticks. The model and priors broadcast; scoring is one
+    partially-aggregated pass over the test token stream."""
+    occ = test_occ.select(
+        F.col(doc_col).alias("doc"), F.col(bucket_col).alias("b")
+    )
+    return (
+        occ.join(F.broadcast(model), "b")
+        .groupBy("doc", "c")
+        .agg(F.sum("ticks").alias("s"))
+        .join(F.broadcast(priors), "c")
+        .select("doc", "c", (F.col("s") + F.col("prior_ticks")).alias("score"))
+    )
+
+
 def nb_predict(
     test_occ: DataFrame,
     model: DataFrame,
@@ -105,21 +127,10 @@ def nb_predict(
     doc_col: str = "doc_id",
     bucket_col: str = "b",
 ) -> DataFrame:
-    """Score every test document against every class and return the
-    argmax prediction: (doc, predicted, score_ticks). Ties break on
-    the smallest class label (total order — deterministic). The model
-    and priors broadcast; scoring is one partially-aggregated pass
-    over the test token stream."""
-    occ = test_occ.select(
-        F.col(doc_col).alias("doc"), F.col(bucket_col).alias("b")
-    )
-    sc = (
-        occ.join(F.broadcast(model), "b")
-        .groupBy("doc", "c")
-        .agg(F.sum("ticks").alias("s"))
-        .join(F.broadcast(priors), "c")
-        .select("doc", "c", (F.col("s") + F.col("prior_ticks")).alias("score"))
-    )
+    """Argmax prediction per test document: (doc, predicted,
+    score_ticks). Ties break on the smallest class label (total order
+    — deterministic)."""
+    sc = nb_scores(test_occ, model, priors, doc_col, bucket_col)
     w = Window.partitionBy("doc").orderBy(F.desc("score"), "c")
     return (
         sc.withColumn("rn", F.row_number().over(w))

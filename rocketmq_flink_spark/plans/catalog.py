@@ -9212,6 +9212,79 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scene_change_frames",
+    """
+    WITH fr AS (SELECT CAST(g AS BIGINT) AS f FROM range(48) t(g)),
+    px AS (
+      SELECT f, ((f // 8) * 37 + 3 * y.g + 5 * x.g + f) % 256 AS v
+      FROM fr, range(16) y(g), range(24) x(g)),
+    hc AS (SELECT f, v // 16 AS bin, COUNT(*) AS c FROM px GROUP BY 1, 2),
+    grid AS (SELECT f, CAST(b.g AS BIGINT) AS bin FROM fr, range(16) b(g)),
+    h2 AS (
+      SELECT grid.f, grid.bin, COALESCE(hc.c, 0) AS c
+      FROM grid LEFT JOIN hc ON hc.f = grid.f AND hc.bin = grid.bin),
+    l1 AS (
+      SELECT a.f, CAST(SUM(ABS(a.c - b.c)) AS BIGINT) AS d
+      FROM h2 a JOIN h2 b ON b.f = a.f - 1 AND b.bin = a.bin
+      GROUP BY a.f)
+    SELECT CAST(7 AS BIGINT) AS video_id, fr.f AS frame_id,
+           COALESCE(l1.d, 0) AS l1_dist,
+           COALESCE(l1.d, 0) > 100 AS is_cut
+    FROM fr LEFT JOIN l1 ON l1.f = fr.f
+    ORDER BY frame_id
+    """,
+)
+def scene_change_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection with REAL frame decode: 48 synthetic
+    PPM frames (24x16, deterministic pattern with a +1 per-frame drift
+    inside a scene and a 37-point pattern jump every 8 frames) are
+    pixel-decoded for real (numpy frombuffer IS the P6 decoder), each
+    frame reduced to a 16-bin red-channel histogram in one Arrow hop,
+    then cuts flagged where the L1 histogram distance to the previous
+    frame exceeds 100 (drift gives L1 <= 8, scene jumps >= 242 — wide
+    margin). Every number is an exact integer, so the oracle
+    regenerates the pixels closed-form and hash-checks the decode ->
+    fingerprint -> window -> threshold path bit-for-bit. Scale:
+    payloads stay on executors; the scene-cut window moves only
+    16-long histogram arrays, partitioned by video. Scale notes:
+    operators/multimodal.py frame_histograms/scene_cuts."""
+    import pandas as pd_mod
+
+    from rocketmq_flink_spark.operators.multimodal import (
+        encode_ppm_scene,
+        frame_histograms,
+        scene_cuts,
+    )
+
+    ids = (
+        load_tables(spark, sf_dir)["documents"]
+        .where(F.col("doc_id") < 48)
+        .select(F.col("doc_id").alias("frame_id"))
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for fid in pdf["frame_id"]:
+                fid = int(fid)
+                rows.append(
+                    {
+                        "video_id": 7,
+                        "frame_id": fid,
+                        "payload": encode_ppm_scene(fid, fid // 8, 24, 16),
+                    }
+                )
+            yield pd_mod.DataFrame(rows)
+
+    frames = ids.mapInPandas(
+        synth, schema="video_id bigint, frame_id bigint, payload binary"
+    )
+    return scene_cuts(frame_histograms(frames, bins=16), threshold=100).orderBy(
+        "frame_id"
+    )
+
+
 def _temperature_oracle_sql() -> str:
     from rocketmq_flink_spark.functions.intmath import isqrt_sql
 
@@ -9524,11 +9597,11 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _nb_oracle_sql(buckets: int = 8192) -> str:
-    """DuckDB replay of the hashed-feature multinomial NB classifier:
+def _nb_pipeline_duck(buckets: int = 8192) -> str:
+    """Shared DuckDB CTE chain of the hashed-feature multinomial NB:
     train counts, Laplace-smoothed fixed-point log-likelihood ticks
     (recursive CTE, bit-equal to the Catalyst fold), prior ticks,
-    argmax prediction, confusion matrix."""
+    per-(test doc, class) scores — ends at the `scored` CTE."""
     from rocketmq_flink_spark.functions.porthash import hash60_sql
 
     h = hash60_sql("tok")
@@ -9604,7 +9677,12 @@ def _nb_oracle_sql(buckets: int = 8192) -> str:
       GROUP BY t.doc_id, m.c),
     scored AS (
       SELECT sc.doc_id, sc.source, sc.c, sc.s + p.prior_ticks AS score
-      FROM sc JOIN priors p ON p.c = sc.c),
+      FROM sc JOIN priors p ON p.c = sc.c)"""
+
+
+def _nb_oracle_sql(buckets: int = 8192) -> str:
+    """Confusion-matrix final over the shared NB pipeline."""
+    return _nb_pipeline_duck(buckets) + """,
     pred AS (
       SELECT doc_id, source, c AS predicted FROM (
         SELECT *, ROW_NUMBER() OVER (
@@ -9612,6 +9690,38 @@ def _nb_oracle_sql(buckets: int = 8192) -> str:
         FROM scored) WHERE rn = 1)
     SELECT source, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def _nb_margin_oracle_sql(buckets: int = 8192) -> str:
+    """Calibration final over the shared NB pipeline: top1-top2 tick
+    margin per test doc, margin quartiles (ntile over (margin, doc)),
+    per-quartile accuracy in half-up ppm."""
+    return _nb_pipeline_duck(buckets) + """,
+    ranked AS (
+      SELECT doc_id, source, c, score, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, c) AS rn
+      FROM scored),
+    top2 AS (
+      SELECT doc_id, ANY_VALUE(source) AS source,
+             MAX(CASE WHEN rn = 1 THEN c END) AS predicted,
+             CAST(MAX(CASE WHEN rn = 1 THEN score END)
+                  - MAX(CASE WHEN rn = 2 THEN score END) AS BIGINT)
+               AS margin
+      FROM ranked WHERE rn <= 2 GROUP BY doc_id),
+    qt AS (
+      SELECT *, NTILE(4) OVER (ORDER BY margin, doc_id) AS quartile
+      FROM top2)
+    SELECT CAST(quartile AS BIGINT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN predicted = source THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(MIN(margin) AS BIGINT) AS min_margin,
+           CAST(MAX(margin) AS BIGINT) AS max_margin,
+           CAST((2 * 1000000 * SUM(CASE WHEN predicted = source
+                                        THEN 1 ELSE 0 END)
+                 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS accuracy_ppm
+    FROM qt GROUP BY quartile ORDER BY quartile
     """
 
 
@@ -9629,10 +9739,24 @@ def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCASTS to the scoring join — one pass over test tokens; no
     shuffle grows with corpus size. Scale notes: operators/classify.py.
     """
+    pred, truth, _ = _nb_frames(spark, sf_dir, scores=False)
+    return (
+        pred.join(truth, "doc")
+        .groupBy("source", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("source", "predicted")
+    )
+
+
+def _nb_frames(spark: SparkSession, sf_dir: str, scores: bool):
+    """Shared Spark-side NB pipeline: tokenize/hash, hold out
+    doc_id % 5 == 0, train, broadcast-score. Returns (pred, truth,
+    scored) — `scored` only materialized when requested."""
     from rocketmq_flink_spark.functions.porthash import hash60
     from rocketmq_flink_spark.operators.classify import (
         nb_model_ticks,
         nb_predict,
+        nb_scores,
         nb_train,
     )
     from rocketmq_flink_spark.operators.dedup import normalize_sql
@@ -9654,13 +9778,60 @@ def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tst = occ.where(F.col("is_test"))
     counts, priors = nb_train(trn, B)
     model = nb_model_ticks(counts, tst, B)
-    pred = nb_predict(tst, model, priors)
     truth = tst.select(F.col("doc_id").alias("doc"), "source").distinct()
+    if scores:
+        return None, truth, nb_scores(tst, model, priors)
+    return nb_predict(tst, model, priors), truth, None
+
+
+@query("nb_confidence_margin", _nb_margin_oracle_sql())
+def nb_confidence_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration readout: the top1-top2 score margin of
+    the NB source classifier, bucketed into margin quartiles, with
+    per-quartile accuracy — the reliability-diagram primitive (a
+    well-behaved classifier is more accurate where its margin is
+    larger; the low-margin quartile tells you how much of the corpus
+    needs human review or a stronger model). Margins and quartile
+    assignment (ntile over (margin, doc) — total order) are exact
+    integer ticks; accuracy reported in half-up ppm. Scale: same
+    broadcast-scored pipeline as nb_source_classifier; the quartile
+    window orders test-doc-sized data (one row per doc). Scale notes:
+    operators/classify.py."""
+    _, truth, scored = _nb_frames(spark, sf_dir, scores=True)
+    w = Window.partitionBy("doc").orderBy(F.desc("score"), "c")
+    ranked = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 2
+    )
+    top2 = ranked.groupBy("doc").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("predicted"),
+        (
+            F.max(F.when(F.col("rn") == 1, F.col("score")))
+            - F.max(F.when(F.col("rn") == 2, F.col("score")))
+        ).cast("long").alias("margin"),
+    ).join(truth, "doc")
+    qt = top2.withColumn(
+        "quartile", F.ntile(4).over(Window.orderBy("margin", "doc"))
+    )
     return (
-        pred.join(truth, "doc")
-        .groupBy("source", "predicted")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .orderBy("source", "predicted")
+        qt.groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("predicted") == F.col("source"), 1).otherwise(0)
+            ).cast("long").alias("n_correct"),
+            F.min("margin").cast("long").alias("min_margin"),
+            F.max("margin").cast("long").alias("max_margin"),
+        )
+        .selectExpr(
+            "CAST(quartile AS BIGINT) AS quartile",
+            "n_docs",
+            "n_correct",
+            "min_margin",
+            "max_margin",
+            "CAST((2 * 1000000 * n_correct + n_docs) div (2 * n_docs)"
+            " AS BIGINT) AS accuracy_ppm",
+        )
+        .orderBy("quartile")
     )
 
 
