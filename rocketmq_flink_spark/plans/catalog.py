@@ -9285,6 +9285,210 @@ def scene_change_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "theil_sen_trend_daily",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    nd AS (SELECT COUNT(*) AS n_days FROM d),
+    pr AS (
+      SELECT b.x - a.x AS num, date_diff('day', a.day, b.day) AS den
+      FROM d a JOIN d b ON a.day < b.day),
+    tk AS (
+      SELECT CASE WHEN num >= 0 THEN
+               (2 * CAST(1000000000000 AS HUGEINT) * num + den)
+                 // (2 * CAST(den AS HUGEINT))
+             ELSE
+               -((2 * CAST(1000000000000 AS HUGEINT) * (-num) + den)
+                 // (2 * CAST(den AS HUGEINT))) END AS t
+      FROM pr),
+    rk AS (
+      SELECT t, ROW_NUMBER() OVER (ORDER BY t) AS rn,
+             COUNT(*) OVER () AS np
+      FROM tk)
+    SELECT CAST((SELECT n_days FROM nd) AS BIGINT) AS n_days,
+           CAST(np AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN t >= 0 THEN
+                  (2 * t + 1000000) // 2000000
+                ELSE -((2 * (-t) + 1000000) // 2000000) END
+                AS BIGINT) AS slope_micro
+    FROM rk WHERE rn = (np + 1) // 2
+    """,
+)
+def theil_sen_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the daily event-count series — the
+    median of all pairwise slopes, the standard outlier-immune
+    alternative to OLS (breakdown point 29%). Exact rational median
+    with NO floats: each pairwise slope num/den (den = day gap <= 30)
+    is mapped to half-up 1e12 ticks — distinct rationals with
+    den <= 365 differ by >= 1/365^2, i.e. >= 7.5e6 ticks, so the tick
+    order IS the exact rational order (no collisions) and equal
+    rationals collide to the same tick; sign-split rounding keeps
+    Spark's truncating div and DuckDB's flooring // in agreement.
+    Lower median picked by rank; reported in 1e-6 events/day. Scale:
+    the pairwise stage is CALENDAR-bounded (days^2, not events^2) —
+    the daily series is one map-side-combined count; nothing grows
+    with raw event volume. One row."""
+    ev = load_tables(spark, sf_dir)["events"]
+    d = (
+        ev.select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    a = d.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = d.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    pr = a.join(b, F.col("da") < F.col("db")).selectExpr(
+        "CAST(xb - xa AS DECIMAL(38,0)) AS num",
+        "CAST(datediff(db, da) AS DECIMAL(38,0)) AS den",
+    )
+    tk = pr.selectExpr(
+        "CASE WHEN num >= 0 THEN"
+        " (2 * CAST(1000000000000 AS DECIMAL(38,0)) * num + den)"
+        "   div (2 * den)"
+        " ELSE"
+        " -((2 * CAST(1000000000000 AS DECIMAL(38,0)) * (-num) + den)"
+        "   div (2 * den)) END AS t"
+    )
+    n_days = d.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    w = Window.orderBy("t")
+    rk = tk.select(
+        "t",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))
+        ).alias("np"),
+    )
+    med = rk.where(F.expr("rn = (np + 1) div 2")).selectExpr(
+        "CAST(np AS BIGINT) AS n_pairs",
+        "CAST(CASE WHEN t >= 0 THEN"
+        " (2 * t + 1000000) div 2000000"
+        " ELSE -((2 * (-t) + 1000000) div 2000000) END"
+        " AS BIGINT) AS slope_micro",
+    )
+    return n_days.crossJoin(med).select("n_days", "n_pairs", "slope_micro")
+
+
+def _jl_oracle_sql(dim: int = 64, m: int = 16, n_ids: int = 8) -> str:
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    h = hash60_sql("CAST(g AS VARCHAR)")
+    return f"""
+    WITH t AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS xt
+      FROM embeddings),
+    occ AS (
+      SELECT vec_id, u.g - 1 AS i, xt[u.g] AS v
+      FROM t, unnest(range(1, len(xt) + 1)) AS u(g)),
+    sg AS (
+      SELECT g // {m} AS i, g % {m} AS j,
+             CASE WHEN {h} % 2 = 0 THEN 1 ELSE -1 END AS s
+      FROM range({dim * m}) r(g)),
+    pr AS (
+      SELECT o.vec_id, sg.j, CAST(SUM(sg.s * o.v) AS BIGINT) AS y
+      FROM occ o JOIN sg ON sg.i = o.i
+      GROUP BY 1, 2),
+    d2o AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(list_zip(a.xt, b.xt),
+               p -> CAST(p[1] - p[2] AS HUGEINT) * (p[1] - p[2]))) AS d2
+      FROM t a JOIN t b
+        ON a.vec_id < b.vec_id AND a.vec_id < {n_ids}
+           AND b.vec_id < {n_ids}),
+    d2p AS (
+      SELECT pa.vec_id AS id_a, pb.vec_id AS id_b,
+             SUM(CAST(pa.y - pb.y AS HUGEINT) * (pa.y - pb.y)) AS dp
+      FROM pr pa JOIN pr pb
+        ON pa.j = pb.j AND pa.vec_id < pb.vec_id
+           AND pa.vec_id < {n_ids} AND pb.vec_id < {n_ids}
+      GROUP BY 1, 2)
+    SELECT o.id_a, o.id_b,
+           CAST(CASE WHEN o.d2 = 0 THEN 1000000
+                ELSE (2 * 1000000 * p.dp + {m} * o.d2)
+                     // (2 * {m} * o.d2) END AS BIGINT) AS ratio_ppm
+    FROM d2o o JOIN d2p p ON p.id_a = o.id_a AND p.id_b = o.id_b
+    ORDER BY o.id_a, o.id_b
+    """
+
+
+@query("jl_projection_distortion", _jl_oracle_sql())
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims with a
+    per-pair distortion report — the embedding-compression primitive
+    that cheapens every downstream ANN/dedup pass at 100 TB (4x fewer
+    bytes per vector with provably bounded distance distortion). The
+    projection matrix is a hash-derived +-1 sign matrix (Achlioptas
+    2003 database-friendly JL): sign(i,j) = parity of the portable
+    md5 hash of the flat index — no stored matrix, any executor and
+    any engine regenerates it. All arithmetic in integer ticks
+    (floor(x*1e10+0.5)); ratio_ppm = half-up 1e6 * ||Pa-Pb||^2 /
+    (m * ||a-b||^2), expectation exactly 1e6 under +-1 JL. Pairs of
+    the first 8 vectors reported. Scale: projection is one
+    broadcast-joined (dim x m sign table, 1024 rows) map-side-combined
+    sum per vector — linear in corpus vectors, no pairwise stage
+    except the sampled report."""
+    dim, m, n_ids = 64, 16, 8
+    from rocketmq_flink_spark.functions.porthash import hash60
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    t = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(CAST(embedding AS array<double>),"
+            " x -> CAST(floor(x * 1e10 + 0.5) AS BIGINT))"
+        ).alias("xt"),
+    )
+    occ = t.select("vec_id", F.posexplode("xt").alias("i", "v"))
+    sg = spark.range(dim * m).select(
+        F.expr(f"id div {m}").alias("i"),
+        (F.col("id") % m).alias("j"),
+        F.when(
+            hash60(F.col("id").cast("string")) % 2 == 0, F.lit(1)
+        ).otherwise(F.lit(-1)).alias("s"),
+    )
+    pr = (
+        occ.join(F.broadcast(sg), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("v")).cast("long").alias("y"))
+    )
+    t8 = t.where(F.col("vec_id") < n_ids)
+    a = t8.select(F.col("vec_id").alias("id_a"), F.col("xt").alias("xa"))
+    b = t8.select(F.col("vec_id").alias("id_b"), F.col("xt").alias("xb"))
+    d2o = a.join(b, F.col("id_a") < F.col("id_b")).selectExpr(
+        "id_a",
+        "id_b",
+        "aggregate(zip_with(xa, xb, (p, q) -> CAST(p - q AS DECIMAL(38,0))),"
+        " CAST(0 AS DECIMAL(38,0)), (acc, d) -> acc + d * d) AS d2",
+    )
+    pr8 = pr.where(F.col("vec_id") < n_ids)
+    pa = pr8.select(F.col("vec_id").alias("id_a"), "j", F.col("y").alias("ya"))
+    pb = pr8.select(F.col("vec_id").alias("id_b"), "j", F.col("y").alias("yb"))
+    d2p = (
+        pa.join(pb, "j")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "dd",
+            (F.col("ya") - F.col("yb")).cast("decimal(38,0)")
+            * (F.col("ya") - F.col("yb")).cast("decimal(38,0)"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("dd").alias("dp"))
+    )
+    return (
+        d2o.join(d2p, ["id_a", "id_b"])
+        .selectExpr(
+            "id_a",
+            "id_b",
+            f"CAST(CASE WHEN d2 = 0 THEN 1000000"
+            f" ELSE (2 * 1000000 * dp + {m} * d2)"
+            f" div (2 * {m} * d2) END AS BIGINT) AS ratio_ppm",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _temperature_oracle_sql() -> str:
     from rocketmq_flink_spark.functions.intmath import isqrt_sql
 
