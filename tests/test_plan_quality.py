@@ -222,3 +222,37 @@ def test_pagerank_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lpa_and_bfs_no_cartesian_no_python(spark):
+    for name in ("label_propagation_communities", "bfs_hops_copurchase"):
+        plan = _plan(REGISTRY[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_nb_model_broadcasts_no_cartesian(spark):
+    # the 8192 x |classes| model and the priors must reach the scoring
+    # join as broadcasts; no Python anywhere in train or score
+    plan = _plan(REGISTRY["nb_source_classifier"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_jl_sign_matrix_broadcasts(spark):
+    # the 1024-row sign table joins the exploded coordinates as a
+    # broadcast hash join — the projection itself never shuffles the
+    # corpus on the dim key
+    plan = _plan(REGISTRY["jl_projection_distortion"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rrf_fusion_no_cartesian(spark):
+    # kNN's Arrow batch stage is the only Python allowed; the fusion
+    # itself is JVM rank arithmetic with no cartesian anywhere
+    plan = _plan(REGISTRY["rrf_hybrid_search"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
