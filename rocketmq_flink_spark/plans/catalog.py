@@ -9369,6 +9369,103 @@ def theil_sen_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_days.crossJoin(med).select("n_days", "n_pairs", "slope_micro")
 
 
+@query(
+    "stream_stream_join_events",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+    ORDER BY purchase_id, click_id
+    """,
+)
+def stream_stream_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream event-time join, driven end to end as a
+    streaming query (W11/W12 family — completes the streaming trio
+    next to windowed aggregation and stateful sessionization): the
+    purchases stream inner-joins the clicks stream of the same user
+    within the preceding 10 minutes, both sides watermarked, emitted
+    in append mode via availableNow micro-batches to a memory sink.
+    The oracle is the equivalent batch interval join — a match proves
+    the streaming join's state management loses and duplicates
+    nothing. Scale: the watermark + time-range condition bound each
+    side's join state to the 10-minute window (Spark drops older
+    state); the join itself is a user-keyed hash shuffle, exactly the
+    batch plan's shape. Reference semantics: the host engine's
+    interval join, RocketMQSourceFunction feeding Flink SQL."""
+    import os as _os
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_raw = spark.read.parquet(
+        _os.path.join(sf_dir, "events.parquet")
+    ).schema["ts"].dataType
+    nanos = isinstance(ts_raw, T.LongType)
+    raw_schema = (
+        "event_id BIGINT, ts "
+        + ("BIGINT" if nanos else "TIMESTAMP_NTZ")
+        + ", user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    )
+
+    def side(event_type: str, alias: str):
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        ts_instant = (
+            F.timestamp_micros(F.expr("ts div 1000"))
+            if nanos
+            else F.col("ts").cast("timestamp")
+        )
+        return (
+            stream.where(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                ts_instant.alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "0 seconds")
+        )
+
+    p, c = side("purchase", "p"), side("click", "c")
+    joined = p.join(
+        c,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 10 MINUTES"
+            " AND c_ts <= p_ts"
+        ),
+    ).select(
+        F.col("p_id").alias("purchase_id"),
+        F.col("c_id").alias("click_id"),
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).cast("long").alias(
+            "gap_us"
+        ),
+    )
+    qname = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(qname).orderBy("purchase_id", "click_id")
+
+
 def _jl_oracle_sql(dim: int = 64, m: int = 16, n_ids: int = 8) -> str:
     from rocketmq_flink_spark.functions.porthash import hash60_sql
 
