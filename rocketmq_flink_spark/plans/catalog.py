@@ -9586,6 +9586,113 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _entropy_oracle_sql() -> str:
+    """DuckDB replay of the fixed-point token-entropy report: the
+    fp_log2 recursive CTE runs once over (source, token) counts and
+    once over the per-source totals/vocab; H = log2(T) - sum(c*log2(c))/T
+    stays in integer ticks end to end."""
+    return f"""
+    WITH RECURSIVE tc AS (
+      SELECT source, tok, COUNT(*) AS c
+      FROM (SELECT source,
+                   unnest(list_filter(
+                     regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+                     x -> x <> '')) AS tok
+            FROM documents)
+      GROUP BY source, tok),
+    base AS (
+      SELECT source, tok, c, length(bin(c)) - 1 AS kk
+      FROM tc),
+    it AS (
+      SELECT source, tok, kk, 0 AS i, c AS p, (CAST(1 AS BIGINT) << kk) AS q,
+             CAST(0 AS BIGINT) AS acc
+      FROM base
+      UNION ALL
+      SELECT source, tok, kk, i + 1,
+             (p >> s)*(p >> s),
+             CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                  THEN ((q >> s)*(q >> s)) << 1
+                  ELSE (q >> s)*(q >> s) END,
+             acc*2 + CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                     THEN 1 ELSE 0 END
+      FROM (SELECT *, greatest(0, length(bin(q)) - 30) AS s FROM it)
+      WHERE i < 20),
+    lg AS (
+      SELECT source, tok, acc + (CAST(kk AS BIGINT) << 20) AS lgc
+      FROM it WHERE i = 20),
+    ag AS (
+      SELECT tc.source, CAST(SUM(tc.c) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(tc.c * lg.lgc) AS BIGINT) AS s
+      FROM tc JOIN lg ON lg.source = tc.source AND lg.tok = tc.tok
+      GROUP BY tc.source),
+    tb AS (
+      SELECT source, t, vocab, s, length(bin(t)) - 1 AS kk FROM ag),
+    itt AS (
+      SELECT source, t, vocab, s, kk, 0 AS i, t AS p,
+             (CAST(1 AS BIGINT) << kk) AS q, CAST(0 AS BIGINT) AS acc
+      FROM tb
+      UNION ALL
+      SELECT source, t, vocab, s, kk, i + 1,
+             (p >> sh)*(p >> sh),
+             CASE WHEN (p >> sh)*(p >> sh) >= 2*((q >> sh)*(q >> sh))
+                  THEN ((q >> sh)*(q >> sh)) << 1
+                  ELSE (q >> sh)*(q >> sh) END,
+             acc*2 + CASE WHEN (p >> sh)*(p >> sh) >= 2*((q >> sh)*(q >> sh))
+                     THEN 1 ELSE 0 END
+      FROM (SELECT *, greatest(0, length(bin(q)) - 30) AS sh FROM itt)
+      WHERE i < 20),
+    lt AS (
+      SELECT source, t, vocab, s,
+             acc + (CAST(kk AS BIGINT) << 20) AS lgt
+      FROM itt WHERE i = 20)
+    SELECT source, t AS n_tokens, vocab,
+           CAST(lgt - s // t AS BIGINT) AS entropy_ticks
+    FROM lt ORDER BY source
+    """
+
+
+@query("token_entropy_by_source", _entropy_oracle_sql())
+def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the unigram distribution per source — the
+    vocabulary-diversity axis of corpus curation (low entropy =
+    repetitive/templated text, high = diverse), computed with ZERO
+    libm: H = log2(T) - sum(c * log2(c)) / T over integer counts,
+    every log2 a fixed-point fp_log2 tick (the BM25 fold), the final
+    division a positive integer floor — bit-identical across engines.
+    Scale: one map-side-combined (source, token) count; the log2 fold
+    runs over VOCABULARY-sized rows; per-source reduce is one more
+    combine. Output: one row per source, entropy in 2^-20-bit ticks.
+    """
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+    from rocketmq_flink_spark.operators.retrieval import fp_log2_sql
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
+    )
+    tc = (
+        docs.selectExpr("source", f"explode({toks}) AS tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lg = tc.selectExpr(
+        "source", "c", fp_log2_sql("c", "1") + " AS lgc"
+    )
+    ag = lg.groupBy("source").agg(
+        F.sum("c").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("c") * F.col("lgc")).cast("long").alias("s"),
+    )
+    return ag.selectExpr(
+        "source",
+        "t AS n_tokens",
+        "vocab",
+        f"CAST(({fp_log2_sql('t', '1')}) - s div t AS BIGINT)"
+        " AS entropy_ticks",
+    ).orderBy("source")
+
+
 def _temperature_oracle_sql() -> str:
     from rocketmq_flink_spark.functions.intmath import isqrt_sql
 
