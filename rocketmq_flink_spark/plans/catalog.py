@@ -9586,6 +9586,114 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "degree_assortativity_copurchase",
+    """
+    WITH b AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+      FROM lineitem GROUP BY l_orderkey),
+    pp AS (
+      SELECT unnest(flatten(list_transform(range(1, len(ps)),
+               i -> list_transform(range(i + 1, len(ps) + 1),
+                 j -> struct_pack(p1 := ps[i], p2 := ps[j]))))) AS pr
+      FROM b WHERE len(ps) >= 2),
+    sup AS (
+      SELECT pr.p1 AS p1, pr.p2 AS p2 FROM pp GROUP BY 1, 2
+      HAVING COUNT(*) >= 2),
+    e AS MATERIALIZED (
+      SELECT p1 AS a, p2 AS b2 FROM sup
+      UNION ALL SELECT p2, p1 FROM sup),
+    deg AS MATERIALIZED (SELECT a AS n, COUNT(*) AS d FROM e GROUP BY a),
+    ed AS (
+      SELECT da.d AS x, db.d AS y
+      FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b2),
+    ag AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x*y) AS HUGEINT) AS sxy,
+             CAST(SUM(x*x) AS HUGEINT) AS sxx,
+             CAST(SUM(y*y) AS HUGEINT) AS syy
+      FROM ed),
+    rr AS (
+      SELECT n, n * sxy - sx * sy AS cov_n,
+             n * sxx - sx * sx AS vx_n,
+             n * syy - sy * sy AS vy_n
+      FROM ag)
+    SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+           CAST(CASE WHEN vx_n = 0 OR vy_n = 0 THEN 0
+                WHEN cov_n >= 0 THEN
+                  (2 * 1000000 * cov_n * cov_n + vx_n * vy_n)
+                    // (2 * vx_n * vy_n)
+                ELSE -((2 * 1000000 * cov_n * cov_n + vx_n * vy_n)
+                    // (2 * vx_n * vy_n)) END AS BIGINT) AS r2_signed_micro
+    FROM rr
+    """,
+)
+def degree_assortativity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — do hub parts
+    connect to other hubs (assortative, r > 0) or to the periphery
+    (disassortative, r < 0)? The network-science health metric that
+    predicts how the graph behaves under dedup/sampling. Pearson
+    correlation of endpoint degrees over DIRECTED edge copies (both
+    directions — the standard symmetric estimator), reported as
+    SIGNED r^2 in exact rational arithmetic (same no-sqrt design as
+    autocorr_daily_counts; half-up 1e-6 ticks). Scale: degrees are one
+    map-side-combined count; the endpoint-degree join is two
+    node-keyed hash joins; the correlation reduce is a single pass.
+    One row."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    sup = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ps) >= 2 THEN"
+                    " flatten(transform(sequence(0, size(ps) - 2),"
+                    "  i -> transform(sequence(i + 1, size(ps) - 1),"
+                    "   j -> struct(ps[i] AS p1, ps[j] AS p2))))"
+                    " ELSE array() END"
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.p1", "pr.p2")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 2)
+    )
+    e = sup.select(F.col("p1").alias("a"), F.col("p2").alias("b")).unionAll(
+        sup.select(F.col("p2").alias("a"), F.col("p1").alias("b"))
+    )
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("a"), F.col("d").alias("x"))
+    db = deg.select(F.col("a").alias("b"), F.col("d").alias("y"))
+    ed = e.join(da, "a").join(db, "b")
+    dec = "decimal(38,0)"
+    ag = ed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(dec).alias("syy"),
+    )
+    rr = ag.selectExpr(
+        "n",
+        "n * sxy - sx * sy AS cov_n",
+        "n * sxx - sx * sx AS vx_n",
+        "n * syy - sy * sy AS vy_n",
+    )
+    return rr.selectExpr(
+        "CAST(n div 2 AS BIGINT) AS n_edges",
+        "CAST(CASE WHEN vx_n = 0 OR vy_n = 0 THEN 0"
+        " WHEN cov_n >= 0 THEN"
+        "  (2 * 1000000 * cov_n * cov_n + vx_n * vy_n)"
+        "    div (2 * vx_n * vy_n)"
+        " ELSE -((2 * 1000000 * cov_n * cov_n + vx_n * vy_n)"
+        "    div (2 * vx_n * vy_n)) END AS BIGINT) AS r2_signed_micro",
+    )
+
+
 def _entropy_oracle_sql() -> str:
     """DuckDB replay of the fixed-point token-entropy report: the
     fp_log2 recursive CTE runs once over (source, token) counts and
