@@ -112,6 +112,22 @@ EXTRA = [
     "mad_outlier_days",
     "schema_profile_events",
     "triangle_count_copurchase",
+    # round 4 continuation
+    "label_propagation_communities",
+    "bfs_hops_copurchase",
+    "source_vocab_jaccard",
+    "autocorr_daily_counts",
+    "nb_source_classifier",
+    "nb_confidence_margin",
+    "rrf_hybrid_search",
+    "temperature_mixture_weights",
+    "vocab_top_p_cutoff",
+    "scene_change_frames",
+    "jl_projection_distortion",
+    "theil_sen_trend_daily",
+    "stream_stream_join_events",
+    "token_entropy_by_source",
+    "degree_assortativity_copurchase",
 ]
 
 
