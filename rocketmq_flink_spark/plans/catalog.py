@@ -9587,6 +9587,237 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dispersion_event_arrivals",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    ag AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(x*x) AS HUGEINT) AS sxx
+      FROM d GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(sx AS BIGINT) AS n_events,
+           CAST((2 * 1000000 * (n * sxx - sx * sx)
+                 + ((n - 1) * sx)) // (2 * ((n - 1) * sx)) AS BIGINT)
+             AS dispersion_micro
+    FROM ag WHERE n >= 2 AND sx > 0
+    ORDER BY event_type
+    """,
+)
+def dispersion_event_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (Fano factor) of daily arrivals per event
+    type — the burstiness diagnostic: ~1e6 ticks = Poisson-like, > 1e6
+    = bursty/overdispersed (batch jobs, bots), < 1e6 = regular. D =
+    sample_variance / mean = (n*Sxx - Sx^2) / ((n-1) * Sx) — an exact
+    RATIONAL of the integer daily counts, reported in half-up 1e-6
+    ticks (no float variance anywhere; complements the 3-sigma, EWMA,
+    MAD and CUSUM monitors with a stationarity-free burstiness score).
+    Scale: one map-side-combined (type, day) count, one tiny reduce;
+    nothing grows with event volume."""
+    ev = load_tables(spark, sf_dir)["events"]
+    d = (
+        ev.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    dec = "decimal(38,0)"
+    ag = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+    )
+    return (
+        ag.where((F.col("n") >= 2) & (F.col("sx") > 0))
+        .selectExpr(
+            "event_type",
+            "CAST(n AS BIGINT) AS n_days",
+            "CAST(sx AS BIGINT) AS n_events",
+            "CAST((2 * 1000000 * (n * sxx - sx * sx)"
+            " + ((n - 1) * sx)) div (2 * ((n - 1) * sx)) AS BIGINT)"
+            " AS dispersion_micro",
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "item_similarity_copurchase",
+    """
+    WITH b AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+      FROM lineitem GROUP BY l_orderkey),
+    pp AS (
+      SELECT unnest(flatten(list_transform(range(1, len(ps)),
+               i -> list_transform(range(i + 1, len(ps) + 1),
+                 j -> struct_pack(p1 := ps[i], p2 := ps[j]))))) AS pr
+      FROM b WHERE len(ps) >= 2),
+    sup AS (
+      SELECT pr.p1 AS p1, pr.p2 AS p2, COUNT(*) AS s
+      FROM pp GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    dw AS (
+      SELECT n, CAST(SUM(s) AS BIGINT) AS w FROM (
+        SELECT p1 AS n, s FROM sup UNION ALL SELECT p2, s FROM sup)
+      GROUP BY n)
+    SELECT sup.p1, sup.p2, CAST(sup.s AS BIGINT) AS support,
+           CAST(w1.w AS BIGINT) AS w1, CAST(w2.w AS BIGINT) AS w2,
+           CAST((2 * 1000000 * sup.s * sup.s + (w1.w * w2.w))
+                // (2 * (w1.w * w2.w)) AS BIGINT) AS cos2_ppm
+    FROM sup JOIN dw w1 ON w1.n = sup.p1 JOIN dw w2 ON w2.n = sup.p2
+    ORDER BY cos2_ppm DESC, p1, p2 LIMIT 20
+    """,
+)
+def item_similarity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity over the
+    co-purchase graph — the recommendation primitive: cosine-style
+    association sim(i,j) = s_ij / sqrt(w_i * w_j) with s = co-purchase
+    support and w = weighted degree, reported as the exact RATIONAL
+    square (cos^2 in half-up ppm — monotone in |cosine|, so the
+    ranking is the cosine ranking with zero sqrt). Top-20 part pairs.
+    Scale: support counts are the basket-bounded pair explosion (same
+    pipeline as PageRank/triangles); weighted degree is one
+    map-side-combined sum; the final join is node-keyed. Beyond
+    top-k-per-item serving, the same table feeds ANN-style retrieval.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    sup = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ps) >= 2 THEN"
+                    " flatten(transform(sequence(0, size(ps) - 2),"
+                    "  i -> transform(sequence(i + 1, size(ps) - 1),"
+                    "   j -> struct(ps[i] AS p1, ps[j] AS p2))))"
+                    " ELSE array() END"
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.p1", "pr.p2")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 2)
+    )
+    dw = (
+        sup.select(F.col("p1").alias("n"), "s")
+        .unionAll(sup.select(F.col("p2").alias("n"), "s"))
+        .groupBy("n")
+        .agg(F.sum("s").cast("long").alias("w"))
+    )
+    w1 = dw.select(F.col("n").alias("p1"), F.col("w").alias("w1"))
+    w2 = dw.select(F.col("n").alias("p2"), F.col("w").alias("w2"))
+    return (
+        sup.join(w1, "p1")
+        .join(w2, "p2")
+        .selectExpr(
+            "p1",
+            "p2",
+            "CAST(s AS BIGINT) AS support",
+            "CAST(w1 AS BIGINT) AS w1",
+            "CAST(w2 AS BIGINT) AS w2",
+            "CAST((2 * 1000000 * s * s + (w1 * w2))"
+            " div (2 * (w1 * w2)) AS BIGINT) AS cos2_ppm",
+        )
+        .orderBy(F.desc("cos2_ppm"), "p1", "p2")
+        .limit(20)
+    )
+
+
+def _mi_oracle_sql() -> str:
+    """DuckDB replay of the fixed-point mutual information between
+    source and language: signed fp_log2 of c_xy*N/(c_x*c_y) per joint
+    cell (recursive CTE), tick-weighted sum."""
+    return """
+    WITH RECURSIVE j AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cxy
+      FROM documents GROUP BY 1, 2),
+    mx AS (SELECT source, CAST(SUM(cxy) AS BIGINT) AS cx
+           FROM j GROUP BY source),
+    my AS (SELECT lang, CAST(SUM(cxy) AS BIGINT) AS cy FROM j GROUP BY lang),
+    nn AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM j),
+    cell AS (
+      SELECT j.source, j.lang, j.cxy,
+             j.cxy * (SELECT n FROM nn) AS a, mx.cx * my.cy AS b
+      FROM j JOIN mx USING (source) JOIN my USING (lang)),
+    fb AS (
+      SELECT source, lang, cxy,
+             CASE WHEN a >= b THEN 1 ELSE -1 END AS sgn,
+             GREATEST(a, b) AS p0, LEAST(a, b) AS q0,
+             length(bin(GREATEST(a, b) // LEAST(a, b))) - 1 AS kk
+      FROM cell),
+    it AS (
+      SELECT source, lang, cxy, sgn, kk, 0 AS i, p0 AS p,
+             (q0 << kk) AS q, CAST(0 AS BIGINT) AS acc
+      FROM fb
+      UNION ALL
+      SELECT source, lang, cxy, sgn, kk, i + 1,
+             (p >> s)*(p >> s),
+             CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                  THEN ((q >> s)*(q >> s)) << 1
+                  ELSE (q >> s)*(q >> s) END,
+             acc*2 + CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                     THEN 1 ELSE 0 END
+      FROM (SELECT *, greatest(0, length(bin(q)) - 30) AS s FROM it)
+      WHERE i < 20),
+    lg AS (
+      SELECT source, lang, cxy,
+             sgn * (acc + (CAST(kk AS BIGINT) << 20)) AS t
+      FROM it WHERE i = 20)
+    SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(CASE WHEN SUM(cxy * t) >= 0 THEN
+                  SUM(cxy * t) // (SELECT n FROM nn)
+                ELSE -((-SUM(cxy * t)) // (SELECT n FROM nn)) END
+                AS BIGINT) AS mi_ticks
+    FROM lg
+    """
+
+
+@query("mutual_information_source_lang", _mi_oracle_sql())
+def mutual_information_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between source and language — how much one
+    metadata column predicts the other (0 ticks = independent; the
+    curation signal for redundant metadata and for stratification
+    design). MI = sum_xy p(x,y) log2( p(x,y) / (p(x)p(y)) ), computed
+    with ZERO libm: each cell's log-ratio is a SIGNED fixed-point
+    fp_log2 of the integer ratio c_xy*N / (c_x*c_y); the tick-weighted
+    sum divides by N with sign-split floor division (engines agree).
+    Scale: joint table is |sources| x |langs| cells (one map-side
+    combined count); the fold runs over cells, not documents. One row.
+    """
+    from rocketmq_flink_spark.operators.retrieval import signed_fp_log2_sql
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    j = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("cxy")
+    )
+    mx = j.groupBy("source").agg(F.sum("cxy").cast("long").alias("cx"))
+    my = j.groupBy("lang").agg(F.sum("cxy").cast("long").alias("cy"))
+    nn = j.agg(F.sum("cxy").cast("long").alias("n"))
+    cell = (
+        j.join(F.broadcast(mx), "source")
+        .join(F.broadcast(my), "lang")
+        .crossJoin(F.broadcast(nn))
+        .selectExpr("cxy", "n", "cxy * n AS a", "cx * cy AS b")
+    )
+    lg = cell.selectExpr(
+        "cxy", "n", signed_fp_log2_sql("a", "b") + " AS t"
+    )
+    return lg.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.expr(
+            "CAST(CASE WHEN SUM(cxy * t) >= 0 THEN"
+            " SUM(cxy * t) div MAX(n)"
+            " ELSE -((-SUM(cxy * t)) div MAX(n)) END AS BIGINT)"
+        ).alias("mi_ticks"),
+    )
+
+
+@query(
     "degree_assortativity_copurchase",
     """
     WITH b AS (
