@@ -9643,6 +9643,76 @@ def dispersion_event_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _negsample_oracle_sql() -> str:
+    from rocketmq_flink_spark.functions.intmath import isqrt_sql
+
+    w = isqrt_sql(isqrt_sql("c * c * c"))
+    return f"""
+    WITH tc AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(list_filter(
+              regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+              x -> x <> '')) AS tok
+            FROM documents)
+      GROUP BY tok),
+    wt AS (SELECT tok, c, {w} AS w FROM tc),
+    tot AS (SELECT CAST(SUM(c) AS HUGEINT) AS tc,
+                   CAST(SUM(w) AS HUGEINT) AS tw FROM wt)
+    SELECT tok, c,
+           CAST((2 * 1000000 * c + (SELECT tc FROM tot))
+                // (2 * (SELECT tc FROM tot)) AS BIGINT) AS raw_ppm,
+           CAST((2 * 1000000 * w + (SELECT tw FROM tot))
+                // (2 * (SELECT tw FROM tot)) AS BIGINT) AS smoothed_ppm
+    FROM wt ORDER BY c DESC, tok LIMIT 20
+    """
+
+
+@query("negative_sampling_table", _negsample_oracle_sql())
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram^(3/4) negative-sampling distribution (word2vec /
+    contrastive-training classic): the smoothing that damps head
+    tokens and lifts the tail. Computed EXACTLY with zero libm via
+    the nested-integer-sqrt identity floor(c^(3/4)) =
+    isqrt(isqrt(c^3)) (exact for c^3 < 2^62, i.e. c < 1.6M per token
+    per shard — document larger counts by pre-scaling); shares in
+    half-up ppm. Top-20 head tokens reported with raw vs smoothed
+    share — the damping is directly visible. Scale: one
+    map-side-combined token count; the weight map is vocabulary-sized.
+    """
+    from rocketmq_flink_spark.functions.intmath import isqrt_sql
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
+    )
+    tc = (
+        docs.selectExpr(f"explode({toks}) AS tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wt = tc.selectExpr(
+        "tok", "c", isqrt_sql(isqrt_sql("c * c * c")) + " AS w"
+    )
+    tot = wt.agg(
+        F.sum("c").cast("decimal(38,0)").alias("tc"),
+        F.sum("w").cast("decimal(38,0)").alias("tw"),
+    )
+    return (
+        wt.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "tok",
+            "c",
+            "CAST((2 * 1000000 * c + tc) div (2 * tc) AS BIGINT)"
+            " AS raw_ppm",
+            "CAST((2 * 1000000 * w + tw) div (2 * tw) AS BIGINT)"
+            " AS smoothed_ppm",
+        )
+        .orderBy(F.desc("c"), "tok")
+        .limit(20)
+    )
+
+
 @query(
     "item_similarity_copurchase",
     """
