@@ -10997,3 +10997,81 @@ def autocorr_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE -((2 * 1000000 * cov_n * cov_n + vx_n * vy_n)"
         "    div (2 * vx_n * vy_n)) END AS BIGINT) AS r2_signed_micro",
     ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics, continued (funnel + retention cohorts live above;
+# attribution closes the product-analytics trio the RocketMQ->Flink event
+# pipeline serves). Exact-integer: microsecond timestamps, integer cents.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "last_touch_attribution",
+    """
+    WITH e AS (SELECT user_id, event_id, event_type, value,
+                      epoch_us(ts) AS ts_us FROM events
+               WHERE event_type IN ('view', 'click', 'purchase')),
+    m AS (SELECT *,
+            LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                            THEN event_type END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS touch
+          FROM e)
+    SELECT COALESCE(touch, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM m WHERE event_type = 'purchase'
+    GROUP BY COALESCE(touch, 'direct') ORDER BY channel
+    """,
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase is credited to the
+    user's most recent preceding touch event (`view` or `click`) under
+    the total order (ts_us, event_id); purchases with no prior touch
+    go to the 'direct' channel. One running `last(_, ignorenulls)`
+    window over the type-filtered log — the purchase row's own channel
+    is NULL, so the window never self-attributes. Revenue in exact
+    integer cents (ROUND(value*100) — the fixture's values are
+    2-decimal money, the same cents discipline as the anomaly
+    monitors). Scale: a single user-keyed sort-window over the three
+    relevant event types only; state per row is one small string —
+    this is the textbook Structured-Streaming-able attribution shape
+    (the same window runs incrementally under
+    applyInPandasWithState, cf. streaming/stateful.py)."""
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin("view", "click"), F.col("event_type")
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch", touch)
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+        .orderBy("channel")
+    )
