@@ -11075,3 +11075,268 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+def _ks_oracle_sql() -> str:
+    from rocketmq_flink_spark.functions.intmath import isqrt_sql
+
+    s = isqrt_sql("(1000000000000 * (n1 + n2)) // (n1 * n2)")
+    return f"""
+    WITH e AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             o_orderpriority = '1-URGENT' AS is_a
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    g AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+      FROM e GROUP BY v),
+    t AS (SELECT CAST(SUM(na) AS BIGINT) AS n1,
+                 CAST(SUM(nb) AS BIGINT) AS n2 FROM g),
+    c AS (
+      SELECT v,
+             SUM(na) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(nb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      FROM g),
+    d AS (
+      SELECT v, ABS(ca * (SELECT n2 FROM t) - cb * (SELECT n1 FROM t))
+               AS dnum
+      FROM c),
+    m AS (SELECT v, dnum FROM d ORDER BY dnum DESC, v LIMIT 1)
+    SELECT n1 AS n_urgent, n2 AS n_low,
+           CAST((2 * 1000000 * dnum + n1 * n2) // (2 * n1 * n2) AS BIGINT)
+             AS ks_ppm,
+           v AS at_value_cents,
+           CAST((2 * 1358 * {s} + 1000) // 2000 AS BIGINT) AS crit_ppm_05,
+           CAST(CASE WHEN (2 * 1000000 * dnum + n1 * n2) // (2 * n1 * n2)
+                     > (2 * 1358 * {s} + 1000) // 2000
+                THEN 1 ELSE 0 END AS INTEGER) AS reject_05
+    FROM m, t
+    """
+
+
+@query("ks_two_sample_order_values", _ks_oracle_sql())
+def ks_two_sample_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test: URGENT vs LOW priority
+    order values. D = max_v |F1(v) - F2(v)| evaluated AFTER each
+    distinct value (the correct tie handling) as the integer
+    max |cumA*n2 - cumB*n1| — no floats in the statistic; reported in
+    half-up ppm with the argmax value (smallest on ties) and the
+    alpha=0.05 critical value 1.358*sqrt((n1+n2)/(n1*n2)) computed via
+    the exact integer sqrt (functions/intmath.py), so even the reject
+    decision is bit-identical across engines. Complements
+    mannwhitney_value_drift (rank shift) with a supremum-distance test
+    that also catches pure shape/variance changes. Scale: one
+    map-side-combined count per distinct cents value, then ONE window
+    over the value vocabulary (price-grid-bounded, never the order
+    stream); at an unbounded domain, pre-bucket with
+    histogram_quantiles' grid first (documented reduction)."""
+    from rocketmq_flink_spark.functions.intmath import isqrt_sql
+
+    od = load_tables(spark, sf_dir)["orders"].where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    g = (
+        od.select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+            (F.col("o_orderpriority") == "1-URGENT").alias("is_a"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+            .cast("long")
+            .alias("na"),
+            F.sum(F.when(F.col("is_a"), 0).otherwise(1))
+            .cast("long")
+            .alias("nb"),
+        )
+    )
+    t = g.agg(
+        F.sum("na").cast("long").alias("n1"),
+        F.sum("nb").cast("long").alias("n2"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.select(
+        "v",
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+    )
+    d = (
+        c.crossJoin(F.broadcast(t))
+        .selectExpr("v", "n1", "n2", "ABS(ca * n2 - cb * n1) AS dnum")
+        .orderBy(F.desc("dnum"), "v")
+        .limit(1)
+    )
+    s = isqrt_sql("(1000000000000 * (n1 + n2)) div (n1 * n2)")
+    return d.selectExpr(
+        "n1 AS n_urgent",
+        "n2 AS n_low",
+        "CAST((2 * 1000000 * dnum + n1 * n2) div (2 * n1 * n2) AS BIGINT)"
+        " AS ks_ppm",
+        "v AS at_value_cents",
+        f"CAST((2 * 1358 * {s} + 1000) div 2000 AS BIGINT) AS crit_ppm_05",
+        "CAST(CASE WHEN (2 * 1000000 * dnum + n1 * n2) div (2 * n1 * n2)"
+        f" > (2 * 1358 * {s} + 1000) div 2000"
+        " THEN 1 ELSE 0 END AS INT) AS reject_05",
+    )
+
+
+def _heaps_oracle_sql() -> str:
+    """DuckDB replay of the Heaps-law growth curve: same decile map,
+    same first-occurrence vocabulary attribution, and the fp_log2
+    recursive CTE (cf. _mi_oracle_sql) for the per-step beta."""
+    return f"""
+    WITH RECURSIVE nrm AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(
+               {_NORM_SQL_DUCK}, '\\s+'), x -> x <> '') AS tk
+      FROM documents),
+    dmap AS (SELECT doc_id, len(tk) AS ntok,
+                    ntile(10) OVER (ORDER BY doc_id) - 1 AS dec
+             FROM nrm),
+    tok AS (SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM nrm),
+    tf AS (SELECT tok, MIN(doc_id) AS fdoc FROM tok GROUP BY tok),
+    vdec AS (SELECT dec, CAST(COUNT(*) AS BIGINT) AS v
+             FROM tf JOIN dmap ON tf.fdoc = dmap.doc_id GROUP BY dec),
+    ddec AS (SELECT dec, CAST(COUNT(*) AS BIGINT) AS d,
+                    CAST(SUM(ntok) AS BIGINT) AS nt
+             FROM dmap GROUP BY dec),
+    cum AS (SELECT ddec.dec AS dec,
+              SUM(d) OVER (ORDER BY ddec.dec) AS docs_cum,
+              SUM(nt) OVER (ORDER BY ddec.dec) AS tokens_cum,
+              SUM(COALESCE(v, 0)) OVER (ORDER BY ddec.dec) AS vocab_cum
+            FROM ddec LEFT JOIN vdec ON ddec.dec = vdec.dec),
+    lg0 AS (SELECT dec, docs_cum, tokens_cum, vocab_cum,
+              LAG(vocab_cum) OVER (ORDER BY dec) AS pv,
+              LAG(tokens_cum) OVER (ORDER BY dec) AS pt
+            FROM cum),
+    fb AS (
+      SELECT dec, 'v' AS wh, vocab_cum AS p0, pv AS q0 FROM lg0
+      WHERE pv IS NOT NULL AND pv > 0
+      UNION ALL
+      SELECT dec, 'n', tokens_cum, pt FROM lg0
+      WHERE pt IS NOT NULL AND pt > 0),
+    it AS (
+      SELECT dec, wh, length(bin(p0 // q0)) - 1 AS kk, 0 AS i, p0 AS p,
+             (q0 << (length(bin(p0 // q0)) - 1)) AS q,
+             CAST(0 AS BIGINT) AS acc
+      FROM fb
+      UNION ALL
+      SELECT dec, wh, kk, i + 1,
+             (p >> s)*(p >> s),
+             CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                  THEN ((q >> s)*(q >> s)) << 1
+                  ELSE (q >> s)*(q >> s) END,
+             acc*2 + CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                     THEN 1 ELSE 0 END
+      FROM (SELECT *, greatest(0, length(bin(q)) - 30) AS s FROM it)
+      WHERE i < 20),
+    tk2 AS (SELECT dec, wh, acc + (CAST(kk AS BIGINT) << 20) AS t
+            FROM it WHERE i = 20),
+    bet AS (SELECT v.dec AS dec, v.t AS tv, n.t AS tn
+            FROM tk2 v JOIN tk2 n
+              ON v.dec = n.dec AND v.wh = 'v' AND n.wh = 'n')
+    SELECT CAST(c.dec AS INTEGER) AS decile,
+           CAST(docs_cum AS BIGINT) AS docs_cum,
+           CAST(tokens_cum AS BIGINT) AS tokens_cum,
+           CAST(vocab_cum AS BIGINT) AS vocab_cum,
+           CAST(CASE WHEN bet.tn IS NULL OR bet.tn = 0 THEN -1
+                ELSE (2 * 1000 * bet.tv + bet.tn) // (2 * bet.tn) END
+                AS BIGINT) AS beta_milli
+    FROM cum c LEFT JOIN bet ON c.dec = bet.dec
+    ORDER BY decile
+    """
+
+
+@query("heaps_law_vocab_growth", _heaps_oracle_sql())
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative distinct-token
+    count vs cumulative token count at ten doc-id-ordered corpus
+    checkpoints, plus the per-step Heaps exponent beta =
+    dlog2(V)/dlog2(N) in half-up milli units (fixed-point fp_log2
+    ticks — zero libm, bit-identical across engines). The curve is
+    what sizes a tokenizer vocabulary and predicts how much NEW
+    vocabulary another 10x of data buys; a collapsing beta flags a
+    saturating (or template-heavy) source. The expensive insight:
+    cumulative distinct counting needs NO sequential scan — a token
+    contributes to checkpoint k iff its FIRST document (one min per
+    token) lands in decile <= k, so V_k is a prefix sum over ten
+    buckets. Scale: one map-side-combined (token -> min doc_id), one
+    doc-keyed decile join, windows over TEN rows; the ntile decile map
+    is the only full sort — swap it for approx_percentile doc_id
+    boundaries at 100 TB (documented reduction). Beta at decile 0 is
+    the -1 sentinel (no previous checkpoint)."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+    from rocketmq_flink_spark.operators.retrieval import fp_log2_sql
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    base = docs.selectExpr(
+        "doc_id",
+        f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
+        " AS tk",
+    )
+    wd = Window.orderBy("doc_id")
+    dmap = base.select("doc_id", F.size("tk").alias("ntok")).withColumn(
+        "dec", F.ntile(10).over(wd) - 1
+    )
+    tf = (
+        base.select(F.explode(F.array_distinct("tk")).alias("tok"), "doc_id")
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("fdoc"))
+    )
+    vdec = (
+        tf.join(
+            dmap.select(F.col("doc_id").alias("fdoc"), "dec"), "fdoc"
+        )
+        .groupBy("dec")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    ddec = dmap.groupBy("dec").agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum("ntok").cast("long").alias("nt"),
+    )
+    wc = Window.orderBy("dec").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        ddec.join(vdec, "dec", "left")
+        .select(
+            "dec",
+            F.sum("d").over(wc).alias("docs_cum"),
+            F.sum("nt").over(wc).alias("tokens_cum"),
+            F.sum(F.coalesce("v", F.lit(0))).over(wc).alias("vocab_cum"),
+        )
+    )
+    wl = Window.orderBy("dec")
+    lg0 = cum.select(
+        "dec",
+        "docs_cum",
+        "tokens_cum",
+        "vocab_cum",
+        F.lag("vocab_cum").over(wl).alias("pv"),
+        F.lag("tokens_cum").over(wl).alias("pt"),
+    )
+    dv = fp_log2_sql("vocab_cum", "pv")
+    dn = fp_log2_sql("tokens_cum", "pt")
+    tick = lg0.selectExpr(
+        "dec",
+        "docs_cum",
+        "tokens_cum",
+        "vocab_cum",
+        f"CASE WHEN pv IS NULL OR pv <= 0 THEN CAST(NULL AS BIGINT)"
+        f" ELSE {dv} END AS tv",
+        f"CASE WHEN pt IS NULL OR pt <= 0 THEN CAST(NULL AS BIGINT)"
+        f" ELSE {dn} END AS tn",
+    )
+    return tick.selectExpr(
+        "CAST(dec AS INT) AS decile",
+        "CAST(docs_cum AS BIGINT) AS docs_cum",
+        "CAST(tokens_cum AS BIGINT) AS tokens_cum",
+        "CAST(vocab_cum AS BIGINT) AS vocab_cum",
+        "CAST(CASE WHEN tn IS NULL OR tn = 0 THEN -1"
+        " ELSE (2 * 1000 * tv + tn) div (2 * tn) END AS BIGINT)"
+        " AS beta_milli",
+    ).orderBy("decile")
