@@ -128,6 +128,15 @@ EXTRA = [
     "stream_stream_join_events",
     "token_entropy_by_source",
     "degree_assortativity_copurchase",
+    "item_similarity_copurchase",
+    "dispersion_event_arrivals",
+    "mutual_information_source_lang",
+    "negative_sampling_table",
+    "last_touch_attribution",
+    "ks_two_sample_order_values",
+    "heaps_law_vocab_growth",
+    "source_quality_calibration",
+    "truncation_loss_report",
 ]
 
 

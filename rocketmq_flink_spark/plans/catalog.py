@@ -11340,3 +11340,143 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE (2 * 1000 * tv + tn) div (2 * tn) END AS BIGINT)"
         " AS beta_milli",
     ).orderBy("decile")
+
+
+@query(
+    "source_quality_calibration",
+    """
+    WITH per AS (
+      SELECT source,
+             CAST((2 * 1000000
+                   * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   + greatest(length(text), 1))
+                  // (2 * greatest(length(text), 1)) AS BIGINT) AS score
+      FROM documents),
+    rk AS (
+      SELECT source, score,
+             RANK() OVER (PARTITION BY source ORDER BY score) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM per),
+    nm AS (
+      SELECT source,
+             CASE WHEN n <= 1 THEN 0
+                  ELSE LEAST(((r - 1) * 1000000 // (n - 1)) // 100000, 9)
+             END AS decile
+      FROM rk)
+    SELECT source, CAST(decile AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM nm GROUP BY source, decile ORDER BY source, decile
+    """,
+)
+def source_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quality-score calibration by per-source percentile
+    rank: raw quality scores are NOT comparable across sources (a
+    mid-tier web page outscores a top-tier forum post), so curation
+    thresholds like "keep the top 30% of each source" need the
+    rank-normalized score. Score = alpha-character share in half-up
+    ppm (exact integers); percentile = floor((rank-1)*1e6/(n-1)) with
+    RANK() tie handling (tie-stable in both engines — no row_number
+    nondeterminism on equal scores); the decile histogram per source
+    is the calibration readout (uniform ~10% per bucket up to tie
+    mass, whatever the source's raw score distribution looked like).
+    Scale: one projection pass (two regexp counts per doc), then a
+    per-source sort — the classic range-partitionable window; the
+    output is |sources| x 10 rows."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    per = docs.selectExpr(
+        "source",
+        "CAST((2 * 1000000"
+        " * length(regexp_replace(text, '[^A-Za-z]', ''))"
+        " + greatest(length(text), 1))"
+        " div (2 * greatest(length(text), 1)) AS BIGINT) AS score",
+    )
+    ws = Window.partitionBy("source").orderBy("score")
+    wn = Window.partitionBy("source")
+    rk = per.select(
+        "source",
+        F.rank().over(ws).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    nm = rk.selectExpr(
+        "source",
+        "CASE WHEN n <= 1 THEN 0"
+        " ELSE LEAST(((r - 1) * 1000000 div (n - 1)) div 100000, 9)"
+        " END AS decile",
+    )
+    return (
+        nm.groupBy("source", "decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .selectExpr(
+            "source", "CAST(decile AS INT) AS decile", "n_docs"
+        )
+        .orderBy("source", "decile")
+    )
+
+
+@query(
+    "truncation_loss_report",
+    """
+    WITH per AS (
+      SELECT CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(lower(text)),
+                                                 '\\s+')) END AS n_tok
+      FROM documents),
+    g AS (
+      SELECT l, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN n_tok > l THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_truncated,
+             CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+             CAST(SUM(GREATEST(n_tok - l, 0)) AS BIGINT) AS tokens_lost
+      FROM per CROSS JOIN (SELECT unnest([256, 512, 1024, 2048]) AS l)
+      GROUP BY l)
+    SELECT CAST(l AS INTEGER) AS context_len,
+           CAST(n_docs AS BIGINT) AS n_docs, n_truncated, tokens_total,
+           tokens_lost,
+           CAST((2 * 1000000 * tokens_lost + tokens_total)
+                // (2 * tokens_total) AS BIGINT) AS loss_ppm,
+           CAST((2 * 1000000 * n_truncated + n_docs)
+                // (2 * n_docs) AS BIGINT) AS truncated_ppm
+    FROM g ORDER BY context_len
+    """,
+)
+def truncation_loss_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length truncation loss curve: for each candidate training
+    context length (256/512/1024/2048 tokens), how many documents
+    exceed it and what share of the corpus' tokens a hard truncation
+    would discard — the number that decides between truncating,
+    chunking (chunk_documents_rag) and packing (pack_documents).
+    Exact integer token counts (whitespace tokens, the same counter as
+    text_quality_by_lang), shares in half-up ppm. Scale: ONE scan
+    computing one int per document, exploded against four literal
+    lengths (the 4x duplication carries a single int column, not
+    text), then a four-group aggregate — map-side combinable, no
+    shuffle of document bodies."""
+    from rocketmq_flink_spark.operators.text import token_count
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    per = docs.select(token_count("text").alias("n_tok"))
+    ex = per.select(
+        "n_tok",
+        F.explode(F.array(*[F.lit(x) for x in (256, 512, 1024, 2048)])).alias("l"),
+    )
+    g = ex.groupBy("l").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_tok") > F.col("l"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_truncated"),
+        F.sum("n_tok").cast("long").alias("tokens_total"),
+        F.sum(F.greatest(F.col("n_tok") - F.col("l"), F.lit(0)))
+        .cast("long")
+        .alias("tokens_lost"),
+    )
+    return g.selectExpr(
+        "CAST(l AS INT) AS context_len",
+        "n_docs",
+        "n_truncated",
+        "tokens_total",
+        "tokens_lost",
+        "CAST((2 * 1000000 * tokens_lost + tokens_total)"
+        " div (2 * tokens_total) AS BIGINT) AS loss_ppm",
+        "CAST((2 * 1000000 * n_truncated + n_docs)"
+        " div (2 * n_docs) AS BIGINT) AS truncated_ppm",
+    ).orderBy("context_len")

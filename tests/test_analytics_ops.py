@@ -1,0 +1,95 @@
+"""Independent (non-oracle) witnesses for the behavioral/statistics
+operators added in round 4's continuation: the DuckDB oracle gate in
+test_queries.py already proves cross-engine hash parity; these tests
+prove the STATISTIC itself against a third, pure-Python computation
+and pin the structural invariants a refactor could silently break.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return REGISTRY[name].fn(spark, SF).toPandas()
+
+
+def test_ks_statistic_matches_python_witness(spark):
+    out = _run(spark, "ks_two_sample_order_values").iloc[0]
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                   o_orderpriority = '1-URGENT'
+            FROM '{SF}/orders.parquet'
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')"""
+    ).fetchall()
+    a = sorted(v for v, is_a in rows if is_a)
+    b = sorted(v for v, is_a in rows if not is_a)
+    n1, n2 = len(a), len(b)
+    best, best_v = -1, None
+    for v in sorted(set(a) | set(b)):
+        ca = sum(1 for x in a if x <= v)
+        cb = sum(1 for x in b if x <= v)
+        d = abs(ca * n2 - cb * n1)
+        if d > best:
+            best, best_v = d, v
+    assert int(out["n_urgent"]) == n1 and int(out["n_low"]) == n2
+    assert int(out["ks_ppm"]) == (2 * 1000000 * best + n1 * n2) // (
+        2 * n1 * n2
+    )
+    assert int(out["at_value_cents"]) == best_v
+
+
+def test_heaps_curve_is_monotone_and_consistent(spark):
+    df = _run(spark, "heaps_law_vocab_growth")
+    assert list(df["decile"]) == list(range(10))
+    for col in ("docs_cum", "tokens_cum", "vocab_cum"):
+        vals = list(df[col])
+        assert all(b >= a for a, b in zip(vals, vals[1:])), col
+    # vocabulary can never outgrow the token stream
+    assert (df["vocab_cum"] <= df["tokens_cum"]).all()
+    # beta sentinel only at the first checkpoint; elsewhere 0 < beta <= ~1
+    assert int(df["beta_milli"].iloc[0]) == -1
+    tail = df["beta_milli"].iloc[1:]
+    assert ((tail >= 0) & (tail <= 1200)).all()
+
+
+def test_calibration_deciles_cover_each_source(spark):
+    df = _run(spark, "source_quality_calibration")
+    con = duckdb.connect()
+    per_source = dict(
+        con.execute(
+            f"SELECT source, COUNT(*) FROM '{SF}/documents.parquet'"
+            " GROUP BY source"
+        ).fetchall()
+    )
+    got = df.groupby("source")["n_docs"].sum().to_dict()
+    assert {k: int(v) for k, v in got.items()} == {
+        k: int(v) for k, v in per_source.items()
+    }
+    assert df["decile"].between(0, 9).all()
+
+
+def test_truncation_loss_is_monotone_in_context_len(spark):
+    df = _run(spark, "truncation_loss_report").sort_values("context_len")
+    lost = list(df["tokens_lost"])
+    assert all(b <= a for a, b in zip(lost, lost[1:]))
+    assert (df["tokens_total"] == df["tokens_total"].iloc[0]).all()
+    assert (df["tokens_lost"] <= df["tokens_total"]).all()
+
+
+def test_attribution_conserves_purchases(spark):
+    df = _run(spark, "last_touch_attribution")
+    con = duckdb.connect()
+    n, cents = con.execute(
+        f"""SELECT COUNT(*), CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                                 AS BIGINT)
+            FROM '{SF}/events.parquet' WHERE event_type = 'purchase'"""
+    ).fetchone()
+    assert int(df["n_purchases"].sum()) == n
+    assert int(df["value_cents"].sum()) == cents
+    assert set(df["channel"]) <= {"view", "click", "direct"}

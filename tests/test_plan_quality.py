@@ -256,3 +256,27 @@ def test_rrf_fusion_no_cartesian(spark):
     # itself is JVM rank arithmetic with no cartesian anywhere
     plan = _plan(REGISTRY["rrf_hybrid_search"].fn(spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_behavioral_and_stats_ops_no_cartesian_no_python(spark):
+    # funnel-family + KS + Heaps + calibration + truncation: all must
+    # stay JVM-side with no cartesian blowup; the KS totals row and the
+    # funnel stage tables reach their joins as broadcasts
+    for name in (
+        "last_touch_attribution",
+        "ks_two_sample_order_values",
+        "heaps_law_vocab_growth",
+        "source_quality_calibration",
+        "truncation_loss_report",
+    ):
+        plan = _plan(REGISTRY[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_truncation_loss_single_scan_projects_text_only(spark):
+    plan = _plan(REGISTRY["truncation_loss_report"].fn(spark, SF))
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+    assert len(scans) == 1  # one pass over documents
+    assert "text" in scans[0] and "doc_id" not in scans[0]  # pruned
