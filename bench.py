@@ -137,6 +137,8 @@ EXTRA = [
     "heaps_law_vocab_growth",
     "source_quality_calibration",
     "truncation_loss_report",
+    "ndcg_retrieval_eval",
+    "kcore_peeling_copurchase",
 ]
 
 

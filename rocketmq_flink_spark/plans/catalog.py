@@ -11480,3 +11480,225 @@ def truncation_loss_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((2 * 1000000 * n_truncated + n_docs)"
         " div (2 * n_docs) AS BIGINT) AS truncated_ppm",
     ).orderBy("context_len")
+
+
+# DCG rank discounts 1/log2(rank+1) as fixed-point constants shared by
+# BOTH engines: w_i = floor(2^40 / fp_log2_py(i+1, 1)) (20-bit log
+# ticks; fp_log2_py is the bit-exact Python witness of the BM25 fold),
+# plus their prefix sums for the ideal DCG. Constants, not runtime
+# floats — the same discipline as the KS 1.358 critical coefficient.
+_DCG_W = [1048576, 661578, 524288, 451597, 405644,
+          373510, 349525, 330788, 315652, 303106]
+_DCG_PRE = [1048576, 1710154, 2234442, 2686039, 3091683,
+            3465193, 3814718, 4145506, 4461158, 4764264]
+
+
+def _ndcg_oracle_sql() -> str:
+    w = ", ".join(str(x) for x in _DCG_W)
+    pre = ", ".join(str(x) for x in _DCG_PRE)
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, label AS qlab,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT)
+                        * CAST(0.0000000001 AS DECIMAL(11,10))
+                        AS DECIMAL(12,10))) AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id, label,
+            list_transform(CAST(embedding AS DOUBLE[]),
+              x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT)
+                   * CAST(0.0000000001 AS DECIMAL(11,10))
+                   AS DECIMAL(12,10))) AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT qid, qlab, c.vec_id, c.label,
+             CAST(ROUND(list_sum(list_transform(list_zip(qv, cv),
+                  p -> (p[1]-p[2])*(p[1]-p[2]))), 12) AS DOUBLE) AS dist2
+      FROM q, c WHERE c.vec_id != qid),
+    top AS (
+      SELECT qid, qlab, vec_id, label,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist2, vec_id) AS rank
+      FROM scored QUALIFY rank <= 10),
+    rcnt AS (
+      SELECT q.qid, CAST(COUNT(*) AS BIGINT) AS r
+      FROM q JOIN c ON c.label = q.qlab AND c.vec_id != q.qid
+      GROUP BY q.qid),
+    dcg AS (
+      SELECT qid,
+             CAST(SUM(CASE WHEN label = qlab
+                  THEN ([{w}])[rank] ELSE 0 END) AS BIGINT) AS dcg_ticks,
+             CAST(SUM(CASE WHEN label = qlab THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits_at_10
+      FROM top GROUP BY qid)
+    SELECT dcg.qid AS qid, rcnt.r AS n_rel_corpus, dcg.hits_at_10,
+           dcg.dcg_ticks,
+           CAST(CASE WHEN rcnt.r = 0 THEN 0 ELSE
+             (2 * 1000000 * dcg.dcg_ticks
+              + ([{pre}])[LEAST(rcnt.r, 10)])
+             // (2 * ([{pre}])[LEAST(rcnt.r, 10)]) END AS BIGINT)
+             AS ndcg_ppm
+    FROM dcg JOIN rcnt ON dcg.qid = rcnt.qid
+    ORDER BY qid
+    """
+
+
+@query("ndcg_retrieval_eval", _ndcg_oracle_sql())
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the exact-kNN retriever with same-label binary
+    relevance — the GRADED ranking metric that closes the retrieval
+    family's eval loop (ann_recall_report grades set overlap; nDCG
+    grades ORDER: a relevant hit at rank 1 is worth 3.3x one at rank
+    10). Every 1/log2(rank+1) discount is a shared fixed-point CONSTANT
+    (floor(2^40 / fp_log2_py(rank+1))) so DCG, ideal DCG (prefix-sum
+    table indexed by min(|relevant|, 10)) and the final half-up ppm
+    ratio are pure integer arithmetic — bit-identical across engines.
+    Scale: reuses knn_bruteforce's broadcast-queries/local-top-k plan
+    (no corpus shuffle); the per-label relevant-count is one
+    label-keyed aggregate; everything after the top-10 is
+    8-queries-sized. Swap the exact retriever for any ANN catalog
+    operator to A/B ranking quality under the same metric."""
+    from rocketmq_flink_spark.operators.similarity import knn_bruteforce
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    top = knn_bruteforce(emb.where(F.col("vec_id") < 8), emb, k=10)
+    lab = emb.select("vec_id", "label")
+    qlab = (
+        emb.where(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("qid"), F.col("label").alias("qlab"))
+    )
+    labc = emb.groupBy("label").agg(F.count(F.lit(1)).alias("nl"))
+    rcnt = (
+        qlab.join(F.broadcast(labc), qlab["qlab"] == labc["label"])
+        .select("qid", "qlab", (F.col("nl") - 1).cast("long").alias("r"))
+    )
+    w_arr = "array(" + ", ".join(str(x) for x in _DCG_W) + ")"
+    pre_arr = "array(" + ", ".join(str(x) for x in _DCG_PRE) + ")"
+    j = (
+        top.join(lab, "vec_id")
+        .join(F.broadcast(rcnt), top["qid"] == rcnt["qid"])
+        .drop(rcnt["qid"])
+    )
+    dcg = j.groupBy("qid", "r").agg(
+        F.expr(
+            f"CAST(SUM(CASE WHEN label = qlab THEN element_at({w_arr},"
+            " CAST(rank AS INT)) ELSE 0 END) AS BIGINT)"
+        ).alias("dcg_ticks"),
+        F.expr(
+            "CAST(SUM(CASE WHEN label = qlab THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("hits_at_10"),
+    )
+    return dcg.selectExpr(
+        "qid",
+        "r AS n_rel_corpus",
+        "hits_at_10",
+        "dcg_ticks",
+        "CAST(CASE WHEN r = 0 THEN 0 ELSE"
+        f" (2 * 1000000 * dcg_ticks + element_at({pre_arr},"
+        " CAST(LEAST(r, 10) AS INT)))"
+        f" div (2 * element_at({pre_arr}, CAST(LEAST(r, 10) AS INT)))"
+        " END AS BIGINT) AS ndcg_ppm",
+    ).orderBy("qid")
+
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = 8) -> str:
+    """DuckDB replay of synchronous k-core peeling: staged per-round
+    CTEs (degree filter + both-endpoint semi-join), same discipline as
+    the LPA/BFS oracles."""
+    parts = ["WITH " + _COPURCHASE_EDGES_DUCK]
+    prev = "e"
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+    k{t} AS MATERIALIZED (
+      SELECT a AS node FROM {prev} GROUP BY a HAVING COUNT(*) >= {k}),
+    e{t} AS MATERIALIZED (
+      SELECT a, b2 FROM {prev}
+      WHERE a IN (SELECT node FROM k{t})
+        AND b2 IN (SELECT node FROM k{t}))""")
+        prev = f"e{t}"
+    stats = "\n    UNION ALL ".join(
+        f"SELECT {t} AS round,"
+        f" (SELECT COUNT(DISTINCT a) FROM e{t}) AS n_nodes,"
+        f" (SELECT COUNT(*) // 2 FROM e{t}) AS n_edges"
+        for t in range(1, rounds + 1)
+    )
+    return "".join(parts) + f"""
+    SELECT CAST(round AS INTEGER) AS round,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges
+    FROM ({stats}) ORDER BY round
+    """
+
+
+@query("kcore_peeling_copurchase", _kcore_oracle_sql())
+def kcore_peeling_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core peeling trajectory of the co-purchase graph: eight
+    synchronous rounds of "drop nodes with degree < 2, then drop their
+    edges" — the dense-substructure extractor (trees and pendant
+    chains dissolve; what survives is the cyclic backbone that spam /
+    boilerplate / bot-ring mining cares about). Completes the graph
+    family: reachability (CC/BFS), centrality (PageRank), local
+    density (triangles), mesoscale (LPA), and now coreness. Emits
+    (round, n_nodes, n_edges) so the collapse cascade is visible; the
+    fixture converges by round 6 at every SF (verified), so round 8 IS
+    the 2-core. Scale: each round is one map-side-combinable degree
+    count + two semi-joins on a monotonically SHRINKING edge set,
+    materialized via localCheckpoint to keep lineage linear (the CC
+    discipline, operators/graph.py) — at 100 TB run the same loop to
+    fixpoint with the one-scalar convergence check per round; rounds
+    are bounded by the graph's degeneracy ordering depth, and edge
+    bytes only ever decrease."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    sup = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ps) >= 2 THEN"
+                    " flatten(transform(sequence(0, size(ps) - 2),"
+                    "  i -> transform(sequence(i + 1, size(ps) - 1),"
+                    "   j -> struct(ps[i] AS p1, ps[j] AS p2))))"
+                    " ELSE array() END"
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.p1", "pr.p2")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 2)
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+    e = (
+        sup.selectExpr("src AS a", "dst AS b2")
+        .unionAll(sup.selectExpr("dst AS a", "src AS b2"))
+        .localCheckpoint()
+    )
+    stats = []
+    for t in range(1, 9):
+        keep = (
+            e.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= 2)
+            .select(F.col("a").alias("node"))
+        )
+        e = (
+            e.join(keep, e["a"] == keep["node"], "left_semi")
+            .join(
+                keep.withColumnRenamed("node", "node2"),
+                F.col("b2") == F.col("node2"),
+                "left_semi",
+            )
+            .localCheckpoint()
+        )
+        stats.append(
+            e.agg(
+                F.countDistinct("a").cast("long").alias("n_nodes"),
+                (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+            ).selectExpr(f"{t} AS round", "n_nodes", "n_edges")
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out.selectExpr(
+        "CAST(round AS INT) AS round", "n_nodes", "n_edges"
+    ).orderBy("round")

@@ -93,3 +93,25 @@ def test_attribution_conserves_purchases(spark):
     assert int(df["n_purchases"].sum()) == n
     assert int(df["value_cents"].sum()) == cents
     assert set(df["channel"]) <= {"view", "click", "direct"}
+
+
+def test_ndcg_bounds_and_perfect_case(spark):
+    df = _run(spark, "ndcg_retrieval_eval")
+    assert len(df) == 8
+    assert df["ndcg_ppm"].between(0, 1000000).all()
+    # a query whose top-10 is all relevant and whose corpus has >= 10
+    # relevant neighbors must score exactly 1e6 (DCG == ideal DCG)
+    perfect = df[(df["hits_at_10"] == 10) & (df["n_rel_corpus"] >= 10)]
+    assert (perfect["ndcg_ppm"] == 1000000).all()
+    assert (df["hits_at_10"] <= df["n_rel_corpus"].clip(upper=10)).all()
+
+
+def test_kcore_trajectory_monotone_and_converged(spark):
+    df = _run(spark, "kcore_peeling_copurchase").sort_values("round")
+    nodes, edges = list(df["n_nodes"]), list(df["n_edges"])
+    assert all(b <= a for a, b in zip(nodes, nodes[1:]))
+    assert all(b <= a for a, b in zip(edges, edges[1:]))
+    # fixture converges before round 8, so the tail is the true 2-core
+    assert nodes[-1] == nodes[-2] and edges[-1] == edges[-2]
+    # every surviving node has degree >= 2 => edges >= nodes (cycles)
+    assert edges[-1] >= nodes[-1]

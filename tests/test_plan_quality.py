@@ -280,3 +280,10 @@ def test_truncation_loss_single_scan_projects_text_only(spark):
     scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
     assert len(scans) == 1  # one pass over documents
     assert "text" in scans[0] and "doc_id" not in scans[0]  # pruned
+
+
+def test_ndcg_reuses_broadcast_knn_no_python(spark):
+    plan = _plan(REGISTRY["ndcg_retrieval_eval"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # label counts + rcnt reach as broadcasts
