@@ -139,6 +139,8 @@ EXTRA = [
     "truncation_loss_report",
     "ndcg_retrieval_eval",
     "kcore_peeling_copurchase",
+    "benford_first_digit_orders",
+    "activity_streaks_users",
 ]
 
 

@@ -11702,3 +11702,163 @@ def kcore_peeling_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.selectExpr(
         "CAST(round AS INT) AS round", "n_nodes", "n_edges"
     ).orderBy("round")
+
+
+# Benford first-digit expectations round(1e6*log10(1+1/d)), d=1..9 —
+# fixed shared constants (they sum to exactly 1e6), same discipline as
+# the DCG discount table.
+_BENFORD_PPM = [301030, 176091, 124939, 96910, 79181,
+                66947, 57992, 51153, 45757]
+
+
+@query(
+    "benford_first_digit_orders",
+    f"""
+    WITH v AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS INTEGER) AS d
+      FROM orders WHERE o_totalprice > 0),
+    c AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY d),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c),
+    x AS (SELECT unnest(range(1, 10)) AS d,
+                 unnest([{", ".join(str(x) for x in _BENFORD_PPM)}])
+                   AS exp_ppm)
+    SELECT CAST(x.d AS INTEGER) AS digit,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+           CAST((2 * 1000000 * COALESCE(c.n, 0) + t.tot)
+                // (2 * t.tot) AS BIGINT) AS obs_ppm,
+           CAST(x.exp_ppm AS BIGINT) AS exp_ppm,
+           CAST((2 * 1000000 * COALESCE(c.n, 0) + t.tot) // (2 * t.tot)
+                - x.exp_ppm AS BIGINT) AS dev_ppm
+    FROM x LEFT JOIN c ON c.d = x.d CROSS JOIN t
+    ORDER BY digit
+    """,
+)
+def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit screen over order totals —
+    the forensic-accounting / synthetic-data fingerprint: organically
+    grown multiplicative amounts follow P(d) = log10(1 + 1/d), while
+    fabricated or uniformly generated values (TPC-H's are!) deviate
+    visibly. First digit taken from the exact cents integer (leading
+    digit is invariant under the *100 scaling); expectations are the
+    shared ppm constant table (sums to exactly 1e6); observed shares
+    half-up ppm, signed deviation per digit. Scale: one map-side
+    combined 9-group count — nothing grows with order volume. The
+    digit axis is a literal 9-row frame so missing digits still emit
+    a zero row (LEFT JOIN from the axis, not the data)."""
+    od = load_tables(spark, sf_dir)["orders"].where(
+        F.col("o_totalprice") > 0
+    )
+    c = (
+        od.selectExpr(
+            "CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+            " AS STRING), 1, 1) AS INT) AS d"
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    t = c.agg(F.sum("n").cast("long").alias("tot"))
+    exp_arr = ", ".join(
+        f"({i + 1}, {v}L)" for i, v in enumerate(_BENFORD_PPM)
+    )
+    x = (
+        load_tables(spark, sf_dir)["orders"]
+        .sparkSession.createDataFrame(
+            [(i + 1, v) for i, v in enumerate(_BENFORD_PPM)],
+            "d int, exp_ppm long",
+        )
+    )
+    return (
+        x.join(c, "d", "left")
+        .crossJoin(F.broadcast(t))
+        .selectExpr(
+            "CAST(d AS INT) AS digit",
+            "CAST(COALESCE(n, 0) AS BIGINT) AS n",
+            "CAST((2 * 1000000 * COALESCE(n, 0) + tot)"
+            " div (2 * tot) AS BIGINT) AS obs_ppm",
+            "CAST(exp_ppm AS BIGINT) AS exp_ppm",
+            "CAST((2 * 1000000 * COALESCE(n, 0) + tot) div (2 * tot)"
+            " - exp_ppm AS BIGINT) AS dev_ppm",
+        )
+        .orderBy("digit")
+    )
+
+
+@query(
+    "activity_streaks_users",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    g AS (
+      SELECT user_id, day,
+             date_diff('day', DATE '2024-01-01', day)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+      FROM d),
+    st AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak,
+             MIN(day) AS streak_start
+      FROM g GROUP BY user_id, grp),
+    best AS (
+      SELECT user_id, streak, streak_start,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY streak DESC, streak_start) AS rn
+      FROM st),
+    tot AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_active_days
+            FROM d GROUP BY user_id)
+    SELECT b.user_id, b.streak AS best_streak,
+           CAST(date_diff('day', DATE '2024-01-01', b.streak_start)
+                AS INTEGER) AS start_day_idx,
+           t.n_active_days
+    FROM best b JOIN tot t ON b.user_id = t.user_id
+    WHERE b.rn = 1
+    ORDER BY best_streak DESC, b.user_id LIMIT 20
+    """,
+)
+def activity_streaks_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (top-20) — the
+    gaps-and-islands classic: group key = day index minus the per-user
+    day row_number, constant within a consecutive run. Calendar-day
+    streaks complement the time-gap sessionization operator (a streak
+    survives overnight; a session does not). Earliest streak wins ties
+    (deterministic via the streak_start tie-break); day indices are
+    exact integer day arithmetic from the fixture epoch. Scale: the
+    distinct (user, day) grid is users x days bounded, the window is
+    user-partitioned (range-partitionable), and the top-20 is a
+    TakeOrdered — no global sort of the event stream."""
+    ev = load_tables(spark, sf_dir)["events"]
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    wg = Window.partitionBy("user_id").orderBy("day")
+    g = d.select(
+        "user_id",
+        "day",
+        (
+            F.datediff("day", F.lit("2024-01-01").cast("date"))
+            - F.row_number().over(wg)
+        ).alias("grp"),
+    )
+    st = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("streak"),
+        F.min("day").alias("streak_start"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.desc("streak"), "streak_start"
+    )
+    best = st.withColumn("rn", F.row_number().over(wb)).where(
+        F.col("rn") == 1
+    )
+    tot = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_days")
+    )
+    return (
+        best.join(tot, "user_id")
+        .selectExpr(
+            "user_id",
+            "streak AS best_streak",
+            "CAST(datediff(streak_start, DATE '2024-01-01') AS INT)"
+            " AS start_day_idx",
+            "n_active_days",
+        )
+        .orderBy(F.desc("best_streak"), "user_id")
+        .limit(20)
+    )

@@ -115,3 +115,35 @@ def test_kcore_trajectory_monotone_and_converged(spark):
     assert nodes[-1] == nodes[-2] and edges[-1] == edges[-2]
     # every surviving node has degree >= 2 => edges >= nodes (cycles)
     assert edges[-1] >= nodes[-1]
+
+
+def test_benford_shares_and_digit_counts(spark):
+    df = _run(spark, "benford_first_digit_orders")
+    assert list(df["digit"]) == list(range(1, 10))
+    assert int(df["exp_ppm"].sum()) == 1000000
+    # nine half-up roundings: total observed share within +-5 ppm of 1e6
+    assert abs(int(df["obs_ppm"].sum()) - 1000000) <= 5
+    con = duckdb.connect()
+    wit = dict(
+        con.execute(
+            f"""SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100)
+                         AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER),
+                       COUNT(*)
+                FROM '{SF}/orders.parquet' WHERE o_totalprice > 0
+                GROUP BY 1"""
+        ).fetchall()
+    )
+    got = dict(zip(df["digit"], df["n"]))
+    assert {k: int(v) for k, v in got.items() if v} == {
+        k: int(v) for k, v in wit.items()
+    }
+    assert (df["dev_ppm"] == df["obs_ppm"] - df["exp_ppm"]).all()
+
+
+def test_activity_streaks_invariants(spark):
+    df = _run(spark, "activity_streaks_users")
+    assert (df["best_streak"] >= 1).all()
+    assert (df["best_streak"] <= df["n_active_days"]).all()
+    assert df["start_day_idx"].between(0, 30).all()
+    streaks = list(df["best_streak"])
+    assert streaks == sorted(streaks, reverse=True)
