@@ -141,6 +141,7 @@ EXTRA = [
     "kcore_peeling_copurchase",
     "benford_first_digit_orders",
     "activity_streaks_users",
+    "streaming_dedup_fingerprints",
 ]
 
 

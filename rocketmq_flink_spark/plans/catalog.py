@@ -11862,3 +11862,76 @@ def activity_streaks_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("best_streak"), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "streaming_dedup_fingerprints",
+    f"""
+    WITH fp AS (SELECT doc_id, md5({_NORM_SQL_DUCK}) AS f
+                FROM documents),
+    g AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n_copies,
+                 CAST(MIN(doc_id) AS BIGINT) AS keeper
+          FROM fp GROUP BY f)
+    SELECT f AS fingerprint, n_copies, keeper
+    FROM g ORDER BY n_copies DESC, fingerprint LIMIT 20
+    """,
+)
+def streaming_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming exact-dedup: the documents table is consumed as a
+    stream and reduced by a STATEFUL non-windowed groupBy on the md5
+    fingerprint of normalized text (copies counted, min-doc_id keeper
+    elected), emitted in complete mode from availableNow micro-batches
+    to a memory sink — the production shape of continuous corpus
+    ingestion dedup (new crawl snapshots arrive, the state store
+    carries the fingerprint set forward). The oracle is the identical
+    batch aggregation, so a hash match proves the streaming state
+    neither loses nor double-counts groups; keeper = MIN(doc_id) makes
+    the output independent of micro-batch arrival order (the
+    first-seen survivor of dropDuplicates would NOT be — documented
+    determinism choice, same min-id election as exact dedup). Scale:
+    state is one (16-byte key, count, min) triple per DISTINCT
+    fingerprint — corpus-vocabulary bounded, the same footprint the
+    batch group-by shuffles; at 100 TB shard the state store by
+    fingerprint range and age out fingerprints with an ingestion-time
+    watermark (dropDuplicatesWithinWatermark semantics)."""
+    import uuid
+
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    schema = "doc_id BIGINT, text STRING, lang STRING, source STRING," \
+             " n_chars BIGINT"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    g = (
+        stream.selectExpr(
+            "doc_id", f"md5({normalize_sql('text')}) AS f"
+        )
+        .groupBy("f")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keeper"),
+        )
+    )
+    qname = f"sdedup_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            g.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table(qname)
+        .selectExpr("f AS fingerprint", "n_copies", "keeper")
+        .orderBy(F.desc("n_copies"), "fingerprint")
+        .limit(20)
+    )
