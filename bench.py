@@ -142,6 +142,7 @@ EXTRA = [
     "benford_first_digit_orders",
     "activity_streaks_users",
     "streaming_dedup_fingerprints",
+    "kaplan_meier_signup_to_purchase",
 ]
 
 

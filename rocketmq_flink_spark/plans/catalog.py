@@ -11935,3 +11935,136 @@ def streaming_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_copies"), "fingerprint")
         .limit(20)
     )
+
+
+@query(
+    "kaplan_meier_signup_to_purchase",
+    """
+    WITH RECURSIVE ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+    su AS (SELECT user_id, MIN(day) AS sday FROM ev
+           WHERE event_type = 'signup' GROUP BY user_id),
+    pu AS (SELECT ev.user_id, MIN(ev.day) AS pday
+           FROM ev JOIN su ON ev.user_id = su.user_id
+           WHERE ev.event_type = 'purchase' AND ev.day >= su.sday
+           GROUP BY ev.user_id),
+    mx AS (SELECT MAX(day) AS maxd FROM ev),
+    samp AS (
+      SELECT su.user_id,
+             date_diff('day', su.sday,
+                       COALESCE(pu.pday, (SELECT maxd FROM mx))) AS t,
+             pu.pday IS NOT NULL AS is_event
+      FROM su LEFT JOIN pu ON su.user_id = pu.user_id),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM samp),
+    pert AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT)
+               AS d
+      FROM samp GROUP BY t),
+    atrisk AS (
+      SELECT t, d,
+             (SELECT n FROM nn)
+               - COALESCE(SUM(c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM pert),
+    km AS (
+      SELECT t, d, n_risk,
+             ROW_NUMBER() OVER (ORDER BY t) AS idx
+      FROM atrisk WHERE d > 0),
+    it AS (
+      SELECT CAST(0 AS BIGINT) AS idx, CAST(1000000 AS BIGINT) AS s
+      UNION ALL
+      SELECT km.idx,
+             (2 * it.s * (km.n_risk - km.d) + km.n_risk)
+               // (2 * km.n_risk)
+      FROM it JOIN km ON km.idx = it.idx + 1)
+    SELECT CAST(km.t AS INTEGER) AS t_days,
+           CAST(km.n_risk AS BIGINT) AS n_at_risk,
+           CAST(km.d AS BIGINT) AS d_events,
+           CAST(it.s AS BIGINT) AS surv_ppm
+    FROM km JOIN it ON it.idx = km.idx
+    ORDER BY t_days
+    """,
+)
+def kaplan_meier_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-conversion: days from a
+    user's signup to their first purchase, RIGHT-CENSORED at the end
+    of the observation window for users who never convert — the
+    estimator that handles "hasn't converted YET" correctly where a
+    naive mean-of-converters is biased optimistic. S(t) =
+    prod_{t_i <= t} (1 - d_i/n_i) evaluated as an integer recurrence
+    with HALF-UP ppm rounding per step (s <- (2*s*(n-d) + n) div (2n),
+    s_0 = 1e6): a Catalyst `aggregate` fold over the day-ordered step
+    list on the Spark side, the same recurrence as a recursive CTE in
+    the oracle — bit-identical by construction (the fp_log2
+    discipline). Risk sets come from ONE cumulative count over
+    distinct day-offsets, never a per-t rescan. Scale: samples are one
+    row per signup user; the step table is bounded by the observation
+    window in DAYS (~tens of rows), so the fold is constant-size no
+    matter how many users flow in; everything upstream is user-keyed
+    min-aggregation."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    )
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("day").alias("sday"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .where(F.col("day") >= F.col("sday"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("pday"))
+    )
+    mx = ev.agg(F.max("day").alias("maxd"))
+    samp = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff(
+                F.coalesce("pday", "maxd"), F.col("sday")
+            ).alias("t"),
+            F.col("pday").isNotNull().alias("is_event"),
+        )
+    )
+    pert = samp.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    nn = pert.agg(F.sum("c").cast("long").alias("n"))
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    atrisk = (
+        pert.crossJoin(F.broadcast(nn))
+        .select(
+            "t",
+            "d",
+            (
+                F.col("n") - F.coalesce(F.sum("c").over(wcum), F.lit(0))
+            ).alias("n_risk"),
+        )
+        .where(F.col("d") > 0)
+    )
+    widx = Window.orderBy("t")
+    km = atrisk.withColumn("idx", F.row_number().over(widx))
+    steps = km.agg(
+        F.array_sort(
+            F.collect_list(F.struct("idx", "d", "n_risk"))
+        ).alias("arr")
+    )
+    return (
+        km.crossJoin(F.broadcast(steps))
+        .selectExpr(
+            "CAST(t AS INT) AS t_days",
+            "CAST(n_risk AS BIGINT) AS n_at_risk",
+            "CAST(d AS BIGINT) AS d_events",
+            "CAST(aggregate(slice(arr, 1, idx), CAST(1000000 AS BIGINT),"
+            " (acc, x) -> (2 * acc * (x.n_risk - x.d) + x.n_risk)"
+            " div (2 * x.n_risk)) AS BIGINT) AS surv_ppm",
+        )
+        .orderBy("t_days")
+    )

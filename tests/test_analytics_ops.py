@@ -147,3 +147,41 @@ def test_activity_streaks_invariants(spark):
     assert df["start_day_idx"].between(0, 30).all()
     streaks = list(df["best_streak"])
     assert streaks == sorted(streaks, reverse=True)
+
+
+def test_kaplan_meier_matches_python_witness(spark):
+    df = _run(spark, "kaplan_meier_signup_to_purchase")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                               event_type
+                        FROM '{SF}/events.parquet'),
+        su AS (SELECT user_id, MIN(day) AS sday FROM ev
+               WHERE event_type='signup' GROUP BY user_id),
+        pu AS (SELECT ev.user_id, MIN(ev.day) AS pday FROM ev
+               JOIN su ON ev.user_id = su.user_id
+               WHERE ev.event_type='purchase' AND ev.day >= su.sday
+               GROUP BY ev.user_id)
+        SELECT date_diff('day', su.sday,
+                 COALESCE(pu.pday, (SELECT MAX(day) FROM ev))),
+               pu.pday IS NOT NULL
+        FROM su LEFT JOIN pu ON su.user_id = pu.user_id"""
+    ).fetchall()
+    n = len(rows)
+    s = 1000000
+    expect = []
+    for t in sorted({t for t, e in rows if e}):
+        n_risk = sum(1 for tu, _ in rows if tu >= t)
+        d = sum(1 for tu, e in rows if e and tu == t)
+        s = (2 * s * (n_risk - d) + n_risk) // (2 * n_risk)
+        expect.append((t, n_risk, d, s))
+    got = list(
+        zip(df["t_days"], df["n_at_risk"], df["d_events"], df["surv_ppm"])
+    )
+    assert [(int(a), int(b), int(c), int(d)) for a, b, c, d in got] == expect
+    # survival is non-increasing and the risk set strictly shrinks
+    sv = list(df["surv_ppm"])
+    assert all(b <= a for a, b in zip(sv, sv[1:]))
+    nr = list(df["n_at_risk"])
+    assert all(b < a for a, b in zip(nr, nr[1:]))
+    assert n >= nr[0]
