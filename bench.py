@@ -143,6 +143,7 @@ EXTRA = [
     "activity_streaks_users",
     "streaming_dedup_fingerprints",
     "kaplan_meier_signup_to_purchase",
+    "lang_similarity_jsd",
 ]
 
 

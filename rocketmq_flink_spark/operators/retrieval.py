@@ -52,7 +52,13 @@ def fp_log2_sql(p0: str, q0: str) -> str:
     """Fixed-point log2(p0/q0) (20 fraction bits) as a Spark SQL
     expression over integer expressions p0 > q0 > 0. Pure integer
     shifts/multiplies; bit-identical to the DuckDB recursive CTE
-    (fp_log2_duck_cte) and the Python reference."""
+    (fp_log2_duck_cte) and the Python reference.
+
+    p0/q0 are parenthesized before interpolation so COMPOUND
+    expressions (e.g. "2 * cp * nq") keep their meaning inside the
+    `div`/shift contexts — `a * b div c` would otherwise rebind by
+    precedence (caught by lang_similarity_jsd's pair terms)."""
+    p0, q0 = f"({p0})", f"({q0})"
     s = "greatest(0, length(bin(st.q)) - 30)"
     p2 = f"(shiftrightunsigned(st.p, {s}) * shiftrightunsigned(st.p, {s}))"
     q2 = f"(shiftrightunsigned(st.q, {s}) * shiftrightunsigned(st.q, {s}))"

@@ -12068,3 +12068,159 @@ def kaplan_meier_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("t_days")
     )
+
+
+def _jsd_oracle_sql() -> str:
+    """DuckDB replay of the pairwise language JSD: shared-gram joins,
+    the signed fp_log2 recursive CTE (cf. _mi_oracle_sql) per
+    (pair, side, gram) row, exclusive mass in closed form."""
+    return f"""
+    WITH RECURSIVE nrm AS (
+      SELECT lang, {_NORM_SQL_DUCK} AS n FROM documents),
+    tg AS (
+      SELECT lang, g FROM (
+        SELECT lang, unnest(list_transform(
+          range(1, greatest(length(n) - 2, 1) + 1),
+          i -> n[i:i+2])) AS g
+        FROM nrm) WHERE length(g) = 3),
+    cnt AS (SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tg GROUP BY lang, g),
+    tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM cnt
+            GROUP BY lang),
+    sh AS (
+      SELECT a.lang AS l1, b.lang AS l2, a.g AS g, a.c AS cp, b.c AS cq,
+             ta.n AS np, tb.n AS nq
+      FROM cnt a JOIN cnt b ON a.g = b.g AND a.lang < b.lang
+      JOIN tot ta ON ta.lang = a.lang JOIN tot tb ON tb.lang = b.lang),
+    fb AS (
+      SELECT l1, l2, g, 'p' AS side, cp AS w,
+             2 * cp * nq AS a, cp * nq + cq * np AS b FROM sh
+      UNION ALL
+      SELECT l1, l2, g, 'q', cq, 2 * cq * np, cp * nq + cq * np FROM sh),
+    f0 AS (
+      SELECT l1, l2, g, side, w,
+             CASE WHEN a >= b THEN 1 ELSE -1 END AS sgn,
+             GREATEST(a, b) AS p0, LEAST(a, b) AS q0,
+             length(bin(GREATEST(a, b) // LEAST(a, b))) - 1 AS kk
+      FROM fb),
+    it AS (
+      SELECT l1, l2, g, side, w, sgn, kk, 0 AS i, p0 AS p,
+             (q0 << kk) AS q, CAST(0 AS BIGINT) AS acc
+      FROM f0
+      UNION ALL
+      SELECT l1, l2, g, side, w, sgn, kk, i + 1,
+             (p >> s)*(p >> s),
+             CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                  THEN ((q >> s)*(q >> s)) << 1
+                  ELSE (q >> s)*(q >> s) END,
+             acc*2 + CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                     THEN 1 ELSE 0 END
+      FROM (SELECT *, greatest(0, length(bin(q)) - 30) AS s FROM it)
+      WHERE i < 20),
+    lg AS (SELECT l1, l2, side, w,
+                  sgn * (acc + (CAST(kk AS BIGINT) << 20)) AS t
+           FROM it WHERE i = 20),
+    ag AS (
+      SELECT l1, l2,
+             CAST(SUM(CASE WHEN side = 'p' THEN w * t ELSE 0 END)
+                  AS HUGEINT) AS a,
+             CAST(SUM(CASE WHEN side = 'p' THEN w ELSE 0 END)
+                  AS HUGEINT) AS scp,
+             CAST(SUM(CASE WHEN side = 'q' THEN w * t ELSE 0 END)
+                  AS HUGEINT) AS c,
+             CAST(SUM(CASE WHEN side = 'q' THEN w ELSE 0 END)
+                  AS HUGEINT) AS scq
+      FROM lg GROUP BY l1, l2),
+    fin AS (
+      SELECT ag.l1, ag.l2,
+             (ag.a + (ta.n - ag.scp) * 1048576) * tb.n
+               + (ag.c + (tb.n - ag.scq) * 1048576) * ta.n AS v,
+             2 * CAST(ta.n AS HUGEINT) * tb.n * 1048576 AS den
+      FROM ag JOIN tot ta ON ta.lang = ag.l1
+              JOIN tot tb ON tb.lang = ag.l2)
+    SELECT l1 AS lang_a, l2 AS lang_b,
+           CAST(CASE WHEN v >= 0 THEN (2 * 1000000 * v + den) // (2 * den)
+                ELSE -((2 * 1000000 * (-v) + den) // (2 * den)) END
+                AS BIGINT) AS jsd_micro
+    FROM fin ORDER BY lang_a, lang_b
+    """
+
+
+@query("lang_similarity_jsd", _jsd_oracle_sql())
+def lang_similarity_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the character-trigram
+    distributions of the corpus' languages — the distribution-level
+    corpus-drift / source-similarity measure (0 = identical trigram
+    mix, 1e6 micro-bits = disjoint; unlike KL it is symmetric, finite
+    on non-overlapping support, and its sqrt is a metric). Every
+    per-gram log term is a SIGNED fixed-point fp_log2 of the integer
+    ratio 2*cp*Nq / (cp*Nq + cq*Np); exclusive (non-shared) mass
+    contributes exactly 1 bit = 2^20 ticks in closed form — no outer
+    join, only an inner join on shared grams plus per-language totals.
+    Final combine runs in DECIMAL(38)/HUGEINT with sign-split half-up
+    division. Scale: trigram counts are one map-side-combined
+    (lang, gram) aggregation (gram-vocabulary bounded, NOT corpus
+    bounded); the pair join fans each shared gram to the language
+    pairs that share it (|langs| choose 2 worst case); the fold is
+    inlined per row, zero driver sync."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+    from rocketmq_flink_spark.operators.retrieval import signed_fp_log2_sql
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    nrm = docs.selectExpr("lang", normalize_sql("text") + " AS n")
+    tg = (
+        nrm.selectExpr(
+            "lang",
+            "explode(transform(sequence(1, greatest(length(n) - 2, 1)),"
+            " i -> substr(n, i, 3))) AS g",
+        )
+        .where(F.length("g") == 3)
+    )
+    cnt = tg.groupBy("lang", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    a = cnt.select(
+        F.col("lang").alias("l1"), "g", F.col("c").alias("cp")
+    )
+    b = cnt.select(
+        F.col("lang").alias("l2"), F.col("g").alias("g2"),
+        F.col("c").alias("cq"),
+    )
+    ta = tot.select(F.col("lang").alias("l1"), F.col("n").alias("np"))
+    tb = tot.select(F.col("lang").alias("l2"), F.col("n").alias("nq"))
+    sh = (
+        a.join(b, (a["g"] == b["g2"]) & (a["l1"] < b["l2"]))
+        .join(F.broadcast(ta), "l1")
+        .join(F.broadcast(tb), "l2")
+    )
+    sp = signed_fp_log2_sql("2 * cp * nq", "cp * nq + cq * np")
+    sq = signed_fp_log2_sql("2 * cq * np", "cp * nq + cq * np")
+    ag = (
+        sh.selectExpr(
+            "l1", "l2", "cp", "cq", "np", "nq",
+            f"cp * ({sp}) AS tp",
+            f"cq * ({sq}) AS tq",
+        )
+        .groupBy("l1", "l2")
+        .agg(
+            F.sum("tp").cast("decimal(38,0)").alias("a"),
+            F.sum("cp").cast("decimal(38,0)").alias("scp"),
+            F.sum("tq").cast("decimal(38,0)").alias("c"),
+            F.sum("cq").cast("decimal(38,0)").alias("scq"),
+            F.max("np").cast("decimal(38,0)").alias("np"),
+            F.max("nq").cast("decimal(38,0)").alias("nq"),
+        )
+    )
+    return ag.selectExpr(
+        "l1 AS lang_a",
+        "l2 AS lang_b",
+        "CAST(CASE WHEN ((a + (np - scp) * 1048576) * nq"
+        " + (c + (nq - scq) * 1048576) * np) >= 0 THEN"
+        " (2 * 1000000 * ((a + (np - scp) * 1048576) * nq"
+        " + (c + (nq - scq) * 1048576) * np) + 2 * np * nq * 1048576)"
+        " div (2 * (2 * np * nq * 1048576))"
+        " ELSE -((2 * 1000000 * (-((a + (np - scp) * 1048576) * nq"
+        " + (c + (nq - scq) * 1048576) * np)) + 2 * np * nq * 1048576)"
+        " div (2 * (2 * np * nq * 1048576))) END AS BIGINT) AS jsd_micro",
+    ).orderBy("lang_a", "lang_b")

