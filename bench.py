@@ -144,6 +144,7 @@ EXTRA = [
     "streaming_dedup_fingerprints",
     "kaplan_meier_signup_to_purchase",
     "lang_similarity_jsd",
+    "k_anonymity_report",
 ]
 
 

@@ -12224,3 +12224,78 @@ def lang_similarity_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + (c + (nq - scq) * 1048576) * np)) + 2 * np * nq * 1048576)"
         " div (2 * (2 * np * nq * 1048576))) END AS BIGINT) AS jsd_micro",
     ).orderBy("lang_a", "lang_b")
+
+
+@query(
+    "k_anonymity_report",
+    """
+    WITH g AS (
+      SELECT lang, source, n_chars // 100 AS len_bucket,
+             CAST(COUNT(*) AS BIGINT) AS sz
+      FROM documents GROUP BY lang, source, len_bucket),
+    t AS (SELECT CAST(SUM(sz) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS n_groups,
+                 CAST(MIN(sz) AS BIGINT) AS min_group FROM g),
+    ks AS (SELECT unnest([2, 5, 10]) AS k)
+    SELECT CAST(ks.k AS INTEGER) AS k,
+           t.n_groups, t.min_group,
+           CAST(COALESCE(SUM(CASE WHEN g.sz < ks.k THEN g.sz END), 0)
+                AS BIGINT) AS n_docs_violating,
+           CAST((2 * 1000000
+                 * COALESCE(SUM(CASE WHEN g.sz < ks.k THEN g.sz END), 0)
+                 + t.n) // (2 * t.n) AS BIGINT) AS violating_ppm
+    FROM ks CROSS JOIN t LEFT JOIN g ON TRUE
+    GROUP BY ks.k, t.n, t.n_groups, t.min_group
+    ORDER BY k
+    """,
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the corpus' quasi-identifier combination
+    (lang, source, length-bucket-of-100-chars): for each privacy level
+    k in {2, 5, 10}, how many documents sit in an equivalence class
+    smaller than k — i.e. are re-identifiable by metadata alone (the
+    release-gate number privacy review asks for BEFORE the text is
+    even considered; complements pii_redaction, which audits the text
+    itself). Exact integer class sizes, violating share in half-up
+    ppm, plus the global class count and the smallest class. Scale:
+    ONE map-side-combinable group-by over the quasi-identifier tuple
+    (class-vocabulary bounded output), then a 3-literal-row summary —
+    nothing downstream grows with corpus size."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    g = (
+        docs.selectExpr(
+            "lang", "source", "n_chars div 100 AS len_bucket"
+        )
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    )
+    t = g.agg(
+        F.sum("sz").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("sz").cast("long").alias("min_group"),
+    )
+    ks = load_tables(spark, sf_dir)["documents"].sparkSession.createDataFrame(
+        [(2,), (5,), (10,)], "k int"
+    )
+    return (
+        ks.crossJoin(F.broadcast(t))
+        .join(F.broadcast(g), F.lit(True), "left")
+        .groupBy("k", "n", "n_groups", "min_group")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("sz") < F.col("k"), F.col("sz"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_docs_violating")
+        )
+        .selectExpr(
+            "CAST(k AS INT) AS k",
+            "n_groups",
+            "min_group",
+            "n_docs_violating",
+            "CAST((2 * 1000000 * n_docs_violating + n) div (2 * n)"
+            " AS BIGINT) AS violating_ppm",
+        )
+        .orderBy("k")
+    )
