@@ -145,6 +145,7 @@ EXTRA = [
     "kaplan_meier_signup_to_purchase",
     "lang_similarity_jsd",
     "k_anonymity_report",
+    "psi_drift_order_values",
 ]
 
 

@@ -12299,3 +12299,193 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+def _psi_oracle_sql() -> str:
+    """DuckDB replay of the PSI drift report: reference-decile bin
+    edges by rank position, strict-greater binning, Laplace+1
+    smoothing, signed fp_log2 recursive CTE per bin."""
+    return """
+    WITH RECURSIVE r AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders WHERE o_orderdate < DATE '1998-01-01'),
+    c AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders WHERE o_orderdate >= DATE '1998-01-01'),
+    mref AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM r),
+    ed AS (
+      SELECT rn.i,
+             (SELECT v FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY v)
+                             AS p FROM r) s
+              WHERE s.p = ((rn.i * (SELECT m FROM mref) + 9) // 10))
+               AS ev
+      FROM (SELECT unnest(range(1, 10)) AS i) rn),
+    rb AS (
+      SELECT 1 + (SELECT COUNT(*) FROM ed WHERE r.v > ed.ev) AS bin
+      FROM r),
+    cb AS (
+      SELECT 1 + (SELECT COUNT(*) FROM ed WHERE c.v > ed.ev) AS bin
+      FROM c),
+    ax AS (SELECT unnest(range(1, 11)) AS bin),
+    cnt AS (
+      SELECT ax.bin,
+             COALESCE(rc.n, 0) + 1 AS cp, COALESCE(cc.n, 0) + 1 AS cq
+      FROM ax
+      LEFT JOIN (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM rb
+                 GROUP BY bin) rc ON rc.bin = ax.bin
+      LEFT JOIN (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM cb
+                 GROUP BY bin) cc ON cc.bin = ax.bin),
+    tt AS (SELECT CAST(SUM(cp) AS BIGINT) AS np,
+                  CAST(SUM(cq) AS BIGINT) AS nq FROM cnt),
+    fb AS (
+      SELECT bin, cp, cq,
+             cp * (SELECT nq FROM tt) AS a,
+             cq * (SELECT np FROM tt) AS b
+      FROM cnt),
+    f0 AS (
+      SELECT bin, cp, cq, a, b,
+             CASE WHEN a >= b THEN 1 ELSE -1 END AS sgn,
+             GREATEST(a, b) AS p0, LEAST(a, b) AS q0,
+             length(bin(GREATEST(a, b) // LEAST(a, b))) - 1 AS kk
+      FROM fb),
+    it AS (
+      SELECT bin, sgn, kk, 0 AS i, p0 AS p, (q0 << kk) AS q,
+             CAST(0 AS BIGINT) AS acc
+      FROM f0
+      UNION ALL
+      SELECT bin, sgn, kk, i + 1,
+             (p >> s)*(p >> s),
+             CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                  THEN ((q >> s)*(q >> s)) << 1
+                  ELSE (q >> s)*(q >> s) END,
+             acc*2 + CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                     THEN 1 ELSE 0 END
+      FROM (SELECT *, greatest(0, length(bin(q)) - 30) AS s FROM it)
+      WHERE i < 20),
+    lg AS (SELECT bin, sgn * (acc + (CAST(kk AS BIGINT) << 20)) AS t
+           FROM it WHERE i = 20),
+    term AS (
+      SELECT f0.bin, f0.cp, f0.cq,
+             CAST(f0.a - f0.b AS HUGEINT) * lg.t AS num
+      FROM f0 JOIN lg ON lg.bin = f0.bin),
+    den AS (SELECT CAST(1048576 AS HUGEINT) * np * nq AS d FROM tt)
+    SELECT CAST(term.bin AS INTEGER) AS bin,
+           CAST(term.cp - 1 AS BIGINT) AS ref_n,
+           CAST(term.cq - 1 AS BIGINT) AS cur_n,
+           CAST(CASE WHEN term.num >= 0 THEN
+                  (2 * 1000000 * term.num + (SELECT d FROM den))
+                    // (2 * (SELECT d FROM den))
+                ELSE -((2 * 1000000 * (-term.num) + (SELECT d FROM den))
+                    // (2 * (SELECT d FROM den))) END AS BIGINT)
+             AS contrib_micro,
+           CAST((2 * 1000000 * (SELECT SUM(num) FROM term)
+                 + (SELECT d FROM den))
+                // (2 * (SELECT d FROM den)) AS BIGINT) AS psi_micro
+    FROM term ORDER BY bin
+    """
+
+
+@query("psi_drift_order_values", _psi_oracle_sql())
+def psi_drift_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — THE production ML-monitoring drift
+    metric — between early (pre-1998) and late order-value
+    distributions: PSI = sum_bins (p_i - q_i) * ln(p_i/q_i), evaluated
+    over the REFERENCE distribution's decile bins (edges = exact
+    rank-position values, strict-greater binning so edge ties bin
+    low), Laplace+1 smoothed so empty bins stay finite, and with every
+    log as a SIGNED fixed-point fp_log2 tick — each bin's contribution
+    and the total are bit-identical across engines (log2 vs ln scales
+    PSI by a constant 1/ln2; thresholds 0.1/0.25 become 0.144/0.361
+    bits — documented unit choice, micro-bits here). Complements
+    token_drift_report (TV distance, vocab axis) and
+    lang_similarity_jsd (symmetric divergence): PSI is the
+    binned-numeric-feature drift gauge with the industry alarm
+    thresholds. Scale: two filtered scans aggregate to 10-bin counts
+    (map-side combinable after the broadcast edge test); edges come
+    from one sort-position pick over the reference ONLY (swap for
+    approx_percentile edges at 100 TB — documented reduction); the
+    fold runs over ten rows."""
+    from rocketmq_flink_spark.operators.retrieval import signed_fp_log2_sql
+
+    od = load_tables(spark, sf_dir)["orders"].selectExpr(
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v",
+        "o_orderdate < DATE '1998-01-01' AS is_ref",
+    )
+    r = od.where("is_ref").select("v")
+    c = od.where("NOT is_ref").select("v")
+    wr = Window.orderBy("v")
+    m = r.agg(F.count(F.lit(1)).alias("m"))
+    ranked = r.withColumn("p", F.row_number().over(wr))
+    idx = r.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("i")
+    )
+    ed = (
+        idx.crossJoin(F.broadcast(m))
+        .join(
+            ranked,
+            F.col("p") == F.expr("(i * m + 9) div 10"),
+        )
+        .select("i", F.col("v").alias("ev"))
+    )
+    edges = ed.agg(F.array_sort(F.collect_list("ev")).alias("earr"))
+
+    def binned(df):
+        return (
+            df.crossJoin(F.broadcast(edges))
+            .selectExpr(
+                "1 + size(filter(earr, e -> v > e)) AS bin"
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    ax = r.sparkSession.range(1, 11).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    cnt = (
+        ax.join(binned(r).withColumnRenamed("n", "nr"), "bin", "left")
+        .join(binned(c).withColumnRenamed("n", "nc"), "bin", "left")
+        .selectExpr(
+            "bin",
+            "COALESCE(nr, 0) + 1 AS cp",
+            "COALESCE(nc, 0) + 1 AS cq",
+        )
+    )
+    tt = cnt.agg(
+        F.sum("cp").cast("long").alias("np"),
+        F.sum("cq").cast("long").alias("nq"),
+    )
+    t = signed_fp_log2_sql("cp * nq", "cq * np")
+    term = (
+        cnt.crossJoin(F.broadcast(tt))
+        .selectExpr(
+            "bin",
+            "cp",
+            "cq",
+            "np",
+            "nq",
+            f"CAST(cp * nq - cq * np AS DECIMAL(38,0)) * ({t}) AS num",
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        term.withColumn("tot", F.sum("num").over(wall))
+        .selectExpr(
+            "CAST(bin AS INT) AS bin",
+            "CAST(cp - 1 AS BIGINT) AS ref_n",
+            "CAST(cq - 1 AS BIGINT) AS cur_n",
+            "CAST(CASE WHEN num >= 0 THEN"
+            " (2 * 1000000 * num + CAST(1048576 AS DECIMAL(38,0)) * np * nq)"
+            " div (2 * CAST(1048576 AS DECIMAL(38,0)) * np * nq)"
+            " ELSE -((2 * 1000000 * (-num)"
+            " + CAST(1048576 AS DECIMAL(38,0)) * np * nq)"
+            " div (2 * CAST(1048576 AS DECIMAL(38,0)) * np * nq)) END"
+            " AS BIGINT) AS contrib_micro",
+            "CAST((2 * 1000000 * tot + CAST(1048576 AS DECIMAL(38,0))"
+            " * np * nq) div (2 * CAST(1048576 AS DECIMAL(38,0)) * np * nq)"
+            " AS BIGINT) AS psi_micro",
+        )
+        .orderBy("bin")
+    )

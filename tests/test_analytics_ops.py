@@ -207,3 +207,53 @@ def test_jsd_identical_distributions_are_zero(spark):
     from rocketmq_flink_spark.operators.retrieval import fp_log2_py
 
     assert fp_log2_py(2 * 7 * 100, 7 * 100 + 7 * 100) == 0
+
+
+def test_psi_matches_python_witness(spark):
+    from rocketmq_flink_spark.operators.retrieval import fp_log2_py
+
+    df = _run(spark, "psi_drift_order_values")
+    con = duckdb.connect()
+    ref = sorted(
+        v
+        for (v,) in con.execute(
+            f"""SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                FROM '{SF}/orders.parquet'
+                WHERE o_orderdate < DATE '1998-01-01'"""
+        ).fetchall()
+    )
+    cur = [
+        v
+        for (v,) in con.execute(
+            f"""SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                FROM '{SF}/orders.parquet'
+                WHERE o_orderdate >= DATE '1998-01-01'"""
+        ).fetchall()
+    ]
+    m = len(ref)
+    edges = [ref[(i * m + 9) // 10 - 1] for i in range(1, 10)]
+
+    def bins(vals):
+        out = [0] * 10
+        for v in vals:
+            out[sum(1 for e in edges if v > e)] += 1
+        return out
+
+    cp = [x + 1 for x in bins(ref)]
+    cq = [x + 1 for x in bins(cur)]
+    np_, nq = sum(cp), sum(cq)
+
+    def slog(a, b):
+        return fp_log2_py(a, b) if a >= b else -fp_log2_py(b, a)
+
+    tot = sum(
+        (p * nq - q * np_) * slog(p * nq, q * np_) for p, q in zip(cp, cq)
+    )
+    den = 1048576 * np_ * nq
+    want_psi = (2 * 1000000 * tot + den) // (2 * den)
+    assert list(df["ref_n"]) == [x - 1 for x in cp]
+    assert list(df["cur_n"]) == [x - 1 for x in cq]
+    assert int(df["psi_micro"].iloc[0]) == want_psi
+    assert (df["psi_micro"] == df["psi_micro"].iloc[0]).all()
+    # each bin's contribution is non-negative (both factors share sign)
+    assert (df["contrib_micro"] >= 0).all()

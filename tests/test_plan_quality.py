@@ -287,3 +287,11 @@ def test_ndcg_reuses_broadcast_knn_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # label counts + rcnt reach as broadcasts
+
+
+def test_psi_and_kanonymity_no_cartesian_no_python(spark):
+    for name in ("psi_drift_order_values", "k_anonymity_report"):
+        plan = _plan(REGISTRY[name].fn(spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
