@@ -146,6 +146,10 @@ EXTRA = [
     "lang_similarity_jsd",
     "k_anonymity_report",
     "psi_drift_order_values",
+    # round 4 continuation 3
+    "gini_order_concentration",
+    "mann_kendall_trend_daily",
+    "spearman_daily_activity_value",
 ]
 
 

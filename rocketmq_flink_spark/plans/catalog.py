@@ -12489,3 +12489,285 @@ def psi_drift_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "gini_order_concentration",
+    """
+    WITH v AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS HUGEINT) AS c
+      FROM orders GROUP BY 1),
+    w AS (
+      SELECT cents, c,
+             COALESCE(SUM(c) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cc,
+             COALESCE(SUM(c * cents) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS sc
+      FROM v),
+    ag AS (
+      SELECT CAST(SUM(c) AS HUGEINT) AS n,
+             CAST(SUM(c * cents) AS HUGEINT) AS s,
+             CAST(SUM(c * (cc * cents - sc)) AS HUGEINT) AS t
+      FROM w)
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST(s AS BIGINT) AS total_cents,
+           CAST((2 * 1000000 * t + n * s) // (2 * n * s) AS BIGINT)
+             AS gini_ppm
+    FROM ag
+    """,
+)
+def gini_order_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the order-value distribution — the
+    inequality/concentration gauge (0 = every order equal, 1 = all
+    revenue in one order) that corpus curators apply to source and
+    domain token masses before fixing mixture weights. Exact integer
+    throughout: G = sum_{i,j}|x_i - x_j| / (2 n S) is computed from the
+    VALUE HISTOGRAM, not the row set — group by cents, one ordered
+    prefix-sum pass over distinct values gives
+    T = sum_v c_v * (Ccum_v * v - Scum_v) = sum over ordered pairs of
+    differences, and G_ppm is one half-up rational rounding
+    (2e6*T + nS) div (2nS), bit-identical in both engines (HUGEINT /
+    DECIMAL(38,0)). Scale: the only ordered pass runs over DISTINCT
+    cent values (price-domain bounded, same discipline as
+    order_value_deciles / psi buckets), never over rows; counts and
+    sums are map-side combined. One row."""
+    dec = "decimal(38,0)"
+    o = load_tables(spark, sf_dir)["orders"].select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    v = o.groupBy("cents").agg(F.count(F.lit(1)).cast(dec).alias("c"))
+    wpre = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w = v.select(
+        "cents",
+        "c",
+        F.coalesce(F.sum("c").over(wpre), F.lit(0).cast(dec)).alias("cc"),
+        F.coalesce(
+            F.sum(F.col("c") * F.col("cents")).over(wpre),
+            F.lit(0).cast(dec),
+        ).alias("sc"),
+    )
+    ag = w.agg(
+        F.sum("c").cast(dec).alias("n"),
+        F.sum(F.col("c") * F.col("cents")).cast(dec).alias("s"),
+        F.sum(
+            F.col("c") * (F.col("cc") * F.col("cents") - F.col("sc"))
+        ).cast(dec).alias("t"),
+    )
+    return ag.selectExpr(
+        "CAST(n AS BIGINT) AS n_orders",
+        "CAST(s AS BIGINT) AS total_cents",
+        "CAST((2 * 1000000 * t + n * s) div (2 * n * s) AS BIGINT)"
+        " AS gini_ppm",
+    )
+
+
+@query(
+    "mann_kendall_trend_daily",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nd FROM d),
+    ss AS (
+      SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END)
+                  AS HUGEINT) AS s
+      FROM d a JOIN d b ON a.day < b.day),
+    tt AS (
+      SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS HUGEINT),
+                      0) AS tie
+      FROM (SELECT CAST(COUNT(*) AS HUGEINT) AS t FROM d GROUP BY x) z),
+    f AS (
+      SELECT (SELECT nd FROM nn) AS nd, (SELECT s FROM ss) AS s,
+             (SELECT tie FROM tt) AS tie)
+    SELECT CAST(nd AS BIGINT) AS n_days,
+           CAST(s AS BIGINT) AS s_stat,
+           CAST(nd * (nd - 1) * (2 * nd + 5) - tie AS BIGINT) AS var18,
+           CAST(CASE WHEN s >= 0 THEN
+                  (2 * 1000000 * s + nd * (nd - 1) // 2)
+                    // (2 * (nd * (nd - 1) // 2))
+                ELSE -((2 * 1000000 * (-s) + nd * (nd - 1) // 2)
+                    // (2 * (nd * (nd - 1) // 2))) END AS BIGINT)
+             AS tau_ppm,
+           CAST(CASE WHEN s = 0 THEN 0
+                WHEN 18000000 * (abs(s) - 1) * (abs(s) - 1)
+                     > 3841600 * (nd * (nd - 1) * (2 * nd + 5) - tie)
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+    FROM f
+    """,
+)
+def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the daily event-count series — the
+    nonparametric companion to theil_sen_trend_daily (same pairwise
+    structure; MK answers "IS there a monotone trend" where Theil-Sen
+    answers "how steep"). Everything integer-exact: S = sum of pairwise
+    sign(x_b - x_a); the tie-corrected variance is reported as
+    var18 = 18*Var = n(n-1)(2n+5) - sum_t t(t-1)(2t+5); Kendall tau_a
+    in half-up ppm; and the alpha=0.05 two-sided decision uses the
+    continuity-corrected z SQUARED so no sqrt is ever taken:
+    reject iff 18e6*(|S|-1)^2 > 3841600*var18 (z_crit^2 = 3.8416
+    exactly). Scale: identical to theil_sen — the pairwise stage is
+    CALENDAR-bounded (days^2), the daily series one map-side-combined
+    count; nothing grows with raw event volume. One row."""
+    ev = load_tables(spark, sf_dir)["events"]
+    dec = "decimal(38,0)"
+    d = (
+        ev.select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    a = d.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = d.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, F.col("da") < F.col("db"))
+        .select(
+            F.when(F.col("xb") > F.col("xa"), F.lit(1))
+            .when(F.col("xb") < F.col("xa"), F.lit(-1))
+            .otherwise(F.lit(0))
+            .alias("sg")
+        )
+        .agg(F.sum("sg").cast(dec).alias("s"))
+    )
+    nn = d.agg(F.count(F.lit(1)).cast(dec).alias("nd"))
+    tie = (
+        d.groupBy("x")
+        .agg(F.count(F.lit(1)).cast(dec).alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t")
+                    * (F.col("t") - 1)
+                    * (2 * F.col("t") + 5)
+                ),
+                F.lit(0).cast(dec),
+            ).alias("tie")
+        )
+    )
+    f = nn.crossJoin(s).crossJoin(tie)
+    return f.selectExpr(
+        "CAST(nd AS BIGINT) AS n_days",
+        "CAST(s AS BIGINT) AS s_stat",
+        "CAST(nd * (nd - 1) * (2 * nd + 5) - tie AS BIGINT) AS var18",
+        "CAST(CASE WHEN s >= 0 THEN"
+        "  (2 * 1000000 * s + nd * (nd - 1) div 2)"
+        "    div (2 * (nd * (nd - 1) div 2))"
+        " ELSE -((2 * 1000000 * (-s) + nd * (nd - 1) div 2)"
+        "    div (2 * (nd * (nd - 1) div 2))) END AS BIGINT) AS tau_ppm",
+        "CAST(CASE WHEN s = 0 THEN 0"
+        " WHEN 18000000 * (abs(s) - 1) * (abs(s) - 1)"
+        "      > 3841600 * (nd * (nd - 1) * (2 * nd + 5) - tie)"
+        " THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct",
+    )
+
+
+@query(
+    "spearman_daily_activity_value",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM events GROUP BY 1),
+    r AS (
+      SELECT day,
+             2 * RANK() OVER (ORDER BY x) + COUNT(*) OVER
+               (PARTITION BY x) - 1 AS rx,
+             2 * RANK() OVER (ORDER BY y) + COUNT(*) OVER
+               (PARTITION BY y) - 1 AS ry
+      FROM d),
+    ag AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(rx) AS HUGEINT) AS sx,
+             CAST(SUM(ry) AS HUGEINT) AS sy,
+             CAST(SUM(rx * ry) AS HUGEINT) AS sxy,
+             CAST(SUM(rx * rx) AS HUGEINT) AS sxx,
+             CAST(SUM(ry * ry) AS HUGEINT) AS syy
+      FROM r),
+    rr AS (
+      SELECT n, n * sxy - sx * sy AS cov_n,
+             n * sxx - sx * sx AS vx_n,
+             n * syy - sy * sy AS vy_n
+      FROM ag)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(CASE WHEN vx_n = 0 OR vy_n = 0 THEN 0
+                WHEN cov_n >= 0 THEN
+                  (2 * 1000000 * cov_n * cov_n + vx_n * vy_n)
+                    // (2 * vx_n * vy_n)
+                ELSE -((2 * 1000000 * cov_n * cov_n + vx_n * vy_n)
+                    // (2 * vx_n * vy_n)) END AS BIGINT)
+             AS rho2_signed_micro
+    FROM rr
+    """,
+)
+def spearman_daily_activity_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation between daily event VOLUME and daily
+    event VALUE mass — the monotone-association gauge that survives
+    the heavy-tailed value distribution where Pearson
+    (stats_quantity_price_corr) is outlier-dominated. Ties get the
+    standard average rank, kept integer by DOUBLING: for a tie group
+    of size t starting at competition rank r0, 2*avg_rank = 2*r0+t-1
+    = 2*RANK() + COUNT() OVER (PARTITION BY value) - 1. Pearson on the
+    doubled ranks is then exact rational arithmetic, reported as
+    SIGNED rho^2 in half-up 1e-6 ticks (the no-sqrt convention of
+    autocorr_daily_counts / degree_assortativity). Scale: ranking runs
+    over the DAILY table (calendar-bounded), built by one map-side-
+    combined count; value cents are exact (2-decimal fixture). One
+    row."""
+    ev = load_tables(spark, sf_dir)["events"]
+    d = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum("cents").cast("long").alias("y"),
+        )
+    )
+    r = d.select(
+        "day",
+        (
+            2 * F.rank().over(Window.orderBy("x"))
+            + F.count(F.lit(1)).over(Window.partitionBy("x"))
+            - 1
+        ).cast("long").alias("rx"),
+        (
+            2 * F.rank().over(Window.orderBy("y"))
+            + F.count(F.lit(1)).over(Window.partitionBy("y"))
+            - 1
+        ).cast("long").alias("ry"),
+    )
+    dec = "decimal(38,0)"
+    ag = r.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("rx").cast(dec).alias("sx"),
+        F.sum("ry").cast(dec).alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast(dec).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast(dec).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast(dec).alias("syy"),
+    )
+    rr = ag.selectExpr(
+        "n",
+        "n * sxy - sx * sy AS cov_n",
+        "n * sxx - sx * sx AS vx_n",
+        "n * syy - sy * sy AS vy_n",
+    )
+    return rr.selectExpr(
+        "CAST(n AS BIGINT) AS n_days",
+        "CAST(CASE WHEN vx_n = 0 OR vy_n = 0 THEN 0"
+        " WHEN cov_n >= 0 THEN"
+        "  (2 * 1000000 * cov_n * cov_n + vx_n * vy_n)"
+        "    div (2 * vx_n * vy_n)"
+        " ELSE -((2 * 1000000 * cov_n * cov_n + vx_n * vy_n)"
+        "    div (2 * vx_n * vy_n)) END AS BIGINT)"
+        " AS rho2_signed_micro",
+    )
