@@ -150,6 +150,9 @@ EXTRA = [
     "gini_order_concentration",
     "mann_kendall_trend_daily",
     "spearman_daily_activity_value",
+    "domain_cap_sample",
+    "l_diversity_report",
+    "ams_f2_tokens",
 ]
 
 

@@ -12771,3 +12771,258 @@ def spearman_daily_activity_value(
         "    div (2 * vx_n * vy_n)) END AS BIGINT)"
         " AS rho2_signed_micro",
     )
+
+
+@query(
+    "domain_cap_sample",
+    """
+    WITH r AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source, lang
+               ORDER BY ('0x' || substr(md5('cap:' || CAST(doc_id AS
+                 VARCHAR)), 1, 15))::BIGINT, doc_id) AS rk
+      FROM documents),
+    s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN rk <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+             CAST(COALESCE(SUM(CASE WHEN rk <= 5 THEN n_chars END), 0)
+               AS BIGINT) AS chars_kept
+      FROM r GROUP BY source)
+    SELECT source, n_docs, n_kept, chars_total, chars_kept,
+           CAST((2 * 1000000 * chars_kept + chars_total)
+                // (2 * chars_total) AS BIGINT) AS retention_ppm
+    FROM s ORDER BY source
+    """,
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the web-corpus curation primitive
+    (CCNet/RefinedWeb style: no single domain may contribute more than
+    K documents per language) made DETERMINISTIC: the K survivors of
+    each (source, lang) group are chosen by portable-hash rank
+    (hash60('cap:'||doc_id), doc_id tie-break), so the sample is a
+    pure function of the data — invariant under partitioning, retries,
+    and engine. Reports per source: docs kept vs total and the char
+    mass retained (half-up ppm). Scale: ONE window partitioned by the
+    group key (hash-partitioned, no global order), everything else
+    map-side combined; group skew bounded by the cap itself
+    downstream. K = 5 per (source, lang)."""
+    from rocketmq_flink_spark.functions.porthash import hash60
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = Window.partitionBy("source", "lang").orderBy(
+        hash60(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    r = docs.select(
+        "source", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    s = r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("rk") <= 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.coalesce(
+            F.sum(F.when(F.col("rk") <= 5, F.col("n_chars"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("chars_kept"),
+    )
+    return s.selectExpr(
+        "source",
+        "n_docs",
+        "n_kept",
+        "chars_total",
+        "chars_kept",
+        "CAST((2 * 1000000 * chars_kept + chars_total)"
+        " div (2 * chars_total) AS BIGINT) AS retention_ppm",
+    ).orderBy("source")
+
+
+@query(
+    "l_diversity_report",
+    """
+    WITH g AS (
+      SELECT source, n_chars // 100 AS len_bucket,
+             CAST(COUNT(*) AS BIGINT) AS sz,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS d
+      FROM documents GROUP BY source, len_bucket),
+    t AS (SELECT CAST(SUM(sz) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS n_classes,
+                 CAST(MIN(d) AS BIGINT) AS min_diversity FROM g),
+    ls AS (SELECT unnest([2, 3]) AS l)
+    SELECT CAST(ls.l AS INTEGER) AS l,
+           t.n_classes, t.min_diversity,
+           CAST(COALESCE(SUM(CASE WHEN g.d < ls.l THEN 1 END), 0)
+                AS BIGINT) AS classes_violating,
+           CAST(COALESCE(SUM(CASE WHEN g.d < ls.l THEN g.sz END), 0)
+                AS BIGINT) AS docs_violating,
+           CAST((2 * 1000000
+                 * COALESCE(SUM(CASE WHEN g.d < ls.l THEN g.sz END), 0)
+                 + t.n) // (2 * t.n) AS BIGINT) AS violating_ppm
+    FROM ls CROSS JOIN t LEFT JOIN g ON TRUE
+    GROUP BY ls.l, t.n, t.n_classes, t.min_diversity
+    ORDER BY l
+    """,
+)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's sharper sibling
+    (k_anonymity_report counts SMALL quasi-identifier classes; this
+    counts classes whose SENSITIVE attribute is near-constant, the
+    homogeneity attack k-anonymity misses). Quasi-identifier =
+    (source, 100-char length bucket), sensitive = lang; for l in
+    {2, 3}, report the classes with fewer than l distinct sensitive
+    values and the documents they expose (half-up ppm share). Scale:
+    one map-side group-by over the QI tuple with a distinct-count
+    (class-vocabulary bounded), then a 2-literal-row summary."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    g = (
+        docs.selectExpr("source", "n_chars div 100 AS len_bucket", "lang")
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sz"),
+            F.countDistinct("lang").cast("long").alias("d"),
+        )
+    )
+    t = g.agg(
+        F.sum("sz").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("d").cast("long").alias("min_diversity"),
+    )
+    ls = docs.sparkSession.createDataFrame([(2,), (3,)], "l int")
+    return (
+        ls.crossJoin(F.broadcast(t))
+        .join(F.broadcast(g), F.lit(True), "left")
+        .groupBy("l", "n", "n_classes", "min_diversity")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("d") < F.col("l"), 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias("classes_violating"),
+            F.coalesce(
+                F.sum(F.when(F.col("d") < F.col("l"), F.col("sz"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("docs_violating"),
+        )
+        .selectExpr(
+            "CAST(l AS INT) AS l",
+            "n_classes",
+            "min_diversity",
+            "classes_violating",
+            "docs_violating",
+            "CAST((2 * 1000000 * docs_violating + n) div (2 * n)"
+            " AS BIGINT) AS violating_ppm",
+        )
+        .orderBy("l")
+    )
+
+
+@query(
+    "ams_f2_tokens",
+    f"""
+    WITH tc AS (
+      SELECT tok, CAST(COUNT(*) AS HUGEINT) AS c
+      FROM (SELECT unnest(list_filter(
+                     regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+                     x -> x <> '')) AS tok
+            FROM documents)
+      GROUP BY tok),
+    js AS (SELECT unnest(range(16)) AS j),
+    sk AS (
+      SELECT js.j,
+             CAST(SUM(tc.c * (CASE WHEN
+               (('0x' || substr(md5('ams' || CAST(js.j AS VARCHAR)
+                  || ':' || tc.tok), 1, 15))::BIGINT) % 2 = 0
+               THEN 1 ELSE -1 END)) AS HUGEINT) AS z
+      FROM js CROSS JOIN tc GROUP BY js.j),
+    est AS (
+      SELECT z * z AS e,
+             ROW_NUMBER() OVER (ORDER BY z * z, j) AS rn
+      FROM sk),
+    med AS (SELECT e FROM est WHERE rn = 8),
+    ex AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(c * c) AS HUGEINT) AS f2
+      FROM tc)
+    SELECT ex.n_tokens, ex.vocab,
+           CAST(ex.f2 AS BIGINT) AS f2_exact,
+           CAST(med.e AS BIGINT) AS f2_est,
+           CAST(CASE WHEN med.e >= ex.f2 THEN
+                  (2 * 1000000 * (med.e - ex.f2) + ex.f2) // (2 * ex.f2)
+                ELSE -((2 * 1000000 * (ex.f2 - med.e) + ex.f2)
+                  // (2 * ex.f2)) END AS BIGINT) AS rel_err_ppm
+    FROM ex CROSS JOIN med
+    """,
+)
+def ams_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-frequency-moment sketch over
+    the token stream — F2 = sum c_tok^2 (the self-join size / skew
+    gauge) estimated by 16 independent +-1-sign sketches
+    z_j = sum c * sign_j(tok), est = lower-median of z_j^2; the sign
+    bit is the parity of the portable hash60('ams<j>:'||tok), so both
+    engines draw the SAME pseudo-random signs and the sketch values
+    (not just the estimate) are hash-checkable. The fifth mergeable
+    sketch next to HLL / Count-Min / histogram / KMV: each z_j is a
+    plain SUM — partial aggregates combine by addition, the cluster
+    story is one map-side-combined pass. Signed relative error in
+    half-up ppm against the exact F2 (vocabulary-side, also one
+    combine). Scale: the 16-way expansion runs over the VOCABULARY,
+    never the corpus; sketch state is 16 integers."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+    from rocketmq_flink_spark.functions.porthash import hash60_spark_sql
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
+    )
+    dec = "decimal(38,0)"
+    tc = (
+        docs.selectExpr(f"explode({toks}) AS tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast(dec).alias("c"))
+    )
+    js = docs.sparkSession.range(16).select(
+        F.col("id").cast("int").alias("j")
+    )
+    h = hash60_spark_sql(
+        "concat('ams', CAST(j AS STRING), ':', tok)"
+    )
+    sk = (
+        js.crossJoin(tc)
+        .selectExpr(
+            "j",
+            f"c * (CASE WHEN ({h}) % 2 = 0 THEN 1 ELSE -1 END) AS term",
+        )
+        .groupBy("j")
+        .agg(F.sum("term").cast(dec).alias("z"))
+    )
+    est = sk.select(
+        (F.col("z") * F.col("z")).alias("e"),
+        F.row_number().over(
+            Window.orderBy((F.col("z") * F.col("z")).asc(), F.col("j"))
+        ).alias("rn"),
+    )
+    med = est.where(F.col("rn") == 8).select("e")
+    ex = tc.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("c") * F.col("c")).cast(dec).alias("f2"),
+    )
+    return ex.crossJoin(F.broadcast(med)).selectExpr(
+        "n_tokens",
+        "vocab",
+        "CAST(f2 AS BIGINT) AS f2_exact",
+        "CAST(e AS BIGINT) AS f2_est",
+        "CAST(CASE WHEN e >= f2 THEN"
+        "  (2 * 1000000 * (e - f2) + f2) div (2 * f2)"
+        " ELSE -((2 * 1000000 * (f2 - e) + f2) div (2 * f2)) END"
+        " AS BIGINT) AS rel_err_ppm",
+    )
