@@ -153,6 +153,8 @@ EXTRA = [
     "domain_cap_sample",
     "l_diversity_report",
     "ams_f2_tokens",
+    "adamic_adar_links",
+    "zipf_slope_by_source",
 ]
 
 

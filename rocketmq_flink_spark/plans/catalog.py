@@ -13026,3 +13026,268 @@ def ams_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE -((2 * 1000000 * (f2 - e) + f2) div (2 * f2)) END"
         " AS BIGINT) AS rel_err_ppm",
     )
+
+
+def _fp_log2_cte(prefix: str, vals_cte: str) -> str:
+    """DuckDB replay of the fixed-point log2 fold (the BM25
+    fp_log2_sql recurrence, 20 fraction bits) over a CTE of DISTINCT
+    positive integers `v` — emits `{prefix}lg(v, lg)`. Must appear
+    inside a WITH RECURSIVE. Factored out so every new oracle stops
+    hand-copying the iteration block (token_entropy et al. predate
+    this helper)."""
+    p = prefix
+    return f"""
+    {p}b AS (SELECT v, length(bin(v)) - 1 AS kk FROM {vals_cte}),
+    {p}it AS (
+      SELECT v, kk, 0 AS i, v AS p, (CAST(1 AS BIGINT) << kk) AS q,
+             CAST(0 AS BIGINT) AS acc
+      FROM {p}b
+      UNION ALL
+      SELECT v, kk, i + 1,
+             (p >> s)*(p >> s),
+             CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                  THEN ((q >> s)*(q >> s)) << 1
+                  ELSE (q >> s)*(q >> s) END,
+             acc*2 + CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                     THEN 1 ELSE 0 END
+      FROM (SELECT *, greatest(0, length(bin(q)) - 30) AS s FROM {p}it)
+      WHERE i < 20),
+    {p}lg AS (
+      SELECT v, acc + (CAST(kk AS BIGINT) << 20) AS lg
+      FROM {p}it WHERE i = 20)"""
+
+
+def _adamic_adar_oracle_sql() -> str:
+    return f"""
+    WITH RECURSIVE b AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+      FROM lineitem GROUP BY l_orderkey),
+    pp AS (
+      SELECT unnest(flatten(list_transform(range(1, len(ps)),
+               i -> list_transform(range(i + 1, len(ps) + 1),
+                 j -> struct_pack(p1 := ps[i], p2 := ps[j]))))) AS pr
+      FROM b WHERE len(ps) >= 2),
+    sup AS MATERIALIZED (
+      SELECT pr.p1 AS p1, pr.p2 AS p2 FROM pp GROUP BY 1, 2
+      HAVING COUNT(*) >= 2),
+    e AS MATERIALIZED (
+      SELECT p1 AS z, p2 AS u FROM sup
+      UNION ALL SELECT p2, p1 FROM sup),
+    deg AS MATERIALIZED (SELECT z AS n, CAST(COUNT(*) AS BIGINT) AS d
+                         FROM e GROUP BY z),
+    dv AS (SELECT DISTINCT d AS v FROM deg WHERE d BETWEEN 2 AND 64),
+    {_fp_log2_cte('f', 'dv')},
+    wt AS (
+      SELECT dv.v AS d,
+             (2 * CAST(1000000 AS HUGEINT) * 1048576 + flg.lg)
+               // (2 * CAST(flg.lg AS HUGEINT)) AS w
+      FROM dv JOIN flg ON flg.v = dv.v),
+    cand AS (
+      SELECT e1.u AS a, e2.u AS b2, e1.z AS z
+      FROM e e1 JOIN e e2 ON e1.z = e2.z AND e1.u < e2.u
+      JOIN deg dz ON dz.n = e1.z
+      WHERE dz.d BETWEEN 2 AND 64),
+    nonadj AS (
+      SELECT c.a, c.b2, c.z FROM cand c
+      LEFT JOIN sup s ON s.p1 = c.a AND s.p2 = c.b2
+      WHERE s.p1 IS NULL),
+    sc AS (
+      SELECT a, b2, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             CAST(SUM(wt.w) AS BIGINT) AS aa_score_micro
+      FROM nonadj JOIN deg dz ON dz.n = nonadj.z
+                  JOIN wt ON wt.d = dz.d
+      GROUP BY a, b2),
+    top AS (
+      SELECT a, b2, common_neighbors, aa_score_micro,
+             ROW_NUMBER() OVER (ORDER BY aa_score_micro DESC, a, b2)
+               AS rank
+      FROM sc)
+    SELECT CAST(rank AS BIGINT) AS rank, a AS part_a, b2 AS part_b,
+           common_neighbors, aa_score_micro
+    FROM top WHERE rank <= 20 ORDER BY rank
+    """
+
+
+@query("adamic_adar_links", _adamic_adar_oracle_sql())
+def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the co-purchase graph — the
+    classic "which parts SHOULD co-occur but don't yet" recommender
+    signal: for each non-adjacent pair, score = sum over common
+    neighbors z of 1/log2(deg(z)), weighting rare shared contexts
+    above promiscuous hubs. Zero libm: deg is an integer, log2(deg)
+    is the fixed-point fp_log2 fold (shared with BM25/entropy), and
+    each neighbor weight is the half-up rational 1e6*2^20/lg — both
+    engines sum IDENTICAL integers. Top-20 pairs by (score, pair).
+    Scale: the common-neighbor enumeration is the sum of deg(z)^2 —
+    the classic quadratic hazard — so hubs with deg > 64 are EXCLUDED
+    as common-neighbor hosts (documented cap, the ngram doc-freq-cap
+    discipline; their AA weight is near-zero anyway: 1/log2(65+) <
+    0.17). Everything else is node-keyed joins over support>=2 edges.
+    """
+    from rocketmq_flink_spark.operators.retrieval import fp_log2_sql
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    sup = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ps) >= 2 THEN"
+                    " flatten(transform(sequence(0, size(ps) - 2),"
+                    "  i -> transform(sequence(i + 1, size(ps) - 1),"
+                    "   j -> struct(ps[i] AS p1, ps[j] AS p2))))"
+                    " ELSE array() END"
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.p1", "pr.p2")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 2)
+        .select("p1", "p2")
+    )
+    e = sup.select(F.col("p1").alias("z"), F.col("p2").alias("u")).unionAll(
+        sup.select(F.col("p2").alias("z"), F.col("p1").alias("u"))
+    )
+    deg = e.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    # d = 1 is excluded BEFORE the 1/log2(d) weight (log2(1) = 0): a
+    # degree-1 node has a single neighbor, so it can never host a
+    # u < w pair — dropping it is lossless, not an approximation.
+    wt = (
+        deg.where((F.col("d") >= 2) & (F.col("d") <= 64))
+        .select("d")
+        .distinct()
+        .selectExpr("d", fp_log2_sql("d", "1") + " AS lg")
+        .selectExpr(
+            "d",
+            "CAST((2 * CAST(1000000 AS DECIMAL(38,0)) * 1048576 + lg)"
+            " div (2 * CAST(lg AS DECIMAL(38,0))) AS BIGINT) AS w",
+        )
+    )
+    ez = e.join(deg.where(F.col("d") <= 64), "z").join(
+        F.broadcast(wt), "d"
+    )
+    e2 = ez.select(F.col("z"), F.col("u").alias("b2"), "w")
+    cand = ez.select("z", "u").join(e2, "z").where(F.col("u") < F.col("b2"))
+    nonadj = cand.join(
+        sup.withColumnRenamed("p1", "u").withColumnRenamed("p2", "b2"),
+        ["u", "b2"],
+        "left_anti",
+    )
+    sc = nonadj.groupBy("u", "b2").agg(
+        F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+        F.sum("w").cast("long").alias("aa_score_micro"),
+    )
+    top = sc.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("aa_score_micro").desc(), "u", "b2"))
+        .cast("long")
+        .alias("rank"),
+        F.col("u").alias("part_a"),
+        F.col("b2").alias("part_b"),
+        "common_neighbors",
+        "aa_score_micro",
+    )
+    return top.where(F.col("rank") <= 20).orderBy("rank")
+
+
+def _zipf_oracle_sql() -> str:
+    return f"""
+    WITH RECURSIVE tc AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source,
+                   unnest(list_filter(
+                     regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+                     x -> x <> '')) AS tok
+            FROM documents)
+      GROUP BY source, tok),
+    rk AS (
+      SELECT source, c,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY c DESC, tok) AS r
+      FROM tc),
+    top AS (SELECT source, r, c FROM rk WHERE r <= 64),
+    dv AS (
+      -- plain UNION would run WITH RECURSIVE's union machinery here
+      -- (no dedup); the subquery + DISTINCT sidesteps it
+      SELECT DISTINCT v FROM (
+        SELECT r AS v FROM top UNION ALL SELECT c FROM top)),
+    {_fp_log2_cte('z', 'dv')},
+    pts AS (
+      SELECT t.source, CAST(lr.lg AS HUGEINT) AS x,
+             CAST(lc.lg AS HUGEINT) AS y
+      FROM top t JOIN zlg lr ON lr.v = t.r JOIN zlg lc ON lc.v = t.c),
+    ag AS (
+      SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts GROUP BY source),
+    sl AS (
+      SELECT source, n, n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS den
+      FROM ag)
+    SELECT source, CAST(n AS BIGINT) AS n_top,
+           CAST(CASE WHEN num >= 0 THEN
+                  (2 * 1000000 * num + den) // (2 * den)
+                ELSE -((2 * 1000000 * (-num) + den) // (2 * den)) END
+                AS BIGINT) AS zipf_slope_micro
+    FROM sl ORDER BY source
+    """
+
+
+@query("zipf_slope_by_source", _zipf_oracle_sql())
+def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope per source — the log-log OLS slope
+    over the top-64 tokens (natural text ~ -1; templated/boilerplate
+    sources flatten or steepen), the power-law companion to
+    heaps_law_vocab_growth's type-token curve. Both axes are
+    fixed-point fp_log2 ticks of exact integers (rank, count), the
+    slope is the exact rational (n*Sxy - Sx*Sy)/(n*Sxx - Sx*Sx) on
+    those ticks, reported in signed half-up micro — no libm anywhere.
+    Scale: the (source, token) count is one map-side combine; ranking
+    is a per-source window over the vocabulary; the regression folds
+    64 rows per source. One row per source."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+    from rocketmq_flink_spark.operators.retrieval import fp_log2_sql
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
+    )
+    tc = (
+        docs.selectExpr("source", f"explode({toks}) AS tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "tok")
+    top = (
+        tc.select("source", "c", F.row_number().over(w).alias("r"))
+        .where(F.col("r") <= 64)
+    )
+    pts = top.selectExpr(
+        "source",
+        f"CAST({fp_log2_sql('r', '1')} AS DECIMAL(38,0)) AS x",
+        f"CAST({fp_log2_sql('c', '1')} AS DECIMAL(38,0)) AS y",
+    )
+    ag = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    sl = ag.selectExpr(
+        "source",
+        "n",
+        "n * sxy - sx * sy AS num",
+        "n * sxx - sx * sx AS den",
+    )
+    return sl.selectExpr(
+        "source",
+        "CAST(n AS BIGINT) AS n_top",
+        "CAST(CASE WHEN num >= 0 THEN"
+        "  (2 * 1000000 * num + den) div (2 * den)"
+        " ELSE -((2 * 1000000 * (-num) + den) div (2 * den)) END"
+        " AS BIGINT) AS zipf_slope_micro",
+    ).orderBy("source")
