@@ -155,6 +155,7 @@ EXTRA = [
     "ams_f2_tokens",
     "adamic_adar_links",
     "zipf_slope_by_source",
+    "audio_energy_frames",
 ]
 
 

@@ -545,3 +545,49 @@ def media_pixel_features(df: DataFrame, resize_factor: int = 2) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         run, schema=PIXEL_FEATURE_SCHEMA
     )
+
+
+AUDIO_FRAME_SCHEMA = (
+    "media_id bigint, frame_no bigint, n_samples bigint, "
+    "sum_sq bigint, zero_cross bigint, peak bigint"
+)
+
+
+def audio_frame_energy(df: DataFrame, frame_len: int = 256) -> DataFrame:
+    """REAL PCM16 frame analysis — the audio-side counterpart of
+    frame_histograms: decode every WAV payload's samples (numpy
+    frombuffer IS the full decoder for raw PCM16), slice into
+    frame_len-sample windows, and emit per-frame energy (sum of
+    squares), zero-crossing count (strict sign-product < 0 between
+    consecutive samples WITHIN the frame; exact zeros never count),
+    and peak |amplitude| — the primitives under VAD/silence trimming
+    and loudness normalization in audio-corpus pipelines. One
+    vectorized Arrow hop; payloads never leave the executors; output
+    is frame-sized (n_samples/frame_len rows), not sample-sized."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                s = decode_wav_samples(bytes(r.payload)).astype(np.int64)
+                for fno, f0 in enumerate(range(0, len(s), frame_len)):
+                    fr = s[f0:f0 + frame_len]
+                    rows.append(
+                        {
+                            "media_id": int(r.media_id),
+                            "frame_no": fno,
+                            "n_samples": int(fr.size),
+                            "sum_sq": int(np.dot(fr, fr)),
+                            "zero_cross": int(
+                                np.sum(fr[1:] * fr[:-1] < 0)
+                            ),
+                            "peak": int(np.max(np.abs(fr))),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema=AUDIO_FRAME_SCHEMA
+    )

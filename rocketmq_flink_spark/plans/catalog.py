@@ -13291,3 +13291,78 @@ def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE -((2 * 1000000 * (-num) + den) div (2 * den)) END"
         " AS BIGINT) AS zipf_slope_micro",
     ).orderBy("source")
+
+
+@query(
+    "audio_energy_frames",
+    """
+    WITH ids AS (SELECT doc_id AS media_id FROM documents
+                 WHERE doc_id < 24 AND doc_id % 2 = 1),
+    w AS (SELECT media_id, 1000 + media_id * 10 AS nf FROM ids),
+    s AS (
+      SELECT media_id, i.g AS i,
+             ((media_id * 31 + i.g * 17) % 65536) - 32768 AS s
+      FROM w, range(1300) i(g) WHERE i.g < nf),
+    fr AS (
+      SELECT media_id, i // 256 AS frame_no, i, s,
+             LAG(s) OVER (PARTITION BY media_id, i // 256 ORDER BY i)
+               AS prev
+      FROM s)
+    SELECT media_id, frame_no,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+           CAST(SUM(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_cross,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak
+    FROM fr GROUP BY media_id, frame_no
+    ORDER BY media_id, frame_no
+    """,
+)
+def audio_energy_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio content decode, framed: WAV payloads (raw PCM16
+    after the RIFF chunks — numpy frombuffer IS the decoder, nothing
+    stubbed) are sliced into 256-sample frames; per frame the energy
+    (sum of squares), strict zero-crossing count, and peak amplitude —
+    the VAD/silence-trim/loudness primitives of an audio-corpus
+    pipeline (completes the multimodal trio: image pixels =
+    media_pixel_features, video scene cuts = scene_change_frames,
+    audio frames = here). The payloads carry the deterministic
+    sample pattern ((31*id+17*i) mod 65536) - 32768, so the oracle
+    REGENERATES the same samples with range() arithmetic and
+    hash-checks decode -> frame -> aggregate bit-for-bit. Scale: one
+    Arrow hop, frame-sized output (never sample-sized rows on the
+    Spark side), payloads never touch the driver."""
+    from rocketmq_flink_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_frame_energy,
+        encode_wav_pattern,
+    )
+    import pandas as pd_mod
+
+    ids = (
+        load_tables(spark, sf_dir)["documents"]
+        .where((F.col("doc_id") < 24) & (F.col("doc_id") % 2 == 1))
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "media_type": "audio/wav",
+                        "payload": encode_wav_pattern(
+                            mid, 8000, 1000 + mid * 10
+                        ),
+                        "meta": {"origin": "synthetic"},
+                    }
+                )
+            yield pd_mod.DataFrame(rows)
+
+    media = ids.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return audio_frame_energy(media, frame_len=256).orderBy(
+        "media_id", "frame_no"
+    )

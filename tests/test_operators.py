@@ -2179,3 +2179,43 @@ def test_pca_power_iteration_matches_numpy(spark):
     assert abs(got["lambda1"] - lam) / lam < 1e-3
     assert abs(got["explained_ratio"] - lam / np.trace(s)) < 1e-3
     assert abs(got["v0"] - vec[0]) < 1e-3 and abs(got["v1"] - vec[1]) < 1e-3
+
+
+def test_audio_frame_energy_matches_numpy_witness(spark):
+    """audio_frame_energy's per-frame (energy, zero-cross, peak)
+    equals a pure-numpy reference on the deterministic WAV pattern,
+    including the partial last frame and strict zero handling."""
+    import numpy as np
+
+    from rocketmq_flink_spark.operators.multimodal import (
+        audio_frame_energy,
+        encode_wav_pattern,
+    )
+
+    rows = [(i, encode_wav_pattern(i, 8000, 600 + i * 7)) for i in (1, 3)]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).select(
+        "media_id",
+        F.lit("audio/wav").alias("media_type"),
+        "payload",
+        F.create_map(F.lit("origin"), F.lit("t")).alias("meta"),
+    )
+    got = {
+        (r.media_id, r.frame_no): (
+            r.n_samples, r.sum_sq, r.zero_cross, r.peak
+        )
+        for r in audio_frame_energy(df, frame_len=256).collect()
+    }
+    for mid in (1, 3):
+        n = 600 + mid * 7
+        i = np.arange(n, dtype=np.int64)
+        s = ((mid * 31 + i * 17) % 65536) - 32768
+        for fno, f0 in enumerate(range(0, n, 256)):
+            fr = s[f0:f0 + 256]
+            assert got[(mid, fno)] == (
+                fr.size,
+                int(np.dot(fr, fr)),
+                int(np.sum(fr[1:] * fr[:-1] < 0)),
+                int(np.max(np.abs(fr))),
+            )
