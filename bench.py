@@ -156,6 +156,7 @@ EXTRA = [
     "adamic_adar_links",
     "zipf_slope_by_source",
     "audio_energy_frames",
+    "mmr_diversified_topk",
 ]
 
 

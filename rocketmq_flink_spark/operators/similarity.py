@@ -1275,3 +1275,98 @@ def kcenter_coreset(
     return spark.createDataFrame(
         chosen, "rank INT, vec_id BIGINT, dist2 DOUBLE"
     )
+
+
+def mmr_select(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    pool: int = 16,
+) -> DataFrame:
+    """Maximal Marginal Relevance (MMR) diversified top-k — the RAG
+    reranking staple: from the `pool` nearest neighbors of a query
+    vector, greedily pick k results trading RELEVANCE against
+    REDUNDANCY. This is the distance form with lambda = 1/2 (dyadic,
+    so the trade-off is a plain subtraction): each step selects
+    argmax( min-L2^2-to-already-selected  -  L2^2-to-query ) over the
+    not-yet-selected pool — high gain = far from what we already show
+    AND close to the query. All distances are exact decimal L2^2;
+    the argmax uses the established ROUND(.,12) + id tie-break, so
+    the selection is bit-reproducible and SQL-replayable (the catalog
+    oracle replays every step in staged CTEs).
+
+    Deterministic query: the vector whose id has the smallest
+    portable hash60('mmrq:'||id) — same seeding convention as
+    kcenter/IVF. Scale shape: the ONLY corpus-scale work is the
+    top-`pool` nearest-neighbor cut (one map pass + TakeOrdered);
+    the greedy loop runs on the pool-sized remainder (k-1 argmax
+    steps, one model-sized row collected per step — the kcenter
+    discipline). Returns (rank, vec_id, rel_dist2, mmr_gain);
+    rank 1 is the plain nearest neighbor (gain 0 by convention)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from rocketmq_flink_spark.functions.porthash import hash60
+
+    c = corpus.select(
+        F.col(id_col).alias("vid"), _dec(F.col(vec_col)).alias("v")
+    )
+    q = (
+        c.withColumn(
+            "_h",
+            hash60(F.concat(F.lit("mmrq:"), F.col("vid").cast("string"))),
+        )
+        .orderBy("_h", "vid")
+        .limit(1)
+        .collect()[0]
+    )
+
+    def center_lit(vec) -> Column:
+        return F.array(
+            *[F.lit(str(x)).cast(T.DecimalType(12, 10)) for x in vec]
+        )
+
+    r = (
+        c.where(F.col("vid") != q["vid"])
+        .withColumn("rd", l2_sq(F.col("v"), center_lit(q["v"])))
+    )
+    state = (
+        r.orderBy(F.round(F.col("rd"), 12).asc(), F.col("vid"))
+        .limit(pool)
+        .localCheckpoint(eager=False)
+    )
+    first = (
+        state.orderBy(F.round(F.col("rd"), 12).asc(), F.col("vid"))
+        .limit(1)
+        .collect()[0]
+    )
+
+    def d12(x) -> float:
+        return float(
+            Decimal(x).quantize(Decimal("1e-12"), rounding=ROUND_HALF_UP)
+        )
+
+    chosen = [(1, first["vid"], d12(first["rd"]), 0.0)]
+    state = state.where(F.col("vid") != first["vid"]).withColumn(
+        "dmin", l2_sq(F.col("v"), center_lit(first["v"]))
+    )
+    for rank in range(2, k + 1):
+        state = state.localCheckpoint(eager=False)
+        nxt = (
+            state.withColumn("gain", F.col("dmin") - F.col("rd"))
+            .orderBy(F.round(F.col("gain"), 12).desc(), F.col("vid"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((rank, nxt["vid"], d12(nxt["rd"]), d12(nxt["gain"])))
+        if rank < k:
+            state = state.where(F.col("vid") != nxt["vid"]).withColumn(
+                "dmin",
+                F.least(
+                    F.col("dmin"), l2_sq(F.col("v"), center_lit(nxt["v"]))
+                ),
+            )
+    return corpus.sparkSession.createDataFrame(
+        chosen,
+        "rank INT, vec_id BIGINT, rel_dist2 DOUBLE, mmr_gain DOUBLE",
+    )

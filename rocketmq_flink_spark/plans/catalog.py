@@ -13366,3 +13366,80 @@ def audio_energy_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_energy(media, frame_len=256).orderBy(
         "media_id", "frame_no"
     )
+
+
+def _mmr_oracle_sql(k: int = 5, pool: int = 16) -> str:
+    """DuckDB replay of greedy MMR (lambda = 1/2 distance form):
+    staged MATERIALIZED CTEs carry the running min-distance-to-
+    selected column over the shrinking pool, same hash60 query seed
+    and ROUND(.,12)+id tie-breaks as similarity.mmr_select."""
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    h = hash60_sql("'mmrq:' || CAST(vec_id AS VARCHAR)")
+    l2 = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+    parts = [f"""
+    WITH c AS MATERIALIZED (
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT)
+                 * CAST(0.0000000001 AS DECIMAL(11,10))
+                 AS DECIMAL(12,10))) AS v
+      FROM embeddings),
+    qv AS MATERIALIZED (
+      SELECT vec_id, v FROM c ORDER BY {h}, vec_id LIMIT 1),
+    pool AS MATERIALIZED (
+      SELECT c.vec_id, c.v, {l2.format(a="c.v", b="qv.v")} AS rd
+      FROM c, qv WHERE c.vec_id <> qv.vec_id
+      ORDER BY ROUND({l2.format(a="c.v", b="qv.v")}, 12), c.vec_id
+      LIMIT {pool}),
+    s1 AS MATERIALIZED (
+      SELECT vec_id, v, rd FROM pool
+      ORDER BY ROUND(rd, 12), vec_id LIMIT 1),
+    d1 AS MATERIALIZED (
+      SELECT p.vec_id, p.v, p.rd,
+             {l2.format(a="p.v", b="s.v")} AS dmin
+      FROM pool p, s1 s WHERE p.vec_id <> s.vec_id)"""]
+    for t in range(2, k + 1):
+        p = t - 1
+        parts.append(f"""
+    s{t} AS MATERIALIZED (
+      SELECT vec_id, v, rd, dmin - rd AS gain FROM d{p}
+      ORDER BY ROUND(dmin - rd, 12) DESC, vec_id LIMIT 1)""")
+        if t < k:
+            parts.append(f"""
+    d{t} AS MATERIALIZED (
+      SELECT d.vec_id, d.v, d.rd,
+             LEAST(d.dmin, {l2.format(a="d.v", b="s.v")}) AS dmin
+      FROM d{p} d, s{t} s WHERE d.vec_id <> s.vec_id)""")
+    unions = "\n      UNION ALL ".join(
+        ["SELECT 1 AS rank, vec_id,"
+         " CAST(ROUND(rd, 12) AS DOUBLE) AS rel_dist2,"
+         " 0.0 AS mmr_gain FROM s1"]
+        + [
+            f"SELECT {t}, vec_id, CAST(ROUND(rd, 12) AS DOUBLE),"
+            f" CAST(ROUND(gain, 12) AS DOUBLE) FROM s{t}"
+            for t in range(2, k + 1)
+        ]
+    )
+    return ",".join(parts) + f"""
+    SELECT CAST(rank AS INT) AS rank, vec_id, rel_dist2, mmr_gain
+    FROM ({unions}) ORDER BY rank
+    """
+
+
+@query("mmr_diversified_topk", _mmr_oracle_sql(k=5, pool=16))
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 retrieval from the 16-candidate pool of a
+    hash-seeded query vector — the reranker that keeps a RAG result
+    list from being five copies of the same passage. See
+    operators/similarity.mmr_select for the exact-decimal greedy
+    design (lambda = 1/2 distance form, ROUND(.,12)+id tie-breaks);
+    the oracle replays every selection step in staged SQL. Scale: the
+    only corpus-scale stage is the top-pool nearest-neighbor cut; the
+    greedy loop is pool-sized with one model-sized row per step."""
+    from rocketmq_flink_spark.operators.similarity import mmr_select
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return mmr_select(emb, k=5, pool=16).orderBy("rank")
