@@ -157,6 +157,7 @@ EXTRA = [
     "zipf_slope_by_source",
     "audio_energy_frames",
     "mmr_diversified_topk",
+    "holt_linear_forecast",
 ]
 
 

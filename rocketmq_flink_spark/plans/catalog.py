@@ -13443,3 +13443,127 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     return mmr_select(emb, k=5, pool=16).orderBy("rank")
+
+
+def _holt_oracle_sql() -> str:
+    """DuckDB replay of the dyadic Holt recurrence: recursive CTE per
+    event_type, identical sign-split floor-by-4 steps."""
+
+    def fdiv4(v: str) -> str:
+        return (
+            f"CASE WHEN ({v}) >= 0 THEN ({v}) // 4"
+            f" ELSE -(((-({v})) + 3) // 4) END"
+        )
+
+    nl = fdiv4("r.cnt * 1048576 + 3 * (it.l + it.b)")
+    nb = fdiv4(f"(({nl}) - it.l) + 3 * it.b")
+    fm = (
+        "CASE WHEN f >= 0 THEN (2 * 1000 * f + 1048576) // (2 * 1048576)"
+        " ELSE -((2 * 1000 * (-f) + 1048576) // (2 * 1048576)) END"
+    )
+    return f"""
+    WITH RECURSIVE dc AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY d) AS rn
+           FROM dc),
+    nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM rk GROUP BY event_type),
+    it AS (
+      SELECT r1.event_type, CAST(1 AS BIGINT) AS i,
+             CAST(r1.cnt * 1048576 AS BIGINT) AS l,
+             CAST((r2.cnt - r1.cnt) * 1048576 AS BIGINT) AS b
+      FROM rk r1 JOIN rk r2
+        ON r2.event_type = r1.event_type AND r1.rn = 1 AND r2.rn = 2
+      UNION ALL
+      SELECT r.event_type, it.i + 1,
+             CAST({nl} AS BIGINT),
+             CAST({nb} AS BIGINT)
+      FROM rk r JOIN it
+        ON r.event_type = it.event_type AND r.rn = it.i + 1),
+    fin AS (
+      SELECT it.event_type, it.l, it.b
+      FROM it JOIN nn ON nn.event_type = it.event_type
+      WHERE it.i = nn.n),
+    hs AS (SELECT unnest(range(1, 8)) AS h),
+    fc AS (
+      SELECT event_type, CAST(hs.h AS INT) AS h,
+             l + hs.h * b AS f
+      FROM fin CROSS JOIN hs)
+    SELECT event_type, h,
+           CAST({fm} AS BIGINT) AS forecast_milli
+    FROM fc ORDER BY event_type, h
+    """
+
+
+@query("holt_linear_forecast", _holt_oracle_sql())
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential (level + trend) smoothing over the
+    daily event-count series per event type, forecasting 1..7 days
+    ahead — the capacity-planning companion to ewma_event_rate (which
+    tracks level only and lags any drift; Holt's trend component
+    follows it). Both smoothing constants are DYADIC (alpha = beta =
+    1/4), so the recurrence is exact integer arithmetic in 2^20
+    ticks:  l_t = floor((x_t*S + 3(l+b))/4),  b_t =
+    floor((l_t - l_{t-1} + 3b)/4), with a sign-split floor that Spark
+    (truncating div) and DuckDB (flooring //) evaluate identically —
+    zero float drift, the whole state trajectory hash-checks.
+    Textbook init: l_0 = x_0*S, b_0 = (x_1 - x_0)*S. Forecast
+    f_h = l_n + h*b_n reported in half-up milli-events. Scale: the
+    fold runs per event_type over its DAILY array (calendar-bounded,
+    same shape as ewma/kaplan_meier); counts are one map-side
+    combine. State fits BIGINT for daily counts < 2^42."""
+    ev = load_tables(spark, sf_dir)["events"]
+    dc = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    arr = (
+        dc.groupBy("event_type")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "cnt"))).alias("a"))
+        .where(F.size("a") >= 2)
+    )
+
+    def fdiv4(v: str) -> str:
+        return (
+            f"CASE WHEN ({v}) >= 0 THEN ({v}) div 4"
+            f" ELSE -(((-({v})) + 3) div 4) END"
+        )
+
+    nl = fdiv4("e.cnt * 1048576 + 3 * (st.l + st.b)")
+    nb = fdiv4(f"(({nl}) - st.l) + 3 * st.b")
+    fin = arr.selectExpr(
+        "event_type",
+        f"""
+        aggregate(slice(a, 2, size(a) - 1),
+          struct(CAST(a[0].cnt * 1048576 AS BIGINT) AS l,
+                 CAST((a[1].cnt - a[0].cnt) * 1048576 AS BIGINT) AS b),
+          (st, e) -> struct(CAST({nl} AS BIGINT) AS l,
+                            CAST({nb} AS BIGINT) AS b),
+          st -> st) AS fin
+        """,
+    )
+    fm = (
+        "CASE WHEN f >= 0 THEN (2 * 1000 * f + 1048576) div (2 * 1048576)"
+        " ELSE -((2 * 1000 * (-f) + 1048576) div (2 * 1048576)) END"
+    )
+    return (
+        fin.select(
+            "event_type",
+            F.explode(F.sequence(F.lit(1), F.lit(7))).alias("h"),
+            F.col("fin.l").alias("l"),
+            F.col("fin.b").alias("b"),
+        )
+        .selectExpr(
+            "event_type",
+            "CAST(h AS INT) AS h",
+            "l + h * b AS f",
+        )
+        .selectExpr(
+            "event_type",
+            "h",
+            f"CAST({fm} AS BIGINT) AS forecast_milli",
+        )
+        .orderBy("event_type", "h")
+    )
