@@ -158,6 +158,7 @@ EXTRA = [
     "audio_energy_frames",
     "mmr_diversified_topk",
     "holt_linear_forecast",
+    "nb_auc_eval",
 ]
 
 

@@ -10414,11 +10414,15 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _nb_pipeline_duck(buckets: int = 8192) -> str:
+def _nb_pipeline_duck(
+    buckets: int = 8192, split_sql: str = "doc_id % 5 = 0"
+) -> str:
     """Shared DuckDB CTE chain of the hashed-feature multinomial NB:
     train counts, Laplace-smoothed fixed-point log-likelihood ticks
     (recursive CTE, bit-equal to the Catalyst fold), prior ticks,
-    per-(test doc, class) scores — ends at the `scored` CTE."""
+    per-(test doc, class) scores — ends at the `scored` CTE.
+    `split_sql` is the is_test predicate (default: the original
+    doc_id % 5 holdout; AUC uses a hash split — see nb_auc_eval)."""
     from rocketmq_flink_spark.functions.porthash import hash60_sql
 
     h = hash60_sql("tok")
@@ -10429,7 +10433,7 @@ def _nb_pipeline_duck(buckets: int = 8192) -> str:
                regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
                x -> x <> '')) AS tok
       FROM documents),
-    occ AS (SELECT doc_id, source, doc_id % 5 = 0 AS is_test,
+    occ AS (SELECT doc_id, source, {split_sql} AS is_test,
                    {h} % {buckets} AS b
             FROM tok),
     trn AS (SELECT * FROM occ WHERE NOT is_test),
@@ -10565,10 +10569,17 @@ def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _nb_frames(spark: SparkSession, sf_dir: str, scores: bool):
+def _nb_frames(
+    spark: SparkSession,
+    sf_dir: str,
+    scores: bool,
+    split: Column | None = None,
+):
     """Shared Spark-side NB pipeline: tokenize/hash, hold out
-    doc_id % 5 == 0, train, broadcast-score. Returns (pred, truth,
-    scored) — `scored` only materialized when requested."""
+    doc_id % 5 == 0 (or the caller's `split` predicate — AUC needs a
+    source-decorrelated hash split), train, broadcast-score. Returns
+    (pred, truth, scored) — `scored` only materialized when
+    requested."""
     from rocketmq_flink_spark.functions.porthash import hash60
     from rocketmq_flink_spark.operators.classify import (
         nb_model_ticks,
@@ -10588,7 +10599,9 @@ def _nb_frames(spark: SparkSession, sf_dir: str, scores: bool):
     ).select(
         "doc_id",
         "source",
-        (F.col("doc_id") % 5 == 0).alias("is_test"),
+        (
+            (F.col("doc_id") % 5 == 0) if split is None else split
+        ).alias("is_test"),
         (hash60(F.col("tok")) % B).alias("b"),
     )
     trn = occ.where(~F.col("is_test"))
@@ -13566,4 +13579,116 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST({fm} AS BIGINT) AS forecast_milli",
         )
         .orderBy("event_type", "h")
+    )
+
+
+def _nb_auc_oracle_sql(buckets: int = 8192) -> str:
+    """One-vs-rest AUC final over the shared NB pipeline: exact
+    Mann-Whitney rank-sum on the integer score ticks, ties counted
+    half (doubled U statistic keeps everything integer). Uses a HASH
+    holdout — the doc_id % 5 split correlates perfectly with source
+    on the fixture (whole classes held out -> no positives to rank);
+    the hash split keeps every class on both sides."""
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    split = (
+        hash60_sql("'nbsplit:' || CAST(doc_id AS VARCHAR)") + " % 5 = 0"
+    )
+    return _nb_pipeline_duck(buckets, split_sql=split) + """,
+    lab AS (SELECT c, score, (source = c) AS is_pos FROM scored),
+    g AS (
+      SELECT c, score,
+             CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS HUGEINT)
+               AS pos,
+             CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS HUGEINT)
+               AS neg
+      FROM lab GROUP BY c, score),
+    w AS (
+      SELECT c, pos, neg,
+             COALESCE(SUM(neg) OVER (PARTITION BY c ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cnb
+      FROM g),
+    ag AS (
+      SELECT c, CAST(SUM(pos) AS HUGEINT) AS p,
+             CAST(SUM(neg) AS HUGEINT) AS n,
+             CAST(SUM(pos * (2 * cnb + neg)) AS HUGEINT) AS u2
+      FROM w GROUP BY c)
+    SELECT c AS source_class,
+           CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+           CAST((2000000 * u2 + 2 * p * n) // (4 * p * n) AS BIGINT)
+             AS auc_ppm
+    FROM ag WHERE p > 0 AND n > 0 ORDER BY source_class
+    """
+
+
+@query("nb_auc_eval", _nb_auc_oracle_sql())
+def nb_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest ROC AUC per class for the NB source classifier —
+    the threshold-free eval that completes the classifier-metrics
+    trio (confusion matrix = nb_source_classifier, calibration =
+    nb_confidence_margin, ranking quality = here). AUC is computed as
+    the exact Mann-Whitney statistic on the INTEGER score ticks:
+    group (class, score) once, one ordered pass accumulates, for each
+    positive, the negatives scored strictly below plus half the tied
+    ones — U is kept DOUBLED so ties never leave the integers, and
+    the final AUC = U2/(2PN) is one half-up ppm rounding (HUGEINT /
+    DECIMAL(38,0), safe at any class size). Scale: scoring is the
+    same broadcast NB pipeline; the rank pass runs per class over
+    (class, DISTINCT score) groups — test-doc bounded — partitioned
+    by class (no global window). One row per class present in both
+    label groups. Holdout = hash60('nbsplit:'||doc_id) % 5 == 0 (NOT
+    the doc_id % 5 split of the confusion-matrix query: that one
+    correlates perfectly with source on the fixture, leaving zero
+    positives per class to rank)."""
+    from rocketmq_flink_spark.functions.porthash import hash60
+
+    split = (
+        hash60(F.concat(F.lit("nbsplit:"), F.col("doc_id").cast("string")))
+        % 5
+        == 0
+    )
+    _, truth, scored = _nb_frames(spark, sf_dir, scores=True, split=split)
+    dec = "decimal(38,0)"
+    lab = scored.join(F.broadcast(truth), "doc").select(
+        "c", "score", (F.col("source") == F.col("c")).alias("is_pos")
+    )
+    g = lab.groupBy("c", "score").agg(
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0))
+        .cast(dec)
+        .alias("pos"),
+        F.sum(F.when(F.col("is_pos"), 0).otherwise(1))
+        .cast(dec)
+        .alias("neg"),
+    )
+    wpre = (
+        Window.partitionBy("c")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = g.select(
+        "c",
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(wpre), F.lit(0).cast(dec)).alias(
+            "cnb"
+        ),
+    )
+    ag = w.groupBy("c").agg(
+        F.sum("pos").cast(dec).alias("p"),
+        F.sum("neg").cast(dec).alias("n"),
+        F.sum(F.col("pos") * (2 * F.col("cnb") + F.col("neg")))
+        .cast(dec)
+        .alias("u2"),
+    )
+    return (
+        ag.where((F.col("p") > 0) & (F.col("n") > 0))
+        .selectExpr(
+            "c AS source_class",
+            "CAST(p AS BIGINT) AS n_pos",
+            "CAST(n AS BIGINT) AS n_neg",
+            "CAST((2000000 * u2 + 2 * p * n) div (4 * p * n) AS BIGINT)"
+            " AS auc_ppm",
+        )
+        .orderBy("source_class")
     )
