@@ -159,6 +159,9 @@ EXTRA = [
     "mmr_diversified_topk",
     "holt_linear_forecast",
     "nb_auc_eval",
+    "winsorized_mean_orders",
+    "event_trigram_patterns",
+    "harmonic_centrality_seeds",
 ]
 
 

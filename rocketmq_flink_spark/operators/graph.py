@@ -255,3 +255,47 @@ def bfs_hops(
             .agg(F.min("dist").alias("dist"))
         )
     return dist
+
+
+def bfs_hops_per_seed(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Per-seed multi-source BFS: exact shortest hop distance from
+    EACH seed separately — (seed, node, dist) rows, the input to
+    distance-weighted centralities (harmonic/closeness) where the
+    min-over-seeds of bfs_hops would collapse exactly the information
+    needed. Same level-synchronous shape with the seed id carried
+    through the frontier: one edges-x-frontier hash join + a
+    (seed, node) min-combine per level; state is |seeds| x frontier —
+    keep the seed set small (centrality probes), it multiplies every
+    level's join output."""
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    e = (
+        und.select("a", "b")
+        .unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+    )
+    dist = seeds.select(
+        F.col(seed_col).alias("seed"),
+        F.col(seed_col).alias("node"),
+        F.lit(0).cast("int").alias("dist"),
+    ).distinct()
+    for t in range(1, max_hops + 1):
+        step = e.join(dist, e["a"] == dist["node"]).select(
+            "seed",
+            F.col("b").alias("node"),
+            F.lit(t).cast("int").alias("dist"),
+        )
+        dist = (
+            dist.unionAll(step)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist

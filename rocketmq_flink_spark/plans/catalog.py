@@ -13692,3 +13692,271 @@ def nb_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_class")
     )
+
+
+@query(
+    "winsorized_mean_orders",
+    """
+    WITH v AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1),
+    w AS (
+      SELECT cents, c,
+             COALESCE(SUM(c) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cc
+      FROM v),
+    nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM v),
+    tt AS (SELECT n, n * 5 // 100 AS t FROM nn),
+    ov AS (
+      SELECT w.cents, w.c, w.cc, tt.n, tt.t,
+             GREATEST(0, LEAST(w.cc + w.c, tt.n - tt.t)
+                         - GREATEST(w.cc + 1, tt.t + 1) + 1) AS k
+      FROM w CROSS JOIN tt),
+    ag AS (
+      SELECT CAST(MAX(n) AS HUGEINT) AS n, CAST(MAX(t) AS HUGEINT) AS t,
+             CAST(SUM(k * cents) AS HUGEINT) AS ts,
+             CAST(MAX(CASE WHEN cc < t + 1 AND t + 1 <= cc + c
+                           THEN cents END) AS HUGEINT) AS lo_cut,
+             CAST(MAX(CASE WHEN cc < n - t AND n - t <= cc + c
+                           THEN cents END) AS HUGEINT) AS hi_cut
+      FROM ov)
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST(n - 2 * t AS BIGINT) AS n_kept,
+           CAST(lo_cut AS BIGINT) AS lo_cut_cents,
+           CAST(hi_cut AS BIGINT) AS hi_cut_cents,
+           CAST((2 * 1000 * ts + (n - 2 * t)) // (2 * (n - 2 * t))
+                AS BIGINT) AS trimmed_mean_milli,
+           CAST((2 * 1000 * (ts + t * lo_cut + t * hi_cut) + n)
+                // (2 * n) AS BIGINT) AS winsorized_mean_milli
+    FROM ag
+    """,
+)
+def winsorized_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed and 5%-winsorized mean of the order values — the
+    robust-location pair (trimming DROPS each tail, winsorizing CLAMPS
+    it to the cut values), completing the robust-statistics family
+    next to MAD and the deciles. Entirely rank-exact over the VALUE
+    HISTOGRAM (the gini discipline — never a row-level sort): one
+    ordered prefix pass over distinct cents gives each value's rank
+    interval, the trimmed sum is the interval overlap with
+    [t+1, n-t] (t = floor(0.05 n)), and the cut values are the cents
+    holding ranks t+1 / n-t. Means reported in half-up milli-cents.
+    Scale: distinct-value (price-domain) bounded ordered pass, all
+    else map-side combined. One row."""
+    dec = "decimal(38,0)"
+    o = load_tables(spark, sf_dir)["orders"].select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    v = o.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wpre = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w = v.select(
+        "cents",
+        "c",
+        F.coalesce(F.sum("c").over(wpre), F.lit(0)).alias("cc"),
+    )
+    tt = v.agg(F.sum("c").cast("long").alias("n")).selectExpr(
+        "n", "n * 5 div 100 AS t"
+    )
+    ov = w.crossJoin(F.broadcast(tt)).selectExpr(
+        "cents",
+        "c",
+        "cc",
+        "n",
+        "t",
+        "GREATEST(0, LEAST(cc + c, n - t)"
+        " - GREATEST(cc + 1, t + 1) + 1) AS k",
+    )
+    ag = ov.agg(
+        F.max("n").cast(dec).alias("n"),
+        F.max("t").cast(dec).alias("t"),
+        F.sum(F.col("k") * F.col("cents")).cast(dec).alias("ts"),
+        F.max(
+            F.when(
+                (F.col("cc") < F.col("t") + 1)
+                & (F.col("t") + 1 <= F.col("cc") + F.col("c")),
+                F.col("cents"),
+            )
+        ).cast(dec).alias("lo_cut"),
+        F.max(
+            F.when(
+                (F.col("cc") < F.col("n") - F.col("t"))
+                & (F.col("n") - F.col("t") <= F.col("cc") + F.col("c")),
+                F.col("cents"),
+            )
+        ).cast(dec).alias("hi_cut"),
+    )
+    return ag.selectExpr(
+        "CAST(n AS BIGINT) AS n_orders",
+        "CAST(n - 2 * t AS BIGINT) AS n_kept",
+        "CAST(lo_cut AS BIGINT) AS lo_cut_cents",
+        "CAST(hi_cut AS BIGINT) AS hi_cut_cents",
+        "CAST((2 * 1000 * ts + (n - 2 * t)) div (2 * (n - 2 * t))"
+        " AS BIGINT) AS trimmed_mean_milli",
+        "CAST((2 * 1000 * (ts + t * lo_cut + t * hi_cut) + n)"
+        " div (2 * n) AS BIGINT) AS winsorized_mean_milli",
+    )
+
+
+@query(
+    "event_trigram_patterns",
+    """
+    WITH s AS (
+      SELECT user_id, event_type AS t1,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS t2,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS t3
+      FROM events),
+    g AS (
+      SELECT t1 || '>' || t2 || '>' || t3 AS pattern,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM s WHERE t3 IS NOT NULL
+      GROUP BY 1),
+    r AS (
+      SELECT pattern, n_occurrences,
+             ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pattern)
+               AS rank
+      FROM g)
+    SELECT CAST(rank AS BIGINT) AS rank, pattern, n_occurrences
+    FROM r WHERE rank <= 20 ORDER BY rank
+    """,
+)
+def event_trigram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining, the length-3 staple: the most common
+    event-type TRIGRAMS along each user's journey (total order =
+    (ts, event_id), the SCD2 convention) — where the first-order
+    event_transition_matrix sees only pairwise hops, this surfaces
+    multi-step paths (view>click>purchase vs view>click>view). One
+    window per user yields both lookaheads; counting is a map-side-
+    combined group-by over the tiny type^3 pattern vocabulary; top-20
+    with (count, pattern) total order. Scale: the window is
+    user-partitioned (hash-distributed, no global sort); pattern
+    cardinality is |types|^3 regardless of corpus size."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    g = (
+        s.where(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "t1", "t2", "t3").alias("pattern")
+        )
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    r = g.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("n_occurrences").desc(), "pattern"))
+        .cast("long")
+        .alias("rank"),
+        "pattern",
+        "n_occurrences",
+    )
+    return r.where(F.col("rank") <= 20).orderBy("rank")
+
+
+def _harmonic_oracle_sql(max_hops: int = 4) -> str:
+    """DuckDB replay of per-seed BFS + harmonic centrality: staged
+    (seed, node) min-combine CTEs, then the exact half-up ppm
+    constant table for 1/dist."""
+    parts = [
+        "WITH "
+        + _COPURCHASE_EDGES_DUCK
+        + """,
+    h0 AS MATERIALIZED (
+      SELECT node AS seed, node, 0 AS dist FROM (
+        SELECT DISTINCT a AS node FROM e ORDER BY node LIMIT 3))"""
+    ]
+    for t in range(1, max_hops + 1):
+        p = t - 1
+        parts.append(f"""
+    h{t} AS MATERIALIZED (
+      SELECT seed, node, MIN(dist) AS dist FROM (
+        SELECT seed, node, dist FROM h{p}
+        UNION ALL
+        SELECT d.seed, e.b2, d.dist + 1 FROM e JOIN h{p} d ON d.node = e.a)
+      GROUP BY seed, node)""")
+    wt = (
+        "CASE dist WHEN 1 THEN 1000000 WHEN 2 THEN 500000"
+        " WHEN 3 THEN 333333 WHEN 4 THEN 250000 ELSE 0 END"
+    )
+    return ",".join(parts) + f"""
+    SELECT CAST(seed AS BIGINT) AS seed,
+           CAST(COUNT(CASE WHEN dist > 0 THEN 1 END) AS BIGINT)
+             AS n_reached,
+           CAST(MAX(dist) AS BIGINT) AS max_dist,
+           CAST(SUM({wt}) AS BIGINT) AS harmonic_ppm
+    FROM h{max_hops} GROUP BY seed ORDER BY seed
+    """
+
+
+@query("harmonic_centrality_seeds", _harmonic_oracle_sql())
+def harmonic_centrality_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality (horizon 4) of the three smallest parts in
+    the co-purchase graph: H(s) = sum over reached v of 1/d(s, v) —
+    the distance-weighted influence gauge that, unlike closeness,
+    stays well-defined on disconnected graphs. Per-seed BFS keeps the
+    exact hop distance per (seed, node); 1/d enters as the EXACT
+    half-up ppm constant table (1e6, 5e5, 333333, 25e4), so the sum
+    is plain integer addition in both engines. Scale: per-seed
+    level-synchronous BFS (|seeds| x frontier state — seeds are a
+    3-probe panel, not all nodes); the horizon bounds state like
+    bfs_hops; zero driver sync. One row per seed."""
+    from rocketmq_flink_spark.operators.graph import bfs_hops_per_seed
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    sup = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ps) >= 2 THEN"
+                    " flatten(transform(sequence(0, size(ps) - 2),"
+                    "  i -> transform(sequence(i + 1, size(ps) - 1),"
+                    "   j -> struct(ps[i] AS p1, ps[j] AS p2))))"
+                    " ELSE array() END"
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.p1", "pr.p2")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 2)
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+    nodes = (
+        sup.select(F.col("src").alias("node"))
+        .unionAll(sup.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("node").limit(3)
+    d = bfs_hops_per_seed(sup, seeds, max_hops=4)
+    wt = (
+        "CASE dist WHEN 1 THEN 1000000 WHEN 2 THEN 500000"
+        " WHEN 3 THEN 333333 WHEN 4 THEN 250000 ELSE 0 END"
+    )
+    return (
+        d.groupBy("seed")
+        .agg(
+            F.count(F.when(F.col("dist") > 0, 1)).cast("long").alias(
+                "n_reached"
+            ),
+            F.max("dist").cast("long").alias("max_dist"),
+            F.sum(F.expr(wt)).cast("long").alias("harmonic_ppm"),
+        )
+        .select(
+            F.col("seed").cast("long").alias("seed"),
+            "n_reached",
+            "max_dist",
+            "harmonic_ppm",
+        )
+        .orderBy("seed")
+    )
