@@ -162,6 +162,8 @@ EXTRA = [
     "winsorized_mean_orders",
     "event_trigram_patterns",
     "harmonic_centrality_seeds",
+    "association_rules_lift",
+    "streaming_token_counts",
 ]
 
 

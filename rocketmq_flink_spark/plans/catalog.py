@@ -13960,3 +13960,191 @@ def harmonic_centrality_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seed")
     )
+
+
+@query(
+    "association_rules_lift",
+    """
+    WITH b AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+      FROM lineitem GROUP BY l_orderkey),
+    nb AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nbk FROM b),
+    itm AS (
+      SELECT p, CAST(COUNT(*) AS HUGEINT) AS ni
+      FROM (SELECT unnest(ps) AS p FROM b) GROUP BY p),
+    pp AS (
+      SELECT unnest(flatten(list_transform(range(1, len(ps)),
+               i -> list_transform(range(i + 1, len(ps) + 1),
+                 j -> struct_pack(p1 := ps[i], p2 := ps[j]))))) AS pr
+      FROM b WHERE len(ps) >= 2),
+    sup AS (
+      SELECT pr.p1 AS p1, pr.p2 AS p2, CAST(COUNT(*) AS HUGEINT) AS s
+      FROM pp GROUP BY 1, 2),
+    top AS (
+      SELECT p1, p2, s,
+             ROW_NUMBER() OVER (ORDER BY s DESC, p1, p2) AS pr_rank
+      FROM sup),
+    rules AS (
+      SELECT p1 AS antecedent, p2 AS consequent, s, pr_rank FROM top
+      WHERE pr_rank <= 20
+      UNION ALL
+      SELECT p2, p1, s, pr_rank FROM top WHERE pr_rank <= 20),
+    sc AS (
+      SELECT r.antecedent, r.consequent, r.s,
+             na.ni AS n_ante, nc.ni AS n_cons, nb.nbk
+      FROM rules r
+      JOIN itm na ON na.p = r.antecedent
+      JOIN itm nc ON nc.p = r.consequent
+      CROSS JOIN nb)
+    SELECT antecedent, consequent, CAST(s AS BIGINT) AS support,
+           CAST((2 * 1000000 * s + n_ante) // (2 * n_ante) AS BIGINT)
+             AS confidence_ppm,
+           CAST((2 * 1000000 * s * nbk + n_ante * n_cons)
+                // (2 * n_ante * n_cons) AS BIGINT) AS lift_ppm
+    FROM sc ORDER BY antecedent, consequent
+    """,
+)
+def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the top-20 co-purchase pairs: both
+    directed rules a -> c per pair with exact CONFIDENCE
+    (support/n_antecedent) and LIFT (support*N/(n_a*n_c)) in half-up
+    ppm — the decision layer of market-basket mining that raw support
+    (copurchase_part_pairs) lacks: high-support pairs of two
+    ubiquitous parts have lift ~ 1 and are noise to a recommender.
+    Integer throughout (HUGEINT/DECIMAL38 products). Scale: item
+    frequencies are one exploded map-side count over baskets; pair
+    support as in copurchase_part_pairs (basket-size bounded); the
+    rule join touches 40 rows against the broadcast item table."""
+    dec = "decimal(38,0)"
+    li = load_tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    nb = baskets.agg(F.count(F.lit(1)).cast(dec).alias("nbk"))
+    itm = (
+        baskets.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast(dec).alias("ni"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ps) >= 2 THEN"
+                " flatten(transform(sequence(0, size(ps) - 2),"
+                "  i -> transform(sequence(i + 1, size(ps) - 1),"
+                "   j -> struct(ps[i] AS p1, ps[j] AS p2))))"
+                " ELSE array() END"
+            )
+        ).alias("pr")
+    ).select("pr.p1", "pr.p2")
+    sup = pairs.groupBy("p1", "p2").agg(
+        F.count(F.lit(1)).cast(dec).alias("s")
+    )
+    top = sup.select(
+        "p1",
+        "p2",
+        "s",
+        F.row_number()
+        .over(Window.orderBy(F.col("s").desc(), "p1", "p2"))
+        .alias("pr_rank"),
+    ).where(F.col("pr_rank") <= 20)
+    rules = top.select(
+        F.col("p1").alias("antecedent"),
+        F.col("p2").alias("consequent"),
+        "s",
+    ).unionAll(
+        top.select(
+            F.col("p2").alias("antecedent"),
+            F.col("p1").alias("consequent"),
+            "s",
+        )
+    )
+    na = itm.select(
+        F.col("p").alias("antecedent"), F.col("ni").alias("n_ante")
+    )
+    nc = itm.select(
+        F.col("p").alias("consequent"), F.col("ni").alias("n_cons")
+    )
+    sc = (
+        rules.join(F.broadcast(na), "antecedent")
+        .join(F.broadcast(nc), "consequent")
+        .crossJoin(F.broadcast(nb))
+    )
+    return sc.selectExpr(
+        "antecedent",
+        "consequent",
+        "CAST(s AS BIGINT) AS support",
+        "CAST((2 * 1000000 * s + n_ante) div (2 * n_ante) AS BIGINT)"
+        " AS confidence_ppm",
+        "CAST((2 * 1000000 * s * nbk + n_ante * n_cons)"
+        " div (2 * n_ante * n_cons) AS BIGINT) AS lift_ppm",
+    ).orderBy("antecedent", "consequent")
+
+
+@query(
+    "streaming_token_counts",
+    f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+               x -> x <> '')) AS tok
+      FROM documents)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM toks GROUP BY tok ORDER BY n_occurrences DESC, tok LIMIT 20
+    """,
+)
+def streaming_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming heavy-hitter tracking: the documents table is
+    consumed as a stream, tokenized in-flight, and reduced by a
+    stateful non-windowed token count (complete mode, availableNow
+    micro-batches, memory sink) — the continuous-ingestion view of
+    vocabulary accounting (the exact companion to the Count-Min
+    sketch: CMS approximates this stream with bounded memory; this
+    anchor proves the exact streaming path). Oracle = the identical
+    batch occurrence count, so a hash match proves the streaming
+    aggregation state neither loses nor double-counts under
+    micro-batching; occurrence counts (unlike first-seen orderings)
+    are arrival-order independent by construction. Scale: state is
+    one (token, count) pair per DISTINCT token — vocabulary bounded;
+    at 100 TB swap in the CMS for fixed memory or age tokens out with
+    a watermark. Top-20 by (count, token)."""
+    import uuid
+
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    schema = (
+        "doc_id BIGINT, text STRING, lang STRING, source STRING,"
+        " n_chars BIGINT"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    toks = (
+        f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
+    )
+    g = (
+        stream.selectExpr(f"explode({toks}) AS tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    qname = f"stok_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            g.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table(qname)
+        .orderBy(F.desc("n_occurrences"), "tok")
+        .limit(20)
+    )
