@@ -164,6 +164,7 @@ EXTRA = [
     "harmonic_centrality_seeds",
     "association_rules_lift",
     "streaming_token_counts",
+    "user_type_entropy",
 ]
 
 

@@ -14148,3 +14148,84 @@ def streaming_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "tok")
         .limit(20)
     )
+
+
+def _user_entropy_oracle_sql() -> str:
+    return f"""
+    WITH RECURSIVE ut AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    tu AS (
+      SELECT user_id, CAST(SUM(c) AS BIGINT) AS t
+      FROM ut GROUP BY user_id),
+    dv AS (
+      SELECT DISTINCT v FROM (
+        SELECT c AS v FROM ut UNION ALL SELECT t FROM tu)),
+    {_fp_log2_cte('u', 'dv')},
+    su AS (
+      SELECT ut.user_id, CAST(SUM(ut.c * ulg.lg) AS BIGINT) AS s
+      FROM ut JOIN ulg ON ulg.v = ut.c
+      GROUP BY ut.user_id),
+    h AS (
+      SELECT tu.user_id, tu.t,
+             CAST(lt.lg - su.s // tu.t AS BIGINT) AS ticks
+      FROM tu JOIN su ON su.user_id = tu.user_id
+              JOIN ulg lt ON lt.v = tu.t)
+    SELECT CAST(ticks // 32768 AS BIGINT) AS bucket_32nd_bit,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(ticks) AS BIGINT) AS min_ticks,
+           CAST(MAX(ticks) AS BIGINT) AS max_ticks,
+           CAST(SUM(t) AS BIGINT) AS n_events
+    FROM h GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("user_type_entropy", _user_entropy_oracle_sql())
+def user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: Shannon entropy of each user's
+    event-type mix (H = log2(T) - sum(c*log2 c)/T in fixed-point
+    fp_log2 ticks — the token_entropy design applied to behavior),
+    reported as a 1/32-bit histogram (bucket = ticks div 2^15 — fine
+    enough to spread the fixture's homogeneous users) with
+    user counts and event mass — the segmentation readout that
+    separates single-action bots (H ~ 0) from engaged multi-modal
+    users. Zero libm; positive integer floor division identical in
+    both engines. Scale: the (user, type) count and per-user reduce
+    are map-side combined; the log2 fold runs over DISTINCT count
+    values (shared via one value table, never per row); output is
+    bucket-bounded. The oracle reuses the factored _fp_log2_cte."""
+    from rocketmq_flink_spark.operators.retrieval import fp_log2_sql
+
+    ev = load_tables(spark, sf_dir)["events"]
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    lg = ut.selectExpr(
+        "user_id", "c", fp_log2_sql("c", "1") + " AS lgc"
+    )
+    agg = lg.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("t"),
+        F.sum(F.col("c") * F.col("lgc")).cast("long").alias("s"),
+    )
+    h = agg.selectExpr(
+        "user_id",
+        "t",
+        f"CAST(({fp_log2_sql('t', '1')}) - s div t AS BIGINT) AS ticks",
+    )
+    return (
+        h.groupBy(F.expr("ticks div 32768").alias("bucket_32nd_bit"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.min("ticks").cast("long").alias("min_ticks"),
+            F.max("ticks").cast("long").alias("max_ticks"),
+            F.sum("t").cast("long").alias("n_events"),
+        )
+        .selectExpr(
+            "CAST(bucket_32nd_bit AS BIGINT) AS bucket_32nd_bit",
+            "n_users",
+            "min_ticks",
+            "max_ticks",
+            "n_events",
+        )
+        .orderBy("bucket_32nd_bit")
+    )
