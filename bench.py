@@ -165,6 +165,7 @@ EXTRA = [
     "association_rules_lift",
     "streaming_token_counts",
     "user_type_entropy",
+    "lpa_modularity_score",
 ]
 
 

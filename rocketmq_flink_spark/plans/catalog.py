@@ -10682,11 +10682,10 @@ _COPURCHASE_EDGES_DUCK = """
       UNION ALL SELECT p2, p1 FROM sup)"""
 
 
-def _lpa_oracle_sql(iters: int = 4, k: int = 20) -> str:
-    """DuckDB replay of deterministic synchronous label propagation over
-    the co-purchase graph: staged per-round CTEs (same lesson as the
-    PageRank oracle), mode-label update with (count DESC, label ASC)
-    tie-break via ROW_NUMBER."""
+def _lpa_chain_duck(iters: int = 4) -> str:
+    """The LPA CTE chain (co-purchase edges + `iters` synchronous
+    label rounds), ending at s{iters}(node, lab) — shared by the
+    community listing and the modularity score."""
     parts = [
         "WITH "
         + _COPURCHASE_EDGES_DUCK
@@ -10705,7 +10704,15 @@ def _lpa_oracle_sql(iters: int = 4, k: int = 20) -> str:
         SELECT node, lab, ROW_NUMBER() OVER (
           PARTITION BY node ORDER BY c DESC, lab) AS rn
         FROM c{t}) WHERE rn = 1)""")
-    return ",".join(parts) + f"""
+    return ",".join(parts)
+
+
+def _lpa_oracle_sql(iters: int = 4, k: int = 20) -> str:
+    """DuckDB replay of deterministic synchronous label propagation over
+    the co-purchase graph: staged per-round CTEs (same lesson as the
+    PageRank oracle), mode-label update with (count DESC, label ASC)
+    tie-break via ROW_NUMBER."""
+    return _lpa_chain_duck(iters) + f"""
     SELECT CAST(lab AS BIGINT) AS community, CAST(COUNT(*) AS BIGINT) AS size,
            CAST(MIN(node) AS BIGINT) AS min_part,
            CAST(MAX(node) AS BIGINT) AS max_part
@@ -14228,4 +14235,126 @@ def user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
         .orderBy("bucket_32nd_bit")
+    )
+
+
+def _modularity_oracle_sql(iters: int = 4) -> str:
+    """Newman modularity of the LPA partition, exact rational:
+    Q = sum_c (e_c * m2 - d_c^2) / m2^2 over directed edge-endpoint
+    counts (e_c = directed intra-community edges, d_c = community
+    degree mass, m2 = total degree)."""
+    return _lpa_chain_duck(iters) + f""",
+    deg AS (SELECT a AS n, CAST(COUNT(*) AS HUGEINT) AS d
+            FROM e GROUP BY a),
+    m2 AS (SELECT CAST(SUM(d) AS HUGEINT) AS m2 FROM deg),
+    ein AS (
+      SELECT l1.lab, CAST(COUNT(*) AS HUGEINT) AS ec
+      FROM e JOIN s{iters} l1 ON l1.node = e.a
+             JOIN s{iters} l2 ON l2.node = e.b2
+      WHERE l1.lab = l2.lab GROUP BY l1.lab),
+    dc AS (
+      SELECT s.lab, CAST(SUM(deg.d) AS HUGEINT) AS dsum,
+             CAST(COUNT(*) AS BIGINT) AS sz
+      FROM s{iters} s JOIN deg ON deg.n = s.node GROUP BY s.lab),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+             CAST(SUM(dc.sz) AS BIGINT) AS n_nodes,
+             CAST(SUM(COALESCE(ein.ec, 0) * m2.m2
+                      - dc.dsum * dc.dsum) AS HUGEINT) AS num,
+             CAST(MAX(m2.m2) AS HUGEINT) AS m2
+      FROM dc LEFT JOIN ein ON ein.lab = dc.lab CROSS JOIN m2)
+    SELECT n_communities, n_nodes,
+           CAST(m2 // 2 AS BIGINT) AS n_edges,
+           CAST(CASE WHEN num >= 0 THEN
+                  (2 * 1000000 * num + m2 * m2) // (2 * m2 * m2)
+                ELSE -((2 * 1000000 * (-num) + m2 * m2)
+                  // (2 * m2 * m2)) END AS BIGINT) AS modularity_ppm
+    FROM agg
+    """
+
+
+@query("lpa_modularity_score", _modularity_oracle_sql())
+def lpa_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA community partition — the quality
+    score that tells you whether label_propagation_communities found
+    real mesoscale structure (Q near 0 = no better than random given
+    the degree sequence; Q > ~0.3 = strong communities). Exact
+    rational: over directed edge copies,
+    Q = sum_c (e_c*m2 - d_c^2)/m2^2 with e_c the intra-community
+    directed edge count, d_c the community degree mass, m2 the total
+    degree — one signed half-up ppm rounding at the end
+    (HUGEINT/DECIMAL38). Scale: the intra-edge count is one
+    edges-x-labels hash join pair (PageRank-step volume); degree and
+    community masses are map-side combines; everything downstream is
+    community-bounded. One row."""
+    from rocketmq_flink_spark.operators.graph import label_propagation
+
+    dec = "decimal(38,0)"
+    li = load_tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    sup = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ps) >= 2 THEN"
+                    " flatten(transform(sequence(0, size(ps) - 2),"
+                    "  i -> transform(sequence(i + 1, size(ps) - 1),"
+                    "   j -> struct(ps[i] AS p1, ps[j] AS p2))))"
+                    " ELSE array() END"
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.p1", "pr.p2")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 2)
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+    labels = label_propagation(sup, iters=4).select(
+        F.col("node"), F.col("community").alias("lab")
+    )
+    e = sup.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
+        sup.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).cast(dec).alias("d"))
+    m2 = deg.agg(F.sum("d").cast(dec).alias("m2"))
+    l1 = labels.select(F.col("node").alias("a"), F.col("lab").alias("la"))
+    l2 = labels.select(F.col("node").alias("b"), F.col("lab").alias("lb"))
+    ein = (
+        e.join(l1, "a")
+        .join(l2, "b")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lab"))
+        .agg(F.count(F.lit(1)).cast(dec).alias("ec"))
+    )
+    dc = (
+        labels.join(deg, labels["node"] == deg["a"])
+        .groupBy("lab")
+        .agg(
+            F.sum("d").cast(dec).alias("dsum"),
+            F.count(F.lit(1)).cast("long").alias("sz"),
+        )
+    )
+    agg = (
+        dc.join(ein, "lab", "left")
+        .crossJoin(F.broadcast(m2))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.sum("sz").cast("long").alias("n_nodes"),
+            F.sum(
+                F.coalesce(F.col("ec"), F.lit(0).cast(dec)) * F.col("m2")
+                - F.col("dsum") * F.col("dsum")
+            ).cast(dec).alias("num"),
+            F.max("m2").cast(dec).alias("m2"),
+        )
+    )
+    return agg.selectExpr(
+        "n_communities",
+        "n_nodes",
+        "CAST(m2 div 2 AS BIGINT) AS n_edges",
+        "CAST(CASE WHEN num >= 0 THEN"
+        "  (2 * 1000000 * num + m2 * m2) div (2 * m2 * m2)"
+        " ELSE -((2 * 1000000 * (-num) + m2 * m2)"
+        "  div (2 * m2 * m2)) END AS BIGINT) AS modularity_ppm",
     )
