@@ -166,6 +166,9 @@ EXTRA = [
     "streaming_token_counts",
     "user_type_entropy",
     "lpa_modularity_score",
+    "future_purchase_labels",
+    "cross_source_duplication",
+    "clipped_contribution_report",
 ]
 
 

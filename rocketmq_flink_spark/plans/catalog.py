@@ -14358,3 +14358,237 @@ def lpa_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE -((2 * 1000000 * (-num) + m2 * m2)"
         "  div (2 * m2 * m2)) END AS BIGINT) AS modularity_ppm",
     )
+
+
+@query(
+    "future_purchase_labels",
+    """
+    WITH ev AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+               AS wk,
+             event_type
+      FROM events),
+    act AS (SELECT DISTINCT user_id, wk FROM ev),
+    pur AS (SELECT DISTINCT user_id, wk FROM ev
+            WHERE event_type = 'purchase'),
+    mx AS (SELECT MAX(wk) AS maxwk FROM ev),
+    lab AS (
+      SELECT a.user_id, a.wk,
+             CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS y
+      FROM act a LEFT JOIN pur p
+        ON p.user_id = a.user_id AND p.wk = a.wk + 1
+      WHERE a.wk < (SELECT maxwk FROM mx))
+    SELECT CAST(wk AS BIGINT) AS wk,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users,
+           CAST(SUM(y) AS BIGINT) AS n_positive,
+           CAST((2 * 1000000 * SUM(y) + COUNT(*)) // (2 * COUNT(*))
+                AS BIGINT) AS positive_ppm
+    FROM lab GROUP BY wk ORDER BY wk
+    """,
+)
+def future_purchase_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free training-label generation: for every
+    (user, epoch-week) with any activity, the supervised label is
+    "did this user purchase in week+1" — the standard churn/propensity
+    label builder, with the temporal hygiene a training pipeline must
+    get right (the label window is STRICTLY future; the final week is
+    dropped because its label window is unobserved — silent leakage
+    in the naive version). Epoch-week = floor(days-since-1970 / 7),
+    identical integer arithmetic in both engines (no locale-dependent
+    week-of-year). Reports per-week label balance (positives, half-up
+    ppm rate) — the class-imbalance readout the downstream trainer
+    needs. Scale: two map-side-combined distinct projections + one
+    (user, wk)-keyed left join; output is calendar-bounded."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id",
+        F.expr(
+            "CAST(datediff(to_date(ts), DATE '1970-01-01') div 7"
+            " AS BIGINT)"
+        ).alias("wk"),
+        "event_type",
+    )
+    act = ev.select("user_id", "wk").distinct()
+    pur = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("wk").alias("pwk"))
+        .distinct()
+    )
+    mx = ev.agg(F.max("wk").alias("maxwk"))
+    lab = (
+        act.join(
+            pur,
+            (act["user_id"] == pur["user_id"])
+            & (pur["pwk"] == act["wk"] + 1),
+            "left",
+        )
+        .select(
+            act["user_id"],
+            act["wk"],
+            F.when(pur["pwk"].isNotNull(), 1).otherwise(0).alias("y"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("wk") < F.col("maxwk"))
+    )
+    return (
+        lab.groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active_users"),
+            F.sum("y").cast("long").alias("n_positive"),
+        )
+        .selectExpr(
+            "CAST(wk AS BIGINT) AS wk",
+            "n_active_users",
+            "n_positive",
+            "CAST((2 * 1000000 * n_positive + n_active_users)"
+            " div (2 * n_active_users) AS BIGINT) AS positive_ppm",
+        )
+        .orderBy("wk")
+    )
+
+
+@query(
+    "cross_source_duplication",
+    f"""
+    WITH fp AS (
+      SELECT source,
+             md5(array_to_string(list_filter(
+               regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+               x -> x <> '')[1:16], ' ')) AS f
+      FROM documents),
+    fs AS (
+      SELECT f, list_sort(list_distinct(list(source))) AS ss
+      FROM fp GROUP BY f),
+    pr AS (
+      SELECT unnest(flatten(list_transform(range(1, len(ss)),
+               i -> list_transform(range(i + 1, len(ss) + 1),
+                 j -> struct_pack(sa := ss[i], sb := ss[j]))))) AS p
+      FROM fs WHERE len(ss) >= 2)
+    SELECT p.sa AS source_a, p.sb AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+    FROM pr GROUP BY 1, 2
+    ORDER BY shared_fingerprints DESC, source_a, source_b
+    LIMIT 20
+    """,
+)
+def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: which source pairs share
+    duplicated OPENINGS (md5 of the first 16 normalized tokens — the
+    boilerplate/template prefix fingerprint; whole-document md5 is a
+    strictly stronger key that the fixture only trips at sf0.1) — the
+    provenance signal that separates mirror/scrape relationships from
+    independent sources, deciding which source to DOWN-weight before
+    mixture fitting (dedup alone removes the copies but not the
+    double-counted source credit). Per fingerprint the DISTINCT
+    source set is collapsed first, so a 10^6-copy template costs one
+    row before pair expansion (the LSH representative-collapse
+    discipline); pairs are bounded by C(|sources|,2) per fingerprint.
+    Top-20 pairs by shared fingerprints. Scale: one fingerprint
+    group-by (map-side combined), source sets are |sources|-bounded
+    arrays, pair counting is vocabulary-sized."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
+    )
+    fp = docs.selectExpr(
+        "source",
+        f"md5(concat_ws(' ', slice({toks}, 1, 16))) AS f",
+    )
+    fs = fp.groupBy("f").agg(
+        F.array_sort(F.collect_set("source")).alias("ss")
+    )
+    pr = fs.where(F.size("ss") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(ss) - 2),"
+                " i -> transform(sequence(i + 1, size(ss) - 1),"
+                "  j -> struct(ss[i] AS sa, ss[j] AS sb))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pr.groupBy(
+            F.col("p.sa").alias("source_a"),
+            F.col("p.sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fingerprints"))
+        .orderBy(
+            F.desc("shared_fingerprints"), "source_a", "source_b"
+        )
+        .limit(20)
+    )
+
+
+@query(
+    "clipped_contribution_report",
+    f"""
+    WITH dt AS (
+      SELECT source,
+             CAST(len(list_filter(
+               regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+               x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_tok > 200 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped,
+           CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+           CAST(SUM(LEAST(n_tok, 200)) AS BIGINT) AS clipped_tokens,
+           CAST((2 * 1000 * SUM(LEAST(n_tok, 200)) + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS clipped_mean_milli,
+           CAST((2 * 1000000 * SUM(CASE WHEN n_tok > 200 THEN 1
+                                        ELSE 0 END) + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS clip_frac_ppm
+    FROM dt GROUP BY source ORDER BY source
+    """,
+)
+def clipped_contribution_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-contribution (clipping) report — the differential-
+    privacy PREP step: before any DP release, each unit's contribution
+    must be clipped to a fixed cap (here: per-document token count at
+    C = 200); this reports, per source, the clipped vs raw token
+    mass, how many documents hit the cap, and the clipped mean — the
+    sensitivity-calibration numbers that pick C (too low = bias, too
+    high = noise). The NOISE step is intentionally absent: noise is
+    nondeterministic by definition and cannot be hash-certified; the
+    deterministic clipping pipeline is the Spark-side work. Exact
+    integers, half-up milli/ppm. Scale: one tokenize+count pass,
+    map-side combined per source."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
+    )
+    dt = docs.selectExpr(
+        "source", f"CAST(size({toks}) AS BIGINT) AS n_tok"
+    )
+    return (
+        dt.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_tok") > 200, 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped"),
+            F.sum("n_tok").cast("long").alias("raw_tokens"),
+            F.sum(F.least(F.col("n_tok"), F.lit(200)))
+            .cast("long")
+            .alias("clipped_tokens"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_clipped",
+            "raw_tokens",
+            "clipped_tokens",
+            "CAST((2 * 1000 * clipped_tokens + n_docs) div (2 * n_docs)"
+            " AS BIGINT) AS clipped_mean_milli",
+            "CAST((2 * 1000000 * n_clipped + n_docs) div (2 * n_docs)"
+            " AS BIGINT) AS clip_frac_ppm",
+        )
+        .orderBy("source")
+    )
