@@ -295,3 +295,67 @@ def test_psi_and_kanonymity_no_cartesian_no_python(spark):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4c3_stats_ops_no_cartesian_no_python(spark):
+    # gini/winsorized run on the distinct-cents histogram; MK/Spearman
+    # on the daily table; trigrams on a user-partitioned window — all
+    # JVM-side, no cartesian blowup
+    for name in (
+        "gini_order_concentration",
+        "mann_kendall_trend_daily",
+        "spearman_daily_activity_value",
+        "winsorized_mean_orders",
+        "event_trigram_patterns",
+        "holt_linear_forecast",
+        "user_type_entropy",
+        "future_purchase_labels",
+        "clipped_contribution_report",
+    ):
+        plan = _plan(REGISTRY[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_adamic_adar_weights_broadcast_no_cartesian(spark):
+    plan = _plan(REGISTRY["adamic_adar_links"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the 1/log2(deg) weight table must reach the edges as a broadcast
+    assert "BroadcastHashJoin" in plan
+    # top-20 runs as TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_nb_auc_model_broadcasts(spark):
+    plan = _plan(REGISTRY["nb_auc_eval"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # NB model + truth labels
+
+
+def test_association_rules_broadcast_item_counts(spark):
+    plan = _plan(REGISTRY["association_rules_lift"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # item-frequency dim broadcasts
+
+
+def test_cross_source_dup_collapses_before_pairs(spark):
+    # the pair explode must sit above the fingerprint group-by (source
+    # sets collapsed first), never above raw documents: exactly one
+    # aggregate between scan and generate
+    plan = _plan(REGISTRY["cross_source_duplication"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    gen_at = plan.index("Generate explode")
+    # an aggregate printed below the explode = the fingerprint group-by
+    # feeding it (the final pair count sits above and doesn't count)
+    assert "HashAggregate" in plan[gen_at:]
+
+
+def test_zipf_and_ams_vocabulary_side_folds(spark):
+    for name in ("zipf_slope_by_source", "ams_f2_tokens"):
+        plan = _plan(REGISTRY[name].fn(spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
