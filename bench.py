@@ -169,6 +169,8 @@ EXTRA = [
     "future_purchase_labels",
     "cross_source_duplication",
     "clipped_contribution_report",
+    "phrase_search_docs",
+    "correlation_matrix_lineitem",
 ]
 
 

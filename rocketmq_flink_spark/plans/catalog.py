@@ -14592,3 +14592,180 @@ def clipped_contribution_report(
         )
         .orderBy("source")
     )
+
+
+@query(
+    "phrase_search_docs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, tp.i - 1 AS pos, tp.t AS tok
+      FROM (SELECT doc_id, list_filter(
+              regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+              x -> x <> '') AS arr
+            FROM documents) d,
+           LATERAL (SELECT unnest(arr) AS t,
+                           generate_subscripts(arr, 1) AS i) tp),
+    tri AS (
+      SELECT doc_id, pos, tok AS t1,
+             LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+             LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+      FROM tok),
+    ph AS (
+      SELECT t1 || ' ' || t2 || ' ' || t3 AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM tri WHERE t3 IS NOT NULL GROUP BY 1),
+    q AS (SELECT phrase FROM ph ORDER BY c DESC, phrase LIMIT 1),
+    hits AS (
+      SELECT tri.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM tri JOIN q ON tri.t1 || ' ' || tri.t2 || ' ' || tri.t3
+                         = q.phrase
+      GROUP BY tri.doc_id)
+    SELECT h.doc_id, q.phrase, h.n_occurrences
+    FROM hits h CROSS JOIN q
+    ORDER BY h.n_occurrences DESC, h.doc_id LIMIT 10
+    """,
+)
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search — the positional-postings primitive BM25
+    (bag-of-words) cannot express: tokenize with positions, slide a
+    3-token window per document, and rank documents by occurrences of
+    the query phrase. The query phrase is derived deterministically
+    from the corpus itself (its most frequent token trigram, ties to
+    the lexicographically smallest), so the whole flow — positional
+    index build, phrase frequency mining, phrase lookup — is
+    hash-certified end to end. Scale: positions come from ONE
+    posexplode pass; the trigram window is doc-partitioned (no global
+    order); the phrase probe is an equi-join against a one-row
+    broadcast; top-10 is TakeOrdered. A real engine would persist the
+    (phrase-hash -> postings) table this query builds in-flight."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
+    )
+    tok = docs.selectExpr(
+        "doc_id", f"posexplode({toks}) AS (pos, tok)"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = tok.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("tok"),
+            F.lead("tok", 1).over(w),
+            F.lead("tok", 2).over(w),
+        ).alias("phrase"),
+        F.lead("tok", 2).over(w).isNotNull().alias("full"),
+    ).where(F.col("full"))
+    q = (
+        tri.groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "phrase")
+        .limit(1)
+        .select("phrase")
+    )
+    hits = (
+        tri.join(F.broadcast(q), "phrase")
+        .groupBy("doc_id", "phrase")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    return (
+        hits.select("doc_id", "phrase", "n_occurrences")
+        .orderBy(F.desc("n_occurrences"), "doc_id")
+        .limit(10)
+    )
+
+
+@query(
+    "correlation_matrix_lineitem",
+    """
+    WITH a AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp,
+        CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sd,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sqq,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          AS spp,
+        CAST(SUM(CAST(l_discount AS DECIMAL(4,2))
+                 * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sdd,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          AS sqp,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sqd,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS spd
+      FROM lineitem),
+    pairs AS (
+      SELECT 'quantity~price' AS pair, n*sqp - sq*sp AS cov_n,
+             n*sqq - sq*sq AS vx_n, n*spp - sp*sp AS vy_n FROM a
+      UNION ALL
+      SELECT 'quantity~discount', n*sqd - sq*sd, n*sqq - sq*sq,
+             n*sdd - sd*sd FROM a
+      UNION ALL
+      SELECT 'price~discount', n*spd - sp*sd, n*spp - sp*sp,
+             n*sdd - sd*sd FROM a)
+    SELECT pair, ROUND(cov_n / SQRT(vx_n * vy_n), 6) AS corr
+    FROM pairs ORDER BY pair
+    """,
+)
+def correlation_matrix_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full pairwise correlation matrix of (quantity, price, discount)
+    in ONE scan — the multi-column profiling pass that would be three
+    separate jobs if written naively: all nine sufficient statistics
+    (three sums, three squares, three cross-products) accumulate as
+    EXACT decimal moments in a single map-side-combined aggregate; the
+    closed-form Pearson combination runs in double on bit-identical
+    inputs and is rounded (the stats_quantity_price_corr convention —
+    native corr() would drift per partitioning). Scale: one pass, one
+    reduce row — adding columns grows the state quadratically
+    (k^2/2 sums) but never adds a scan."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    q = _dec2(F.col("l_quantity"))
+    p = _dec2(F.col("l_extendedprice"))
+    d = F.col("l_discount").cast(T.DecimalType(4, 2))
+    a = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(p).cast("double").alias("sp"),
+        F.sum(d).cast("double").alias("sd"),
+        F.sum(q * q).cast("double").alias("sqq"),
+        F.sum(p * p).cast("double").alias("spp"),
+        F.sum(d * d).cast("double").alias("sdd"),
+        F.sum(q * p).cast("double").alias("sqp"),
+        F.sum(q * d).cast("double").alias("sqd"),
+        F.sum(p * d).cast("double").alias("spd"),
+    )
+    pairs = (
+        a.selectExpr(
+            "'quantity~price' AS pair",
+            "n*sqp - sq*sp AS cov_n",
+            "n*sqq - sq*sq AS vx_n",
+            "n*spp - sp*sp AS vy_n",
+        )
+        .unionAll(
+            a.selectExpr(
+                "'quantity~discount' AS pair",
+                "n*sqd - sq*sd AS cov_n",
+                "n*sqq - sq*sq AS vx_n",
+                "n*sdd - sd*sd AS vy_n",
+            )
+        )
+        .unionAll(
+            a.selectExpr(
+                "'price~discount' AS pair",
+                "n*spd - sp*sd AS cov_n",
+                "n*spp - sp*sp AS vx_n",
+                "n*sdd - sd*sd AS vy_n",
+            )
+        )
+    )
+    return pairs.selectExpr(
+        "pair", "ROUND(cov_n / SQRT(vx_n * vy_n), 6) AS corr"
+    ).orderBy("pair")
