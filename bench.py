@@ -171,6 +171,8 @@ EXTRA = [
     "clipped_contribution_report",
     "phrase_search_docs",
     "correlation_matrix_lineitem",
+    "copurchase_hitrate_eval",
+    "token_budget_waterfill",
 ]
 
 

@@ -14769,3 +14769,265 @@ def correlation_matrix_lineitem(
     return pairs.selectExpr(
         "pair", "ROUND(cov_n / SQRT(vx_n * vy_n), 6) AS corr"
     ).orderBy("pair")
+
+
+@query(
+    "copurchase_hitrate_eval",
+    """
+    WITH b AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+      FROM lineitem GROUP BY l_orderkey),
+    eb AS (
+      SELECT l_orderkey, ps[len(ps)] AS held,
+             ps[1:len(ps) - 1] AS ctx, ps
+      FROM b WHERE len(ps) >= 2),
+    pp AS (
+      SELECT unnest(flatten(list_transform(range(1, len(ps)),
+               i -> list_transform(range(i + 1, len(ps) + 1),
+                 j -> struct_pack(p1 := ps[i], p2 := ps[j]))))) AS pr
+      FROM b WHERE len(ps) >= 2),
+    sup AS (
+      SELECT pr.p1 AS p1, pr.p2 AS p2, CAST(COUNT(*) AS BIGINT) AS s
+      FROM pp GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    co AS (
+      SELECT p1 AS a, p2 AS b2, s FROM sup
+      UNION ALL SELECT p2, p1, s FROM sup),
+    cx AS (
+      SELECT eb.l_orderkey, eb.held, eb.ctx, c AS item
+      FROM eb, LATERAL (SELECT unnest(ctx) AS c)),
+    cand AS (
+      SELECT cx.l_orderkey, cx.held, co.b2 AS rec,
+             CAST(SUM(co.s) AS BIGINT) AS score
+      FROM cx JOIN co ON co.a = cx.item
+      WHERE NOT list_contains(cx.ctx, co.b2)
+      GROUP BY cx.l_orderkey, cx.held, co.b2),
+    rk AS (
+      SELECT l_orderkey, held, rec,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY score DESC, rec) AS rn
+      FROM cand),
+    agg AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM eb) AS n_eval,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_scored,
+             CAST(SUM(CASE WHEN rec = held AND rn <= 5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits
+      FROM rk)
+    SELECT n_eval, n_scored, hits,
+           CAST((2 * 1000000 * hits + n_eval) // (2 * n_eval) AS BIGINT)
+             AS hitrate_ppm
+    FROM agg
+    """,
+)
+def copurchase_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out recommendation eval — the offline hit-rate@5 that
+    closes the recsys loop (co-occurrence mining -> item similarity ->
+    association rules -> MEASURED recommendation quality): for every
+    basket, hold out its largest part id (deterministic fold), score
+    candidates by summed co-purchase support of the remaining context
+    (support >= 2 edges, candidates outside the context), and count
+    baskets whose held-out part ranks in the top 5. Exact integers;
+    half-up ppm hit rate. Scale: candidate generation is
+    context-item-keyed joins against the sparse support graph (the
+    Adamic-Adar shape, bounded by sum of context degrees); ranking is
+    an order-partitioned window; the basket pair stage is
+    basket-size bounded as in copurchase_part_pairs. One row."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    eb = baskets.where(F.size("ps") >= 2).select(
+        "l_orderkey",
+        F.element_at("ps", -1).alias("held"),
+        F.expr("slice(ps, 1, size(ps) - 1)").alias("ctx"),
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ps) >= 2 THEN"
+                " flatten(transform(sequence(0, size(ps) - 2),"
+                "  i -> transform(sequence(i + 1, size(ps) - 1),"
+                "   j -> struct(ps[i] AS p1, ps[j] AS p2))))"
+                " ELSE array() END"
+            )
+        ).alias("pr")
+    ).select("pr.p1", "pr.p2")
+    sup = (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("s"))
+        .where(F.col("s") >= 2)
+    )
+    co = sup.select(
+        F.col("p1").alias("a"), F.col("p2").alias("b2"), "s"
+    ).unionAll(
+        sup.select(F.col("p2").alias("a"), F.col("p1").alias("b2"), "s")
+    )
+    cx = eb.select(
+        "l_orderkey", "held", "ctx", F.explode("ctx").alias("item")
+    )
+    cand = (
+        cx.join(co, cx["item"] == co["a"])
+        .where(~F.array_contains(F.col("ctx"), F.col("b2")))
+        .groupBy("l_orderkey", "held", F.col("b2").alias("rec"))
+        .agg(F.sum("s").cast("long").alias("score"))
+    )
+    rk = cand.select(
+        "l_orderkey",
+        "held",
+        "rec",
+        F.row_number()
+        .over(
+            Window.partitionBy("l_orderkey").orderBy(
+                F.col("score").desc(), "rec"
+            )
+        )
+        .alias("rn"),
+    )
+    n_eval = eb.agg(F.count(F.lit(1)).cast("long").alias("n_eval"))
+    agg = rk.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_scored"),
+        F.sum(
+            F.when((F.col("rec") == F.col("held")) & (F.col("rn") <= 5), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("hits"),
+    )
+    return (
+        n_eval.crossJoin(agg)
+        .selectExpr(
+            "n_eval",
+            "n_scored",
+            "hits",
+            "CAST((2 * 1000000 * hits + n_eval) div (2 * n_eval)"
+            " AS BIGINT) AS hitrate_ppm",
+        )
+    )
+
+
+@query(
+    "token_budget_waterfill",
+    f"""
+    WITH tc AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS m
+      FROM (SELECT source,
+                   unnest(list_filter(
+                     regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+                     x -> x <> '')) AS tok
+            FROM documents)
+      GROUP BY source),
+    rk AS (
+      SELECT source, m,
+             ROW_NUMBER() OVER (ORDER BY m, source) AS i,
+             SUM(m) OVER (ORDER BY m, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(m) OVER () AS BIGINT) AS tot
+      FROM tc),
+    bb AS (SELECT CAST(MAX(tot) // 2 AS BIGINT) AS b,
+                  CAST(MAX(n) AS BIGINT) AS n,
+                  CAST(MAX(m) AS BIGINT) AS mmax
+           FROM rk),
+    seg AS (
+      SELECT MIN(rk.i) AS i0
+      FROM rk CROSS JOIN bb
+      WHERE (rk.p - rk.m) + rk.m * (bb.n - rk.i + 1) > bb.b),
+    lvl AS (
+      SELECT CASE WHEN seg.i0 IS NULL THEN bb.mmax
+             ELSE (bb.b - COALESCE(
+                     (SELECT p FROM rk WHERE i = seg.i0 - 1), 0))
+                  // (bb.n - seg.i0 + 1) END AS lev,
+             bb.b AS b
+      FROM bb LEFT JOIN seg ON TRUE)
+    SELECT rk.source, rk.m AS tokens,
+           CAST(LEAST(rk.m, lvl.lev) AS BIGINT) AS allocated,
+           CAST(CASE WHEN rk.m > lvl.lev THEN 1 ELSE 0 END AS BIGINT)
+             AS capped,
+           CAST(lvl.lev AS BIGINT) AS water_level,
+           CAST(lvl.b - (SELECT SUM(LEAST(r2.m, lvl.lev)) FROM rk r2)
+                AS BIGINT) AS budget_remainder
+    FROM rk CROSS JOIN lvl ORDER BY rk.source
+    """,
+)
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation by WATER-FILLING — the deterministic
+    answer to "we can afford B tokens total; how much from each
+    source?": every source keeps its full mass up to a common water
+    level L, heavy sources are capped at L, and L is the exact integer
+    level maximizing use of the budget (B = half the corpus here).
+    Closed form over the mass-sorted prefix sums: the first index
+    where full-allocation-below + level*(remaining) exceeds B pins the
+    segment, L = (B - prefix) div (#capped). The sub-|sources|
+    remainder is reported, not silently spread (no silent caps).
+    Scale: masses are one map-side-combined count; the sort/window
+    runs over the SOURCE dimension (tiny); allocation is a broadcast
+    of one scalar. One row per source."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
+    )
+    tc = (
+        docs.selectExpr("source", f"explode({toks}) AS tok")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    wo = Window.orderBy("m", "source")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rk = tc.select(
+        "source",
+        "m",
+        F.row_number().over(wo).alias("i"),
+        F.sum("m")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("p"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        F.sum("m").over(wall).cast("long").alias("tot"),
+    )
+    bb = rk.agg(
+        F.expr("CAST(MAX(tot) div 2 AS BIGINT)").alias("b"),
+        F.max("n").alias("nn"),
+        F.max("m").alias("mmax"),
+    )
+    seg = (
+        rk.crossJoin(F.broadcast(bb))
+        .where(
+            (F.col("p") - F.col("m"))
+            + F.col("m") * (F.col("nn") - F.col("i") + 1)
+            > F.col("b")
+        )
+        .agg(F.min("i").alias("i0"))
+    )
+    pref = rk.select(F.col("i").alias("ip"), F.col("p").alias("pp"))
+    lvl = (
+        bb.crossJoin(F.broadcast(seg))
+        .join(
+            F.broadcast(pref),
+            F.col("ip") == F.col("i0") - 1,
+            "left",
+        )
+        .selectExpr(
+            "CASE WHEN i0 IS NULL THEN mmax"
+            " ELSE (b - COALESCE(pp, 0)) div (nn - i0 + 1) END AS lev",
+            "b",
+        )
+    )
+    out = rk.crossJoin(F.broadcast(lvl))
+    tot_alloc = out.agg(
+        F.sum(F.least(F.col("m"), F.col("lev"))).cast("long").alias("ta")
+    )
+    return (
+        out.crossJoin(F.broadcast(tot_alloc))
+        .selectExpr(
+            "source",
+            "m AS tokens",
+            "LEAST(m, lev) AS allocated",
+            "CAST(CASE WHEN m > lev THEN 1 ELSE 0 END AS BIGINT)"
+            " AS capped",
+            "CAST(lev AS BIGINT) AS water_level",
+            "CAST(b - ta AS BIGINT) AS budget_remainder",
+        )
+        .orderBy("source")
+    )
