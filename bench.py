@@ -173,6 +173,7 @@ EXTRA = [
     "correlation_matrix_lineitem",
     "copurchase_hitrate_eval",
     "token_budget_waterfill",
+    "holt_backtest_mae",
 ]
 
 

@@ -15031,3 +15031,129 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _holt_backtest_oracle_sql() -> str:
+    """DuckDB replay of the Holt backtest: the same dyadic recurrence
+    folded over the TRAIN prefix (first 80% of days, global series),
+    then MAE of the h-step forecasts against the held-out tail,
+    compared to the last-train-value naive baseline."""
+
+    def fdiv4(v: str) -> str:
+        return (
+            f"CASE WHEN ({v}) >= 0 THEN ({v}) // 4"
+            f" ELSE -(((-({v})) + 3) // 4) END"
+        )
+
+    nl = fdiv4("r.cnt * 1048576 + 3 * (it.l + it.b)")
+    nb = fdiv4(f"(({nl}) - it.l) + 3 * it.b")
+    return f"""
+    WITH RECURSIVE dc AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1),
+    rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM dc),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(COUNT(*) * 8 // 10 AS BIGINT) AS ntr FROM rk),
+    it AS (
+      SELECT CAST(1 AS BIGINT) AS i,
+             CAST(r1.cnt * 1048576 AS BIGINT) AS l,
+             CAST((r2.cnt - r1.cnt) * 1048576 AS BIGINT) AS b
+      FROM rk r1 JOIN rk r2 ON r1.rn = 1 AND r2.rn = 2
+      UNION ALL
+      SELECT it.i + 1, CAST({nl} AS BIGINT), CAST({nb} AS BIGINT)
+      FROM rk r JOIN it ON r.rn = it.i + 1
+      WHERE it.i + 1 <= (SELECT ntr FROM nn)),
+    fin AS (SELECT l, b FROM it WHERE i = (SELECT ntr FROM nn)),
+    lastv AS (
+      SELECT cnt AS lv FROM rk WHERE rn = (SELECT ntr FROM nn)),
+    tst AS (
+      SELECT rn - (SELECT ntr FROM nn) AS h, cnt
+      FROM rk WHERE rn > (SELECT ntr FROM nn)),
+    err AS (
+      SELECT tst.h, tst.cnt,
+             ABS(tst.cnt * 1048576 - (fin.l + tst.h * fin.b))
+               AS holt_err_ticks,
+             ABS(tst.cnt - lastv.lv) * 1048576 AS naive_err_ticks
+      FROM tst CROSS JOIN fin CROSS JOIN lastv)
+    SELECT CAST((SELECT ntr FROM nn) AS BIGINT) AS n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST((2 * 1000 * SUM(holt_err_ticks)
+                 + CAST(1048576 AS HUGEINT) * COUNT(*))
+                // (2 * CAST(1048576 AS HUGEINT) * COUNT(*)) AS BIGINT)
+             AS holt_mae_milli,
+           CAST((2 * 1000 * SUM(naive_err_ticks)
+                 + CAST(1048576 AS HUGEINT) * COUNT(*))
+                // (2 * CAST(1048576 AS HUGEINT) * COUNT(*)) AS BIGINT)
+             AS naive_mae_milli
+    FROM err
+    """
+
+
+@query("holt_backtest_mae", _holt_backtest_oracle_sql())
+def holt_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the Holt forecaster — the eval that keeps
+    holt_linear_forecast honest: train the dyadic level+trend
+    recurrence on the first 80% of the global daily series, forecast
+    every held-out day (h = 1..n_test), and report the exact MAE in
+    half-up milli-events against the last-train-value NAIVE baseline
+    (the comparison every forecast eval needs: beating naive is the
+    bar). Identical integer recurrence as holt_linear_forecast
+    (Catalyst fold == recursive CTE); errors stay in 2^20 ticks until
+    one final rounding. Scale: calendar-bounded fold + one join-free
+    error pass. One row."""
+    ev = load_tables(spark, sf_dir)["events"]
+    dc = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    arr = dc.agg(
+        F.array_sort(F.collect_list(F.struct("d", "cnt"))).alias("a")
+    ).selectExpr("a", "CAST(size(a) * 8 div 10 AS INT) AS ntr")
+
+    def fdiv4(v: str) -> str:
+        return (
+            f"CASE WHEN ({v}) >= 0 THEN ({v}) div 4"
+            f" ELSE -(((-({v})) + 3) div 4) END"
+        )
+
+    nl = fdiv4("e.cnt * 1048576 + 3 * (st.l + st.b)")
+    nb = fdiv4(f"(({nl}) - st.l) + 3 * st.b")
+    fin = arr.selectExpr(
+        "a",
+        "ntr",
+        f"""
+        aggregate(slice(a, 2, ntr - 1),
+          struct(CAST(a[0].cnt * 1048576 AS BIGINT) AS l,
+                 CAST((a[1].cnt - a[0].cnt) * 1048576 AS BIGINT) AS b),
+          (st, e) -> struct(CAST({nl} AS BIGINT) AS l,
+                            CAST({nb} AS BIGINT) AS b),
+          st -> st) AS fin
+        """,
+        "a[ntr - 1].cnt AS lv",
+    )
+    err = fin.selectExpr(
+        "ntr",
+        "size(a) - ntr AS n_test",
+        """
+        aggregate(slice(a, ntr + 1, size(a) - ntr),
+          struct(CAST(0 AS DECIMAL(38,0)) AS he,
+                 CAST(0 AS DECIMAL(38,0)) AS ne,
+                 CAST(1 AS BIGINT) AS h),
+          (st, e) -> struct(
+            CAST(st.he + abs(CAST(e.cnt AS DECIMAL(38,0)) * 1048576
+                 - (fin.l + st.h * fin.b)) AS DECIMAL(38,0)),
+            CAST(st.ne + CAST(abs(e.cnt - lv) AS DECIMAL(38,0)) * 1048576
+                 AS DECIMAL(38,0)),
+            CAST(st.h + 1 AS BIGINT)),
+          st -> st) AS er
+        """,
+    )
+    return err.selectExpr(
+        "CAST(ntr AS BIGINT) AS n_train",
+        "CAST(n_test AS BIGINT) AS n_test",
+        "CAST((2 * 1000 * er.he + CAST(1048576 AS DECIMAL(38,0)) * n_test)"
+        " div (2 * CAST(1048576 AS DECIMAL(38,0)) * n_test) AS BIGINT)"
+        " AS holt_mae_milli",
+        "CAST((2 * 1000 * er.ne + CAST(1048576 AS DECIMAL(38,0)) * n_test)"
+        " div (2 * CAST(1048576 AS DECIMAL(38,0)) * n_test) AS BIGINT)"
+        " AS naive_mae_milli",
+    )
