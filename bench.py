@@ -174,6 +174,7 @@ EXTRA = [
     "copurchase_hitrate_eval",
     "token_budget_waterfill",
     "holt_backtest_mae",
+    "source_quality_scorecard",
 ]
 
 

@@ -15157,3 +15157,151 @@ def holt_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         " div (2 * CAST(1048576 AS DECIMAL(38,0)) * n_test) AS BIGINT)"
         " AS naive_mae_milli",
     )
+
+
+def _scorecard_oracle_sql() -> str:
+    return f"""
+    WITH RECURSIVE tc AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source,
+                   unnest(list_filter(
+                     regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+                     x -> x <> '')) AS tok
+            FROM documents)
+      GROUP BY source, tok),
+    tu AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM tc GROUP BY source),
+    dv AS (
+      SELECT DISTINCT v FROM (
+        SELECT c AS v FROM tc UNION ALL SELECT t FROM tu)),
+    {_fp_log2_cte('s', 'dv')},
+    su AS (
+      SELECT tc.source, CAST(SUM(tc.c * slg.lg) AS BIGINT) AS s
+      FROM tc JOIN slg ON slg.v = tc.c GROUP BY tc.source),
+    ent AS (
+      SELECT tu.source, tu.t, tu.vocab,
+             CAST(lt.lg - su.s // tu.t AS BIGINT) AS entropy_ticks
+      FROM tu JOIN su ON su.source = tu.source
+              JOIN slg lt ON lt.v = tu.t),
+    nd AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    fp AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_filter(
+               regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+               x -> x <> '')[1:16], ' ')) AS f
+      FROM documents),
+    fg AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS cf FROM fp GROUP BY f),
+    dup AS (
+      SELECT fp.source,
+             CAST(SUM(CASE WHEN fg.cf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup
+      FROM fp JOIN fg ON fg.f = fp.f GROUP BY fp.source),
+    lg2 AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cl
+      FROM documents GROUP BY source, lang),
+    pur AS (
+      SELECT source, CAST(MAX(cl) AS BIGINT) AS maj
+      FROM lg2 GROUP BY source)
+    SELECT nd.source, nd.n_docs, ent.t AS n_tokens, ent.vocab,
+           ent.entropy_ticks,
+           CAST((2 * 1000 * ent.t + nd.n_docs) // (2 * nd.n_docs)
+                AS BIGINT) AS mean_len_milli,
+           CAST((2 * 1000000 * dup.n_dup + nd.n_docs) // (2 * nd.n_docs)
+                AS BIGINT) AS dup16_ppm,
+           CAST((2 * 1000000 * pur.maj + nd.n_docs) // (2 * nd.n_docs)
+                AS BIGINT) AS lang_purity_ppm
+    FROM nd JOIN ent ON ent.source = nd.source
+            JOIN dup ON dup.source = nd.source
+            JOIN pur ON pur.source = nd.source
+    ORDER BY nd.source
+    """
+
+
+@query("source_quality_scorecard", _scorecard_oracle_sql())
+def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source data-quality SCORECARD — one table a curation
+    review actually reads, composing the engine's established exact
+    signals: document and token mass, vocabulary size, token-entropy
+    ticks (diversity), mean document length (half-up milli tokens),
+    16-token-prefix duplication exposure (share of docs whose opening
+    is not unique — the cross_source_duplication key, within-corpus),
+    and language purity (majority-language share). Every column is the
+    same integer design proven by its standalone operator, joined on
+    the source dimension. Scale: three scans of documents (token
+    stats, prefix fingerprints, lang counts), each map-side combined;
+    all joins are on the tiny source key. One row per source."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+    from rocketmq_flink_spark.operators.retrieval import fp_log2_sql
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
+    )
+    tc = (
+        docs.selectExpr("source", f"explode({toks}) AS tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    lgc = tc.selectExpr(
+        "source", "c", fp_log2_sql("c", "1") + " AS lgc"
+    )
+    ent = (
+        lgc.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("t"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum(F.col("c") * F.col("lgc")).cast("long").alias("s"),
+        )
+        .selectExpr(
+            "source",
+            "t",
+            "vocab",
+            f"CAST(({fp_log2_sql('t', '1')}) - s div t AS BIGINT)"
+            " AS entropy_ticks",
+        )
+    )
+    nd = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    fp = docs.selectExpr(
+        "source", f"md5(concat_ws(' ', slice({toks}, 1, 16))) AS f"
+    )
+    fg = fp.groupBy("f").agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    dup = (
+        fp.join(fg, "f")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("cf") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup")
+        )
+    )
+    pur = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("cl"))
+        .groupBy("source")
+        .agg(F.max("cl").cast("long").alias("maj"))
+    )
+    return (
+        nd.join(ent, "source")
+        .join(dup, "source")
+        .join(pur, "source")
+        .selectExpr(
+            "source",
+            "n_docs",
+            "t AS n_tokens",
+            "vocab",
+            "entropy_ticks",
+            "CAST((2 * 1000 * t + n_docs) div (2 * n_docs) AS BIGINT)"
+            " AS mean_len_milli",
+            "CAST((2 * 1000000 * n_dup + n_docs) div (2 * n_docs)"
+            " AS BIGINT) AS dup16_ppm",
+            "CAST((2 * 1000000 * maj + n_docs) div (2 * n_docs)"
+            " AS BIGINT) AS lang_purity_ppm",
+        )
+        .orderBy("source")
+    )
