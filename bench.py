@@ -175,6 +175,8 @@ EXTRA = [
     "token_budget_waterfill",
     "holt_backtest_mae",
     "source_quality_scorecard",
+    "interarrival_histogram",
+    "embedding_dim_variance",
 ]
 
 

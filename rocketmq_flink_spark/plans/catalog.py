@@ -15305,3 +15305,133 @@ def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "interarrival_histogram",
+    """
+    WITH g AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY ts, event_id) AS gap_us
+      FROM events),
+    b AS (
+      SELECT event_type,
+             CAST(CASE WHEN gap_us <= 0 THEN 0
+                  ELSE length(bin(gap_us)) - 1 END AS BIGINT)
+               AS log2_bucket
+      FROM g WHERE gap_us IS NOT NULL)
+    SELECT event_type, log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM b GROUP BY event_type, log2_bucket
+    ORDER BY event_type, log2_bucket
+    """,
+)
+def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time burstiness profile: per event type, the
+    histogram of log2(gap in microseconds) between consecutive events
+    — the heavy-tail readout (uniform traffic = one tight band;
+    bursty = mass in the low buckets plus a long-gap tail) behind
+    rate-limiter and watermark-delay tuning. The bucket is the
+    INTEGER floor log2 via bit length (length(bin(x)) - 1 — zero
+    libm, the fp_log2 family's cheap cousin), gaps ordered by the
+    (ts, event_id) total order. Scale: the lag window is partitioned
+    by (type, DAY) so partition width is bounded by daily volume, not
+    corpus history — day-boundary gaps are dropped by construction
+    (documented, deterministic). Counting is map-side combined;
+    output is |types| x ~40 buckets."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    g = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    b = g.selectExpr(
+        "event_type",
+        "CAST(CASE WHEN gap_us <= 0 THEN 0"
+        " ELSE length(bin(gap_us)) - 1 END AS BIGINT) AS log2_bucket",
+    )
+    return (
+        b.groupBy("event_type", "log2_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+        .orderBy("event_type", "log2_bucket")
+    )
+
+
+@query(
+    "embedding_dim_variance",
+    """
+    WITH px AS (
+      SELECT tp.i - 1 AS dim,
+             CAST(floor(tp.x * 1e10 + 0.5) AS HUGEINT) AS t
+      FROM (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings) v,
+           LATERAL (SELECT unnest(e) AS x,
+                           generate_subscripts(e, 1) AS i) tp),
+    ag AS (
+      SELECT dim, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(t) AS HUGEINT) AS sx,
+             CAST(SUM(t * t) AS HUGEINT) AS sxx
+      FROM px GROUP BY dim)
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(CASE WHEN sx >= 0 THEN
+                  (2 * 1000 * sx + n * 10000000000)
+                    // (2 * n * 10000000000)
+                ELSE -((2 * 1000 * (-sx) + n * 10000000000)
+                    // (2 * n * 10000000000)) END AS BIGINT)
+             AS mean_milli,
+           CAST((2 * 1000000 * (n * sxx - sx * sx)
+                 + n * n * 100000000000000000000)
+                // (2 * n * n * 100000000000000000000) AS BIGINT)
+             AS var_micro
+    FROM ag ORDER BY dim
+    """,
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance profile of the embedding space —
+    the signal-concentration readout that drives quantizer design
+    (SQ8 ranges, PQ subspace splits, which dimensions a Matryoshka
+    truncation can afford to drop). Embeddings enter through the
+    engine-stable floor(x*1e10 + 0.5) tick quantization (the r4
+    cast-tie lesson — functions/quant.py), then everything is exact
+    integer moments: mean in half-up milli, population variance in
+    half-up micro via (n*Sxx - Sx^2)/(n^2 * 1e20) with HUGEINT /
+    DECIMAL(38,0) headroom (documented bound: |x| <= ~1.3 at 4k
+    vectors; re-scale ticks before 10^6-vector corpora). Scale: one
+    posexplode pass, map-side-combined per-dimension moments, output
+    is dimension-bounded (64 rows)."""
+    from rocketmq_flink_spark.functions.quant import dec10_array
+
+    dec = "decimal(38,0)"
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    px = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        )
+    ).select(
+        "dim",
+        F.floor(F.col("x") * F.lit(1e10) + F.lit(0.5))
+        .cast(dec)
+        .alias("t"),
+    )
+    ag = px.groupBy("dim").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("t").cast(dec).alias("sx"),
+        F.sum(F.col("t") * F.col("t")).cast(dec).alias("sxx"),
+    )
+    return ag.selectExpr(
+        "CAST(dim AS BIGINT) AS dim",
+        "CAST(CASE WHEN sx >= 0 THEN"
+        "  (2 * 1000 * sx + n * 10000000000)"
+        "    div (2 * n * 10000000000)"
+        " ELSE -((2 * 1000 * (-sx) + n * 10000000000)"
+        "    div (2 * n * 10000000000)) END AS BIGINT) AS mean_milli",
+        "CAST((2 * 1000000 * (n * sxx - sx * sx)"
+        " + n * n * CAST(100000000000000000000 AS DECIMAL(38,0)))"
+        " div (2 * n * n * CAST(100000000000000000000 AS DECIMAL(38,0)))"
+        " AS BIGINT) AS var_micro",
+    ).orderBy("dim")
