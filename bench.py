@@ -177,6 +177,7 @@ EXTRA = [
     "source_quality_scorecard",
     "interarrival_histogram",
     "embedding_dim_variance",
+    "readability_by_source",
 ]
 
 

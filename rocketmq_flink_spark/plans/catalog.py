@@ -15435,3 +15435,83 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         " div (2 * n * n * CAST(100000000000000000000 AS DECIMAL(38,0)))"
         " AS BIGINT) AS var_micro",
     ).orderBy("dim")
+
+
+@query(
+    "readability_by_source",
+    f"""
+    WITH d AS (
+      SELECT source,
+             CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                  x -> trim(x) <> '')) AS BIGINT) AS sents,
+             CAST(len(list_filter(
+               regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+               x -> x <> '')) AS BIGINT) AS words,
+             CAST(len(regexp_split_to_array(lower(text), '[aeiou]+'))
+                  - 1 AS BIGINT) AS vgroups
+      FROM documents),
+    a AS (
+      SELECT source, CAST(SUM(sents) AS HUGEINT) AS s,
+             CAST(SUM(words) AS HUGEINT) AS w,
+             CAST(SUM(vgroups) AS HUGEINT) AS y
+      FROM d GROUP BY source)
+    SELECT source,
+           CAST(s AS BIGINT) AS n_sentences,
+           CAST(w AS BIGINT) AS n_words,
+           CAST(y AS BIGINT) AS n_vowel_groups,
+           CAST((2 * 1000 * w + s) // (2 * s) AS BIGINT)
+             AS words_per_sentence_milli,
+           CAST(206835 - (2 * 1015 * w + s) // (2 * s)
+                       - (2 * 84600 * y + w) // (2 * w) AS BIGINT)
+             AS flesch_milli
+    FROM a WHERE s > 0 AND w > 0 ORDER BY source
+    """,
+)
+def readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source, fully integer: sentences =
+    non-empty '[.!?]+' segments, words = normalized tokens, syllable
+    PROXY = vowel groups ('[aeiou]+' runs — the standard library-free
+    stand-in; both engines' regex splits verified semantics-identical
+    including edge empties), and the score 206.835 - 1.015*(W/S) -
+    84.6*(Y/W) evaluated as two half-up milli rationals subtracted
+    from the milli constant — reproducible to the last digit, unlike
+    any float readability implementation. The curation use: very high
+    ease = listicle/spam-like, very low = OCR garbage or code — both
+    ends get a review queue. Scale: one scan, three regexp counters
+    per doc, map-side-combined per-source sums. One row per source.
+    """
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    dec = "decimal(38,0)"
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
+    )
+    d = docs.selectExpr(
+        "source",
+        "CAST(size(filter(split(text, '[.!?]+'), x -> trim(x) <> ''))"
+        " AS BIGINT) AS sents",
+        f"CAST(size({toks}) AS BIGINT) AS words",
+        "CAST(size(split(lower(text), '[aeiou]+')) - 1 AS BIGINT)"
+        " AS vgroups",
+    )
+    a = d.groupBy("source").agg(
+        F.sum("sents").cast(dec).alias("s"),
+        F.sum("words").cast(dec).alias("w"),
+        F.sum("vgroups").cast(dec).alias("y"),
+    )
+    return (
+        a.where((F.col("s") > 0) & (F.col("w") > 0))
+        .selectExpr(
+            "source",
+            "CAST(s AS BIGINT) AS n_sentences",
+            "CAST(w AS BIGINT) AS n_words",
+            "CAST(y AS BIGINT) AS n_vowel_groups",
+            "CAST((2 * 1000 * w + s) div (2 * s) AS BIGINT)"
+            " AS words_per_sentence_milli",
+            "CAST(206835 - (2 * 1015 * w + s) div (2 * s)"
+            " - (2 * 84600 * y + w) div (2 * w) AS BIGINT)"
+            " AS flesch_milli",
+        )
+        .orderBy("source")
+    )
