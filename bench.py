@@ -178,6 +178,7 @@ EXTRA = [
     "interarrival_histogram",
     "embedding_dim_variance",
     "readability_by_source",
+    "dedup_sensitivity_curve",
 ]
 
 

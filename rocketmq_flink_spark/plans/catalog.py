@@ -15515,3 +15515,85 @@ def readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "dedup_sensitivity_curve",
+    f"""
+    WITH f AS (
+      SELECT md5(text) AS raw,
+             md5(lower(text)) AS lowered,
+             md5({_NORM_SQL_DUCK}) AS normalized,
+             md5(array_to_string(list_filter(
+               regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+               x -> x <> '')[1:16], ' ')) AS prefix16
+      FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM f),
+    lv AS (
+      SELECT 'a_raw' AS level, raw AS h FROM f
+      UNION ALL SELECT 'b_lowered', lowered FROM f
+      UNION ALL SELECT 'c_normalized', normalized FROM f
+      UNION ALL SELECT 'd_prefix16', prefix16 FROM f),
+    g AS (
+      SELECT level, h, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lv GROUP BY level, h),
+    agg AS (
+      SELECT level,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(c - 1) AS BIGINT) AS n_removed
+      FROM g GROUP BY level)
+    SELECT agg.level, n.nd AS n_docs, agg.n_distinct, agg.n_removed,
+           CAST((2 * 1000000 * agg.n_removed + n.nd) // (2 * n.nd)
+                AS BIGINT) AS removal_ppm
+    FROM agg CROSS JOIN n ORDER BY agg.level
+    """,
+)
+def dedup_sensitivity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup sensitivity to key aggressiveness — the diagnostic a
+    curation review runs BEFORE choosing the dedup key: the same
+    corpus fingerprinted at four normalization levels (raw bytes,
+    lowercased, fully normalized, 16-token prefix) and the exact
+    removal rate at each (min-keeper convention: removed = count-1
+    per group). A steep raw->normalized jump means near-identical
+    formatting variants dominate; a steep normalized->prefix16 jump
+    means shared boilerplate openings. Scale: ONE scan computes all
+    four fingerprints; each level is a map-side-combined count over
+    16-byte keys; output is 4 rows."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
+    )
+    f = docs.selectExpr(
+        "md5(text) AS a_raw",
+        "md5(lower(text)) AS b_lowered",
+        f"md5({normalize_sql('text')}) AS c_normalized",
+        f"md5(concat_ws(' ', slice({toks}, 1, 16))) AS d_prefix16",
+    )
+    n = f.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    lv = None
+    for col in ("a_raw", "b_lowered", "c_normalized", "d_prefix16"):
+        part = f.select(
+            F.lit(col).alias("level"), F.col(col).alias("h")
+        )
+        lv = part if lv is None else lv.unionAll(part)
+    g = lv.groupBy("level", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = g.groupBy("level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("c") - 1).cast("long").alias("n_removed"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(n))
+        .selectExpr(
+            "level",
+            "nd AS n_docs",
+            "n_distinct",
+            "n_removed",
+            "CAST((2 * 1000000 * n_removed + nd) div (2 * nd)"
+            " AS BIGINT) AS removal_ppm",
+        )
+        .orderBy("level")
+    )
