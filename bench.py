@@ -179,6 +179,7 @@ EXTRA = [
     "embedding_dim_variance",
     "readability_by_source",
     "dedup_sensitivity_curve",
+    "rfm_user_segments",
 ]
 
 

@@ -15597,3 +15597,158 @@ def dedup_sensitivity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+def _rfm_oracle_sql() -> str:
+    dims = {"r": "rec", "f": "freq", "m": "mon"}
+    cuts = []
+    for d, col in dims.items():
+        cuts.append(f"""
+    g_{d} AS (
+      SELECT {col} AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM rfm GROUP BY 1),
+    w_{d} AS (
+      SELECT v, SUM(c) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM g_{d}),
+    q_{d} AS (
+      SELECT
+        (SELECT MIN(v) FROM w_{d}
+          WHERE cc >= (1 * (SELECT nu FROM nn) + 3) // 4) AS q1,
+        (SELECT MIN(v) FROM w_{d}
+          WHERE cc >= (2 * (SELECT nu FROM nn) + 3) // 4) AS q2,
+        (SELECT MIN(v) FROM w_{d}
+          WHERE cc >= (3 * (SELECT nu FROM nn) + 3) // 4) AS q3)""")
+    return f"""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    mx AS (SELECT MAX(day) AS maxd FROM ev),
+    rfm AS (
+      SELECT user_id,
+             date_diff('day', MAX(day), (SELECT maxd FROM mx)) AS rec,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(cents) AS BIGINT) AS mon
+      FROM ev GROUP BY user_id),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM rfm),
+    {",".join(cuts)},
+    seg AS (
+      SELECT CAST(1 + (rec > q_r.q1)::INT + (rec > q_r.q2)::INT
+                    + (rec > q_r.q3)::INT AS BIGINT) AS r_q,
+             CAST(1 + (freq > q_f.q1)::INT + (freq > q_f.q2)::INT
+                    + (freq > q_f.q3)::INT AS BIGINT) AS f_q,
+             CAST(1 + (mon > q_m.q1)::INT + (mon > q_m.q2)::INT
+                    + (mon > q_m.q3)::INT AS BIGINT) AS m_q,
+             mon
+      FROM rfm CROSS JOIN q_r CROSS JOIN q_f CROSS JOIN q_m)
+    SELECT r_q, f_q, m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(mon) AS BIGINT) AS total_cents
+    FROM seg GROUP BY r_q, f_q, m_q
+    ORDER BY r_q, f_q, m_q
+    """
+
+
+@query("rfm_user_segments", _rfm_oracle_sql())
+def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic marketing/behavioral cube:
+    every purchasing user scored by Recency (days since last
+    purchase), Frequency (purchase count), Monetary (exact total
+    cents), each quartiled, reported as (R,F,M) cell counts + revenue
+    mass. The quartile cuts are computed SCALE-SAFELY: per dimension
+    a distinct-VALUE histogram with one ordered prefix pass yields the
+    exact value holding rank ceil(k*n/4) (the winsorized_mean_orders
+    technique) — never an ntile window over all users (which would
+    single-partition a user-dimension that grows with the data);
+    bucket assignment is then one broadcast-threshold map pass.
+    Quartile 1 = most recent / fewest / cheapest (ascending value
+    order; documented). Scale: user aggregation map-side combined;
+    ordered passes run over distinct R/F/M values (day-, count- and
+    price-domain bounded); output <= 64 cells."""
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    mx = ev.agg(F.max("day").alias("maxd"))
+    rfm = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("maxd"), F.max("day")).cast("long").alias(
+                "rec"
+            ),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("cents").cast("long").alias("mon"),
+        )
+    )
+    nn = rfm.agg(F.count(F.lit(1)).cast("long").alias("nu"))
+
+    def cuts(col: str):
+        g = rfm.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        w = g.select(
+            "v",
+            F.sum("c")
+            .over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .alias("cc"),
+        )
+        return (
+            w.crossJoin(F.broadcast(nn))
+            .agg(
+                F.min(
+                    F.when(
+                        F.col("cc") >= F.expr("(1 * nu + 3) div 4"),
+                        F.col("v"),
+                    )
+                ).alias(f"{col}_q1"),
+                F.min(
+                    F.when(
+                        F.col("cc") >= F.expr("(2 * nu + 3) div 4"),
+                        F.col("v"),
+                    )
+                ).alias(f"{col}_q2"),
+                F.min(
+                    F.when(
+                        F.col("cc") >= F.expr("(3 * nu + 3) div 4"),
+                        F.col("v"),
+                    )
+                ).alias(f"{col}_q3"),
+            )
+        )
+
+    seg = (
+        rfm.crossJoin(F.broadcast(cuts("rec")))
+        .crossJoin(F.broadcast(cuts("freq")))
+        .crossJoin(F.broadcast(cuts("mon")))
+        .selectExpr(
+            "CAST(1 + CAST(rec > rec_q1 AS INT)"
+            " + CAST(rec > rec_q2 AS INT)"
+            " + CAST(rec > rec_q3 AS INT) AS BIGINT) AS r_q",
+            "CAST(1 + CAST(freq > freq_q1 AS INT)"
+            " + CAST(freq > freq_q2 AS INT)"
+            " + CAST(freq > freq_q3 AS INT) AS BIGINT) AS f_q",
+            "CAST(1 + CAST(mon > mon_q1 AS INT)"
+            " + CAST(mon > mon_q2 AS INT)"
+            " + CAST(mon > mon_q3 AS INT) AS BIGINT) AS m_q",
+            "mon",
+        )
+    )
+    return (
+        seg.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("mon").cast("long").alias("total_cents"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
