@@ -180,6 +180,7 @@ EXTRA = [
     "readability_by_source",
     "dedup_sensitivity_curve",
     "rfm_user_segments",
+    "bigram_next_token_accuracy",
 ]
 
 

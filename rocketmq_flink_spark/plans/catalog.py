@@ -15752,3 +15752,128 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+def _bigram_acc_oracle_sql() -> str:
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    split = (
+        hash60_sql("'lmsplit:' || CAST(doc_id AS VARCHAR)") + " % 5 = 0"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {split} AS is_test, tp.i AS pos, tp.t AS tok
+      FROM (SELECT doc_id, list_filter(
+              regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+              x -> x <> '') AS arr
+            FROM documents) d,
+           LATERAL (SELECT unnest(arr) AS t,
+                           generate_subscripts(arr, 1) AS i) tp),
+    bg AS (
+      SELECT doc_id, is_test, tok AS t1,
+             LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+      FROM tok),
+    trn AS (
+      SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bg WHERE NOT is_test AND t2 IS NOT NULL GROUP BY t1, t2),
+    model AS (
+      SELECT t1, t2 AS pred FROM (
+        SELECT t1, t2, ROW_NUMBER() OVER (
+          PARTITION BY t1 ORDER BY c DESC, t2) AS rn
+        FROM trn) WHERE rn = 1),
+    tst AS (
+      SELECT t1, t2 FROM bg WHERE is_test AND t2 IS NOT NULL),
+    j AS (
+      SELECT tst.t1, tst.t2, model.pred
+      FROM tst LEFT JOIN model ON model.t1 = tst.t1),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_covered,
+             CAST(SUM(CASE WHEN pred = t2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct
+      FROM j)
+    SELECT n_test, n_covered, n_correct,
+           CAST((2 * 1000000 * n_covered + n_test) // (2 * n_test)
+                AS BIGINT) AS coverage_ppm,
+           CAST((2 * 1000000 * n_correct + n_covered) // (2 * n_covered)
+                AS BIGINT) AS accuracy_ppm
+    FROM agg
+    """
+
+
+@query("bigram_next_token_accuracy", _bigram_acc_oracle_sql())
+def bigram_next_token_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bigram language-model BACKTEST — the eval companion of
+    lm_surprisal_by_source: train argmax next-token prediction
+    (bigram counts, ties to the lexicographically smallest
+    continuation) on a hash holdout's training side, measure top-1
+    next-token accuracy and context coverage on the held-out docs —
+    the go/no-go number for using the cheap n-gram LM as a quality
+    filter. Exact integer counts, deterministic argmax, half-up ppm.
+    Scale: bigrams from ONE doc-partitioned window pass; the model is
+    a (context -> argmax) table built by map-side-combined counts +
+    a context-partitioned window; scoring is one context-keyed hash
+    join (the model is vocabulary-sized — joined, not broadcast, by
+    design). One row."""
+    from rocketmq_flink_spark.functions.porthash import hash60
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
+    )
+    tok = docs.selectExpr(
+        "doc_id", f"posexplode({toks}) AS (pos, tok)"
+    ).withColumn(
+        "is_test",
+        hash60(F.concat(F.lit("lmsplit:"), F.col("doc_id").cast("string")))
+        % 5
+        == 0,
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = tok.select(
+        "is_test",
+        F.col("tok").alias("t1"),
+        F.lead("tok").over(w).alias("t2"),
+    ).where(F.col("t2").isNotNull())
+    trn = (
+        bg.where(~F.col("is_test"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    model = (
+        trn.select(
+            "t1",
+            "t2",
+            F.row_number()
+            .over(
+                Window.partitionBy("t1").orderBy(F.col("c").desc(), "t2")
+            )
+            .alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select("t1", F.col("t2").alias("pred"))
+    )
+    tst = bg.where(F.col("is_test")).select("t1", "t2")
+    j = tst.join(model, "t1", "left")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.when(F.col("pred").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_covered"),
+        F.sum(F.when(F.col("pred") == F.col("t2"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    return agg.selectExpr(
+        "n_test",
+        "n_covered",
+        "n_correct",
+        "CAST((2 * 1000000 * n_covered + n_test) div (2 * n_test)"
+        " AS BIGINT) AS coverage_ppm",
+        "CAST((2 * 1000000 * n_correct + n_covered) div (2 * n_covered)"
+        " AS BIGINT) AS accuracy_ppm",
+    )
