@@ -359,3 +359,39 @@ def test_zipf_and_ams_vocabulary_side_folds(spark):
         plan = _plan(REGISTRY[name].fn(spark, SF))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_round4c3_pipeline_ops_no_cartesian_no_python(spark):
+    # scorecard/curve/scorers: all JVM-side, no cartesian blowup
+    # (deliberate one-row broadcast cross-joins compile to BNLJ, not
+    # CartesianProduct)
+    for name in (
+        "source_quality_scorecard",
+        "dedup_sensitivity_curve",
+        "readability_by_source",
+        "rfm_user_segments",
+        "bigram_next_token_accuracy",
+        "token_budget_waterfill",
+        "copurchase_hitrate_eval",
+        "interarrival_histogram",
+        "embedding_dim_variance",
+        "holt_backtest_mae",
+        "correlation_matrix_lineitem",
+    ):
+        plan = _plan(REGISTRY[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_phrase_search_probe_broadcasts(spark):
+    plan = _plan(REGISTRY["phrase_search_docs"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # one-row phrase probe
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mmr_pool_cut_is_take_ordered(spark):
+    # the only corpus-scale stage must be the top-pool TakeOrdered cut
+    plan = _plan(REGISTRY["mmr_diversified_topk"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
