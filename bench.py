@@ -181,6 +181,7 @@ EXTRA = [
     "dedup_sensitivity_curve",
     "rfm_user_segments",
     "bigram_next_token_accuracy",
+    "percolation_robustness",
 ]
 
 

@@ -15877,3 +15877,156 @@ def bigram_next_token_accuracy(
         "CAST((2 * 1000000 * n_correct + n_covered) div (2 * n_covered)"
         " AS BIGINT) AS accuracy_ppm",
     )
+
+
+def _percolation_oracle_sql(rounds: int = 8, hubs: int = 16) -> str:
+    """DuckDB replay of hub-percolation: min-label propagation
+    (staged min-combine CTEs, converged by round 8 at every fixture
+    SF — probed through round 12) on the full co-purchase graph and
+    again after removing the top-`hubs` degree hubs."""
+
+    def chain(prefix: str, edges: str) -> str:
+        parts = [f"""
+    {prefix}0 AS MATERIALIZED (
+      SELECT DISTINCT a AS node, a AS lab FROM {edges})"""]
+        for t in range(1, rounds + 1):
+            p = t - 1
+            parts.append(f"""
+    {prefix}{t} AS MATERIALIZED (
+      SELECT node, MIN(lab) AS lab FROM (
+        SELECT node, lab FROM {prefix}{p}
+        UNION ALL
+        SELECT e2.b2, l.lab FROM {edges} e2
+        JOIN {prefix}{p} l ON l.node = e2.a)
+      GROUP BY node)""")
+        return ",".join(parts)
+
+    def phase(prefix: str, edges: str, name: str) -> str:
+        return f"""
+    {prefix}sum AS (
+      SELECT '{name}' AS phase,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             (SELECT CAST(COUNT(*) // 2 AS BIGINT) FROM {edges})
+               AS n_edges,
+             CAST(COUNT(DISTINCT lab) AS BIGINT) AS n_components,
+             CAST(MAX(sz) AS BIGINT) AS largest_component,
+             CAST((2 * 1000000 * MAX(sz) + COUNT(*)) // (2 * COUNT(*))
+                  AS BIGINT) AS largest_share_ppm
+      FROM (SELECT lab, node, COUNT(*) OVER (PARTITION BY lab) AS sz
+            FROM {prefix}{rounds}))"""
+
+    return f"""
+    WITH {_COPURCHASE_EDGES_DUCK},
+    deg AS (SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS d
+            FROM e GROUP BY a),
+    hub AS (
+      SELECT n FROM (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY d DESC, n) AS rn
+        FROM deg) WHERE rn <= {hubs}),
+    e2 AS MATERIALIZED (
+      SELECT e.a, e.b2 FROM e
+      WHERE e.a NOT IN (SELECT n FROM hub)
+        AND e.b2 NOT IN (SELECT n FROM hub)),
+    {chain('fa', 'e')},
+    {chain('fb', 'e2')},
+    {phase('fa', 'e', 'a_full')},
+    {phase('fb', 'e2', 'b_hubs_removed')}
+    SELECT * FROM fasum UNION ALL SELECT * FROM fbsum
+    ORDER BY phase
+    """
+
+
+@query("percolation_robustness", _percolation_oracle_sql())
+def percolation_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation / targeted-attack robustness of the co-purchase
+    graph: connectivity before vs after removing the 16 highest-degree
+    hubs — the resilience gauge (scale-free graphs shatter under hub
+    removal; a robust catalog keeps recommending when bestsellers go
+    out of stock). Components by 8-round synchronous MIN-LABEL
+    propagation (one edges-x-labels join + min-combine per round, the
+    LPA/BFS shape; fixture converges by round 8 at every SF — probed
+    through round 12), run on the full graph and the hub-stripped one.
+    Reports per phase: nodes, edges, component count, largest
+    component and its half-up ppm share. Scale: per-round join volume
+    is PageRank-step sized; hub removal is two broadcast anti-joins;
+    zero driver sync (fixed horizon)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    sup = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ps) >= 2 THEN"
+                    " flatten(transform(sequence(0, size(ps) - 2),"
+                    "  i -> transform(sequence(i + 1, size(ps) - 1),"
+                    "   j -> struct(ps[i] AS p1, ps[j] AS p2))))"
+                    " ELSE array() END"
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.p1", "pr.p2")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 2)
+    )
+    e = sup.select(F.col("p1").alias("a"), F.col("p2").alias("b")).unionAll(
+        sup.select(F.col("p2").alias("a"), F.col("p1").alias("b"))
+    )
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    hub = (
+        deg.select(
+            "a",
+            F.row_number()
+            .over(Window.orderBy(F.col("d").desc(), "a"))
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= 16)
+        .select(F.col("a").alias("n"))
+    )
+    e2 = e.join(
+        F.broadcast(hub), e["a"] == hub["n"], "left_anti"
+    ).join(F.broadcast(hub), F.col("b") == hub["n"], "left_anti")
+
+    def components(edges: DataFrame, name: str) -> DataFrame:
+        lab = edges.select(F.col("a").alias("node")).distinct().select(
+            "node", F.col("node").alias("lab")
+        )
+        for t in range(1, 9):
+            step = edges.join(lab, edges["a"] == lab["node"]).select(
+                F.col("b").alias("node"), "lab"
+            )
+            lab = (
+                lab.unionAll(step)
+                .groupBy("node")
+                .agg(F.min("lab").alias("lab"))
+            )
+            if t % 4 == 0:
+                lab = lab.localCheckpoint(eager=False)
+        sz = lab.groupBy("lab").agg(F.count(F.lit(1)).alias("sz"))
+        ne = edges.agg(
+            F.expr("CAST(COUNT(*) div 2 AS BIGINT)").alias("n_edges")
+        )
+        return (
+            sz.agg(
+                F.sum("sz").cast("long").alias("n_nodes"),
+                F.count(F.lit(1)).cast("long").alias("n_components"),
+                F.max("sz").cast("long").alias("largest_component"),
+            )
+            .crossJoin(F.broadcast(ne))
+            .selectExpr(
+                f"'{name}' AS phase",
+                "n_nodes",
+                "n_edges",
+                "n_components",
+                "largest_component",
+                "CAST((2 * 1000000 * largest_component + n_nodes)"
+                " div (2 * n_nodes) AS BIGINT) AS largest_share_ppm",
+            )
+        )
+
+    return (
+        components(e, "a_full")
+        .unionAll(components(e2, "b_hubs_removed"))
+        .orderBy("phase")
+    )
