@@ -182,6 +182,7 @@ EXTRA = [
     "rfm_user_segments",
     "bigram_next_token_accuracy",
     "percolation_robustness",
+    "markov_stationary_eventtypes",
 ]
 
 

@@ -16030,3 +16030,87 @@ def percolation_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(components(e2, "b_hubs_removed"))
         .orderBy("phase")
     )
+
+
+def _markov_oracle_sql(iters: int = 32) -> str:
+    return f"""
+    WITH RECURSIVE s AS (
+      SELECT user_id, event_type AS t1,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS t2
+      FROM events),
+    m AS (
+      SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM s WHERE t2 IS NOT NULL GROUP BY t1, t2),
+    rs AS (SELECT t1, CAST(SUM(c) AS BIGINT) AS r FROM m GROUP BY t1),
+    tt AS (SELECT DISTINCT t1 AS t FROM m),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM tt),
+    it AS (
+      SELECT 0 AS i, t, CAST(1000000 // (SELECT k FROM nt) AS BIGINT)
+               AS v
+      FROM tt
+      UNION ALL
+      SELECT nx.i, nx.t, nx.v FROM (
+        SELECT it.i + 1 AS i, m.t2 AS t,
+               CAST(SUM(it.v * m.c // rs.r) AS BIGINT) AS v
+        FROM it JOIN m ON m.t1 = it.t JOIN rs ON rs.t1 = it.t
+        WHERE it.i < {iters}
+        GROUP BY it.i + 1, m.t2) nx),
+    fin AS (SELECT t, v FROM it WHERE i = {iters})
+    SELECT fin.t AS event_type, rs.r AS n_transitions_out,
+           fin.v AS stationary_micro
+    FROM fin JOIN rs ON rs.t1 = fin.t
+    ORDER BY event_type
+    """
+
+
+@query("markov_stationary_eventtypes", _markov_oracle_sql())
+def markov_stationary_eventtypes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain — the
+    long-run share of each event type if sessions continued forever,
+    the summary statistic event_transition_matrix's raw counts don't
+    give you (it tells you where users go NEXT; this tells you where
+    the process SETTLES). Integer power iteration in micro units
+    (the PageRank discipline): v'(t2) = sum_t1 v(t1) * c(t1,t2) div
+    rowsum(t1), 32 synchronous rounds from uniform — every floor is
+    deterministic, both engines iterate the identical recurrence
+    (Spark joins == recursive CTE). Scale: transitions are one
+    user-partitioned window + map-side-combined count; the iteration
+    runs on the |types|^2 matrix (model-sized); zero driver sync.
+    One row per type."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type").over(w).alias("t2"),
+    ).where(F.col("t2").isNotNull())
+    m = s.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rs = m.groupBy("t1").agg(F.sum("c").cast("long").alias("r"))
+    mm = m.join(rs, "t1").localCheckpoint(eager=False)
+    tt = m.select(F.col("t1").alias("t")).distinct()
+    nt = tt.agg(F.count(F.lit(1)).alias("k"))
+    v = tt.crossJoin(F.broadcast(nt)).selectExpr(
+        "t", "CAST(1000000 div k AS BIGINT) AS v"
+    )
+    for i in range(1, 33):
+        v = (
+            v.join(mm, v["t"] == mm["t1"])
+            .selectExpr("t2", "CAST(v * c div r AS BIGINT) AS contrib")
+            .groupBy(F.col("t2").alias("t"))
+            .agg(F.sum("contrib").cast("long").alias("v"))
+        )
+        if i % 8 == 0:
+            v = v.localCheckpoint(eager=False)
+    return (
+        v.join(rs, v["t"] == rs["t1"])
+        .selectExpr(
+            "t AS event_type",
+            "r AS n_transitions_out",
+            "v AS stationary_micro",
+        )
+        .orderBy("event_type")
+    )
