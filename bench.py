@@ -183,6 +183,7 @@ EXTRA = [
     "bigram_next_token_accuracy",
     "percolation_robustness",
     "markov_stationary_eventtypes",
+    "connector_pipeline_e2e",
 ]
 
 

@@ -16114,3 +16114,79 @@ def markov_stationary_eventtypes(
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "connector_pipeline_e2e",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events
+    WHERE event_type IN ('click', 'purchase') AND user_id % 10 >= 5
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def connector_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connector INTEGRATION anchor — the reference's features composed
+    in one flow the way a production job uses them together, not one
+    per test: rows encoded with a DYNAMIC TAG (event_type) and a
+    DYNAMIC PROPERTY column (bucket = user_id % 10; R4+R5), written
+    through the multi-queue sink (S7), read back with the broker-side
+    tag filter 'click || purchase' (P1), the property surfaced as a
+    header field (P3/D5), an SQL92-semantics property predicate
+    bucket >= 5 applied (P2 — numeric compare of the property string,
+    Catalyst-evaluated with the same visible result as broker-side),
+    and re-aggregated. The oracle sees only the original events table,
+    so a hash match proves the ENTIRE encode->route->filter->decode
+    chain is lossless and filter-exact. Scale: same one-Arrow-hop
+    codec paths as the standalone anchors."""
+    import tempfile
+
+    from rocketmq_flink_spark.functions.codec import (
+        decode_envelope,
+        encode_rows,
+    )
+    from rocketmq_flink_spark.sources.datasource import register
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="broker_pipe_")
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id",
+        "event_type",
+        (F.col("user_id") % 10).cast("string").alias("bucket"),
+    )
+    env = encode_rows(
+        ev,
+        options={
+            "keyColumns": "event_id",
+            "writeKeysToBody": "true",
+            "isDynamicTag": "true",
+            "dynamicTagColumn": "event_type",
+            "dynamicTagColumnWriteIncluded": "true",
+            "isDynamicProperty": "true",
+            "dynamicPropertyColumns": "bucket",
+        },
+    )
+    env.write.format("rocketmq").options(
+        path=root, topic="pipe", numQueues=4
+    ).mode("append").save()
+    raw = (
+        spark.read.format("rocketmq")
+        .options(path=root, topic="pipe", tag="click || purchase")
+        .load()
+    )
+    decoded = decode_envelope(
+        raw,
+        "event_id BIGINT, event_type STRING, bucket STRING",
+        options={"headerFields": "bucket"},
+    )
+    return (
+        decoded.where(F.col("bucket").cast("int") >= 5)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("sum_id"),
+        )
+        .orderBy("event_type")
+    )
