@@ -184,6 +184,7 @@ EXTRA = [
     "percolation_robustness",
     "markov_stationary_eventtypes",
     "connector_pipeline_e2e",
+    "contiguous_id_assignment",
 ]
 
 

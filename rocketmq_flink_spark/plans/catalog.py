@@ -16190,3 +16190,90 @@ def connector_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _contig_id_oracle_sql(buckets: int = 32) -> str:
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    h = hash60_sql("'gid:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH r AS (
+      SELECT doc_id, {h} AS hh, ({h}) % {buckets} AS bkt
+      FROM documents),
+    g AS (
+      SELECT doc_id, bkt,
+             ROW_NUMBER() OVER (ORDER BY bkt, hh, doc_id) - 1 AS gid
+      FROM r)
+    SELECT CAST(bkt AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(gid) AS BIGINT) AS min_gid,
+           CAST(MAX(gid) AS BIGINT) AS max_gid,
+           CAST(SUM(gid) AS BIGINT) AS sum_gid
+    FROM g GROUP BY bkt ORDER BY bucket
+    """
+
+
+@query("contiguous_id_assignment", _contig_id_oracle_sql())
+def contiguous_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed contiguous ID assignment — the two-phase pattern
+    every training pipeline needs for dense row numbering WITHOUT a
+    single-partition global window: rows hash into 32 buckets, phase
+    one counts each bucket (map-side combine) and broadcasts the
+    exclusive prefix offsets, phase two row_numbers WITHIN each bucket
+    (hash-distributed windows) and adds the offset — globally unique,
+    contiguous 0..n-1, and a pure function of the data (total order =
+    (bucket, hash, doc_id)). The oracle recomputes the same order with
+    one flat ROW_NUMBER; the per-bucket (min, max, count, sum) census
+    certifies both contiguity (max-min+1 = count) and exact id values.
+    Scale: this is THE replacement for zipWithIndex/monotonically_
+    increasing_id when determinism and density both matter; only
+    bucket COUNTS cross the driver-free broadcast, never rows."""
+    from rocketmq_flink_spark.functions.porthash import hash60
+
+    B = 32
+    docs = load_tables(spark, sf_dir)["documents"]
+    r = docs.select(
+        "doc_id",
+        hash60(
+            F.concat(F.lit("gid:"), F.col("doc_id").cast("string"))
+        ).alias("hh"),
+    ).withColumn("bkt", F.col("hh") % B)
+    cnt = r.groupBy("bkt").agg(F.count(F.lit(1)).alias("c"))
+    off = cnt.select(
+        "bkt",
+        (
+            F.coalesce(
+                F.sum("c").over(
+                    Window.orderBy("bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            )
+        ).alias("off"),
+    )
+    wb = Window.partitionBy("bkt").orderBy("hh", "doc_id")
+    g = (
+        r.join(F.broadcast(off), "bkt")
+        .select(
+            "bkt",
+            (F.row_number().over(wb) - 1 + F.col("off")).alias("gid"),
+        )
+    )
+    return (
+        g.groupBy(F.col("bkt").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("gid").cast("long").alias("min_gid"),
+            F.max("gid").cast("long").alias("max_gid"),
+            F.sum("gid").cast("long").alias("sum_gid"),
+        )
+        .selectExpr(
+            "CAST(bucket AS BIGINT) AS bucket",
+            "n_docs",
+            "min_gid",
+            "max_gid",
+            "sum_gid",
+        )
+        .orderBy("bucket")
+    )
