@@ -527,3 +527,91 @@ def test_isqrt_engine_parity(spark, xs):
         for x in xs
     ]
     assert got_duck == want
+
+
+@settings(**SETTINGS)
+@given(
+    cents=st.lists(
+        st.integers(min_value=1, max_value=10_000_00),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_gini_oracle_matches_fraction_witness(cents):
+    """The gini_order_concentration ORACLE (the formula Spark must
+    hash-match) equals an independent Fraction-exact Gini on arbitrary
+    positive cent values — half-up ppm, pairwise-|difference|
+    definition."""
+    from fractions import Fraction
+
+    import duckdb
+
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE orders(o_totalprice DOUBLE)")
+    con.executemany(
+        "INSERT INTO orders VALUES (?)", [(c / 100.0,) for c in cents]
+    )
+    got = con.execute(REGISTRY["gini_order_concentration"].oracle).fetchone()
+    n = len(cents)
+    s = sum(cents)
+    t = sum(abs(a - b) for i, a in enumerate(cents) for b in cents[i + 1:])
+    frac = Fraction(1_000_000 * t, n * s)
+    want = (2 * frac.numerator + frac.denominator) // (2 * frac.denominator)
+    assert got == (n, s, want)
+
+
+@settings(**SETTINGS)
+@given(
+    xs=st.lists(
+        st.integers(min_value=1, max_value=30), min_size=3, max_size=40
+    )
+)
+def test_mann_kendall_oracle_matches_python_witness(xs):
+    """The mann_kendall_trend_daily ORACLE equals a direct pairwise
+    pure-Python computation (S, tie-corrected var18, tau ppm, squared
+    continuity-corrected decision) on an arbitrary daily-count series
+    — one synthetic event row per day per count unit."""
+    import datetime
+
+    import duckdb
+
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+    rows = []
+    eid = 0
+    for d, c in enumerate(xs):
+        day = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+        for _ in range(c):
+            rows.append((eid, day))
+            eid += 1
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(event_id BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    got = con.execute(REGISTRY["mann_kendall_trend_daily"].oracle).fetchone()
+
+    n = len(xs)
+    s = sum(
+        (1 if b > a else -1 if b < a else 0)
+        for i, a in enumerate(xs)
+        for b in xs[i + 1:]
+    )
+    from collections import Counter
+
+    ties = Counter(xs)
+    var18 = n * (n - 1) * (2 * n + 5) - sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values()
+    )
+    pairs = n * (n - 1) // 2
+    tau = (
+        (2 * 1_000_000 * s + pairs) // (2 * pairs)
+        if s >= 0
+        else -((2 * 1_000_000 * (-s) + pairs) // (2 * pairs))
+    )
+    reject = (
+        0
+        if s == 0
+        else int(18_000_000 * (abs(s) - 1) ** 2 > 3_841_600 * var18)
+    )
+    assert got == (n, s, var18, tau, reject)
