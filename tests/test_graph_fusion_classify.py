@@ -123,3 +123,63 @@ def test_nb_matches_python_witness(spark):
         want[doc] = min(scores, key=lambda c: (-scores[c], c))
     assert got == want
     assert got[10] == "a" and got[11] == "b"  # sanity: separable docs
+
+
+def test_bfs_per_seed_matches_single_seed_runs(spark):
+    """bfs_hops_per_seed == one bfs_hops per seed, stacked."""
+    from rocketmq_flink_spark.operators.graph import (
+        bfs_hops,
+        bfs_hops_per_seed,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (1, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (4,)], "node long")
+    got = {
+        (r.seed, r.node): r.dist
+        for r in bfs_hops_per_seed(edges, seeds, max_hops=3).collect()
+    }
+    for s in (1, 4):
+        one = spark.createDataFrame([(s,)], "node long")
+        want = {
+            (s, r.node): r.dist
+            for r in bfs_hops(edges, one, max_hops=3).collect()
+        }
+        assert {k: v for k, v in got.items() if k[0] == s} == want
+
+
+def test_mmr_select_prefers_diversity_over_pure_relevance(spark):
+    """With two tight clusters near the query, MMR must not return
+    only the nearest cluster: rank 2 comes from the second cluster
+    even though cluster-1 members are closer to the query."""
+    from rocketmq_flink_spark.operators.similarity import mmr_select
+
+    rows = []
+    # cluster A hugs the query at distance ~0.01; cluster B sits at 0.2
+    for i, x in enumerate((0.010, 0.011, 0.012, 0.013)):
+        rows.append((i, [x, 0.0]))
+    for i, x in enumerate((0.200, 0.201, 0.202)):
+        rows.append((10 + i, [x, 0.0]))
+    # the hash-seeded query vector is one of the rows; whichever it is,
+    # the selected set must span BOTH clusters within the first 3 picks
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = mmr_select(df, k=3, pool=6).collect()
+    picked = [r.vec_id for r in got]
+    assert len(picked) == 3 and len(set(picked)) == 3
+    clusters = {0 if v < 10 else 1 for v in picked}
+    assert clusters == {0, 1}
+    # rank 1 is the plain nearest neighbor (gain 0 by convention)
+    assert got[0].mmr_gain == 0.0
+
+
+def test_mmr_select_handles_duplicate_vectors(spark):
+    """Exact-duplicate embeddings must not crash or repeat ids."""
+    from rocketmq_flink_spark.operators.similarity import mmr_select
+
+    rows = [(i, [0.5, 0.5]) for i in range(4)] + [
+        (10, [0.1, 0.9]), (11, [0.9, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = mmr_select(df, k=4, pool=6).collect()
+    ids = [r.vec_id for r in got]
+    assert len(ids) == len(set(ids)) == 4
