@@ -99,6 +99,22 @@ AUDIT = [
     ("token_drift_report",
      "one tokenize pass; map-side-combined (token,half) counts; "
      "scalar totals broadcast; TakeOrdered top-k of drift scores"),
+    ("adamic_adar_links",
+     "1/log2(deg) weight table broadcasts to the edges; the "
+     "common-neighbor enumeration is a capped self-equi-join on the "
+     "neighbor key (deg <= 64 hosts); TakeOrdered top-20 — no "
+     "cartesian, no global sort"),
+    ("gini_order_concentration",
+     "ordered prefix pass over DISTINCT cent values only; row-level "
+     "work is one map-side-combined histogram groupBy"),
+    ("rfm_user_segments",
+     "quartile cuts from distinct-value histograms (three bounded "
+     "ordered passes), broadcast back as thresholds — no ntile window "
+     "over the growing user dimension"),
+    ("contiguous_id_assignment",
+     "two-phase dense numbering: bucket counts -> broadcast prefix "
+     "offsets -> per-bucket hash-distributed windows; no "
+     "single-partition global window"),
 ]
 
 
