@@ -615,3 +615,55 @@ def test_mann_kendall_oracle_matches_python_witness(xs):
         else int(18_000_000 * (abs(s) - 1) ** 2 > 3_841_600 * var18)
     )
     assert got == (n, s, var18, tau, reject)
+
+
+@settings(**SETTINGS)
+@given(
+    masses=st.lists(
+        st.integers(min_value=1, max_value=400), min_size=2, max_size=12
+    )
+)
+def test_waterfill_oracle_matches_python_witness(masses):
+    """token_budget_waterfill's ORACLE equals a direct pure-Python
+    water-fill on arbitrary per-source masses, and its invariants hold:
+    sum(allocated) + remainder == budget, allocated <= tokens, capped
+    iff tokens > level."""
+    import duckdb
+
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR,"
+        " lang VARCHAR, source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, 'en', ?, 1)",
+        [
+            (i, "tok " * m, f"s{i:02d}")
+            for i, m in enumerate(masses)
+        ],
+    )
+    rows = con.execute(
+        REGISTRY["token_budget_waterfill"].oracle
+    ).fetchall()
+
+    total = sum(masses)
+    budget = total // 2
+    srt = sorted(masses)
+    n = len(srt)
+    level = srt[-1]
+    pref = 0
+    for i, m in enumerate(srt, start=1):
+        if pref + m * (n - i + 1) > budget:
+            level = (budget - pref) // (n - i + 1)
+            break
+        pref += m
+    alloc = {f"s{i:02d}": min(m, level) for i, m in enumerate(masses)}
+    rem = budget - sum(alloc.values())
+    for src, tokens, allocated, capped, lev, remainder in rows:
+        assert tokens == masses[int(src[1:])]
+        assert allocated == alloc[src] and allocated <= tokens
+        assert capped == int(tokens > lev)
+        assert lev == level and remainder == rem
+    assert rem >= 0
