@@ -185,6 +185,7 @@ EXTRA = [
     "markov_stationary_eventtypes",
     "connector_pipeline_e2e",
     "contiguous_id_assignment",
+    "facility_location_select",
 ]
 
 

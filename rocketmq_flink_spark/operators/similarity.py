@@ -1370,3 +1370,113 @@ def mmr_select(
         chosen,
         "rank INT, vec_id BIGINT, rel_dist2 DOUBLE, mmr_gain DOUBLE",
     )
+
+
+def dot_dec(a: Column, b: Column) -> Column:
+    """Exact decimal dot product (same no-rounding fold as l2_sq)."""
+    acc_t = T.DecimalType(30, 20)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast(acc_t),
+        lambda acc, x: (acc + x).cast(acc_t),
+    )
+
+
+def facility_location_select(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    pool: int = 12,
+) -> DataFrame:
+    """Greedy facility-location data selection — the SUBMODULAR
+    coverage objective of the coreset-selection literature: pick k
+    vectors maximizing sum over the WHOLE corpus of each point's best
+    similarity to the selected set. Complements kcenter (max-min
+    distance = outlier coverage) and MMR (query-relative diversity):
+    facility location optimizes REPRESENTATION — every corpus point
+    should have a similar selected exemplar — and the greedy algorithm
+    carries the classic 1-1/e guarantee on this objective.
+
+    Determinism/exactness: candidates are the `pool` vectors with the
+    smallest hash60('fl:'||id) (hash-seeded panel — evaluating every
+    corpus point as a candidate would be an n^2 product); similarities
+    are EXACT decimal dot products clamped at 0; each step's marginal
+    gain sum_v max(0, dot(v,c) - best_v) is an exact decimal sum,
+    argmax tie-broken by ROUND(.,12) + id — fully SQL-replayable.
+
+    Scale shape: per step ONE corpus x pool-remainder join (pool-
+    bounded multiplier, never corpus x corpus), a pool-sized argmax,
+    and a running best-similarity column update (the kcenter running-
+    dmin discipline; one model-sized row collected per step). Returns
+    (rank, vec_id, coverage_gain)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from rocketmq_flink_spark.functions.porthash import hash60
+
+    acc_t = T.DecimalType(30, 20)
+    c = corpus.select(
+        F.col(id_col).alias("vid"), _dec(F.col(vec_col)).alias("v")
+    )
+    pool_df = (
+        c.withColumn(
+            "_h",
+            hash60(F.concat(F.lit("fl:"), F.col("vid").cast("string"))),
+        )
+        .orderBy("_h", "vid")
+        .limit(pool)
+        .select(F.col("vid").alias("cand"), F.col("v").alias("cv"))
+        .localCheckpoint(eager=False)
+    )
+
+    def center_lit(vec) -> Column:
+        return F.array(
+            *[F.lit(str(x)).cast(T.DecimalType(12, 10)) for x in vec]
+        )
+
+    state = c.withColumn("best", F.lit(0).cast(acc_t))
+    chosen: list[tuple[int, int, float]] = []
+    picked_ids: list[int] = []
+
+    def d12(x) -> float:
+        return float(
+            Decimal(x).quantize(Decimal("1e-12"), rounding=ROUND_HALF_UP)
+        )
+
+    for rank in range(1, k + 1):
+        remaining = pool_df.where(~F.col("cand").isin(picked_ids))
+        gains = (
+            state.crossJoin(remaining)
+            .select(
+                "cand",
+                F.greatest(
+                    F.lit(0).cast(acc_t),
+                    (dot_dec(F.col("v"), F.col("cv")) - F.col("best"))
+                    .cast(acc_t),
+                ).alias("g"),
+            )
+            .groupBy("cand")
+            .agg(F.sum("g").alias("gain"))
+        )
+        nxt = (
+            gains.orderBy(F.round(F.col("gain"), 12).desc(), F.col("cand"))
+            .limit(1)
+            .collect()[0]
+        )
+        picked_ids.append(nxt["cand"])
+        chosen.append((rank, nxt["cand"], d12(nxt["gain"])))
+        if rank < k:
+            cv = (
+                pool_df.where(F.col("cand") == nxt["cand"])
+                .collect()[0]["cv"]
+            )
+            state = state.withColumn(
+                "best",
+                F.greatest(
+                    F.col("best"),
+                    dot_dec(F.col("v"), center_lit(cv)).cast(acc_t),
+                ),
+            ).localCheckpoint(eager=False)
+    return corpus.sparkSession.createDataFrame(
+        chosen, "rank INT, vec_id BIGINT, coverage_gain DOUBLE"
+    )

@@ -16277,3 +16277,92 @@ def contiguous_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def _facility_oracle_sql(k: int = 4, pool: int = 12) -> str:
+    """DuckDB replay of greedy facility-location selection: staged
+    MATERIALIZED CTEs carry the running best-similarity column; exact
+    decimal dot products clamped at 0; ROUND(.,12)+id argmax."""
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    h = hash60_sql("'fl:' || CAST(vec_id AS VARCHAR)")
+    dot = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> p[1]*p[2]))"
+    )
+    z = "CAST(0 AS DECIMAL(30,20))"
+    parts = [f"""
+    WITH c AS MATERIALIZED (
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT)
+                 * CAST(0.0000000001 AS DECIMAL(11,10))
+                 AS DECIMAL(12,10))) AS v
+      FROM embeddings),
+    pool AS MATERIALIZED (
+      SELECT vec_id AS cand, v AS cv FROM c
+      ORDER BY {h}, vec_id LIMIT {pool}),
+    b0 AS MATERIALIZED (
+      SELECT vec_id AS vid, v, {z} AS best FROM c)"""]
+    prev_sel: list[str] = []
+    for t in range(1, k + 1):
+        p = t - 1
+        notin = (
+            "WHERE p.cand NOT IN ("
+            + " UNION ALL ".join(
+                f"SELECT cand FROM s{i}" for i in range(1, t)
+            )
+            + ")"
+            if prev_sel
+            else ""
+        )
+        parts.append(f"""
+    g{t} AS (
+      SELECT p.cand,
+             SUM(GREATEST({z},
+                 CAST({dot.format(a='b.v', b='p.cv')} AS DECIMAL(30,20))
+                 - b.best)) AS gain
+      FROM b{p} b CROSS JOIN (SELECT * FROM pool p {notin}) p
+      GROUP BY p.cand),
+    s{t} AS MATERIALIZED (
+      SELECT cand, gain FROM g{t}
+      ORDER BY ROUND(gain, 12) DESC, cand LIMIT 1)""")
+        prev_sel.append(f"s{t}")
+        if t < k:
+            parts.append(f"""
+    b{t} AS MATERIALIZED (
+      SELECT b.vid, b.v,
+             GREATEST(b.best,
+               CAST({dot.format(a='b.v', b='pv.cv')} AS DECIMAL(30,20)))
+               AS best
+      FROM b{p} b, (SELECT p.cv FROM pool p JOIN s{t} ON s{t}.cand = p.cand) pv)""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {t} AS rank, cand AS vec_id,"
+        f" CAST(ROUND(gain, 12) AS DOUBLE) AS coverage_gain FROM s{t}"
+        for t in range(1, k + 1)
+    )
+    return ",".join(parts) + f"""
+    SELECT CAST(rank AS INT) AS rank, vec_id, coverage_gain
+    FROM ({unions}) ORDER BY rank
+    """
+
+
+@query("facility_location_select", _facility_oracle_sql(k=4, pool=12))
+def facility_location_select_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Greedy facility-location (submodular coverage) selection of 4
+    exemplar vectors from a 12-candidate hash panel — the coreset
+    objective that optimizes REPRESENTATION (every corpus point close
+    to some exemplar; 1-1/e greedy guarantee), completing the
+    selection trio next to kcenter (outlier coverage) and MMR
+    (query diversity). See operators/similarity.py
+    facility_location_select for the exact-decimal design; the oracle
+    replays every greedy step in staged CTEs. Scale: corpus x
+    pool-remainder join per step, pool-sized argmax, running
+    best-similarity column."""
+    from rocketmq_flink_spark.operators.similarity import (
+        facility_location_select,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return facility_location_select(emb, k=4, pool=12).orderBy("rank")
