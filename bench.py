@@ -186,6 +186,7 @@ EXTRA = [
     "connector_pipeline_e2e",
     "contiguous_id_assignment",
     "facility_location_select",
+    "simpson_diversity_by_source",
 ]
 
 

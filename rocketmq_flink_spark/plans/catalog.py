@@ -16366,3 +16366,68 @@ def facility_location_select_q(
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     return facility_location_select(emb, k=4, pool=12).orderBy("rank")
+
+
+@query(
+    "simpson_diversity_by_source",
+    f"""
+    WITH tc AS (
+      SELECT source, tok, CAST(COUNT(*) AS HUGEINT) AS c
+      FROM (SELECT source,
+                   unnest(list_filter(
+                     regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+                     x -> x <> '')) AS tok
+            FROM documents)
+      GROUP BY source, tok),
+    ag AS (
+      SELECT source, CAST(SUM(c) AS HUGEINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(c * c) AS HUGEINT) AS s2
+      FROM tc GROUP BY source)
+    SELECT source, CAST(t AS BIGINT) AS n_tokens, vocab,
+           CAST(1000000 - (2 * 1000000 * s2 + t * t) // (2 * t * t)
+                AS BIGINT) AS simpson_ppm,
+           CAST((2 * 1000 * t * t + s2) // (2 * s2) AS BIGINT)
+             AS effective_vocab_milli
+    FROM ag ORDER BY source
+    """,
+)
+def simpson_diversity_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simpson diversity per source — the quadratic companion to
+    token_entropy_by_source: D = 1 - sum p_i^2 (probability two random
+    tokens differ) and the INVERSE Simpson 1/sum p_i^2 = effective
+    vocabulary size (how many equally-common types the source behaves
+    like). Both are exact rationals of the same sufficient statistics
+    the AMS F2 sketch estimates (sum c^2), reported in half-up
+    ppm/milli — so this is also the per-source EXACT ground truth for
+    the F2 family. Scale: one map-side-combined (source, token) count
+    and a per-source reduce; no log fold needed at all (the quadratic
+    index is cheaper than entropy). One row per source."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    dec = "decimal(38,0)"
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
+    )
+    tc = (
+        docs.selectExpr("source", f"explode({toks}) AS tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast(dec).alias("c"))
+    )
+    ag = tc.groupBy("source").agg(
+        F.sum("c").cast(dec).alias("t"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("c") * F.col("c")).cast(dec).alias("s2"),
+    )
+    return ag.selectExpr(
+        "source",
+        "CAST(t AS BIGINT) AS n_tokens",
+        "vocab",
+        "CAST(1000000 - (2 * 1000000 * s2 + t * t) div (2 * t * t)"
+        " AS BIGINT) AS simpson_ppm",
+        "CAST((2 * 1000 * t * t + s2) div (2 * s2) AS BIGINT)"
+        " AS effective_vocab_milli",
+    ).orderBy("source")

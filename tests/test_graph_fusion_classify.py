@@ -183,3 +183,24 @@ def test_mmr_select_handles_duplicate_vectors(spark):
     got = mmr_select(df, k=4, pool=6).collect()
     ids = [r.vec_id for r in got]
     assert len(ids) == len(set(ids)) == 4
+
+
+def test_facility_location_gains_nonincreasing_and_distinct(spark):
+    """Greedy facility-location: marginal gains must be non-increasing
+    (submodularity) and picks distinct; rank-1 pick is the candidate
+    with the largest total clamped similarity."""
+    from rocketmq_flink_spark.operators.similarity import (
+        facility_location_select,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+        (3, [0.1, 0.9]), (4, [0.5, 0.5]), (5, [0.7, 0.3]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = facility_location_select(df, k=3, pool=6).collect()
+    ids = [r.vec_id for r in got]
+    gains = [r.coverage_gain for r in got]
+    assert len(set(ids)) == 3
+    assert all(gains[i] >= gains[i + 1] for i in range(len(gains) - 1))
+    assert all(g >= 0 for g in gains)
