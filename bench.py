@@ -187,6 +187,7 @@ EXTRA = [
     "contiguous_id_assignment",
     "facility_location_select",
     "simpson_diversity_by_source",
+    "weekday_effect_eta_squared",
 ]
 
 

@@ -16431,3 +16431,117 @@ def simpson_diversity_by_source(
         "CAST((2 * 1000 * t * t + s2) div (2 * s2) AS BIGINT)"
         " AS effective_vocab_milli",
     ).orderBy("source")
+
+
+@query(
+    "weekday_effect_eta_squared",
+    """
+    WITH d AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+               AS wd,
+             CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT wd, CAST(SUM(x) AS HUGEINT) AS sg,
+             CAST(COUNT(*) AS HUGEINT) AS ng
+      FROM d GROUP BY wd),
+    tot AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS s,
+             CAST(SUM(x * x) AS HUGEINT) AS sx2
+      FROM d),
+    pr AS (
+      -- list_aggregate(..., 'product') returns DOUBLE (poisons the
+      -- integer rational); list_reduce over HUGEINT stays exact
+      SELECT list_reduce(list(CAST(ng AS HUGEINT) ORDER BY wd),
+                         (a, b) -> a * b) AS prod
+      FROM g),
+    ap AS (
+      SELECT CAST(SUM((pr.prod // g.ng) * g.sg * g.sg) AS HUGEINT) AS a
+      FROM g CROSS JOIN pr),
+    eta AS (
+      SELECT CASE WHEN pr.prod * (tot.n * tot.sx2 - tot.s * tot.s) = 0
+             THEN 0
+             ELSE (2 * 1000000 * (tot.n * ap.a - pr.prod * tot.s * tot.s)
+                   + pr.prod * (tot.n * tot.sx2 - tot.s * tot.s))
+                  // (2 * pr.prod * (tot.n * tot.sx2 - tot.s * tot.s))
+             END AS e
+      FROM ap CROSS JOIN pr CROSS JOIN tot)
+    SELECT CAST(g.wd AS BIGINT) AS weekday_mod7,
+           CAST(g.ng AS BIGINT) AS n_days,
+           CAST((2 * 1000 * g.sg + g.ng) // (2 * g.ng) AS BIGINT)
+             AS mean_daily_milli,
+           CAST(eta.e AS BIGINT) AS eta2_ppm
+    FROM g CROSS JOIN eta ORDER BY weekday_mod7
+    """,
+)
+def weekday_effect_eta_squared(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekday seasonality strength as one-way ANOVA effect size —
+    eta^2 = SSB/SST of the daily event counts grouped by epoch-weekday
+    (epoch-day mod 7: calendar-convention-free, identical in both
+    engines) — the number that says how much of daily variance the
+    weekly cycle explains BEFORE anyone fits a seasonal model. Exact
+    rational: multiplying through by prod(n_g) clears every group
+    denominator, so eta^2_ppm = 1e6 * (n*A' - P*S^2) / (P*(n*SX2 -
+    S^2)) with A' = sum (P/n_g)*S_g^2 is pure integer arithmetic
+    (HUGEINT/DECIMAL38; P <= 7-group product of day counts). Per-
+    weekday mean in half-up milli alongside. Scale: everything folds
+    from the calendar-bounded daily table. One row per weekday class.
+    """
+    dec = "decimal(38,0)"
+    ev = load_tables(spark, sf_dir)["events"]
+    d = (
+        ev.select(
+            F.expr(
+                "CAST(datediff(to_date(ts), DATE '1970-01-01') % 7"
+                " AS BIGINT)"
+            ).alias("wd"),
+            F.to_date("ts").alias("day"),
+        )
+        .groupBy("wd", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    g = d.groupBy("wd").agg(
+        F.sum("x").cast(dec).alias("sg"),
+        F.count(F.lit(1)).cast(dec).alias("ng"),
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sx2"),
+    )
+    pr = g.agg(
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(wd, ng))),"
+            " CAST(1 AS DECIMAL(38,0)),"
+            " (acc, e) -> CAST(acc * e.ng AS DECIMAL(38,0)))"
+        ).alias("prod")
+    )
+    ap = (
+        g.crossJoin(F.broadcast(pr))
+        .selectExpr("(prod div ng) * sg * sg AS term")
+        .agg(F.sum("term").cast(dec).alias("a"))
+    )
+    eta = (
+        ap.crossJoin(F.broadcast(pr))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CASE WHEN prod * (n * sx2 - s * s) = 0 THEN 0"
+            " ELSE (2 * 1000000 * (n * a - prod * s * s)"
+            "       + prod * (n * sx2 - s * s))"
+            "      div (2 * prod * (n * sx2 - s * s)) END AS e"
+        )
+    )
+    return (
+        g.crossJoin(F.broadcast(eta))
+        .selectExpr(
+            "CAST(wd AS BIGINT) AS weekday_mod7",
+            "CAST(ng AS BIGINT) AS n_days",
+            "CAST((2 * 1000 * sg + ng) div (2 * ng) AS BIGINT)"
+            " AS mean_daily_milli",
+            "CAST(e AS BIGINT) AS eta2_ppm",
+        )
+        .orderBy("weekday_mod7")
+    )
