@@ -188,6 +188,7 @@ EXTRA = [
     "facility_location_select",
     "simpson_diversity_by_source",
     "weekday_effect_eta_squared",
+    "mcnemar_nb_vs_majority",
 ]
 
 

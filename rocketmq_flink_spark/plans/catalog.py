@@ -16545,3 +16545,105 @@ def weekday_effect_eta_squared(
         )
         .orderBy("weekday_mod7")
     )
+
+
+def _mcnemar_oracle_sql(buckets: int = 8192) -> str:
+    """McNemar final over the shared NB pipeline (hash split, same as
+    the AUC anchor): paired disagreement counts vs the majority-class
+    baseline, exact continuity-corrected chi-square decision."""
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    split = (
+        hash60_sql("'nbsplit:' || CAST(doc_id AS VARCHAR)") + " % 5 = 0"
+    )
+    return _nb_pipeline_duck(buckets, split_sql=split) + """,
+    pred AS (
+      SELECT doc_id, source, c AS predicted FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, c) AS rn
+        FROM scored) WHERE rn = 1),
+    mj AS (
+      SELECT c AS mclass FROM ndc
+      ORDER BY ndc DESC, c LIMIT 1),
+    paired AS (
+      SELECT (predicted = source) AS nb_ok,
+             (source = (SELECT mclass FROM mj)) AS base_ok
+      FROM pred),
+    ag AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN nb_ok AND NOT base_ok THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN base_ok AND NOT nb_ok THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM paired)
+    SELECT n_test, b AS nb_only_correct, c AS baseline_only_correct,
+           CAST(CASE WHEN b + c = 0 THEN 0
+                WHEN 1000000 * (ABS(b - c) - 1) * (ABS(b - c) - 1)
+                     > 3841459 * (b + c)
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+    FROM ag
+    """
+
+
+@query("mcnemar_nb_vs_majority", _mcnemar_oracle_sql())
+def mcnemar_nb_vs_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test: is the NB classifier SIGNIFICANTLY
+    better than the majority-class baseline on the same held-out
+    documents? The paired-nominal test every model-comparison writeup
+    needs (two accuracies alone can't say if the difference is noise
+    — only the DISAGREEMENT cells b/c can). Exact integers end to
+    end: b = docs only NB gets right, c = docs only the baseline gets
+    right, continuity-corrected decision
+    1e6*(|b-c|-1)^2 > 3841459*(b+c)  (chi-square_1 0.95 critical
+    value in micro) — zero floats, the reject bit itself
+    hash-certifies. Same hash holdout as nb_auc_eval. Scale: the NB
+    broadcast pipeline + one paired reduce. One row."""
+    from rocketmq_flink_spark.functions.porthash import hash60
+
+    split = (
+        hash60(F.concat(F.lit("nbsplit:"), F.col("doc_id").cast("string")))
+        % 5
+        == 0
+    )
+    pred, truth, _ = _nb_frames(spark, sf_dir, scores=False, split=split)
+    # majority TRAINING class: argmax doc count, tie to smallest label;
+    # rebuilt from the same split (train side = NOT is_test)
+    docs = load_tables(spark, sf_dir)["documents"]
+    trn_docs = docs.where(~split.alias("t")).select("doc_id", "source")
+    mj = (
+        trn_docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("ndc"))
+        .orderBy(F.desc("ndc"), "source")
+        .limit(1)
+        .select(F.col("source").alias("mclass"))
+    )
+    paired = (
+        pred.join(truth, "doc")
+        .crossJoin(F.broadcast(mj))
+        .select(
+            (F.col("predicted") == F.col("source")).alias("nb_ok"),
+            (F.col("source") == F.col("mclass")).alias("base_ok"),
+        )
+    )
+    ag = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(
+            F.when(F.col("nb_ok") & ~F.col("base_ok"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("b"),
+        F.sum(
+            F.when(F.col("base_ok") & ~F.col("nb_ok"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c"),
+    )
+    return ag.selectExpr(
+        "n_test",
+        "b AS nb_only_correct",
+        "c AS baseline_only_correct",
+        "CAST(CASE WHEN b + c = 0 THEN 0"
+        " WHEN 1000000 * (ABS(b - c) - 1) * (ABS(b - c) - 1)"
+        "      > 3841459 * (b + c)"
+        " THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct",
+    )
