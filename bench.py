@@ -189,6 +189,7 @@ EXTRA = [
     "simpson_diversity_by_source",
     "weekday_effect_eta_squared",
     "mcnemar_nb_vs_majority",
+    "hhi_supplier_concentration",
 ]
 
 

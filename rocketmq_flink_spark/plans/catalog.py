@@ -16647,3 +16647,77 @@ def mcnemar_nb_vs_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "      > 3841459 * (b + c)"
         " THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct",
     )
+
+
+@query(
+    "hhi_supplier_concentration",
+    """
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS HUGEINT) AS cents
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey),
+    ag AS (
+      SELECT r.s_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(cents) AS HUGEINT) AS tot,
+             CAST(SUM(cents * cents) AS HUGEINT) AS s2
+      FROM rev r GROUP BY r.s_nationkey)
+    SELECT n.n_name AS nation, ag.n_suppliers,
+           CAST(ag.tot AS BIGINT) AS revenue_cents,
+           CAST((2 * 1000000 * ag.s2 + ag.tot * ag.tot)
+                // (2 * ag.tot * ag.tot) AS BIGINT) AS hhi_ppm
+    FROM ag JOIN nation n ON n.n_nationkey = ag.s_nationkey
+    ORDER BY nation
+    """,
+)
+def hhi_supplier_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Herfindahl-Hirschman supply concentration per nation: HHI =
+    sum of squared supplier revenue shares (1e6 ppm = monopoly; 1e6/n
+    = perfectly even) — the supply-chain risk gauge, and the economic
+    sibling of Simpson diversity (identical quadratic statistic,
+    revenue-weighted). Exact integer cents; one half-up ppm rational
+    per nation (HUGEINT/DECIMAL38 — cents^2 sums need the wide type).
+    Scale: supplier revenue is one map-side-combined (nation,
+    supplier) aggregation over lineitem with the supplier dim
+    broadcast; the nation reduce and name join are dimension-sized.
+    One row per nation."""
+    dec = "decimal(38,0)"
+    t = load_tables(spark, sf_dir)
+    li, sup, nat = t["lineitem"], t["supplier"], t["nation"]
+    rev = (
+        li.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == sup["s_suppkey"],
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            )
+            .cast(dec)
+            .alias("cents")
+        )
+    )
+    ag = rev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("cents").cast(dec).alias("tot"),
+        F.sum(F.col("cents") * F.col("cents")).cast(dec).alias("s2"),
+    )
+    return (
+        ag.join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            ag["s_nationkey"] == nat["n_nationkey"],
+        )
+        .selectExpr(
+            "n_name AS nation",
+            "n_suppliers",
+            "CAST(tot AS BIGINT) AS revenue_cents",
+            "CAST((2 * 1000000 * s2 + tot * tot) div (2 * tot * tot)"
+            " AS BIGINT) AS hhi_ppm",
+        )
+        .orderBy("nation")
+    )
