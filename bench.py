@@ -190,6 +190,7 @@ EXTRA = [
     "weekday_effect_eta_squared",
     "mcnemar_nb_vs_majority",
     "hhi_supplier_concentration",
+    "power_analysis_sample_size",
 ]
 
 

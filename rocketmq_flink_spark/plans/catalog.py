@@ -16721,3 +16721,83 @@ def hhi_supplier_concentration(
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "power_analysis_sample_size",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id),
+    base AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(conv) AS HUGEINT) AS k
+      FROM u),
+    p AS (
+      SELECT n, k,
+             (2 * 1000000 * k + n) // (2 * n) AS p1,
+             (2 * 1100000 * k + n) // (2 * n) AS p2
+      FROM base),
+    calc AS (
+      SELECT n, p1, p2,
+             CAST(2801584 AS HUGEINT) * 2801584
+               * (p1 * (1000000 - p1) + p2 * (1000000 - p2)) AS num,
+             CAST(1000000000000 AS HUGEINT) * (p2 - p1) * (p2 - p1)
+               AS den
+      FROM p)
+    SELECT CAST(n AS BIGINT) AS n_users_observed,
+           CAST(p1 AS BIGINT) AS baseline_ppm,
+           CAST(p2 AS BIGINT) AS target_ppm,
+           CAST((num + den - 1) // den AS BIGINT) AS n_per_arm
+    FROM calc
+    """,
+)
+def power_analysis_sample_size(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Experiment PLANNING: the sample size per arm needed to detect a
+    10% relative lift over the observed purchase-conversion baseline
+    at alpha = 0.05 (two-sided) and 80% power — the number every A/B
+    test must compute BEFORE launching (abtest_conversion_ztest is
+    the readout side; this is the design side). Standard two-
+    proportion formula n = ceil((z_{.975}+z_{.8})^2 * (p1 q1 + p2 q2)
+    / (p1-p2)^2) evaluated entirely in integers: proportions as
+    half-up ppm, (z_a+z_b) as the micro constant 2_801_584
+    (1.959964 + 0.841621), ceiling by (num + den - 1) div den —
+    engine-identical to the last user. Scale: one user-keyed
+    conversion flag (map-side combined), then constant arithmetic on
+    a single row."""
+    dec = "decimal(38,0)"
+    ev = load_tables(spark, sf_dir)["events"]
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    base = u.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("conv").cast(dec).alias("k"),
+    )
+    p = base.selectExpr(
+        "n",
+        "k",
+        "(2 * 1000000 * k + n) div (2 * n) AS p1",
+        "(2 * 1100000 * k + n) div (2 * n) AS p2",
+    )
+    calc = p.selectExpr(
+        "n",
+        "p1",
+        "p2",
+        "CAST(2801584 AS DECIMAL(38,0)) * 2801584"
+        " * (p1 * (1000000 - p1) + p2 * (1000000 - p2)) AS num",
+        "CAST(1000000000000 AS DECIMAL(38,0)) * (p2 - p1) * (p2 - p1)"
+        " AS den",
+    )
+    return calc.selectExpr(
+        "CAST(n AS BIGINT) AS n_users_observed",
+        "CAST(p1 AS BIGINT) AS baseline_ppm",
+        "CAST(p2 AS BIGINT) AS target_ppm",
+        "CAST((num + den - 1) div den AS BIGINT) AS n_per_arm",
+    )
