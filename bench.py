@@ -191,6 +191,7 @@ EXTRA = [
     "mcnemar_nb_vs_majority",
     "hhi_supplier_concentration",
     "power_analysis_sample_size",
+    "sprt_conversion_monitor",
 ]
 
 

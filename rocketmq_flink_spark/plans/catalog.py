@@ -16801,3 +16801,113 @@ def power_analysis_sample_size(
         "CAST(p2 AS BIGINT) AS target_ppm",
         "CAST((num + den - 1) div den AS BIGINT) AS n_per_arm",
     )
+
+
+def _sprt_oracle_sql() -> str:
+    """DuckDB replay of the SPRT monitor: the two per-trial tick
+    constants come from the shared fp_log2 CTE over the exact integer
+    ratios; the cumulative LLR is then a plain prefix sum."""
+    return f"""
+    WITH RECURSIVE d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_ev,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_ev) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS k FROM d),
+    dv AS (
+      SELECT DISTINCT v FROM (
+        SELECT 11 * k AS v FROM tot
+        UNION ALL SELECT 10 * k FROM tot
+        UNION ALL SELECT 10 * (n - k) FROM tot
+        UNION ALL SELECT 10 * n - 11 * k FROM tot
+        UNION ALL SELECT 19)),
+    {_fp_log2_cte('q', 'dv')},
+    cst AS (
+      SELECT
+        (SELECT lg FROM qlg WHERE v = (SELECT 11 * k FROM tot))
+          - (SELECT lg FROM qlg WHERE v = (SELECT 10 * k FROM tot))
+          AS c1,
+        (SELECT lg FROM qlg WHERE v = (SELECT 10 * (n - k) FROM tot))
+          - (SELECT lg FROM qlg
+             WHERE v = (SELECT 10 * n - 11 * k FROM tot)) AS c2,
+        (SELECT lg FROM qlg WHERE v = 19) - 2097152 AS lo_mag),
+    cum AS (
+      SELECT day, x, n_ev,
+             SUM(x) OVER (ORDER BY day) AS xc,
+             SUM(n_ev) OVER (ORDER BY day) AS nc
+      FROM d)
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(xc AS BIGINT) AS conversions_cum,
+           CAST(nc AS BIGINT) AS events_cum,
+           CAST(cst.c1 * xc - cst.c2 * (nc - xc) AS BIGINT) AS llr_ticks,
+           CAST(CASE
+             WHEN cst.c1 * xc - cst.c2 * (nc - xc) >= 4194304 THEN 1
+             WHEN cst.c1 * xc - cst.c2 * (nc - xc) <= -cst.lo_mag THEN -1
+             ELSE 0 END AS BIGINT) AS decision
+    FROM cum CROSS JOIN cst ORDER BY day
+    """
+
+
+@query("sprt_conversion_monitor", _sprt_oracle_sql())
+def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT sequential monitor over the daily conversion stream —
+    the always-valid alternative to the fixed-horizon z-test
+    (abtest_conversion_ztest peeks once; SPRT may stop ANY day with
+    alpha/beta = 0.05/0.2 guarantees): H1 = a 10% relative lift over
+    the observed global rate p0 = k/n. The per-trial log-likelihood
+    ratios are EXACT fp_log2 ticks of integer ratios — p1/p0 = 11/10
+    by construction, q1/q0 = (10n-11k)/(10(n-k)) — so the cumulative
+    LLR is a pure integer prefix sum C1*X - |C2|*(N-X); the upper
+    boundary log2((1-beta)/alpha) = log2(16) is EXACTLY 4*2^20 ticks,
+    the lower log2(beta/(1-alpha)) = log2(4/19) = 2*2^20 -
+    fp_log2(19) ticks. Per-day trajectory with -1/0/+1 decision
+    state (on the self-referential fixture the LLR drifts steeply
+    negative and locks in accept-H0 — the correct A/A outcome: with
+    ~100k trials, "no 10% lift" is decided early and stays decided).
+    Scale: one daily combine + a
+    calendar-bounded prefix window; the four log constants fold over
+    four integers."""
+    from rocketmq_flink_spark.operators.retrieval import fp_log2_sql
+
+    ev = load_tables(spark, sf_dir)["events"]
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("x"),
+    )
+    tot = d.agg(
+        F.sum("n_ev").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("k"),
+    )
+    cst = tot.selectExpr(
+        f"({fp_log2_sql('11 * k', '1')})"
+        f" - ({fp_log2_sql('10 * k', '1')}) AS c1",
+        f"({fp_log2_sql('10 * (n - k)', '1')})"
+        f" - ({fp_log2_sql('10 * n - 11 * k', '1')}) AS c2",
+        f"({fp_log2_sql('19', '1')}) - 2097152 AS lo_mag",
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = d.select(
+        "day",
+        F.sum("x").over(w).alias("xc"),
+        F.sum("n_ev").over(w).alias("nc"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(cst))
+        .selectExpr(
+            "CAST(day AS STRING) AS day",
+            "CAST(xc AS BIGINT) AS conversions_cum",
+            "CAST(nc AS BIGINT) AS events_cum",
+            "CAST(c1 * xc - c2 * (nc - xc) AS BIGINT) AS llr_ticks",
+            "CAST(CASE"
+            " WHEN c1 * xc - c2 * (nc - xc) >= 4194304 THEN 1"
+            " WHEN c1 * xc - c2 * (nc - xc) <= -lo_mag THEN -1"
+            " ELSE 0 END AS BIGINT) AS decision",
+        )
+        .orderBy("day")
+    )
