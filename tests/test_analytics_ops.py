@@ -257,3 +257,36 @@ def test_psi_matches_python_witness(spark):
     assert (df["psi_micro"] == df["psi_micro"].iloc[0]).all()
     # each bin's contribution is non-negative (both factors share sign)
     assert (df["contrib_micro"] >= 0).all()
+
+
+def test_sprt_constants_and_boundaries_are_exact():
+    """The SPRT monitor's tick constants equal the pure-Python fp_log2
+    witness, and the boundaries are the exact closed forms:
+    log2(16) = 4*2^20 ticks, log2(4/19) = 2*2^20 - fp_log2(19)."""
+    from rocketmq_flink_spark.operators.retrieval import fp_log2_py
+
+    c1 = fp_log2_py(11, 10)
+    assert 0 < c1 < (1 << 20)  # log2(1.1) ~ 0.1375 bits
+    assert abs(c1 / (1 << 20) - 0.13750352) < 2e-6
+    up = 4 * (1 << 20)
+    assert up == int(4.0 * (1 << 20))  # log2(16) exact
+    lo_mag = fp_log2_py(19, 1) - 2 * (1 << 20)
+    # log2(19/4) = 2.2479... bits
+    assert abs(lo_mag / (1 << 20) - 2.24792751) < 2e-6
+
+
+def test_sign_split_floor_div_matches_python_floor():
+    """The sign-split integer division used by the Holt/forecast folds
+    (CASE WHEN v >= 0 THEN v div 4 ELSE -(((-v) + 3) div 4) END under
+    TRUNCATING div) equals Python's flooring // for every residue
+    class and sign."""
+
+    def fdiv4(v: int) -> int:
+        # truncating div like Spark's `div` / DuckDB on positives
+        def tdiv(a: int, b: int) -> int:
+            return abs(a) // b * (1 if a >= 0 else -1)
+
+        return tdiv(v, 4) if v >= 0 else -tdiv((-v) + 3, 4)
+
+    for v in range(-25, 26):
+        assert fdiv4(v) == v // 4, v
