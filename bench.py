@@ -192,6 +192,7 @@ EXTRA = [
     "hhi_supplier_concentration",
     "power_analysis_sample_size",
     "sprt_conversion_monitor",
+    "attribution_model_comparison",
 ]
 
 

@@ -16911,3 +16911,100 @@ def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "attribution_model_comparison",
+    """
+    WITH e AS (SELECT user_id, event_id, event_type, value,
+                      epoch_us(ts) AS ts_us FROM events
+               WHERE event_type IN ('view', 'click', 'purchase')),
+    m AS (SELECT *,
+            LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                            THEN event_type END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS last_t,
+            FIRST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS first_t
+          FROM e),
+    p AS (SELECT last_t, first_t,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM m WHERE event_type = 'purchase'),
+    uni AS (
+      SELECT 'a_first_touch' AS model,
+             COALESCE(first_t, 'direct') AS channel, cents FROM p
+      UNION ALL
+      SELECT 'b_last_touch', COALESCE(last_t, 'direct'), cents FROM p)
+    SELECT model, channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS value_cents
+    FROM uni GROUP BY model, channel ORDER BY model, channel
+    """,
+)
+def attribution_model_comparison(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch vs last-touch attribution, side by side — the
+    sensitivity check a marketing-analytics review runs before
+    trusting EITHER model (when the two disagree materially, channel
+    budgets are model artifacts, not signal). Both credits come from
+    ONE user-keyed window pass (running FIRST_VALUE and LAST_VALUE
+    with IGNORE NULLS over the (ts, event_id) total order —
+    last_touch_attribution's machinery, extended); purchases with no
+    prior touch fall to 'direct' under both models by construction.
+    Exact integer cents. Scale: single sort-window over the three
+    relevant event types; the model axis is a 2x fan-out of
+    purchase-sized rows only."""
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click"), F.col("event_type")
+    )
+    m = ev.select(
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("last_t"),
+        F.first(touch, ignorenulls=True).over(w).alias("first_t"),
+    )
+    p = m.where(F.col("event_type") == "purchase").select(
+        "last_t",
+        "first_t",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    both = p.select(
+        F.lit("a_first_touch").alias("model"),
+        F.coalesce(F.col("first_t"), F.lit("direct")).alias("channel"),
+        "cents",
+    ).unionAll(
+        p.select(
+            F.lit("b_last_touch").alias("model"),
+            F.coalesce(F.col("last_t"), F.lit("direct")).alias("channel"),
+            "cents",
+        )
+    )
+    return (
+        both.groupBy("model", "channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+        .orderBy("model", "channel")
+    )
