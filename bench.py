@@ -193,6 +193,7 @@ EXTRA = [
     "power_analysis_sample_size",
     "sprt_conversion_monitor",
     "attribution_model_comparison",
+    "post_dedup_mixture_weights",
 ]
 
 

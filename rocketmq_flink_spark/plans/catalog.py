@@ -17008,3 +17008,117 @@ def attribution_model_comparison(
         )
         .orderBy("model", "channel")
     )
+
+
+def _post_dedup_mixture_oracle_sql() -> str:
+    from rocketmq_flink_spark.functions.intmath import isqrt_sql
+
+    return f"""
+    WITH fp AS (
+      SELECT doc_id, source, md5({_NORM_SQL_DUCK}) AS f
+      FROM documents),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+    tr AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM (SELECT source,
+                   unnest(list_filter(
+                     regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+                     x -> x <> '')) AS tok
+            FROM documents)
+      GROUP BY source),
+    tk AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM (SELECT d.source,
+                   unnest(list_filter(
+                     regexp_split_to_array(
+                       trim(regexp_replace(regexp_replace(lower(d.text),
+                         '[^\\p{{L}}\\p{{N}}\\s]', ' ', 'g'),
+                         '\\s+', ' ', 'g')), '\\s+'),
+                     x -> x <> '')) AS tok
+            FROM documents d JOIN keep USING (doc_id))
+      GROUP BY source),
+    rr AS (SELECT source, n_tok AS raw_tok, {isqrt_sql('n_tok')} AS r
+           FROM tr),
+    rk AS (SELECT source, n_tok AS kept_tok, {isqrt_sql('n_tok')} AS r
+           FROM tk),
+    tot AS (
+      SELECT (SELECT CAST(SUM(r) AS BIGINT) FROM rr) AS sr,
+             (SELECT CAST(SUM(r) AS BIGINT) FROM rk) AS sk)
+    SELECT rr.source, rr.raw_tok, rk.kept_tok,
+           CAST((2 * 1000000 * rr.r + tot.sr) // (2 * tot.sr) AS BIGINT)
+             AS raw_w_ppm,
+           CAST((2 * 1000000 * rk.r + tot.sk) // (2 * tot.sk) AS BIGINT)
+             AS dedup_w_ppm,
+           CAST((2 * 1000000 * rk.r + tot.sk) // (2 * tot.sk)
+                - (2 * 1000000 * rr.r + tot.sr) // (2 * tot.sr)
+                AS BIGINT) AS shift_ppm
+    FROM rr JOIN rk ON rk.source = rr.source CROSS JOIN tot
+    ORDER BY rr.source
+    """
+
+
+@query("post_dedup_mixture_weights", _post_dedup_mixture_oracle_sql())
+def post_dedup_mixture_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Operator COMPOSITION anchor: temperature mixture weights
+    (alpha = 1/2, exact isqrt — temperature_mixture_weights' design)
+    computed BEFORE and AFTER exact dedup (min-id keeper on the
+    normalized-text fingerprint — dedup_exact_docs' design), with the
+    per-source weight shift. This is the order-of-operations lesson
+    every curation pipeline learns: duplication is never uniform
+    across sources, so weights fitted pre-dedup are wrong post-dedup;
+    the shift column quantifies by how much. All integer (half-up
+    ppm; signed shift is a difference of two half-up terms — exact in
+    both engines). Scale: one fingerprint group-by + a semi-join for
+    the kept corpus, two map-side-combined token counts, source-sized
+    normalization."""
+    from rocketmq_flink_spark.functions.intmath import isqrt_sql
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
+    )
+    fp = docs.selectExpr(
+        "doc_id", "source", f"md5({normalize_sql('text')}) AS f"
+    )
+    keep = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
+    kept = docs.join(keep, "doc_id")
+
+    def masses(df):
+        return (
+            df.selectExpr("source", f"explode({toks}) AS tok")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+            .selectExpr("source", "n_tok", isqrt_sql("n_tok") + " AS r")
+        )
+
+    rr = masses(docs).selectExpr(
+        "source", "n_tok AS raw_tok", "r AS r_raw"
+    )
+    rk = masses(kept).selectExpr(
+        "source", "n_tok AS kept_tok", "r AS r_kept"
+    )
+    sr = rr.agg(F.sum("r_raw").cast("long").alias("sr"))
+    sk = rk.agg(F.sum("r_kept").cast("long").alias("sk"))
+    return (
+        rr.join(rk, "source")
+        .crossJoin(F.broadcast(sr))
+        .crossJoin(F.broadcast(sk))
+        .selectExpr(
+            "source",
+            "raw_tok",
+            "kept_tok",
+            "CAST((2 * 1000000 * r_raw + sr) div (2 * sr) AS BIGINT)"
+            " AS raw_w_ppm",
+            "CAST((2 * 1000000 * r_kept + sk) div (2 * sk) AS BIGINT)"
+            " AS dedup_w_ppm",
+            "CAST((2 * 1000000 * r_kept + sk) div (2 * sk)"
+            " - (2 * 1000000 * r_raw + sr) div (2 * sr) AS BIGINT)"
+            " AS shift_ppm",
+        )
+        .orderBy("source")
+    )
