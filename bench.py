@@ -194,6 +194,7 @@ EXTRA = [
     "sprt_conversion_monitor",
     "attribution_model_comparison",
     "post_dedup_mixture_weights",
+    "jaccard_threshold_sensitivity",
 ]
 
 

@@ -17122,3 +17122,95 @@ def post_dedup_mixture_weights(
         )
         .orderBy("source")
     )
+
+
+@query(
+    "jaccard_threshold_sensitivity",
+    f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jp AS (
+      SELECT n_inter, sa.n_sh + sb.n_sh - n_inter AS un
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b),
+    th AS (SELECT unnest([50, 60, 70, 80, 90]) AS t)
+    SELECT CAST(th.t AS BIGINT) AS threshold_pct,
+           CAST(COALESCE(SUM(CASE WHEN 100 * jp.n_inter >= th.t * jp.un
+                                  THEN 1 END), 0) AS BIGINT)
+             AS n_pairs
+    FROM th LEFT JOIN jp ON TRUE
+    GROUP BY th.t ORDER BY threshold_pct
+    """,
+)
+def jaccard_threshold_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup threshold sensitivity: exact near-dup PAIR counts at
+    Jaccard thresholds 50/60/70/80/90% from ONE shingle-join pass —
+    the elbow curve a curation review reads before fixing the dedup
+    threshold (lsh_tuning_report bins by similarity to tune the
+    INDEX; this prices the THRESHOLD itself: each step down the curve
+    is documents you are about to delete). The threshold test is the
+    exact integer cross-multiplication 100*inter >= t*union — no
+    division, no floats. Scale: this anchor joins the RAW shingle
+    sets (exact ground truth at fixture scale — the same shape as the
+    prefix_filter oracle); a 100 TB run should front it with the
+    prefix-filter or doc-freq-cap blocking the dedup family already
+    provides (all listed thresholds >= 0.5, so t=0.5 prefix filtering
+    is lossless for this exact curve). The 5-way threshold fan-out
+    touches only the PAIR table. One row per threshold."""
+    from rocketmq_flink_spark.operators.dedup import exploded_shingles
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = exploded_shingles(docs, "doc_id", "text", k=5)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc").alias("id_a"), "sh")
+    b = sh.select(F.col("doc").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jp = (
+        inter.join(
+            sizes.withColumnRenamed("doc", "id_a").withColumnRenamed(
+                "n_sh", "na"
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc", "id_b").withColumnRenamed(
+                "n_sh", "nb"
+            ),
+            "id_b",
+        )
+        .selectExpr("n_inter", "na + nb - n_inter AS un")
+    )
+    th = docs.sparkSession.createDataFrame(
+        [(50,), (60,), (70,), (80,), (90,)], "t int"
+    )
+    return (
+        th.join(jp, F.lit(True), "left")
+        .groupBy("t")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        100 * F.col("n_inter") >= F.col("t") * F.col("un"),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_pairs")
+        )
+        .selectExpr("CAST(t AS BIGINT) AS threshold_pct", "n_pairs")
+        .orderBy("threshold_pct")
+    )
