@@ -195,6 +195,7 @@ EXTRA = [
     "attribution_model_comparison",
     "post_dedup_mixture_weights",
     "jaccard_threshold_sensitivity",
+    "conversion_window_sensitivity",
 ]
 
 

@@ -17214,3 +17214,110 @@ def jaccard_threshold_sensitivity(
         .selectExpr("CAST(t AS BIGINT) AS threshold_pct", "n_pairs")
         .orderBy("threshold_pct")
     )
+
+
+@query(
+    "conversion_window_sensitivity",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+    su AS (SELECT user_id, MIN(day) AS sday FROM ev
+           WHERE event_type = 'signup' GROUP BY user_id),
+    pu AS (SELECT ev.user_id, MIN(ev.day) AS pday
+           FROM ev JOIN su ON ev.user_id = su.user_id
+           WHERE ev.event_type = 'purchase' AND ev.day >= su.sday
+           GROUP BY ev.user_id),
+    mx AS (SELECT MAX(day) AS maxd FROM ev),
+    base AS (
+      SELECT su.user_id, su.sday, pu.pday
+      FROM su LEFT JOIN pu ON pu.user_id = su.user_id),
+    ks AS (SELECT unnest([1, 3, 7, 14]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS window_days,
+           CAST(SUM(CASE WHEN base.sday + ks.k * INTERVAL 1 DAY
+                              <= (SELECT maxd FROM mx)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_evaluable,
+           CAST(SUM(CASE WHEN base.sday + ks.k * INTERVAL 1 DAY
+                              <= (SELECT maxd FROM mx)
+                          AND base.pday IS NOT NULL
+                          AND base.pday <= base.sday
+                              + ks.k * INTERVAL 1 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           CAST((2 * 1000000
+                 * SUM(CASE WHEN base.sday + ks.k * INTERVAL 1 DAY
+                                 <= (SELECT maxd FROM mx)
+                             AND base.pday IS NOT NULL
+                             AND base.pday <= base.sday
+                                 + ks.k * INTERVAL 1 DAY
+                            THEN 1 ELSE 0 END)
+                 + SUM(CASE WHEN base.sday + ks.k * INTERVAL 1 DAY
+                                 <= (SELECT maxd FROM mx)
+                            THEN 1 ELSE 0 END))
+                // (2 * SUM(CASE WHEN base.sday + ks.k * INTERVAL 1 DAY
+                                      <= (SELECT maxd FROM mx)
+                                 THEN 1 ELSE 0 END)) AS BIGINT)
+             AS conversion_ppm
+    FROM ks CROSS JOIN base GROUP BY ks.k ORDER BY window_days
+    """,
+)
+def conversion_window_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conversion-window sensitivity: signup-to-purchase conversion at
+    attribution windows of 1/3/7/14 days — the label-DEFINITION study
+    that future_purchase_labels and kaplan_meier bracket (labels fix
+    one window; KM shows the whole curve; this prices the discrete
+    choices a team actually debates). Temporal hygiene throughout:
+    a user only counts as EVALUABLE for window k when signup+k lies
+    inside the observed range (a truncated window silently deflates
+    conversion — the unobserved-label leakage again). Exact integers,
+    half-up ppm. Scale: the signup/first-purchase table is two
+    map-side-combined aggregations (the KM construction); the 4-way
+    window fan-out touches user-sized rows only."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    )
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("day").alias("sday"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .where(F.col("day") >= F.col("sday"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("pday"))
+    )
+    mx = ev.agg(F.max("day").alias("maxd"))
+    base = su.join(pu, "user_id", "left").crossJoin(F.broadcast(mx))
+    ks = ev.sparkSession.createDataFrame(
+        [(1,), (3,), (7,), (14,)], "k int"
+    )
+    j = ks.join(F.broadcast(base), F.lit(True), "left").select(
+        "k",
+        F.expr("date_add(sday, k) <= maxd").alias("evaluable"),
+        F.expr(
+            "pday IS NOT NULL AND pday <= date_add(sday, k)"
+        ).alias("conv"),
+    )
+    return (
+        j.groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("evaluable"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_evaluable"),
+            F.sum(
+                F.when(F.col("evaluable") & F.col("conv"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_converted"),
+        )
+        .selectExpr(
+            "CAST(k AS BIGINT) AS window_days",
+            "n_evaluable",
+            "n_converted",
+            "CAST((2 * 1000000 * n_converted + n_evaluable)"
+            " div (2 * n_evaluable) AS BIGINT) AS conversion_ppm",
+        )
+        .orderBy("window_days")
+    )
