@@ -196,6 +196,8 @@ EXTRA = [
     "post_dedup_mixture_weights",
     "jaccard_threshold_sensitivity",
     "conversion_window_sensitivity",
+    "discount_band_volume",
+    "order_aging_report",
 ]
 
 

@@ -17321,3 +17321,143 @@ def conversion_window_sensitivity(
         )
         .orderBy("window_days")
     )
+
+
+@query(
+    "discount_band_volume",
+    """
+    SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS discount_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST((2 * 1000 * SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                 + 100 * COUNT(*)) // (2 * 100 * COUNT(*)) AS BIGINT)
+             AS avg_qty_milli,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem
+    GROUP BY 1 ORDER BY discount_pct
+    """,
+)
+def discount_band_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-band volume curve: per discount percentage, line
+    count, exact average quantity (half-up milli) and revenue mass —
+    the raw elasticity readout behind pricing reviews (if avg
+    quantity is flat across bands, discounts buy nothing;
+    correlation_matrix_lineitem gives the single-number summary, this
+    shows WHERE on the curve it comes from). Exact integer cents and
+    centi-quantities. Scale: one scan, one map-side-combined group-by
+    on the ~11-value discount domain."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.select(
+            F.round(F.col("l_discount") * 100)
+            .cast("long")
+            .alias("discount_pct"),
+            F.round(F.col("l_quantity") * 100).cast("long").alias("qc"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("pc"),
+        )
+        .groupBy("discount_pct")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("qc").cast("long").alias("sq"),
+            F.sum("pc").cast("long").alias("revenue_cents"),
+        )
+        .selectExpr(
+            "discount_pct",
+            "n_lines",
+            "CAST((2 * 1000 * sq + 100 * n_lines)"
+            " div (2 * 100 * n_lines) AS BIGINT) AS avg_qty_milli",
+            "revenue_cents",
+        )
+        .orderBy("discount_pct")
+    )
+
+
+@query(
+    "order_aging_report",
+    """
+    WITH o AS (
+      SELECT o_orderpriority,
+             date_diff('day', CAST(o_orderdate AS DATE),
+                       (SELECT MAX(CAST(o_orderdate AS DATE))
+                        FROM orders)) AS age
+      FROM orders WHERE o_orderstatus = 'O'),
+    g AS (
+      SELECT o_orderpriority, age, CAST(COUNT(*) AS BIGINT) AS c
+      FROM o GROUP BY 1, 2),
+    w AS (
+      SELECT o_orderpriority, age, c,
+             SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY age)
+               AS cc,
+             SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+      FROM g)
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_open,
+           CAST(MIN(CASE WHEN 2 * cc >= n THEN age END) AS BIGINT)
+             AS median_age_days,
+           CAST(MIN(CASE WHEN 10 * cc >= 9 * n THEN age END) AS BIGINT)
+             AS p90_age_days,
+           CAST(MAX(age) AS BIGINT) AS max_age_days
+    FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def order_aging_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging per priority: median / p90 / max days since
+    order date for still-open ('O') orders, relative to the newest
+    order date — the operations backlog readout (a p90 that grows
+    faster than the median = a starving tail the SLA will surface).
+    Percentiles are RANK-EXACT over the per-priority age HISTOGRAM
+    (first age whose cumulative count reaches the rank — integer
+    cross-multiplication, no percentile_approx drift, the
+    winsorized/deciles discipline). Scale: one filtered scan, a
+    histogram group-by, windows over (priority, DISTINCT age) —
+    calendar-bounded. One row per priority."""
+    o = (
+        load_tables(spark, sf_dir)["orders"]
+        .where(F.col("o_orderstatus") == "O")
+        .select("o_orderpriority", F.to_date("o_orderdate").alias("od"))
+    )
+    maxd = (
+        load_tables(spark, sf_dir)["orders"]
+        .agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
+    )
+    g = (
+        o.crossJoin(F.broadcast(maxd))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("maxd"), F.col("od")).alias("age"),
+        )
+        .groupBy("o_orderpriority", "age")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("o_orderpriority")
+    w = g.select(
+        "o_orderpriority",
+        "age",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return (
+        w.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("long").alias("n_open"),
+            F.min(
+                F.when(2 * F.col("cc") >= F.col("n"), F.col("age"))
+            )
+            .cast("long")
+            .alias("median_age_days"),
+            F.min(
+                F.when(10 * F.col("cc") >= 9 * F.col("n"), F.col("age"))
+            )
+            .cast("long")
+            .alias("p90_age_days"),
+            F.max("age").cast("long").alias("max_age_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
