@@ -198,6 +198,7 @@ EXTRA = [
     "conversion_window_sensitivity",
     "discount_band_volume",
     "order_aging_report",
+    "fulfillment_latency_profile",
 ]
 
 

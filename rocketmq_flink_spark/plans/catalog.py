@@ -17461,3 +17461,90 @@ def order_aging_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "fulfillment_latency_profile",
+    """
+    WITH j AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS lag
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    g AS (
+      SELECT o_orderpriority, lag, CAST(COUNT(*) AS BIGINT) AS c
+      FROM j GROUP BY 1, 2),
+    w AS (
+      SELECT o_orderpriority, lag, c,
+             SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY lag)
+               AS cc,
+             SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+      FROM g)
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_lines,
+           CAST(MIN(CASE WHEN 2 * cc >= n THEN lag END) AS BIGINT)
+             AS median_lag_days,
+           CAST(MIN(CASE WHEN 20 * cc >= 19 * n THEN lag END) AS BIGINT)
+             AS p95_lag_days,
+           CAST(MAX(lag) AS BIGINT) AS max_lag_days
+    FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def fulfillment_latency_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fulfillment latency (order date -> line ship date) median / p95
+    / max per order priority — the SLA distribution view that
+    completes the logistics pair with order_aging_report (aging =
+    what's still open; this = how fast the closed work actually
+    shipped; a priority whose p95 matches low-priority p95 means the
+    priority field is theater). Same rank-exact histogram-percentile
+    machinery (integer cross-multiplication ranks over per-priority
+    DISTINCT lag values). Scale: one orderkey-keyed join (both sides
+    SF-scaled — the shuffle join is correct here, no broadcast), a
+    map-side-combined histogram, calendar-bounded windows."""
+    t = load_tables(spark, sf_dir)
+    j = t["lineitem"].join(
+        t["orders"].select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.to_date("o_orderdate").alias("od"),
+        ),
+        t["lineitem"]["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.col("od")).alias("lag"),
+    )
+    g = j.groupBy("o_orderpriority", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("o_orderpriority")
+    w = g.select(
+        "o_orderpriority",
+        "lag",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return (
+        w.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("long").alias("n_lines"),
+            F.min(
+                F.when(2 * F.col("cc") >= F.col("n"), F.col("lag"))
+            )
+            .cast("long")
+            .alias("median_lag_days"),
+            F.min(
+                F.when(20 * F.col("cc") >= 19 * F.col("n"), F.col("lag"))
+            )
+            .cast("long")
+            .alias("p95_lag_days"),
+            F.max("lag").cast("long").alias("max_lag_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
