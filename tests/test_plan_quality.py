@@ -395,3 +395,35 @@ def test_mmr_pool_cut_is_take_ordered(spark):
     # the only corpus-scale stage must be the top-pool TakeOrdered cut
     plan = _plan(REGISTRY["mmr_diversified_topk"].fn(spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_round4c3_final_wave_no_cartesian_no_python(spark):
+    # sensitivity studies, sequential tests, ops analytics: all
+    # JVM-side; literal-axis broadcasts compile to BNLJ, never
+    # CartesianProduct
+    for name in (
+        "simpson_diversity_by_source",
+        "weekday_effect_eta_squared",
+        "mcnemar_nb_vs_majority",
+        "hhi_supplier_concentration",
+        "power_analysis_sample_size",
+        "sprt_conversion_monitor",
+        "attribution_model_comparison",
+        "post_dedup_mixture_weights",
+        "jaccard_threshold_sensitivity",
+        "conversion_window_sensitivity",
+        "discount_band_volume",
+        "order_aging_report",
+        "fulfillment_latency_profile",
+    ):
+        plan = _plan(REGISTRY[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_fulfillment_latency_keeps_shuffle_join(spark):
+    # both sides SF-scaled: the orderkey join must NOT be forced to a
+    # broadcast (documented design; AQE may still adapt at runtime)
+    plan = _plan(REGISTRY["fulfillment_latency_profile"].fn(spark, SF))
+    assert "AdaptiveSparkPlan" in plan
