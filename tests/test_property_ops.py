@@ -667,3 +667,47 @@ def test_waterfill_oracle_matches_python_witness(masses):
         assert capped == int(tokens > lev)
         assert lev == level and remainder == rem
     assert rem >= 0
+
+
+@settings(**SETTINGS)
+@given(
+    cents=st.lists(
+        st.integers(min_value=1, max_value=500_00),
+        min_size=3,
+        max_size=50,
+    )
+)
+def test_winsorized_oracle_matches_sorted_witness(cents):
+    """The winsorized_mean_orders ORACLE equals the direct
+    sort-based definition on arbitrary values: drop/clamp the t =
+    floor(0.05 n) smallest and largest, half-up milli means."""
+    import duckdb
+
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE orders(o_totalprice DOUBLE)")
+    con.executemany(
+        "INSERT INTO orders VALUES (?)", [(c / 100.0,) for c in cents]
+    )
+    got = con.execute(
+        REGISTRY["winsorized_mean_orders"].oracle
+    ).fetchone()
+    s = sorted(cents)
+    n = len(s)
+    t = n * 5 // 100
+    kept = s[t:n - t]
+    lo_cut, hi_cut = s[t], s[n - t - 1]
+    wins = kept + [lo_cut] * t + [hi_cut] * t
+
+    def milli(total, cnt):
+        return (2 * 1000 * total + cnt) // (2 * cnt)
+
+    assert got == (
+        n,
+        n - 2 * t,
+        lo_cut,
+        hi_cut,
+        milli(sum(kept), n - 2 * t),
+        milli(sum(wins), n),
+    )
