@@ -711,3 +711,54 @@ def test_winsorized_oracle_matches_sorted_witness(cents):
         milli(sum(kept), n - 2 * t),
         milli(sum(wins), n),
     )
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abe iou.!? xyz", min_size=5, max_size=80),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_readability_oracle_matches_python_witness(texts):
+    """The readability_by_source ORACLE equals a pure-Python Flesch
+    witness on arbitrary ascii docs (sentence segments, normalized
+    tokens, vowel groups, two half-up milli rationals)."""
+    import re
+
+    import duckdb
+
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR,"
+        " lang VARCHAR, source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, 'en', 'src', 1)",
+        list(enumerate(texts)),
+    )
+    rows = con.execute(REGISTRY["readability_by_source"].oracle).fetchall()
+
+    s = w = y = 0
+    for t in texts:
+        s += sum(
+            1 for seg in re.split(r"[.!?]+", t) if seg.strip() != ""
+        )
+        norm = re.sub(
+            r"\s+", " ", re.sub(r"[^a-z0-9\s]", " ", t.lower())
+        ).strip()
+        w += len([x for x in norm.split(" ") if x != ""])
+        y += len(re.split(r"[aeiou]+", t.lower())) - 1
+    if s == 0 or w == 0:
+        assert rows == []
+        return
+    wps = (2 * 1000 * w + s) // (2 * s)
+    flesch = (
+        206835
+        - (2 * 1015 * w + s) // (2 * s)
+        - (2 * 84600 * y + w) // (2 * w)
+    )
+    assert rows == [("src", s, w, y, wps, flesch)]
