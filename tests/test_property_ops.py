@@ -762,3 +762,51 @@ def test_readability_oracle_matches_python_witness(texts):
         - (2 * 84600 * y + w) // (2 * w)
     )
     assert rows == [("src", s, w, y, wps, flesch)]
+
+
+@settings(**SETTINGS)
+@given(
+    masses=st.lists(
+        st.integers(min_value=1, max_value=2000), min_size=2, max_size=10
+    ),
+    dups=st.integers(min_value=0, max_value=5),
+)
+def test_simpson_oracle_matches_fraction_witness(masses, dups):
+    """The simpson_diversity_by_source ORACLE equals Fraction-exact
+    1 - sum p^2 and inverse-Simpson on a synthetic one-source corpus
+    with controlled token multiplicities."""
+    from fractions import Fraction
+
+    import duckdb
+
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+    # token i appears masses[i] times; `dups` extra copies of token 0
+    counts = list(masses)
+    counts[0] += dups
+    text = " ".join(
+        f"tok{i}" for i, c in enumerate(counts) for _ in range(c)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR,"
+        " lang VARCHAR, source VARCHAR, n_chars BIGINT)"
+    )
+    con.execute(
+        "INSERT INTO documents VALUES (0, ?, 'en', 'src', 1)", [text]
+    )
+    got = con.execute(
+        REGISTRY["simpson_diversity_by_source"].oracle
+    ).fetchone()
+    t = sum(counts)
+    s2 = sum(c * c for c in counts)
+    simpson = Fraction(1_000_000) - Fraction(1_000_000 * s2, t * t)
+    sm = (
+        1_000_000
+        - (2 * 1_000_000 * s2 + t * t) // (2 * t * t)
+    )
+    ev = Fraction(1000 * t * t, s2)
+    evm = (2 * 1000 * t * t + s2) // (2 * s2)
+    # half-up rationals bracket the exact Fractions within 1 unit
+    assert abs(sm - float(simpson)) <= 1 and abs(evm - float(ev)) <= 1
+    assert got == ("src", t, len(counts), sm, evm)
