@@ -257,6 +257,51 @@ def bfs_hops(
     return dist
 
 
+def sssp_bounded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    seed_col: str = "node",
+    rounds: int = 4,
+) -> DataFrame:
+    """Bounded Bellman-Ford: exact weighted shortest-path distance from
+    the seed set over paths of at most `rounds` edges. Weights must be
+    non-negative integers (quantized ticks — keep every distance sum
+    in the integer domain so the min-combine is bit-deterministic
+    under any partitioning and replayable by a SQL oracle). Input is a
+    directed weighted edge list (symmetrize before calling for an
+    undirected graph); returns (node, dist) for every node reached
+    within the horizon — unreached nodes are absent, as in bfs_hops.
+
+    The bounded formulation is well-defined regardless of convergence:
+    dist_K(v) = min over paths with <= K edges — an engine-independent
+    quantity even when the full shortest path needs more hops. Scale
+    shape per round: one hash join edges x known-distances on src +
+    one min-combine groupBy — the weighted generalization of the BFS
+    level step; relaxed-state size is bounded by reached nodes, and
+    there is no driver synchronization (fixed round count)."""
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    dist = seeds.select(
+        F.col(seed_col).alias("node"), F.lit(0).cast("long").alias("dist")
+    ).distinct()
+    for _ in range(rounds):
+        step = e.join(dist, e["a"] == dist["node"]).select(
+            F.col("b").alias("node"),
+            (F.col("dist") + F.col("w")).cast("long").alias("dist"),
+        )
+        dist = (
+            dist.unionAll(step)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist
+
+
 def bfs_hops_per_seed(
     edges: DataFrame,
     seeds: DataFrame,

@@ -17548,3 +17548,221 @@ def fulfillment_latency_profile(
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuation 4: weighted graph distance, local structure, data-quality
+# audits, causal readouts
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_WEDGES_DUCK = """
+    b AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+      FROM lineitem GROUP BY l_orderkey),
+    pp AS (
+      SELECT unnest(flatten(list_transform(range(1, len(ps)),
+               i -> list_transform(range(i + 1, len(ps) + 1),
+                 j -> struct_pack(p1 := ps[i], p2 := ps[j]))))) AS pr
+      FROM b WHERE len(ps) >= 2),
+    sup AS (
+      SELECT pr.p1 AS p1, pr.p2 AS p2, COUNT(*) AS s FROM pp GROUP BY 1, 2
+      HAVING COUNT(*) >= 2),
+    ew AS MATERIALIZED (
+      SELECT p1 AS a, p2 AS b2, 1000000 // s AS w FROM sup
+      UNION ALL SELECT p2, p1, 1000000 // s FROM sup)"""
+
+
+def _sssp_oracle_sql(rounds: int = 4, k: int = 24) -> str:
+    """DuckDB replay of bounded Bellman-Ford over the weighted
+    co-purchase graph (weight = 1e6 div support ticks; seed = smallest
+    part in the graph): staged min-combine CTEs, one per relaxation
+    round — distances after round t are exactly min over paths with
+    <= t edges, an engine-independent quantity."""
+    parts = [
+        "WITH "
+        + _COPURCHASE_WEDGES_DUCK
+        + """,
+    t0 AS MATERIALIZED (
+      SELECT node, CAST(0 AS BIGINT) AS dist FROM (
+        SELECT MIN(a) AS node FROM ew))"""
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        parts.append(f"""
+    t{t} AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM t{p}
+        UNION ALL
+        SELECT ew.b2, d.dist + ew.w FROM ew JOIN t{p} d ON d.node = ew.a)
+      GROUP BY node)""")
+    return ",".join(parts) + f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist_ticks
+    FROM t{rounds} ORDER BY dist, node LIMIT {k}
+    """
+
+
+@query("sssp_weighted_copurchase", _sssp_oracle_sql())
+def sssp_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (bounded Bellman-Ford, 4 relaxation
+    rounds) from the smallest part in the co-purchase graph — the
+    weighted generalization of bfs_hops_copurchase: edge cost =
+    1e6 div support ticks, so strongly co-purchased parts are CLOSE
+    and a path through two strong edges can beat one weak edge —
+    hop count alone inverts that ordering. Returns the 24 nearest
+    parts by (dist, node). All distances are integer tick sums —
+    bit-deterministic under any partitioning and replayed exactly by
+    the staged-CTE oracle. Scale: one edges-x-frontier hash join +
+    min-combine per round (the BFS level step with weights);
+    relaxed-state bounded by reached nodes; zero driver sync (fixed
+    horizon). Scale notes: operators/graph.py sssp_bounded."""
+    from rocketmq_flink_spark.operators.graph import sssp_bounded
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    sup = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ps) >= 2 THEN"
+                    " flatten(transform(sequence(0, size(ps) - 2),"
+                    "  i -> transform(sequence(i + 1, size(ps) - 1),"
+                    "   j -> struct(ps[i] AS p1, ps[j] AS p2))))"
+                    " ELSE array() END"
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.p1", "pr.p2")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 2)
+    )
+    ew = sup.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst"),
+        F.expr("1000000 div s").alias("w"),
+    ).unionAll(
+        sup.select(
+            F.col("p2").alias("src"), F.col("p1").alias("dst"),
+            F.expr("1000000 div s").alias("w"),
+        )
+    )
+    seeds = ew.agg(F.min("src").alias("node"))
+    d = sssp_bounded(ew, seeds, rounds=4)
+    return (
+        d.select(
+            F.col("node").cast("long").alias("node"),
+            F.col("dist").cast("long").alias("dist_ticks"),
+        )
+        .orderBy("dist_ticks", "node")
+        .limit(24)
+    )
+
+
+def _clustering_oracle_sql(min_support: int = 2, k: int = 20) -> str:
+    """Local clustering coefficient oracle: the triangle-count replay
+    plus the exact ppm ratio 2*tri / (d*(d-1)) in floor-div ticks."""
+    return f"""
+    WITH b AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+      FROM lineitem GROUP BY l_orderkey),
+    pp AS (
+      SELECT unnest(flatten(list_transform(range(1, len(ps)),
+               i -> list_transform(range(i + 1, len(ps) + 1),
+                 j -> struct_pack(p1 := ps[i], p2 := ps[j]))))) AS pr
+      FROM b WHERE len(ps) >= 2),
+    sup AS MATERIALIZED (
+      SELECT pr.p1 AS a, pr.p2 AS b FROM pp GROUP BY 1, 2
+      HAVING COUNT(*) >= {min_support}),
+    deg AS MATERIALIZED (
+      SELECT n, COUNT(*) AS d FROM (
+        SELECT a AS n FROM sup UNION ALL SELECT b FROM sup)
+      GROUP BY n),
+    ori AS MATERIALIZED (
+      SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND s.a < s.b)
+                  THEN s.a ELSE s.b END AS u,
+             CASE WHEN (da.d < db.d) OR (da.d = db.d AND s.a < s.b)
+                  THEN s.b ELSE s.a END AS v
+      FROM sup s JOIN deg da ON da.n = s.a JOIN deg db ON db.n = s.b),
+    wedge AS (
+      SELECT w1.u, w1.v AS x, w2.v AS y
+      FROM ori w1 JOIN ori w2 ON w1.u = w2.u AND w1.v < w2.v),
+    closer AS (
+      SELECT LEAST(u, v) AS x, GREATEST(u, v) AS y FROM ori),
+    tri AS (
+      SELECT w.u, w.x, w.y FROM wedge w JOIN closer c
+        ON c.x = w.x AND c.y = w.y),
+    pn AS (
+      SELECT n, COUNT(*) AS n_triangles FROM (
+        SELECT u AS n FROM tri UNION ALL SELECT x FROM tri
+        UNION ALL SELECT y FROM tri)
+      GROUP BY n)
+    SELECT deg.n AS part,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST((2000000 * COALESCE(pn.n_triangles, 0))
+                // (deg.d * (deg.d - 1)) AS BIGINT) AS clustering_ppm
+    FROM deg LEFT JOIN pn ON pn.n = deg.n
+    WHERE deg.d >= 2
+    ORDER BY clustering_ppm DESC, degree DESC, part LIMIT {k}
+    """
+
+
+@query("local_clustering_coefficient", _clustering_oracle_sql())
+def local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the co-purchase
+    graph: C(v) = 2*tri(v) / (deg(v)*(deg(v)-1)) — how close each
+    part's neighborhood is to a clique. Triangle counts give the raw
+    local density; the coefficient NORMALIZES by the possible-pairs
+    denominator, separating "in a tight bundle" (high C, modest
+    degree) from "merely popular" (high degree, low C) — the signal
+    bundle detection and anomaly scoring actually use. Exact ppm in
+    floor-div ticks (Spark div == DuckDB // on non-negative operands);
+    top-20 by (C desc, degree desc, part). Scale: identical join
+    volume to triangle_count_copurchase — the O(m^1.5) oriented-wedge
+    bound — plus one node-sized join; the per-node division is free.
+    Scale notes: operators/graph.py triangle_count."""
+    from rocketmq_flink_spark.operators.graph import triangle_count
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    sup = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ps) >= 2 THEN"
+                    " flatten(transform(sequence(0, size(ps) - 2),"
+                    "  i -> transform(sequence(i + 1, size(ps) - 1),"
+                    "   j -> struct(ps[i] AS p1, ps[j] AS p2))))"
+                    " ELSE array() END"
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.p1", "pr.p2")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 2)
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+    deg = (
+        sup.select(F.col("src").alias("n"))
+        .unionAll(sup.select(F.col("dst").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tc = triangle_count(sup, "src", "dst")
+    return (
+        tc.join(deg, tc["node"] == deg["n"])
+        .where(F.col("degree") >= 2)
+        .select(
+            F.col("node").cast("long").alias("part"),
+            F.col("degree").cast("long").alias("degree"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.expr(
+                "CAST((2000000 * n_triangles)"
+                " div (degree * (degree - 1)) AS BIGINT)"
+            ).alias("clustering_ppm"),
+        )
+        .orderBy(F.desc("clustering_ppm"), F.desc("degree"), "part")
+        .limit(20)
+    )

@@ -204,3 +204,45 @@ def test_facility_location_gains_nonincreasing_and_distinct(spark):
     assert len(set(ids)) == 3
     assert all(gains[i] >= gains[i + 1] for i in range(len(gains) - 1))
     assert all(g >= 0 for g in gains)
+
+
+def test_sssp_bounded_weighted_beats_hops(spark):
+    # 0-1-2 cheap chain (1+1) vs direct 0-2 expensive edge (5):
+    # hop count prefers 0-2, weighted distance must prefer the chain.
+    from rocketmq_flink_spark.operators.graph import sssp_bounded
+
+    e = spark.createDataFrame(
+        [(0, 1, 1), (1, 0, 1), (1, 2, 1), (2, 1, 1), (0, 2, 5), (2, 0, 5)],
+        "src LONG, dst LONG, w LONG",
+    )
+    seeds = spark.createDataFrame([(0,)], "node LONG")
+    out = {r.node: r.dist for r in sssp_bounded(e, seeds, rounds=4).collect()}
+    assert out == {0: 0, 1: 1, 2: 2}
+
+
+def test_sssp_bounded_horizon_is_path_length(spark):
+    # rounds=1 can only relax one edge: the 2-edge cheap path is not
+    # yet visible, the direct expensive edge is the round-1 optimum.
+    from rocketmq_flink_spark.operators.graph import sssp_bounded
+
+    e = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (0, 2, 5)], "src LONG, dst LONG, w LONG"
+    )
+    seeds = spark.createDataFrame([(0,)], "node LONG")
+    out = {r.node: r.dist for r in sssp_bounded(e, seeds, rounds=1).collect()}
+    assert out == {0: 0, 1: 1, 2: 5}
+    out2 = {r.node: r.dist for r in sssp_bounded(e, seeds, rounds=2).collect()}
+    assert out2 == {0: 0, 1: 1, 2: 2}
+
+
+def test_sssp_deterministic_under_repartition(spark):
+    from rocketmq_flink_spark.operators.graph import sssp_bounded
+
+    pairs = [(a, b, (a * 7 + b * 3) % 5 + 1) for a in range(8) for b in range(8) if a != b]
+    e = spark.createDataFrame(pairs, "src LONG, dst LONG, w LONG")
+    seeds = spark.createDataFrame([(0,)], "node LONG")
+    r1 = sorted(map(tuple, sssp_bounded(e, seeds, rounds=3).collect()))
+    r2 = sorted(
+        map(tuple, sssp_bounded(e.repartition(11), seeds, rounds=3).collect())
+    )
+    assert r1 == r2
