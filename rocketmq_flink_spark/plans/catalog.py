@@ -17766,3 +17766,312 @@ def local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("clustering_ppm"), F.desc("degree"), "part")
         .limit(20)
     )
+
+
+_FD_AUDIT = [
+    # (label, table, X column, Y column)
+    ("orders.o_orderkey->o_orderstatus", "orders", "o_orderkey", "o_orderstatus"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("lineitem.l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+    ("part.p_brand->p_type", "part", "p_brand", "p_type"),
+    ("documents.doc_id->lang", "documents", "doc_id", "lang"),
+    ("documents.lang->source", "documents", "lang", "source"),
+    ("events.user_id->event_type", "events", "user_id", "event_type"),
+]
+
+
+def _fd_oracle_sql() -> str:
+    """g3-error audit per candidate FD: keep-max rows = sum over X of
+    max_Y count(X,Y); violations = n_rows - keep_max (the minimum
+    number of rows to delete for the FD to hold — Kivinen/Mannila g3)."""
+    blocks = []
+    for label, table, x, y in _FD_AUDIT:
+        blocks.append(f"""
+    SELECT '{label}' AS fd,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n) - SUM(mx) AS BIGINT) AS violations,
+           CAST((1000000 * (SUM(n) - SUM(mx))) // SUM(n) AS BIGINT)
+             AS error_ppm
+    FROM (
+      SELECT {x} AS xv, SUM(c) AS n, MAX(c) AS mx FROM (
+        SELECT {x}, {y}, COUNT(*) AS c FROM {table}
+        WHERE {x} IS NOT NULL GROUP BY 1, 2) g
+      GROUP BY 1)""")
+    return (
+        "SELECT * FROM (" + " UNION ALL ".join(blocks) + ") ORDER BY fd"
+    )
+
+
+@query("functional_dependency_audit", _fd_oracle_sql())
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency audit over seven candidate
+    FDs spanning four tables — the schema-discovery / data-quality
+    profiling primitive: for each X -> Y, the exact g3 error (the
+    minimum fraction of rows to delete for the FD to hold:
+    n_rows - sum_x max_y count(x,y); Kivinen & Mannila's measure, the
+    one TANE-style FD miners report). Key-implied FDs land at 0 ppm,
+    genuine violations are quantified rather than booleanized —
+    exactly what column-mapping and dedup-key selection need. Scale:
+    per FD one map-side-combinable (X, Y) count then an X-keyed
+    max-combine — two shuffles of group-cardinality rows, no row-level
+    state; the seven audits run as one unioned lazy plan."""
+    t = load_tables(spark, sf_dir)
+    outs = []
+    for label, table, x, y in _FD_AUDIT:
+        g = (
+            t[table]
+            .where(F.col(x).isNotNull())
+            .groupBy(x, y)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy(F.col(x).alias("xv"))
+            .agg(F.sum("c").alias("n"), F.max("c").alias("mx"))
+            .agg(
+                F.lit(label).alias("fd"),
+                F.sum("n").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                (F.sum("n") - F.sum("mx")).cast("long").alias("violations"),
+                F.expr(
+                    "CAST((1000000 * (sum(n) - sum(mx))) div sum(n)"
+                    " AS BIGINT)"
+                ).alias("error_ppm"),
+            )
+        )
+        outs.append(g)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("fd")
+
+
+@query(
+    "t_closeness_report",
+    """
+    WITH o AS (
+      SELECT o_orderpriority AS prio, o_orderstatus AS status,
+             LEAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) // 5000000, 9) AS band
+      FROM orders),
+    cls AS (
+      SELECT prio, status, band, CAST(COUNT(*) AS BIGINT) AS c
+      FROM o GROUP BY 1, 2, 3),
+    g AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS gc FROM o GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS big_n FROM o),
+    cn AS (SELECT prio, status, CAST(COUNT(*) AS BIGINT) AS n
+           FROM o GROUP BY 1, 2),
+    grid AS (
+      SELECT cn.prio, cn.status, cn.n, CAST(b.g AS BIGINT) AS band
+      FROM cn, range(10) b(g)),
+    cell AS (
+      SELECT grid.prio, grid.status, grid.n, grid.band,
+             COALESCE(cls.c, 0) AS c, COALESCE(g.gc, 0) AS gc
+      FROM grid LEFT JOIN cls ON cls.prio = grid.prio
+        AND cls.status = grid.status AND cls.band = grid.band
+      LEFT JOIN g ON g.band = grid.band),
+    pre AS (
+      SELECT prio, status, n, band,
+             SUM(c * (SELECT big_n FROM nn) - gc * n) OVER (
+               PARTITION BY prio, status ORDER BY band) AS d
+      FROM cell)
+    SELECT prio AS o_orderpriority, status AS o_orderstatus,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST((CAST(1000000 AS HUGEINT) * SUM(CASE WHEN band < 9
+                   THEN ABS(CAST(d AS HUGEINT)) ELSE 0 END))
+                // (CAST(n AS HUGEINT) * (SELECT big_n FROM nn) * 9)
+                AS BIGINT) AS emd_ppm
+    FROM pre GROUP BY prio, status, n
+    ORDER BY emd_ppm DESC, o_orderpriority, o_orderstatus
+    """,
+)
+def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the privacy ladder
+    (k_anonymity_report catches SMALL classes, l_diversity_report
+    catches near-CONSTANT sensitive values; this catches classes whose
+    sensitive DISTRIBUTION diverges from the population, the skew
+    attack both miss). Quasi-identifier = (priority, status); ordered
+    sensitive attribute = order value in ten fixed 50k-dollar bands;
+    per-class distance = the ordered-attribute Earth Mover's Distance,
+    computed EXACTLY as prefix-difference mass in integer ticks:
+    D_j = sum_{i<=j} (c_i*N - g_i*n), EMD_ppm = 1e6 * sum_j |D_j|
+    div (n*N*(m-1)) — every product in HUGEINT/decimal width, so the
+    readout is bit-identical across engines (and the documented
+    overflow bound is N^2*9e6 < 10^38, safe past 10^14 orders).
+    Scale: two map-side-combinable histograms (class x 10 bands,
+    global 10 bands) + a 150-cell window — no row-level state."""
+    o = load_tables(spark, sf_dir)["orders"].select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+        F.least(
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100"
+                " AS BIGINT) div 5000000"
+            ),
+            F.lit(9).cast("long"),
+        ).alias("band"),
+    )
+    cls = o.groupBy("prio", "status", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    g = o.groupBy("band").agg(F.count(F.lit(1)).cast("long").alias("gc"))
+    cn = o.groupBy("prio", "status").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    big_n = o.agg(F.count(F.lit(1)).cast("long").alias("big_n"))
+    bands = spark.range(10).select(F.col("id").cast("long").alias("band"))
+    grid = cn.crossJoin(F.broadcast(bands))
+    cell = (
+        grid.join(cls, ["prio", "status", "band"], "left")
+        .join(F.broadcast(g), "band", "left")
+        .crossJoin(F.broadcast(big_n))
+        .select(
+            "prio", "status", "n", "band",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            F.coalesce(F.col("gc"), F.lit(0)).alias("gc"),
+            "big_n",
+        )
+    )
+    w = Window.partitionBy("prio", "status").orderBy("band")
+    pre = cell.select(
+        "prio", "status", "n", "band", "big_n",
+        F.sum(
+            F.col("c") * F.col("big_n") - F.col("gc") * F.col("n")
+        ).over(w).alias("d"),
+    )
+    return (
+        pre.groupBy("prio", "status", "n", "big_n")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("band") < 9,
+                    F.abs(F.col("d")).cast(T.DecimalType(38, 0)),
+                ).otherwise(F.lit(0).cast(T.DecimalType(38, 0)))
+            ).alias("sumabs")
+        )
+        .selectExpr(
+            "prio AS o_orderpriority",
+            "status AS o_orderstatus",
+            "CAST(n AS BIGINT) AS n_orders",
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * sumabs)"
+            " div (CAST(n AS DECIMAL(38,0)) * big_n * 9)"
+            " AS BIGINT) AS emd_ppm",
+        )
+        .orderBy(F.desc("emd_ppm"), "o_orderpriority", "o_orderstatus")
+    )
+
+
+@query(
+    "did_treatment_effect",
+    """
+    WITH arm AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN (('0x' || substr(md5('did:' ||
+                 CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % 2 = 0
+               THEN 'T' ELSE 'C' END AS arm
+      FROM events),
+    nu AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users
+           FROM arm GROUP BY 1),
+    p AS (
+      SELECT a.arm,
+             CASE WHEN e.ts < TIMESTAMP '2024-01-16 00:00:00'
+               THEN 'pre' ELSE 'post' END AS period,
+             CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             CAST(SUM(CAST(CAST(e.value AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM events e JOIN arm a ON a.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2),
+    m AS (
+      SELECT p.arm, p.period, p.n_purchases, p.sum_cents, nu.n_users,
+             CAST((1000 * p.sum_cents) // nu.n_users AS BIGINT) AS mean_mc
+      FROM p JOIN nu ON nu.arm = p.arm)
+    SELECT
+      MAX(CASE WHEN arm = 'T' THEN n_users END) AS n_users_t,
+      MAX(CASE WHEN arm = 'C' THEN n_users END) AS n_users_c,
+      MAX(CASE WHEN arm = 'T' AND period = 'pre' THEN mean_mc END)
+        AS pre_t_millicents,
+      MAX(CASE WHEN arm = 'T' AND period = 'post' THEN mean_mc END)
+        AS post_t_millicents,
+      MAX(CASE WHEN arm = 'C' AND period = 'pre' THEN mean_mc END)
+        AS pre_c_millicents,
+      MAX(CASE WHEN arm = 'C' AND period = 'post' THEN mean_mc END)
+        AS post_c_millicents,
+      (MAX(CASE WHEN arm = 'T' AND period = 'post' THEN mean_mc END)
+       - MAX(CASE WHEN arm = 'T' AND period = 'pre' THEN mean_mc END))
+      - (MAX(CASE WHEN arm = 'C' AND period = 'post' THEN mean_mc END)
+         - MAX(CASE WHEN arm = 'C' AND period = 'pre' THEN mean_mc END))
+        AS did_millicents
+    FROM m
+    """,
+)
+def did_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout — the causal-inference
+    companion to abtest_conversion_ztest: a deterministic hash split
+    assigns every user to treatment/control, the event horizon splits
+    at 2024-01-16 into pre/post, and the effect on per-user purchase
+    spend is (post_T - pre_T) - (post_C - pre_C). Per-user means are
+    exact milli-cent floor-div ticks over a FIXED per-arm user
+    denominator (distinct users ever seen in the arm), so period
+    composition shifts can't masquerade as effects; on this untreated
+    fixture the readout is the correct A/A near-zero. Scale: one
+    distinct-user pass + one filtered map-side-combinable (arm,
+    period) aggregate — 4 cells, no row-level state; the hash split
+    runs at one md5 per row (xxhash64 fast path available via
+    SPARK_GRAFT_HASH_MODE)."""
+    from rocketmq_flink_spark.functions.porthash import hash60
+
+    ev = load_tables(spark, sf_dir)["events"]
+    arm = ev.select("user_id").distinct().select(
+        "user_id",
+        F.when(
+            hash60(F.concat(F.lit("did:"), F.col("user_id").cast("string")))
+            % 2 == 0,
+            F.lit("T"),
+        ).otherwise(F.lit("C")).alias("arm"),
+    )
+    nu = arm.groupBy("arm").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(arm, "user_id")
+        .select(
+            "arm",
+            F.when(
+                F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"),
+                F.lit("pre"),
+            ).otherwise(F.lit("post")).alias("period"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("arm", "period")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+    m = p.join(F.broadcast(nu), "arm").select(
+        "arm", "period", "n_users",
+        F.expr("CAST((1000 * sum_cents) div n_users AS BIGINT)").alias(
+            "mean_mc"
+        ),
+    )
+
+    def cell(a, per):
+        return F.max(
+            F.when(
+                (F.col("arm") == a) & (F.col("period") == per),
+                F.col("mean_mc"),
+            )
+        )
+
+    return m.agg(
+        F.max(F.when(F.col("arm") == "T", F.col("n_users"))).cast("long").alias("n_users_t"),
+        F.max(F.when(F.col("arm") == "C", F.col("n_users"))).cast("long").alias("n_users_c"),
+        cell("T", "pre").cast("long").alias("pre_t_millicents"),
+        cell("T", "post").cast("long").alias("post_t_millicents"),
+        cell("C", "pre").cast("long").alias("pre_c_millicents"),
+        cell("C", "post").cast("long").alias("post_c_millicents"),
+        (
+            (cell("T", "post") - cell("T", "pre"))
+            - (cell("C", "post") - cell("C", "pre"))
+        ).cast("long").alias("did_millicents"),
+    )
