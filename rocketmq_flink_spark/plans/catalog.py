@@ -18075,3 +18075,209 @@ def did_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (cell("C", "post") - cell("C", "pre"))
         ).cast("long").alias("did_millicents"),
     )
+
+
+@query(
+    "token_burstiness_report",
+    f"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tk WHERE tok <> '' GROUP BY doc_id, tok),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+    st AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS total,
+             CAST(SUM(tf * tf) AS HUGEINT) AS sumsq
+      FROM tf GROUP BY tok)
+    SELECT tok, df, total,
+           CAST((CAST(1000000 AS HUGEINT)
+                 * (n.n_docs * st.sumsq
+                    - CAST(st.total AS HUGEINT) * st.total))
+                // (CAST(n.n_docs AS HUGEINT) * st.total)
+                AS BIGINT) AS vmr_ppm
+    FROM st CROSS JOIN n
+    WHERE st.df >= 5
+    ORDER BY vmr_ppm DESC, tok LIMIT 20
+    """,
+)
+def token_burstiness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (variance-to-mean ratio of per-document counts,
+    zeros included): bursty tokens concentrate in few documents (topic
+    words, boilerplate markers), Poisson-like tokens spread evenly
+    (function words) — the corpus statistic behind stopword induction
+    and boilerplate detection, and the dispersion counterpart of
+    tf-idf's df. VMR = Var/mean = (N*S - T^2)/(N*T) over per-doc
+    counts (T = total occurrences, S = sum of squared per-doc counts,
+    N = docs with any token), reported as exact floor-div ppm with the
+    products in HUGEINT/decimal width (bound N*S < 10^38 holds past
+    10^12 docs). Tokens with df >= 5; top-20 by (VMR desc, token).
+    Scale: one (doc, token) count then one token-keyed moment agg —
+    both map-side-combinable; no row-level state."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(
+                F.split(F.expr(normalize_sql("text")), r"\s+")
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    tf = toks.groupBy("doc", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    n = tf.select("doc").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    st = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total"),
+        F.sum(F.col("tf") * F.col("tf")).cast(T.DecimalType(38, 0)).alias(
+            "sumsq"
+        ),
+    )
+    return (
+        st.where(F.col("df") >= 5)
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "tok",
+            "df",
+            "total",
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (n_docs * sumsq - CAST(total AS DECIMAL(38,0)) * total))"
+            " div (CAST(n_docs AS DECIMAL(38,0)) * total)"
+            " AS BIGINT) AS vmr_ppm",
+        )
+        .orderBy(F.desc("vmr_ppm"), "tok")
+        .limit(20)
+    )
+
+
+@query(
+    "slope_one_brand_recs",
+    """
+    WITH r AS (
+      SELECT o.o_custkey AS u, p.p_brand AS it,
+             CAST(COUNT(*) AS BIGINT) AS rt
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                    JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2),
+    dev AS (
+      SELECT b.it AS j, a.it AS i,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(b.rt - a.rt) AS BIGINT) AS s
+      FROM r a JOIN r b ON b.u = a.u AND b.it <> a.it
+      GROUP BY 1, 2),
+    tu AS (
+      SELECT u FROM (
+        SELECT u, COUNT(*) AS k FROM r GROUP BY u)
+      WHERE k >= 2 ORDER BY u LIMIT 3),
+    pred AS (
+      SELECT r.u, dev.j,
+             CAST(SUM(dev.s + r.rt * dev.n) AS BIGINT) AS num,
+             CAST(SUM(dev.n) AS BIGINT) AS den
+      FROM r JOIN tu ON tu.u = r.u
+             JOIN dev ON dev.i = r.it
+      WHERE NOT EXISTS (
+        SELECT 1 FROM r r2 WHERE r2.u = r.u AND r2.it = dev.j)
+      GROUP BY 1, 2),
+    sc AS (
+      SELECT u, j AS p_brand, den AS support,
+             CASE WHEN num >= 0 THEN (1000 * num) // den
+                  ELSE -((1000 * (-num)) // den) END AS pred_milli
+      FROM pred),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY u ORDER BY pred_milli DESC, p_brand) AS rn
+      FROM sc)
+    SELECT CAST(u AS BIGINT) AS o_custkey, p_brand,
+           CAST(pred_milli AS BIGINT) AS pred_milli,
+           CAST(support AS BIGINT) AS support
+    FROM rk WHERE rn <= 5 ORDER BY o_custkey, pred_milli DESC, p_brand
+    """,
+)
+def slope_one_brand_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Slope-One recommendations (Lemire & Maclachlan) over
+    implicit customer x brand purchase counts — the closed-form
+    item-item collaborative filter: dev(j,i) = avg over co-raters of
+    (r_j - r_i), prediction P(u,j) = sum_i (s_ji + r_ui * n_ji) /
+    sum_i n_ji, which is EXACTLY integer-expressible (s and n are
+    integer sums; the only division is the final readout, emitted as
+    sign-split trunc milli ticks so both engines agree on negatives).
+    Top-5 unpurchased brands for the three smallest multi-brand
+    customers. Scale: the deviation matrix is item-vocabulary bounded
+    (|brands|^2 cells = 625 here) — built by one user-keyed self-join
+    whose fan-out is brands-per-user squared, then map-side combined;
+    the matrix BROADCASTS to the scoring pass, so predictions never
+    shuffle the big ratings table twice."""
+    t = load_tables(spark, sf_dir)
+    r = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"]["o_orderkey"] == F.col("l_orderkey"))
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("p_brand").alias("it")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("rt"))
+    )
+    a = r.select(F.col("u"), F.col("it").alias("i"), F.col("rt").alias("ra"))
+    b = r.select(F.col("u"), F.col("it").alias("j"), F.col("rt").alias("rb"))
+    dev = (
+        a.join(b, "u")
+        .where(F.col("j") != F.col("i"))
+        .groupBy("j", "i")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("rb") - F.col("ra")).cast("long").alias("s"),
+        )
+    )
+    tu = (
+        r.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .where(F.col("k") >= 2)
+        .orderBy("u")
+        .limit(3)
+        .select("u")
+    )
+    tr = r.join(F.broadcast(tu), "u")
+    cand = tr.join(F.broadcast(dev), tr["it"] == dev["i"])
+    rated = r.select("u", F.col("it").alias("j"))
+    pred = (
+        cand.join(rated, ["u", "j"], "left_anti")
+        .groupBy("u", "j")
+        .agg(
+            F.sum(F.col("s") + F.col("rt") * F.col("n")).cast("long").alias(
+                "num"
+            ),
+            F.sum("n").cast("long").alias("den"),
+        )
+    )
+    sc = pred.selectExpr(
+        "u",
+        "j AS p_brand",
+        "den AS support",
+        "CASE WHEN num >= 0 THEN (1000 * num) div den"
+        " ELSE -((1000 * (-num)) div den) END AS pred_milli",
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("pred_milli"), "p_brand")
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            F.col("u").cast("long").alias("o_custkey"),
+            "p_brand",
+            F.col("pred_milli").cast("long").alias("pred_milli"),
+            F.col("support").cast("long").alias("support"),
+        )
+        .orderBy("o_custkey", F.desc("pred_milli"), "p_brand")
+    )
