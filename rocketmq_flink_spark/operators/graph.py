@@ -79,6 +79,69 @@ def pagerank_integer(
     return scores
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    iters: int = 3,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Personalized PageRank: the teleport mass returns to the SEED set
+    instead of spreading uniformly, so scores measure proximity to the
+    seeds rather than global centrality — the random-walk relevance
+    measure behind graph-based recommendation ("people who bought X
+    reach Y in a few steps"). Same exact integer quantization as
+    pagerank_integer: all mass starts on the seeds, each round
+        score'(v) = [v in seeds] * (15 * scale div 100)
+                    + (85 * sum_in(v)) div 100,
+    every division floored in BIGINT — bit-deterministic and
+    SQL-replayable. Same scale shape per iteration as pagerank_integer
+    (one edges x scores hash join, one map-side-combinable groupBy,
+    one node-sized left join); no driver sync."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src")
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct().withColumn(
+        "is_seed", F.lit(1)
+    )
+    nodes = nodes.join(sd, "node", "left").select(
+        "node", F.coalesce(F.col("is_seed"), F.lit(0)).alias("is_seed")
+    )
+    if iters >= 8:
+        ed = ed.localCheckpoint(eager=False)
+        nodes = nodes.localCheckpoint(eager=False)
+    scores = nodes.select(
+        "node", (F.col("is_seed") * scale).cast("long").alias("score")
+    )
+    base = (15 * scale) // 100
+    for _ in range(iters):
+        inc = (
+            ed.join(scores, ed["src"] == scores["node"])
+            .select("dst", F.expr("score div deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        scores = nodes.join(
+            inc, nodes["node"] == inc["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.col("is_seed") * F.lit(base)
+                + F.expr("(85 * coalesce(inc, 0L)) div 100")
+            ).cast("long").alias("score"),
+        )
+        if iters >= 8:
+            scores = scores.localCheckpoint(eager=False)
+    return scores
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -18281,3 +18281,246 @@ def slope_one_brand_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", F.desc("pred_milli"), "p_brand")
     )
+
+
+_RAKE_STOPS = (
+    "'the','a','an','of','and','in','to','is','on','for','with','as',"
+    "'at','by','or'"
+)
+
+
+@query(
+    "rake_keyword_extraction",
+    f"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+') AS arr
+      FROM documents WHERE lang = 'en'),
+    toks AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(arr) + 1),
+               i -> struct_pack(pos := i, tok := arr[i]))) AS t
+      FROM d),
+    tk AS (SELECT doc_id, t.pos AS pos, t.tok AS tok
+           FROM toks WHERE t.tok <> ''),
+    isl AS (
+      SELECT doc_id, pos, tok,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM tk WHERE tok NOT IN ({_RAKE_STOPS})),
+    ph AS (
+      SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS plen
+      FROM isl GROUP BY 1, 2),
+    phv AS (SELECT * FROM ph WHERE plen <= 4),
+    w AS (SELECT unnest(regexp_split_to_array(phrase, ' ')) AS wd, plen
+          FROM phv),
+    wsc AS (
+      SELECT wd, CAST((1000000 * CAST(SUM(plen) AS BIGINT))
+                      // COUNT(*) AS BIGINT) AS wscore
+      FROM w GROUP BY wd),
+    dp AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ
+           FROM phv GROUP BY 1),
+    pw AS (SELECT phrase, unnest(regexp_split_to_array(phrase, ' ')) AS wd
+           FROM dp),
+    psc AS (
+      SELECT pw.phrase, CAST(SUM(wsc.wscore) AS BIGINT) AS score_ticks
+      FROM pw JOIN wsc ON wsc.wd = pw.wd GROUP BY 1)
+    SELECT dp.phrase, dp.n_occ, psc.score_ticks
+    FROM dp JOIN psc USING (phrase)
+    ORDER BY score_ticks DESC, phrase LIMIT 20
+    """,
+)
+def rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.) over the English corpus:
+    candidate phrases are maximal stopword-delimited token runs
+    (runs longer than 4 tokens discarded); word score =
+    degree/frequency where degree sums the lengths of phrases
+    containing the word; phrase score sums its words' scores. All
+    scores are exact floor-div ppm ticks, so the ranking is
+    bit-identical across engines. Top-20 phrases by (score, phrase).
+    Scale: phrase assembly is one per-document window + group-by (no
+    cross-document state); word and phrase scores are two
+    map-side-combinable vocabulary-bounded aggregates; the word-score
+    table joins back on the word key — Zipf-skewed but
+    vocabulary-sized. The stopword list is a fixed broadcast literal."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    tk = (
+        docs.where(F.col("lang") == "en")
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.expr(normalize_sql("text")), r"\s+")
+            ).alias("pos", "tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    isl = tk.where(
+        ~F.col("tok").isin(
+            [s.strip("'") for s in _RAKE_STOPS.split(",")]
+        )
+    ).withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        ),
+    )
+    ph = (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(pos, tok))), x -> x.tok)"
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("plen"),
+        )
+        .where(F.col("plen") <= 4)
+    )
+    w = ph.select(
+        F.explode(F.split(F.col("phrase"), " ")).alias("wd"), "plen"
+    )
+    wsc = w.groupBy("wd").agg(
+        F.expr(
+            "CAST((1000000 * CAST(SUM(plen) AS BIGINT))"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("wscore")
+    )
+    dp = ph.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    pw = dp.select(
+        "phrase", F.explode(F.split(F.col("phrase"), " ")).alias("wd")
+    )
+    psc = (
+        pw.join(F.broadcast(wsc), "wd")
+        .groupBy("phrase")
+        .agg(F.sum("wscore").cast("long").alias("score_ticks"))
+    )
+    return (
+        dp.join(psc, "phrase")
+        .select("phrase", "n_occ", "score_ticks")
+        .orderBy(F.desc("score_ticks"), "phrase")
+        .limit(20)
+    )
+
+
+def _ppr_oracle_sql(iters: int = 3, min_support: int = 2, k: int = 15) -> str:
+    """DuckDB replay of personalized PageRank from the smallest part:
+    staged power-iteration CTEs with seed-indicator teleport, then the
+    recommendation filter (drop the seed and its direct neighbors)."""
+    base = (15 * 1_000_000) // 100
+    parts = [f"""
+    WITH b AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+      FROM lineitem GROUP BY l_orderkey),
+    pp AS (
+      SELECT unnest(flatten(list_transform(range(1, len(ps)),
+               i -> list_transform(range(i + 1, len(ps) + 1),
+                 j -> struct_pack(p1 := ps[i], p2 := ps[j]))))) AS pr
+      FROM b WHERE len(ps) >= 2),
+    sup AS (
+      SELECT pr.p1 AS p1, pr.p2 AS p2 FROM pp GROUP BY 1, 2
+      HAVING COUNT(*) >= {min_support}),
+    e AS MATERIALIZED (
+      SELECT p1 AS src, p2 AS dst FROM sup
+      UNION ALL SELECT p2, p1 FROM sup),
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    sd AS MATERIALIZED (
+      SELECT src AS seed FROM deg ORDER BY deg DESC, src LIMIT 1),
+    n AS MATERIALIZED (
+      SELECT DISTINCT src AS node,
+             CASE WHEN src = (SELECT seed FROM sd) THEN 1 ELSE 0 END
+               AS is_seed
+      FROM e),
+    s0 AS MATERIALIZED (
+      SELECT node, CAST(is_seed * 1000000 AS BIGINT) AS score FROM n)"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f"""
+    c{t} AS (
+      SELECT e.dst, CAST(SUM(s.score // d.deg) AS BIGINT) AS inc
+      FROM e JOIN s{p} s ON s.node = e.src
+             JOIN deg d ON d.src = e.src
+      GROUP BY e.dst),
+    s{t} AS MATERIALIZED (
+      SELECT n.node,
+             CAST(n.is_seed * {base}
+                  + (85 * COALESCE(c{t}.inc, 0)) // 100 AS BIGINT)
+               AS score
+      FROM n LEFT JOIN c{t} ON c{t}.dst = n.node)""")
+    return ",".join(parts) + f"""
+    SELECT node AS part, score FROM s{iters}
+    WHERE score > 0
+      AND node <> (SELECT seed FROM sd)
+      AND node NOT IN (SELECT dst FROM e WHERE src = (SELECT seed FROM sd))
+    ORDER BY score DESC, node LIMIT {k}
+    """
+
+
+@query("ppr_recommendations", _ppr_oracle_sql())
+def ppr_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based recommendations by personalized PageRank: random
+    walks restart at the SEED part (the highest-degree node in the
+    co-purchase graph, ties to the smallest id — a hub seed keeps the
+    2+-hop candidate set non-empty even when the graph is sparse),
+    so score = proximity to the seed, not global popularity —
+    and the readout drops the seed and its direct neighbors, leaving
+    exactly the non-obvious 2+-hop candidates a co-occurrence
+    recommender can't see. Three integer-quantized damped iterations
+    (bit-deterministic, SQL-replayable); top-15 by (score, part).
+    Scale: identical per-iteration join volume to pagerank_copurchase;
+    the neighbor-exclusion is one seed-keyed semi-join. Scale notes:
+    operators/graph.py personalized_pagerank."""
+    from rocketmq_flink_spark.operators.graph import personalized_pagerank
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    sup = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ps) >= 2 THEN"
+                    " flatten(transform(sequence(0, size(ps) - 2),"
+                    "  i -> transform(sequence(i + 1, size(ps) - 1),"
+                    "   j -> struct(ps[i] AS p1, ps[j] AS p2))))"
+                    " ELSE array() END"
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.p1", "pr.p2")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 2)
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+    e = sup.unionAll(
+        sup.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.desc("deg"), "src")
+        .limit(1)
+        .select(F.col("src").alias("node"))
+    )
+    scores = personalized_pagerank(e, seeds, iters=3)
+    nbrs = e.join(
+        seeds.select(F.col("node").alias("seed")),
+        F.col("src") == F.col("seed"),
+    ).select(F.col("dst").alias("node")).distinct()
+    excl = nbrs.unionAll(seeds.select("node")).distinct()
+    return (
+        scores.where(F.col("score") > 0)
+        .join(excl, "node", "left_anti")
+        .select(
+            F.col("node").cast("long").alias("part"),
+            F.col("score").cast("long").alias("score"),
+        )
+        .orderBy(F.desc("score"), "part")
+        .limit(15)
+    )

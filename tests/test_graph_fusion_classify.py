@@ -246,3 +246,36 @@ def test_sssp_deterministic_under_repartition(spark):
         map(tuple, sssp_bounded(e.repartition(11), seeds, rounds=3).collect())
     )
     assert r1 == r2
+
+
+def test_personalized_pagerank_mass_stays_near_seed(spark):
+    # barbell: clique {0,1,2} - bridge - clique {10,11,12}; seeding at 0
+    # must score the near clique strictly above the far one.
+    from rocketmq_flink_spark.operators.graph import personalized_pagerank
+
+    und = [(0, 1), (0, 2), (1, 2), (2, 10), (10, 11), (10, 12), (11, 12)]
+    e = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src LONG, dst LONG"
+    )
+    seeds = spark.createDataFrame([(0,)], "node LONG")
+    s = {r.node: r.score for r in personalized_pagerank(e, seeds, iters=3).collect()}
+    assert s[0] > 0 and s[1] > 0
+    assert min(s[0], s[1], s[2]) > max(s[11], s[12])
+
+
+def test_personalized_pagerank_deterministic_under_repartition(spark):
+    from rocketmq_flink_spark.operators.graph import personalized_pagerank
+
+    und = [(a, b) for a in range(6) for b in range(6) if a < b]
+    e = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src LONG, dst LONG"
+    )
+    seeds = spark.createDataFrame([(0,)], "node LONG")
+    r1 = sorted(map(tuple, personalized_pagerank(e, seeds, iters=3).collect()))
+    r2 = sorted(
+        map(
+            tuple,
+            personalized_pagerank(e.repartition(9), seeds, iters=3).collect(),
+        )
+    )
+    assert r1 == r2
