@@ -18524,3 +18524,142 @@ def ppr_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "part")
         .limit(15)
     )
+
+
+def _hilbert_oracle_sql() -> str:
+    from rocketmq_flink_spark.operators.layout import (
+        hilbert_sql_layers,
+        morton_expr_sql,
+        scale_sql,
+    )
+
+    inner = f"""
+      SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+             {scale_sql('l_partkey', '(SELECT MAX(l_partkey) FROM sam)', 8)}
+               AS hx,
+             {scale_sql('l_suppkey', '(SELECT MAX(l_suppkey) FROM sam)', 8)}
+               AS hy
+      FROM sam"""
+    hil = hilbert_sql_layers(
+        inner, ["l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"], 8
+    )
+    z = morton_expr_sql(
+        scale_sql("l_partkey", "(SELECT MAX(l_partkey) FROM sam)", 8),
+        scale_sql("l_suppkey", "(SELECT MAX(l_suppkey) FROM sam)", 8),
+        bits=8,
+    )
+    return f"""
+    WITH sam AS MATERIALIZED (
+      SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber
+      FROM lineitem
+      WHERE {_ZORDER_SAMPLE_SQL}
+    ),
+    hb AS ({hil}),
+    lay AS (
+      SELECT 'hilbert' AS layout, l_partkey, l_suppkey,
+             ntile(32) OVER (ORDER BY hkey, l_orderkey, l_linenumber)
+               AS bucket
+      FROM hb
+      UNION ALL
+      SELECT 'zorder', l_partkey, l_suppkey,
+             ntile(32) OVER (ORDER BY {z}, l_orderkey, l_linenumber)
+      FROM sam
+      UNION ALL
+      SELECT 'partkey', l_partkey, l_suppkey,
+             ntile(32) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber)
+      FROM sam
+    ),
+    spans AS (
+      SELECT layout, bucket,
+             MAX(l_partkey) - MIN(l_partkey) AS part_span,
+             MAX(l_suppkey) - MIN(l_suppkey) AS supp_span
+      FROM lay GROUP BY 1, 2
+    )
+    SELECT layout,
+           ROUND(CAST(SUM(part_span) AS DOUBLE) / COUNT(*), 2)
+             AS avg_part_span,
+           ROUND(CAST(SUM(supp_span) AS DOUBLE) / COUNT(*), 2)
+             AS avg_supp_span
+    FROM spans GROUP BY layout ORDER BY layout
+    """
+
+
+@query("hilbert_layout_report", _hilbert_oracle_sql())
+def hilbert_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout quality vs Morton vs single-key sort, on
+    the same deterministic 1-in-8 sample and 32-tile protocol as
+    zorder_skipping_report. Hilbert's walk never jumps (consecutive
+    cells are always grid-adjacent), so equal-count key tiles map to
+    more compact (partkey, suppkey) blobs than Morton's Z-jumps —
+    tighter per-bucket min/max spans means parquet row-group stats
+    prune more point/range queries on BOTH keys. The index is the
+    standard xy2d rotation walk over 8-bit scaled keys, unrolled into
+    8 pure-integer projection layers — whole-stage codegen, no
+    Python, no shuffle (the report's only shuffle is the tiling
+    window on the bounded sample; the production re-layout is
+    repartitionByRange(hkey), exactly like Z-order). Oracle replays
+    the identical walk as nested-SELECT SQL. Scale notes:
+    operators/layout.py hilbert_cols."""
+    from rocketmq_flink_spark.operators.layout import (
+        hilbert_cols,
+        morton_expr_sql,
+        scale_sql,
+    )
+
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber")
+        .where(F.expr(_ZORDER_SAMPLE_SQL))
+    )
+    mx = li.agg(
+        F.max("l_partkey").alias("pmax"), F.max("l_suppkey").alias("smax")
+    )
+    base = li.crossJoin(F.broadcast(mx))
+    hb = hilbert_cols(
+        base.withColumn("hx", F.expr(scale_sql("l_partkey", "pmax", 8)))
+        .withColumn("hy", F.expr(scale_sql("l_suppkey", "smax", 8))),
+        order=8,
+    )
+    zb = base.withColumn(
+        "zkey",
+        F.expr(
+            morton_expr_sql(
+                scale_sql("l_partkey", "pmax", 8),
+                scale_sql("l_suppkey", "smax", 8),
+                bits=8,
+            )
+        ),
+    )
+
+    def tiled(name, src, *order):
+        w = Window.orderBy(*order)
+        return src.select(
+            F.lit(name).alias("layout"),
+            "l_partkey",
+            "l_suppkey",
+            F.ntile(32).over(w).alias("bucket"),
+        )
+
+    lay = (
+        tiled("hilbert", hb, "hkey", "l_orderkey", "l_linenumber")
+        .unionAll(tiled("zorder", zb, "zkey", "l_orderkey", "l_linenumber"))
+        .unionAll(
+            tiled("partkey", li, "l_partkey", "l_orderkey", "l_linenumber")
+        )
+    )
+    spans = lay.groupBy("layout", "bucket").agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("part_span"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("supp_span"),
+    )
+    return (
+        spans.groupBy("layout")
+        .agg(
+            F.round(
+                F.sum("part_span").cast("double") / F.count(F.lit(1)), 2
+            ).alias("avg_part_span"),
+            F.round(
+                F.sum("supp_span").cast("double") / F.count(F.lit(1)), 2
+            ).alias("avg_supp_span"),
+        )
+        .orderBy("layout")
+    )

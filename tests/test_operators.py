@@ -2219,3 +2219,67 @@ def test_audio_frame_energy_matches_numpy_witness(spark):
                 int(np.sum(fr[1:] * fr[:-1] < 0)),
                 int(np.max(np.abs(fr))),
             )
+
+
+def test_hilbert_cols_matches_python_witness_all_cells(spark):
+    """Spark hilbert_cols over every cell of the order-4 grid must
+    equal the pure-Python xy2d walk, and the index must be a
+    bijection onto [0, 256)."""
+    from rocketmq_flink_spark.operators.layout import (
+        hilbert_cols,
+        hilbert_xy2d_py,
+    )
+
+    cells = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(cells, "hx LONG, hy LONG")
+    got = {
+        (r.ox, r.oy): r.hkey
+        for r in hilbert_cols(
+            df.withColumn("ox", F.col("hx")).withColumn("oy", F.col("hy")),
+            order=4,
+        ).collect()
+    }
+    assert got == {
+        (x, y): hilbert_xy2d_py(4, x, y) for x, y in cells
+    }
+    assert sorted(got.values()) == list(range(256))
+
+
+def test_hilbert_sql_layers_match_python_witness(spark):
+    """The DuckDB nested-SELECT replay of the walk is the same
+    function (oracle-side pin)."""
+    import duckdb
+
+    from rocketmq_flink_spark.operators.layout import (
+        hilbert_sql_layers,
+        hilbert_xy2d_py,
+    )
+
+    inner = (
+        "SELECT CAST(x.g AS BIGINT) AS ox, CAST(y.g AS BIGINT) AS oy,"
+        " CAST(x.g AS BIGINT) AS hx, CAST(y.g AS BIGINT) AS hy"
+        " FROM range(16) x(g), range(16) y(g)"
+    )
+    sql = hilbert_sql_layers(inner, ["ox", "oy"], order=4)
+    rows = duckdb.connect().execute(sql).fetchall()
+    got = {(ox, oy): hk for ox, oy, hk in rows}
+    assert got == {
+        (x, y): hilbert_xy2d_py(4, x, y)
+        for x in range(16)
+        for y in range(16)
+    }
+
+
+def test_hilbert_adjacency_no_jumps():
+    """Consecutive Hilbert indices are always grid neighbors (the
+    locality property Morton lacks) — order 5, all 1024 cells."""
+    from rocketmq_flink_spark.operators.layout import hilbert_xy2d_py
+
+    inv = {}
+    for x in range(32):
+        for y in range(32):
+            inv[hilbert_xy2d_py(5, x, y)] = (x, y)
+    assert len(inv) == 1024
+    for d in range(1023):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
