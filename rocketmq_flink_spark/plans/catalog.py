@@ -18663,3 +18663,276 @@ def hilbert_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+@query(
+    "cuped_adjusted_abtest",
+    """
+    WITH arm AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN (('0x' || substr(md5('did:' ||
+                 CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % 2 = 0
+               THEN 'T' ELSE 'C' END AS arm
+      FROM events),
+    ux AS (
+      SELECT a.user_id, a.arm,
+             CAST(COALESCE(SUM(CASE WHEN e.ts < TIMESTAMP
+                 '2024-01-16 00:00:00' THEN
+                 CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT)
+               END), 0) AS BIGINT) AS x,
+             CAST(COALESCE(SUM(CASE WHEN e.ts >= TIMESTAMP
+                 '2024-01-16 00:00:00' THEN
+                 CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT)
+               END), 0) AS BIGINT) AS y
+      FROM arm a LEFT JOIN events e
+        ON e.user_id = a.user_id AND e.event_type = 'purchase'
+      GROUP BY 1, 2),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CASE WHEN arm = 'T' THEN 1 ELSE 0 END) AS HUGEINT)
+               AS nt,
+             CAST(SUM(CASE WHEN arm = 'C' THEN 1 ELSE 0 END) AS HUGEINT)
+               AS nc,
+             CAST(SUM(CASE WHEN arm = 'T' THEN x ELSE 0 END) AS HUGEINT)
+               AS sxt,
+             CAST(SUM(CASE WHEN arm = 'C' THEN x ELSE 0 END) AS HUGEINT)
+               AS sxc,
+             CAST(SUM(CASE WHEN arm = 'T' THEN y ELSE 0 END) AS HUGEINT)
+               AS syt,
+             CAST(SUM(CASE WHEN arm = 'C' THEN y ELSE 0 END) AS HUGEINT)
+               AS syc
+      FROM ux),
+    d AS (
+      SELECT nt, nc,
+             n * sxy - sx * sy AS a,
+             n * sxx - sx * sx AS b,
+             syt * nc - syc * nt AS dy,
+             sxt * nc - sxc * nt AS dx
+      FROM m)
+    SELECT CAST(nt AS BIGINT) AS n_users_t,
+           CAST(nc AS BIGINT) AS n_users_c,
+           CAST(CASE WHEN 1000 * dy >= 0
+                THEN (1000 * dy) // (nt * nc)
+                ELSE -((-(1000 * dy)) // (nt * nc)) END AS BIGINT)
+             AS diff_raw_milli,
+           CAST(CASE WHEN 1000000 * a >= 0
+                THEN (1000000 * a) // b
+                ELSE -((-(1000000 * a)) // b) END AS BIGINT)
+             AS theta_ppm,
+           CAST(CASE WHEN 1000 * (dy * b - a * dx) >= 0
+                THEN (1000 * (dy * b - a * dx)) // (nt * nc * b)
+                ELSE -((-(1000 * (dy * b - a * dx))) // (nt * nc * b)) END
+                AS BIGINT)
+             AS diff_adj_milli
+    FROM d
+    """,
+)
+def cuped_adjusted_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al.) on the
+    same hash assignment and period split as did_treatment_effect:
+    pre-period spend X is the covariate, post-period spend Y the
+    outcome; theta = Cov(X,Y)/Var(X) fitted on the POOLED population
+    (assignment-independent, so the adjustment is unbiased), and the
+    adjusted lift is diff(Y) - theta * diff(X). Everything stays an
+    exact rational: theta = A/B with A = n*Sxy - Sx*Sy,
+    B = n*Sxx - Sx^2, and the adjusted difference is emitted over the
+    common denominator n_T*n_C*B as sign-split trunc milli-cents —
+    bit-identical across engines (products held in HUGEINT/decimal
+    width; bound |dy*B| < 10^38 documented, safe to ~10^6 users at
+    these spend scales, rank-reduce cents for more headroom). Scale:
+    one per-user two-period aggregate (map-side combinable), then a
+    single 11-moment global fold — no per-user state leaves the
+    executors."""
+    ev = load_tables(spark, sf_dir)["events"]
+    from rocketmq_flink_spark.functions.porthash import hash60
+
+    arm = ev.select("user_id").distinct().select(
+        "user_id",
+        F.when(
+            hash60(F.concat(F.lit("did:"), F.col("user_id").cast("string")))
+            % 2 == 0,
+            F.lit("T"),
+        ).otherwise(F.lit("C")).alias("arm"),
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        F.col("ts"),
+    )
+    ux = (
+        arm.join(pur, "user_id", "left")
+        .groupBy("user_id", "arm")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ts")
+                        < F.lit("2024-01-16 00:00:00").cast("timestamp"),
+                        F.col("cents"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ts")
+                        >= F.lit("2024-01-16 00:00:00").cast("timestamp"),
+                        F.col("cents"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("y"),
+        )
+    )
+    D = "DECIMAL(38,0)"
+    m = ux.agg(
+        F.count(F.lit(1)).cast(D).alias("n"),
+        F.sum("x").cast(D).alias("sx"),
+        F.sum("y").cast(D).alias("sy"),
+        F.sum(F.expr(f"CAST(x AS {D}) * x")).cast(D).alias("sxx"),
+        F.sum(F.expr(f"CAST(x AS {D}) * y")).cast(D).alias("sxy"),
+        F.sum(F.when(F.col("arm") == "T", 1).otherwise(0)).cast(D).alias("nt"),
+        F.sum(F.when(F.col("arm") == "C", 1).otherwise(0)).cast(D).alias("nc"),
+        F.sum(F.when(F.col("arm") == "T", F.col("x")).otherwise(0)).cast(D).alias("sxt"),
+        F.sum(F.when(F.col("arm") == "C", F.col("x")).otherwise(0)).cast(D).alias("sxc"),
+        F.sum(F.when(F.col("arm") == "T", F.col("y")).otherwise(0)).cast(D).alias("syt"),
+        F.sum(F.when(F.col("arm") == "C", F.col("y")).otherwise(0)).cast(D).alias("syc"),
+    )
+    d = m.selectExpr(
+        "nt", "nc",
+        "n * sxy - sx * sy AS a",
+        "n * sxx - sx * sx AS b",
+        "syt * nc - syc * nt AS dy",
+        "sxt * nc - sxc * nt AS dx",
+    )
+    return d.selectExpr(
+        "CAST(nt AS BIGINT) AS n_users_t",
+        "CAST(nc AS BIGINT) AS n_users_c",
+        "CAST(CASE WHEN 1000 * dy >= 0"
+        " THEN (1000 * dy) div (nt * nc)"
+        " ELSE -((-(1000 * dy)) div (nt * nc)) END AS BIGINT)"
+        " AS diff_raw_milli",
+        "CAST(CASE WHEN 1000000 * a >= 0"
+        " THEN (1000000 * a) div b"
+        " ELSE -((-(1000000 * a)) div b) END AS BIGINT) AS theta_ppm",
+        "CAST(CASE WHEN 1000 * (dy * b - a * dx) >= 0"
+        " THEN (1000 * (dy * b - a * dx)) div (nt * nc * b)"
+        " ELSE -((-(1000 * (dy * b - a * dx))) div (nt * nc * b)) END"
+        " AS BIGINT) AS diff_adj_milli",
+    )
+
+
+_RI_FOREIGN_KEYS = [
+    # (label, child table, child key, parent table, parent key)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+]
+
+_RI_UNIQUE_KEYS = [
+    ("orders.o_orderkey unique", "orders", "o_orderkey"),
+    ("customer.c_custkey unique", "customer", "c_custkey"),
+    ("part.p_partkey unique", "part", "p_partkey"),
+    ("documents.doc_id unique", "documents", "doc_id"),
+    ("events.event_id unique", "events", "event_id"),
+]
+
+
+def _ri_oracle_sql() -> str:
+    blocks = []
+    for label, ct, ck, pt, pk in _RI_FOREIGN_KEYS:
+        blocks.append(f"""
+    SELECT '{label}' AS check_name, 'foreign_key' AS kind,
+           CAST((SELECT COUNT(*) FROM {ct}) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_violations
+    FROM {ct} c WHERE NOT EXISTS (
+      SELECT 1 FROM {pt} p WHERE p.{pk} = c.{ck})""")
+    for label, t, k in _RI_UNIQUE_KEYS:
+        blocks.append(f"""
+    SELECT '{label}', 'unique_key',
+           CAST((SELECT COUNT(*) FROM {t}) AS BIGINT),
+           CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+    FROM (SELECT {k}, COUNT(*) AS c FROM {t} GROUP BY 1 HAVING COUNT(*) > 1)""")
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(blocks)
+        + ") ORDER BY check_name"
+    )
+
+
+@query("referential_integrity_audit", _ri_oracle_sql())
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validation battery over the warehouse: six foreign
+    keys (orphan counts via anti-join) and five unique keys (surplus
+    duplicate counts) in one unioned report — the pre-load gate a
+    lakehouse pipeline runs before publishing a snapshot, and the
+    referential counterpart of functional_dependency_audit (which
+    audits VALUE dependencies, not key reachability). Spark leaves
+    every count exact; anti-joins against the small dimensions
+    broadcast, the orders/lineitem checks shuffle on the key like any
+    FK validation must. Violations are 0 on the fixture by
+    construction — the value is the CHECK running, not the zeros
+    (a corrupted upstream shows here first)."""
+    t = load_tables(spark, sf_dir)
+    small = {"part", "supplier", "customer", "nation", "region"}
+    # row totals stay IN the plan (crossJoin of 1-row aggregates), not
+    # driver-side .count() actions — the report is one lazy job
+    totals = {
+        name: t[name].agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        for name in {c[1] for c in _RI_FOREIGN_KEYS}
+        | {c[1] for c in _RI_UNIQUE_KEYS}
+    }
+    outs = []
+    for label, ct, ck, pt, pk in _RI_FOREIGN_KEYS:
+        parent = t[pt].select(F.col(pk).alias("__pk")).distinct()
+        if pt in small:
+            parent = F.broadcast(parent)
+        orphans = (
+            t[ct]
+            .join(parent, t[ct][ck] == F.col("__pk"), "left_anti")
+            .agg(
+                F.lit(label).alias("check_name"),
+                F.lit("foreign_key").alias("kind"),
+                F.count(F.lit(1)).cast("long").alias("n_violations"),
+            )
+            .crossJoin(F.broadcast(totals[ct]))
+        )
+        outs.append(orphans)
+    for label, tb, k in _RI_UNIQUE_KEYS:
+        dups = (
+            t[tb]
+            .groupBy(k)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 1)
+            .agg(
+                F.lit(label).alias("check_name"),
+                F.lit("unique_key").alias("kind"),
+                F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("long").alias(
+                    "n_violations"
+                ),
+            )
+            .crossJoin(F.broadcast(totals[tb]))
+        )
+        outs.append(dups)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.select(
+        "check_name", "kind", "n_rows", "n_violations"
+    ).orderBy("check_name")
