@@ -192,3 +192,71 @@ def signed_fp_log2_sql(a: str, b: str) -> str:
         f"CASE WHEN ({a}) >= ({b}) THEN ({fp_log2_sql(a, b)})"
         f" ELSE -({fp_log2_sql(b, a)}) END"
     )
+
+
+def query_likelihood_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k documents per query under the query-likelihood language
+    model with Jelinek-Mercer smoothing (lambda = 1/2) — the second
+    classic lexical scorer next to BM25, and like it made EXACT here:
+
+    rank score(q, d) = sum over matched terms of
+        log2(1 + (tf/dl) / (cf/CL))      [the doc-independent
+      = log2((cf*dl + tf*CL) / (cf*dl))   background sum cancels
+                                          under ranking]
+    where cf is the COLLECTION frequency (not df) and CL the total
+    token count. The argument is an integer ratio with numerator >
+    denominator > 0, so the BM25 fixed-point log2 fold applies
+    directly and every score is a BIGINT tick sum — bit-identical
+    across engines. Same postings-join scale shape as bm25_topk: cf
+    lives on the vocabulary table, only documents sharing a query
+    term are scored, the only driver sync is the CL scalar."""
+    toks = docs.selectExpr(
+        f"{id_col} AS doc", _tokens(text_col) + " AS tk"
+    ).withColumn("dl", F.size("tk"))
+    cl = int(toks.agg(F.sum("dl")).collect()[0][0])
+    tf = (
+        toks.select("doc", "dl", F.explode("tk").alias("term"))
+        .groupBy("doc", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    qterms = (
+        queries.selectExpr(
+            f"{qid_col} AS qid", _tokens(qtext_col) + " AS qtk"
+        )
+        .select("qid", F.explode("qtk").alias("term"))
+        .distinct()
+    )
+    scored = (
+        qterms.join(tf, "term")
+        .join(cf, "term")
+        .selectExpr(
+            "qid",
+            "doc",
+            fp_log2_sql(
+                f"cf * dl + tf * CAST({cl} AS BIGINT)", "cf * dl"
+            )
+            + " AS tick",
+        )
+        .groupBy("qid", "doc")
+        .agg(F.sum("tick").cast("long").alias("score_ticks"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score_ticks"), "doc")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(qid_col),
+            F.col("doc").alias(id_col),
+            "score_ticks",
+            "rank",
+        )
+    )

@@ -18936,3 +18936,293 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "check_name", "kind", "n_rows", "n_violations"
     ).orderBy("check_name")
+
+
+@query(
+    "bitmap_segment_intersections",
+    """
+    WITH seg AS (
+      SELECT DISTINCT event_type AS seg, user_id FROM events),
+    bm AS (
+      SELECT seg, user_id // 32 AS bucket,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT))
+                  AS BIGINT) AS word
+      FROM seg GROUP BY 1, 2),
+    card AS (
+      SELECT seg, CAST(SUM(bit_count(word)) AS BIGINT) AS n
+      FROM bm GROUP BY 1),
+    inter AS (
+      SELECT a.seg AS seg_a, b.seg AS seg_b,
+             CAST(SUM(bit_count(a.word & b.word)) AS BIGINT) AS n_inter
+      FROM bm a JOIN bm b ON a.bucket = b.bucket AND a.seg < b.seg
+      GROUP BY 1, 2)
+    SELECT i.seg_a, i.seg_b, ca.n AS n_a, cb.n AS n_b, i.n_inter,
+           CAST((2 * 1000000 * i.n_inter + (ca.n + cb.n - i.n_inter))
+                // (2 * (ca.n + cb.n - i.n_inter)) AS BIGINT)
+             AS jaccard_ppm
+    FROM inter i JOIN card ca ON ca.seg = i.seg_a
+                 JOIN card cb ON cb.seg = i.seg_b
+    ORDER BY seg_a, seg_b
+    """,
+)
+def bitmap_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index set algebra over user segments (users who emitted
+    each event type): each segment's user set is packed into 32-bit
+    words keyed by user_id div 32 — the roaring/bitmap-index trick in
+    plain relational form — and every pairwise intersection cardinality
+    is sum(bit_count(word_a & word_b)) over bucket-aligned words, with
+    the half-up Jaccard ppm readout. Exact set algebra at 1/32nd the
+    rows of an id-level join: the word tables shuffle |users|/32 rows
+    per segment, the AND+popcount is whole-stage codegen, and
+    bucket-alignment makes the join key dense integers (at 100 TB this
+    is the difference between joining 10^9 user ids and 3*10^7
+    words per segment pair). Oracle replays the identical packing."""
+    ev = load_tables(spark, sf_dir)["events"]
+    seg = ev.select(
+        F.col("event_type").alias("seg"), "user_id"
+    ).distinct()
+    bm = seg.groupBy(
+        "seg", F.expr("user_id div 32").alias("bucket")
+    ).agg(
+        F.expr(
+            "CAST(bit_or(CAST(1 AS BIGINT)"
+            " << CAST(user_id % 32 AS INT)) AS BIGINT)"
+        ).alias("word")
+    )
+    card = bm.groupBy("seg").agg(
+        F.expr("CAST(SUM(bit_count(word)) AS BIGINT)").alias("n")
+    )
+    a = bm.select(
+        F.col("seg").alias("seg_a"), "bucket", F.col("word").alias("wa")
+    )
+    b = bm.select(
+        F.col("seg").alias("seg_b"), "bucket", F.col("word").alias("wb")
+    )
+    inter = (
+        a.join(b, "bucket")
+        .where(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(
+            F.expr("CAST(SUM(bit_count(wa & wb)) AS BIGINT)").alias(
+                "n_inter"
+            )
+        )
+    )
+    ca = card.select(F.col("seg").alias("seg_a"), F.col("n").alias("n_a"))
+    cb = card.select(F.col("seg").alias("seg_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(ca), "seg_a")
+        .join(F.broadcast(cb), "seg_b")
+        .selectExpr(
+            "seg_a", "seg_b", "n_a", "n_b", "n_inter",
+            "CAST((2 * 1000000 * n_inter + (n_a + n_b - n_inter))"
+            " div (2 * (n_a + n_b - n_inter)) AS BIGINT) AS jaccard_ppm",
+        )
+        .orderBy("seg_a", "seg_b")
+    )
+
+
+def _matryoshka_oracle_sql(dims=(4, 8, 16, 32), k: int = 10) -> str:
+    """DuckDB replay of prefix-truncation recall: the exact-cosine
+    top-k pipeline (same decimal-quantize/round discipline as the
+    knn_cosine_topk oracle) run at full width and at each prefix
+    width, then overlap@k against the full-width truth."""
+    def ve(d):
+        sl = f"[1:{d}]" if d is not None else ""
+        return (
+            f"list_transform(CAST(embedding AS DOUBLE[]){sl},"
+            " x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT)"
+            " * CAST(0.0000000001 AS DECIMAL(11,10)) AS DECIMAL(12,10)))"
+        )
+
+    def chain(tag, d):
+        return f"""
+    v{tag} AS (SELECT vec_id, {ve(d)} AS ve FROM embeddings),
+    q{tag} AS (SELECT vec_id AS qid, ve AS qv,
+                 CAST(ROUND(list_sum(list_transform(ve, x -> x*x)), 12)
+                      AS DOUBLE) AS qn2
+               FROM v{tag} WHERE vec_id < 8),
+    c{tag} AS (SELECT vec_id, ve AS cv,
+                 CAST(ROUND(list_sum(list_transform(ve, x -> x*x)), 12)
+                      AS DOUBLE) AS cn2
+               FROM v{tag}),
+    s{tag} AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                 CAST(ROUND(list_sum(list_transform(list_zip(qv, cv),
+                      p -> p[1]*p[2])), 12) AS DOUBLE)
+                 / (sqrt(qn2) * sqrt(cn2)) DESC, vec_id) AS rank
+        FROM q{tag}, c{tag} WHERE vec_id != qid)
+      WHERE rank <= {k})"""
+
+    parts = [chain("f", None)] + [chain(f"d{d}", d) for d in dims]
+    sels = []
+    for d in dims:
+        sels.append(f"""
+    SELECT {d} AS dims,
+           CAST((SELECT COUNT(*) FROM sf s JOIN sd{d} t
+                 ON t.qid = s.qid AND t.vec_id = s.vec_id) AS BIGINT)
+             AS n_common,
+           CAST((SELECT COUNT(*) FROM sf) AS BIGINT) AS n_truth,
+           CAST((2 * 1000000 * (SELECT COUNT(*) FROM sf s JOIN sd{d} t
+                   ON t.qid = s.qid AND t.vec_id = s.vec_id)
+                 + (SELECT COUNT(*) FROM sf))
+                // (2 * (SELECT COUNT(*) FROM sf)) AS BIGINT)
+             AS overlap_ppm""")
+    return (
+        "WITH " + ",".join(parts)
+        + " SELECT * FROM (" + " UNION ALL ".join(sels)
+        + ") ORDER BY dims"
+    )
+
+
+@query("matryoshka_truncation_recall", _matryoshka_oracle_sql())
+def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation study: exact-cosine top-10
+    recomputed with only the first 4/8/16/32 of 64 embedding dims,
+    scored as overlap@10 against the full-width exact truth (half-up
+    ppm) — the measurement that tells you how many dims the ANN tier
+    can drop before recall pays, complementing jl_projection_distortion
+    (random projection) and ann_recall_report (index structure) with
+    the PREFIX-truncation axis MRL-trained embeddings expose. Each
+    width runs the same broadcast/map-side-top-k exact kNN as
+    knn_cosine_topk (shuffle = ~k survivors per query per width); the
+    overlap join is top-k-sized. Oracle replays every width with the
+    identical decimal-quantize discipline."""
+    from rocketmq_flink_spark.operators.similarity import knn_cosine
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    truth = knn_cosine(
+        emb.where(F.col("vec_id") < 8), emb, k=10
+    ).select("qid", "vec_id")
+    outs = []
+    for d in (4, 8, 16, 32):
+        sub = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        var = knn_cosine(
+            sub.where(F.col("vec_id") < 8), sub, k=10
+        ).select("qid", "vec_id")
+        common = truth.join(var, ["qid", "vec_id"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_common")
+        )
+        total = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+        outs.append(
+            common.crossJoin(F.broadcast(total)).selectExpr(
+                f"CAST({d} AS INT) AS dims",
+                "n_common",
+                "n_truth",
+                "CAST((2 * 1000000 * n_common + n_truth)"
+                " div (2 * n_truth) AS BIGINT) AS overlap_ppm",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("dims")
+
+
+def _ql_oracle_sql(k: int = 10, n_queries: int = 5, qlen: int = 6) -> str:
+    """DuckDB replay of exact query-likelihood retrieval: postings
+    tf/cf, the fixed-point log2 fold over the per-candidate JM ratio
+    (cf*dl + tf*CL)/(cf*dl), integer rank."""
+    return f"""
+    WITH RECURSIVE t0 AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    dls AS (SELECT doc_id, len(tk) AS dl FROM t0),
+    nn AS (SELECT CAST(SUM(dl) AS BIGINT) AS cl FROM dls),
+    tok AS (
+      SELECT doc_id, i AS pos, tk[i] AS term
+      FROM t0, unnest(range(1, len(tk) + 1)) AS u(i)),
+    tf AS (
+      SELECT t.doc_id, d.dl, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok t JOIN dls d USING (doc_id)
+      GROUP BY 1, 2, 3),
+    cfq AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+    qtok AS (
+      SELECT doc_id AS qid, term, MIN(pos) AS fpos
+      FROM tok WHERE doc_id < {n_queries} GROUP BY 1, 2),
+    qterms AS (
+      SELECT qid, term FROM (
+        SELECT qid, term,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY fpos) AS rn
+        FROM qtok)
+      WHERE rn <= {qlen}),
+    base AS (
+      SELECT q.qid, t.doc_id, t.term,
+             c.cf * t.dl + t.tf * (SELECT cl FROM nn) AS p0,
+             c.cf * t.dl AS q0,
+             length(bin((c.cf * t.dl + t.tf * (SELECT cl FROM nn))
+                        // (c.cf * t.dl))) - 1 AS kk
+      FROM qterms q JOIN tf t USING (term) JOIN cfq c USING (term)),
+    it AS (
+      SELECT qid, doc_id, term, kk, 0 AS i, p0 AS p, (q0 << kk) AS q,
+             CAST(0 AS BIGINT) AS acc
+      FROM base
+      UNION ALL
+      SELECT qid, doc_id, term, kk, i + 1,
+             (p >> s)*(p >> s),
+             CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                  THEN ((q >> s)*(q >> s)) << 1
+                  ELSE (q >> s)*(q >> s) END,
+             acc*2 + CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                     THEN 1 ELSE 0 END
+      FROM (SELECT *, greatest(0, length(bin(q)) - 30) AS s FROM it)
+      WHERE i < 20),
+    tick AS (
+      SELECT qid, doc_id, acc + (CAST(kk AS BIGINT) << 20) AS tick
+      FROM it WHERE i = 20),
+    sc AS (
+      SELECT qid, doc_id, CAST(SUM(tick) AS BIGINT) AS score_ticks
+      FROM tick GROUP BY 1, 2),
+    rk AS (
+      SELECT qid, doc_id, score_ticks,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY score_ticks DESC, doc_id) AS rank
+      FROM sc)
+    SELECT qid AS query_id, doc_id, score_ticks, CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+@query("query_likelihood_search", _ql_oracle_sql())
+def query_likelihood_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval (Jelinek-Mercer lambda = 1/2) over
+    the documents corpus — the language-model scorer next to BM25 in
+    every IR curriculum, sharing its query panel (first six distinct
+    normalized tokens of docs 0-4) so the two rankings are directly
+    comparable (and feedable to rrf_hybrid_search as a third arm).
+    The doc-independent background sum cancels under ranking, leaving
+    sum over matched terms of log2((cf*dl + tf*CL)/(cf*dl)) — an
+    integer-ratio fixed-point log2 per candidate, summed as BIGINT
+    ticks; the oracle replays the identical fold in a recursive CTE.
+    Postings joins only (cf on the vocabulary table, candidates =
+    docs sharing a query term); one CL scalar driver sync. Scale
+    notes: operators/retrieval.py query_likelihood_topk."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+    from rocketmq_flink_spark.operators.retrieval import (
+        query_likelihood_topk,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        "filter(split("
+        + normalize_sql("text")
+        + ", '\\\\s+'), x -> x <> '')"
+    )
+    queries = docs.where(F.col("doc_id") < 5).selectExpr(
+        "doc_id AS query_id",
+        f"concat_ws(' ', slice(array_distinct({toks}), 1, 6)) AS qtext",
+    )
+    return (
+        query_likelihood_topk(docs, queries, k=10)
+        .selectExpr(
+            "query_id", "doc_id", "score_ticks",
+            "CAST(rank AS BIGINT) AS rank",
+        )
+        .orderBy("query_id", "rank")
+    )
