@@ -19226,3 +19226,296 @@ def query_likelihood_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+_MARKOV_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def _markov_attr_oracle_sql(rounds: int = 16) -> str:
+    """DuckDB replay of Markov removal-effect attribution: journey
+    transition counts (cut at first purchase), per-scenario matrices
+    (full + each channel removed, its inbound edges redirected to the
+    END absorber), then `rounds` staged absorption-probability
+    iterations in floor-div ppm ticks."""
+    chans = ", ".join(f"('{c}')" for c in _MARKOV_CHANNELS)
+    parts = [f"""
+    WITH r0 AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type = 'purchase' THEN 'CONV'
+                  ELSE event_type END AS m,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS rk
+      FROM events),
+    pk AS (SELECT user_id, MIN(rk) AS prk FROM r0 WHERE m = 'CONV'
+           GROUP BY 1),
+    j AS (
+      SELECT r0.user_id, r0.m, r0.rk, pk.prk
+      FROM r0 LEFT JOIN pk USING (user_id)
+      WHERE pk.prk IS NULL OR r0.rk <= pk.prk),
+    tr AS (
+      SELECT 'START' AS s, m AS t FROM j WHERE rk = 1
+      UNION ALL
+      SELECT a.m, b.m FROM j a JOIN j b
+        ON b.user_id = a.user_id AND b.rk = a.rk + 1
+      UNION ALL
+      SELECT m, 'END' FROM j x
+      WHERE prk IS NULL
+        AND rk = (SELECT MAX(rk) FROM j y WHERE y.user_id = x.user_id)),
+    base AS (
+      SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
+    scen AS MATERIALIZED (
+      SELECT scen, s, t, CAST(SUM(c) AS BIGINT) AS c FROM (
+        SELECT 'full' AS scen, s, t, c FROM base
+        UNION ALL
+        SELECT ch.c2, b.s,
+               CASE WHEN b.t = ch.c2 THEN 'END' ELSE b.t END, b.c
+        FROM base b, (VALUES {chans}) ch(c2)
+        WHERE b.s <> ch.c2)
+      GROUP BY 1, 2, 3),
+    p0 AS (SELECT DISTINCT scen, s, CAST(0 AS BIGINT) AS p FROM scen)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f"""
+    p{k} AS MATERIALIZED (
+      SELECT c.scen, c.s,
+             CAST(SUM(c.c * CASE WHEN c.t = 'CONV' THEN 1000000
+                            WHEN c.t = 'END' THEN 0
+                            ELSE COALESCE(pp.p, 0) END)
+                  // SUM(c.c) AS BIGINT) AS p
+      FROM scen c LEFT JOIN p{k - 1} pp
+        ON pp.scen = c.scen AND pp.s = c.t
+      GROUP BY 1, 2)""")
+    return ",".join(parts) + f"""
+    SELECT ch.c2 AS channel,
+           pf.p AS p_full_ppm,
+           pr.p AS p_removed_ppm,
+           pf.p - pr.p AS removal_effect_ppm
+    FROM (VALUES {chans}) ch(c2)
+      JOIN p{rounds} pf ON pf.scen = 'full' AND pf.s = 'START'
+      JOIN p{rounds} pr ON pr.scen = ch.c2 AND pr.s = 'START'
+    ORDER BY channel
+    """
+
+
+@query("markov_removal_attribution", _markov_attr_oracle_sql())
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution — the data-driven model that
+    first/last-touch can't fake: journeys (cut at first purchase) fit
+    a transition matrix with START / END / CONV absorbers; each
+    channel's credit is how much the START -> CONV absorption
+    probability DROPS when that channel is removed (its inbound edges
+    redirected to END). Absorption runs 16 fixed floor-div ppm
+    iterations — engine-exact, no linear solve. Scale: the journey
+    window + transition count is the only data-scale pass (same shape
+    as event_transition_matrix); the five scenario matrices are
+    state-vocabulary bounded (<= 7x7 cells), so the fold is
+    model-sized arithmetic — computed once from a single driver sync
+    of the counts, the PCA/centroid precedent. Oracle replays journey
+    cut, removal redirects, and all 16 rounds in staged CTEs."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    r0 = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", "CONV")
+        .otherwise(F.col("event_type"))
+        .alias("m"),
+        F.row_number().over(w).alias("rk"),
+    )
+    pk = (
+        r0.where(F.col("m") == "CONV")
+        .groupBy("user_id")
+        .agg(F.min("rk").alias("prk"))
+    )
+    j = r0.join(pk, "user_id", "left").where(
+        F.col("prk").isNull() | (F.col("rk") <= F.col("prk"))
+    )
+    wj = Window.partitionBy("user_id").orderBy("rk")
+    jj = j.select(
+        "user_id", "m", "rk", "prk", F.lead("m").over(wj).alias("nxt")
+    )
+    trans = (
+        jj.where(F.col("rk") == 1)
+        .select(F.lit("START").alias("s"), F.col("m").alias("t"))
+        .unionAll(
+            jj.where(F.col("nxt").isNotNull()).select(
+                F.col("m").alias("s"), F.col("nxt").alias("t")
+            )
+        )
+        .unionAll(
+            jj.where(F.col("nxt").isNull() & F.col("prk").isNull()).select(
+                F.col("m").alias("s"), F.lit("END").alias("t")
+            )
+        )
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    base = [(r["s"], r["t"], int(r["c"])) for r in trans.collect()]
+
+    def absorb(counts: list[tuple[str, str, int]], rounds: int = 16) -> int:
+        states = sorted({s for s, _, _ in counts})
+        p = {s: 0 for s in states}
+        for _ in range(rounds):
+            nxt = {}
+            for s in states:
+                num = den = 0
+                for ss, t, c in counts:
+                    if ss != s:
+                        continue
+                    den += c
+                    pt = (
+                        1_000_000
+                        if t == "CONV"
+                        else (0 if t == "END" else p.get(t, 0))
+                    )
+                    num += c * pt
+                nxt[s] = num // den if den else 0
+            p = nxt
+        return p.get("START", 0)
+
+    p_full = absorb(base)
+    rows = []
+    for ch in _MARKOV_CHANNELS:
+        removed = {}
+        for s, t, c in base:
+            if s == ch:
+                continue
+            t2 = "END" if t == ch else t
+            removed[(s, t2)] = removed.get((s, t2), 0) + c
+        p_rem = absorb([(s, t, c) for (s, t), c in removed.items()])
+        rows.append((ch, p_full, p_rem, p_full - p_rem))
+    return (
+        spark.createDataFrame(
+            rows,
+            "channel STRING, p_full_ppm LONG, p_removed_ppm LONG,"
+            " removal_effect_ppm LONG",
+        )
+        .orderBy("channel")
+    )
+
+
+def _chash_oracle_sql() -> str:
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    kh = hash60_sql("'key:' || CAST(k AS VARCHAR)")
+    ph = (
+        "('0x' || substr(md5('ring:' || CAST(shard AS VARCHAR) || ':'"
+        " || CAST(vn AS VARCHAR)), 1, 15))::BIGINT"
+    )
+    return f"""
+    WITH keys AS (SELECT DISTINCT user_id AS k FROM events),
+    kh AS (SELECT k, {kh} AS h FROM keys),
+    pts8 AS (SELECT s.g AS shard, v.g AS vn, {ph.replace('shard', 's.g').replace('vn', 'v.g')} AS p
+             FROM range(8) s(g), range(8) v(g)),
+    pts9 AS (SELECT s.g AS shard, v.g AS vn, {ph.replace('shard', 's.g').replace('vn', 'v.g')} AS p
+             FROM range(9) s(g), range(8) v(g)),
+    a8 AS (
+      SELECT k, arg_min(shard, CASE WHEN p >= h THEN p
+                                    ELSE p + (CAST(1 AS BIGINT) << 60)
+                               END) AS shard
+      FROM kh CROSS JOIN pts8 GROUP BY k),
+    a9 AS (
+      SELECT k, arg_min(shard, CASE WHEN p >= h THEN p
+                                    ELSE p + (CAST(1 AS BIGINT) << 60)
+                               END) AS shard
+      FROM kh CROSS JOIN pts9 GROUP BY k),
+    ring AS (
+      SELECT 'ring' AS scheme, CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CASE WHEN a8.shard <> a9.shard THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_moved
+      FROM a8 JOIN a9 USING (k)),
+    md AS (
+      SELECT 'mod' AS scheme, CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CASE WHEN k % 8 <> k % 9 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_moved
+      FROM keys)
+    SELECT scheme, n_keys, n_moved,
+           CAST((2 * 1000000 * n_moved + n_keys) // (2 * n_keys)
+                AS BIGINT) AS moved_ppm
+    FROM (SELECT * FROM ring UNION ALL SELECT * FROM md)
+    ORDER BY scheme
+    """
+
+
+@query("consistent_hash_rebalance", _chash_oracle_sql())
+def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hashing rebalance study: assign every distinct user
+    to 8 shards by (a) a 64-point hash ring (8 virtual nodes per
+    shard) and (b) plain modulo, then grow to 9 shards and measure
+    the moved-key fraction (half-up ppm). The readout IS the
+    consistent-hashing theorem in numbers: the ring moves ~1/9 of
+    keys, modulo moves ~8/9 — the difference between a cache/shard
+    expansion that warms gently and one that invalidates everything.
+    All ring points and key hashes are the portable md5-60bit hash,
+    so both engines compute identical assignments (arg-min over the
+    clockwise-adjusted ring, no floats anywhere). Scale: the ring is
+    a 64/72-point broadcast grid (a real deployment binary-searches a
+    sorted broadcast array; the grid keeps the oracle replayable);
+    one distinct-user pass, one key-local map-side argmin — no
+    row-level state."""
+    from rocketmq_flink_spark.functions.porthash import hash60
+
+    ev = load_tables(spark, sf_dir)["events"]
+    keys = ev.select(F.col("user_id").alias("k")).distinct()
+    kh = keys.select(
+        "k",
+        hash60(F.concat(F.lit("key:"), F.col("k").cast("string"))).alias(
+            "h"
+        ),
+    )
+
+    def points(n_shards: int):
+        return (
+            spark.range(n_shards)
+            .select(F.col("id").alias("shard"))
+            .crossJoin(spark.range(8).select(F.col("id").alias("vn")))
+            .select(
+                "shard",
+                hash60(
+                    F.concat(
+                        F.lit("ring:"),
+                        F.col("shard").cast("string"),
+                        F.lit(":"),
+                        F.col("vn").cast("string"),
+                    )
+                ).alias("p"),
+            )
+        )
+
+    def assign(pts):
+        return (
+            kh.crossJoin(F.broadcast(pts))
+            .groupBy("k")
+            .agg(
+                F.expr(
+                    "min_by(shard, CASE WHEN p >= h THEN p"
+                    " ELSE p + (CAST(1 AS BIGINT) << 60) END)"
+                ).alias("shard")
+            )
+        )
+
+    a8 = assign(points(8)).withColumnRenamed("shard", "s8")
+    a9 = assign(points(9)).withColumnRenamed("shard", "s9")
+    ring = a8.join(a9, "k").agg(
+        F.lit("ring").alias("scheme"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(
+            F.when(F.col("s8") != F.col("s9"), 1).otherwise(0)
+        ).cast("long").alias("n_moved"),
+    )
+    md = keys.agg(
+        F.lit("mod").alias("scheme"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(
+            F.when(F.col("k") % 8 != F.col("k") % 9, 1).otherwise(0)
+        ).cast("long").alias("n_moved"),
+    )
+    return (
+        ring.unionAll(md)
+        .selectExpr(
+            "scheme", "n_keys", "n_moved",
+            "CAST((2 * 1000000 * n_moved + n_keys) div (2 * n_keys)"
+            " AS BIGINT) AS moved_ppm",
+        )
+        .orderBy("scheme")
+    )
