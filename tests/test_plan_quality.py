@@ -427,3 +427,51 @@ def test_fulfillment_latency_keeps_shuffle_join(spark):
     # broadcast (documented design; AQE may still adapt at runtime)
     plan = _plan(REGISTRY["fulfillment_latency_profile"].fn(spark, SF))
     assert "AdaptiveSparkPlan" in plan
+
+
+def test_session_c4_ops_no_cartesian_no_python(spark):
+    # continuation-4 wave: audits, causal readouts, retrieval, graph,
+    # layout — all JVM-side; the only Python in any of these plans is
+    # the model-sized driver fold in markov_removal_attribution
+    # (excluded here: its output is a literal frame by design)
+    for name in (
+        "sssp_weighted_copurchase",
+        "local_clustering_coefficient",
+        "functional_dependency_audit",
+        "t_closeness_report",
+        "did_treatment_effect",
+        "token_burstiness_report",
+        "slope_one_brand_recs",
+        "rake_keyword_extraction",
+        "ppr_recommendations",
+        "hilbert_layout_report",
+        "cuped_adjusted_abtest",
+        "referential_integrity_audit",
+        "bitmap_segment_intersections",
+        "query_likelihood_search",
+        "consistent_hash_rebalance",
+    ):
+        plan = _plan(REGISTRY[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_slope_one_matrix_broadcasts(spark):
+    # the item-vocabulary-bounded deviation matrix must broadcast to
+    # the scoring pass (never shuffle the ratings table against it)
+    plan = _plan(REGISTRY["slope_one_brand_recs"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_matryoshka_no_corpus_grid(spark):
+    # every width runs the map-side-top-k kNN: no corpus x query
+    # cartesian anywhere in the 4-width union
+    plan = _plan(REGISTRY["matryoshka_truncation_recall"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_referential_integrity_broadcasts_dims(spark):
+    plan = _plan(REGISTRY["referential_integrity_audit"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
