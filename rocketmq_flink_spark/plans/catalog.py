@@ -19519,3 +19519,263 @@ def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scheme")
     )
+
+
+@query(
+    "shapley_attribution",
+    """
+    WITH r0 AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type = 'purchase' THEN 'CONV'
+                  ELSE event_type END AS m,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS rk
+      FROM events),
+    pk AS (SELECT user_id, MIN(rk) AS prk FROM r0 WHERE m = 'CONV'
+           GROUP BY 1),
+    um AS (
+      SELECT r0.user_id,
+             CAST(COALESCE(SUM(DISTINCT CASE r0.m
+                 WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                 WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END), 0)
+               AS BIGINT) AS mask,
+             CAST(MAX(CASE WHEN pk.prk IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS conv
+      FROM r0 LEFT JOIN pk USING (user_id)
+      WHERE (pk.prk IS NULL OR r0.rk < pk.prk) AND r0.m <> 'CONV'
+      GROUP BY 1
+      UNION ALL
+      SELECT pk.user_id, 0, 1 FROM pk
+      WHERE pk.prk = 1),
+    mc AS (SELECT mask, CAST(SUM(conv) AS BIGINT) AS n_conv
+           FROM um GROUP BY 1),
+    grid AS (SELECT CAST(g AS BIGINT) AS s FROM range(16) t(g)),
+    v AS (
+      SELECT grid.s,
+             CAST(COALESCE(SUM(mc.n_conv), 0) AS BIGINT) AS v
+      FROM grid LEFT JOIN mc ON (mc.mask & grid.s) = mc.mask
+      GROUP BY grid.s),
+    ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                                 ('signup', 4), ('view', 8)) c(name, bit)),
+    phi AS (
+      SELECT ch.name AS channel,
+             CAST(SUM((CASE bit_count(v0.s)
+                         WHEN 0 THEN 6 WHEN 1 THEN 2
+                         WHEN 2 THEN 2 ELSE 6 END)
+                      * (v1.v - v0.v)) AS BIGINT) AS phi24
+      FROM ch JOIN v v0 ON (v0.s & ch.bit) = 0
+              JOIN v v1 ON v1.s = v0.s + ch.bit
+      GROUP BY ch.name),
+    tot AS (SELECT CAST(SUM(phi24) AS BIGINT) AS t FROM phi)
+    SELECT p.channel, p.phi24,
+           CAST(CASE WHEN tot.t > 0 THEN (1000000 * p.phi24) // tot.t
+                ELSE 0 END AS BIGINT) AS share_ppm
+    FROM phi p CROSS JOIN tot
+    ORDER BY channel
+    """,
+)
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution over the four pre-purchase
+    channels — the game-theoretic model that completes the attribution
+    family (first/last touch = positional, Markov removal = path
+    counterfactual, Shapley = coalition counterfactual). Each
+    converted user's pre-purchase channel set is a 4-bit mask; the
+    coalition value v(S) counts conversions reachable with channels
+    in S (mask subset-sum, a 16-cell zeta transform); each channel's
+    Shapley value uses the n=4 weights {6,2,2,6}/24, kept as integer
+    24ths so efficiency (sum phi24 = 24*(v(full) - v(empty))) is an
+    exact identity both engines reproduce bit-for-bit. Scale: ONE
+    user-keyed window + distinct-channel aggregate at data scale;
+    everything after is a 16-row grid — no driver sync at all.
+    Share is floor-div ppm of the phi24 total."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    r0 = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", "CONV")
+        .otherwise(F.col("event_type"))
+        .alias("m"),
+        F.row_number().over(w).alias("rk"),
+    )
+    pk = (
+        r0.where(F.col("m") == "CONV")
+        .groupBy("user_id")
+        .agg(F.min("rk").alias("prk"))
+    )
+    bit = (
+        F.when(F.col("m") == "click", 1)
+        .when(F.col("m") == "error", 2)
+        .when(F.col("m") == "signup", 4)
+        .when(F.col("m") == "view", 8)
+    )
+    um = (
+        r0.join(pk, "user_id", "left")
+        .where(
+            (F.col("prk").isNull() | (F.col("rk") < F.col("prk")))
+            & (F.col("m") != "CONV")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum_distinct(bit), F.lit(0)).cast("long").alias(
+                "mask"
+            ),
+            F.max(
+                F.when(F.col("prk").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("conv"),
+        )
+        .unionAll(
+            pk.where(F.col("prk") == 1).select(
+                "user_id",
+                F.lit(0).cast("long").alias("mask"),
+                F.lit(1).cast("long").alias("conv"),
+            )
+        )
+    )
+    mc = um.groupBy("mask").agg(F.sum("conv").cast("long").alias("n_conv"))
+    grid = spark.range(16).select(F.col("id").cast("long").alias("s"))
+    v = (
+        grid.join(
+            F.broadcast(mc),
+            (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")),
+            "left",
+        )
+        .groupBy("s")
+        .agg(
+            F.coalesce(F.sum("n_conv"), F.lit(0)).cast("long").alias("v")
+        )
+    )
+    ch = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "name STRING, bit LONG",
+    )
+    v0 = v.select(F.col("s").alias("s0"), F.col("v").alias("vv0"))
+    v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("vv1"))
+    phi = (
+        ch.join(v0, F.col("s0").bitwiseAND(F.col("bit")) == 0)
+        .join(v1, F.col("s1") == F.col("s0") + F.col("bit"))
+        .groupBy(F.col("name").alias("channel"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "(CASE bit_count(s0) WHEN 0 THEN 6 WHEN 1 THEN 2"
+                    " WHEN 2 THEN 2 ELSE 6 END)"
+                )
+                * (F.col("vv1") - F.col("vv0"))
+            ).cast("long").alias("phi24")
+        )
+    )
+    tot = phi.agg(F.sum("phi24").cast("long").alias("t"))
+    return (
+        phi.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "channel",
+            "phi24",
+            "CAST(CASE WHEN t > 0 THEN (1000000 * phi24) div t"
+            " ELSE 0 END AS BIGINT) AS share_ppm",
+        )
+        .orderBy("channel")
+    )
+
+
+@query(
+    "cohort_ltv_curve",
+    """
+    WITH su AS (
+      SELECT user_id,
+             MIN(epoch_us(ts) // 86400000000 // 7) AS cw
+      FROM events WHERE event_type = 'signup' GROUP BY 1),
+    mx AS (SELECT MAX(epoch_us(ts) // 86400000000 // 7) AS mw FROM events),
+    coh AS (
+      SELECT su.user_id, su.cw FROM su CROSS JOIN mx
+      WHERE su.cw + 3 <= mx.mw),
+    cs AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS n_users
+           FROM coh GROUP BY 1),
+    pur AS (
+      SELECT c.cw, epoch_us(e.ts) // 86400000000 // 7 AS pw,
+             CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM events e JOIN coh c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) // 86400000000 // 7 >= c.cw),
+    grid AS (
+      SELECT cs.cw, cs.n_users, CAST(a.g AS BIGINT) AS age
+      FROM cs, range(4) a(g)),
+    agg AS (
+      SELECT g.cw, g.age, g.n_users,
+             CAST(COALESCE(SUM(CASE WHEN p.pw <= g.cw + g.age
+                                    THEN p.cents END), 0) AS BIGINT)
+               AS cum_revenue_cents
+      FROM grid g LEFT JOIN pur p ON p.cw = g.cw
+      GROUP BY 1, 2, 3)
+    SELECT cw AS cohort_week, age AS age_weeks, n_users,
+           cum_revenue_cents,
+           CAST((1000 * cum_revenue_cents) // n_users AS BIGINT)
+             AS ltv_millicents
+    FROM agg ORDER BY cohort_week, age_weeks
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users cohorted by signup week
+    (calendar-free epoch-week, the weekday_effect discipline),
+    cumulative post-signup purchase revenue per user at cohort ages
+    0-3 weeks — the revenue-side completion of retention_cohorts
+    (retention counts who comes back; LTV counts what they're worth),
+    with the future_purchase_labels truncation guard: cohorts whose
+    3-week horizon isn't fully observed are dropped rather than
+    reported short. Exact cents throughout; per-user LTV in floor-div
+    milli-cents. Scale: one min-aggregate per user, one cohort-keyed
+    purchase join (both SF-scaled — shuffle join is correct), a
+    4-cell-per-cohort grid; no row-level state."""
+    ev = load_tables(spark, sf_dir)["events"]
+    week = F.expr("unix_micros(ts) div 86400000000 div 7")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(week).alias("cw"))
+    )
+    mx = ev.agg(F.max(week).alias("mw"))
+    coh = su.crossJoin(F.broadcast(mx)).where(
+        F.col("cw") + 3 <= F.col("mw")
+    ).select("user_id", "cw")
+    cs = coh.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    pur = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            week.alias("pw"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+        .join(coh, "user_id")
+        .where(F.col("pw") >= F.col("cw"))
+        .select("cw", "pw", "cents")
+    )
+    ages = spark.range(4).select(F.col("id").cast("long").alias("age"))
+    grid = cs.crossJoin(F.broadcast(ages))
+    agg = (
+        grid.join(pur, "cw", "left")
+        .groupBy("cw", "age", "n_users")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("pw") <= F.col("cw") + F.col("age"),
+                        F.col("cents"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("cum_revenue_cents")
+        )
+    )
+    return agg.selectExpr(
+        "cw AS cohort_week",
+        "age AS age_weeks",
+        "n_users",
+        "cum_revenue_cents",
+        "CAST((1000 * cum_revenue_cents) div n_users AS BIGINT)"
+        " AS ltv_millicents",
+    ).orderBy("cohort_week", "age_weeks")

@@ -290,3 +290,38 @@ def test_sign_split_floor_div_matches_python_floor():
 
     for v in range(-25, 26):
         assert fdiv4(v) == v // 4, v
+
+
+def test_shapley_efficiency_identity(spark):
+    """Shapley efficiency: sum(phi24) == 24 * (v(full) - v(empty)),
+    with v(full) = all conversions and v(empty) = conversions of
+    purchase-first users (empty pre-purchase channel set) — computed
+    here independently of the catalog query's grid pipeline."""
+    from pyspark.sql import functions as F
+
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+    from rocketmq_flink_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r["channel"]: r["phi24"]
+        for r in REGISTRY["shapley_attribution"].fn(spark, sf).collect()
+    }
+    ev = load_tables(spark, sf)["events"]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    r0 = ev.select(
+        "user_id",
+        F.col("event_type").alias("m"),
+        F.row_number().over(w).alias("rk"),
+    )
+    first = r0.where(F.col("rk") == 1)
+    v_full = r0.where(F.col("m") == "purchase").select(
+        "user_id"
+    ).distinct().count()
+    v_empty = first.where(F.col("m") == "purchase").count()
+    assert sum(out.values()) == 24 * (v_full - v_empty)
+    assert all(v >= 0 for v in out.values())
