@@ -19779,3 +19779,271 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((1000 * cum_revenue_cents) div n_users AS BIGINT)"
         " AS ltv_millicents",
     ).orderBy("cohort_week", "age_weeks")
+
+
+@query(
+    "selectivity_estimation_report",
+    """
+    WITH o AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS v,
+             o_orderkey
+      FROM orders),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(v) AS mn, MAX(v) AS mx,
+                  MAX(v) - MIN(v) + 1 AS w FROM o),
+    ew AS (
+      SELECT LEAST(((v - st.mn) * 16) // st.w, 15) AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM o CROSS JOIN st GROUP BY 1),
+    ewb AS (
+      SELECT ew.b, ew.c,
+             st.mn + (ew.b * st.w + 15) // 16 AS lo,
+             st.mn + ((ew.b + 1) * st.w + 15) // 16 - 1 AS hi
+      FROM ew CROSS JOIN st),
+    ed AS (
+      SELECT tile, CAST(COUNT(*) AS BIGINT) AS c,
+             MIN(v) AS lo, MAX(v) AS hi
+      FROM (SELECT v, ntile(16) OVER (ORDER BY v, o_orderkey) AS tile
+            FROM o)
+      GROUP BY 1),
+    pr AS (
+      SELECT q.g AS q, st.mn + ((st.mx - st.mn) * q.g) // 4 AS t
+      FROM range(1, 4) q(g) CROSS JOIN st),
+    tru AS (
+      SELECT pr.q, pr.t, CAST(COUNT(*) AS BIGINT) AS true_rows
+      FROM pr LEFT JOIN o ON o.v <= pr.t GROUP BY 1, 2),
+    estw AS (
+      SELECT pr.q,
+             CAST(SUM(CASE WHEN pr.t >= h.hi THEN h.c
+                      WHEN pr.t < h.lo THEN 0
+                      ELSE (h.c * (pr.t - h.lo + 1)) // (h.hi - h.lo + 1)
+                      END) AS BIGINT) AS est
+      FROM pr CROSS JOIN ewb h GROUP BY 1),
+    estd AS (
+      SELECT pr.q,
+             CAST(SUM(CASE WHEN pr.t >= h.hi THEN h.c
+                      WHEN pr.t < h.lo THEN 0
+                      ELSE (h.c * (pr.t - h.lo + 1)) // (h.hi - h.lo + 1)
+                      END) AS BIGINT) AS est
+      FROM pr CROSS JOIN ed h GROUP BY 1)
+    SELECT tru.q AS quartile, tru.t AS threshold_cents, tru.true_rows,
+           estw.est AS est_equiwidth, estd.est AS est_equidepth,
+           CAST(CASE WHEN estw.est >= tru.true_rows
+                THEN (1000000 * (estw.est - tru.true_rows)) // tru.true_rows
+                ELSE -((1000000 * (tru.true_rows - estw.est))
+                       // tru.true_rows) END AS BIGINT) AS err_width_ppm,
+           CAST(CASE WHEN estd.est >= tru.true_rows
+                THEN (1000000 * (estd.est - tru.true_rows)) // tru.true_rows
+                ELSE -((1000000 * (tru.true_rows - estd.est))
+                       // tru.true_rows) END AS BIGINT) AS err_depth_ppm
+    FROM tru JOIN estw ON estw.q = tru.q JOIN estd ON estd.q = tru.q
+    ORDER BY quartile
+    """,
+)
+def selectivity_estimation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-style selectivity estimation quality: 16-bucket
+    equi-WIDTH vs equi-DEPTH histograms on order value, each asked to
+    estimate `value <= t` at the 25/50/75% span thresholds with
+    uniform within-bucket interpolation, scored against true counts
+    (sign-split ppm error) — the reason every serious engine keeps
+    equi-depth statistics, shown in numbers (skewed mass makes
+    equi-width's wide sparse buckets interpolate badly; equi-depth
+    bounds every bucket's error by its fixed row share). All bucket
+    boundaries, interpolations, and errors are exact integer
+    arithmetic. Scale: two map-side histograms + one single-partition
+    ntile over DISTINCT bounded rows (the diagnostic runs on an
+    order-value histogram domain; at 100 TB feed it the per-value
+    histogram, not raw rows); estimates touch only 16-row tables."""
+    o = load_tables(spark, sf_dir)["orders"].select(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("v"),
+        "o_orderkey",
+    )
+    st = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        (F.max("v") - F.min("v") + 1).alias("w"),
+    )
+    ew = (
+        o.crossJoin(F.broadcast(st))
+        .groupBy(
+            F.least(
+                F.expr("((v - mn) * 16) div w"), F.lit(15).cast("long")
+            ).alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ewb = ew.crossJoin(F.broadcast(st)).selectExpr(
+        "b",
+        "c",
+        "mn + (b * w + 15) div 16 AS lo",
+        "mn + ((b + 1) * w + 15) div 16 - 1 AS hi",
+    )
+    wtile = Window.orderBy("v", "o_orderkey")
+    ed = (
+        o.withColumn("tile", F.ntile(16).over(wtile))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )
+    pr = (
+        spark.range(1, 4)
+        .select(F.col("id").cast("long").alias("q"))
+        .crossJoin(F.broadcast(st))
+        .selectExpr("q", "mn + ((mx - mn) * q) div 4 AS t")
+    )
+    tru = (
+        pr.join(o, o["v"] <= pr["t"], "left")
+        .groupBy("q", "t")
+        .agg(F.count("v").cast("long").alias("true_rows"))
+    )
+
+    def est(hist, name):
+        return (
+            pr.crossJoin(F.broadcast(hist))
+            .groupBy("q")
+            .agg(
+                F.sum(
+                    F.when(F.col("t") >= F.col("hi"), F.col("c"))
+                    .when(F.col("t") < F.col("lo"), F.lit(0))
+                    .otherwise(
+                        F.expr(
+                            "(c * (t - lo + 1)) div (hi - lo + 1)"
+                        )
+                    )
+                ).cast("long").alias(name)
+            )
+        )
+
+    estw = est(ewb.select("lo", "hi", "c"), "est_equiwidth")
+    estd = est(ed.select("lo", "hi", "c"), "est_equidepth")
+    return (
+        tru.join(estw, "q")
+        .join(estd, "q")
+        .selectExpr(
+            "q AS quartile",
+            "t AS threshold_cents",
+            "true_rows",
+            "est_equiwidth",
+            "est_equidepth",
+            "CAST(CASE WHEN est_equiwidth >= true_rows"
+            " THEN (1000000 * (est_equiwidth - true_rows)) div true_rows"
+            " ELSE -((1000000 * (true_rows - est_equiwidth)) div true_rows)"
+            " END AS BIGINT) AS err_width_ppm",
+            "CAST(CASE WHEN est_equidepth >= true_rows"
+            " THEN (1000000 * (est_equidepth - true_rows)) div true_rows"
+            " ELSE -((1000000 * (true_rows - est_equidepth)) div true_rows)"
+            " END AS BIGINT) AS err_depth_ppm",
+        )
+        .orderBy("quartile")
+    )
+
+
+_JOINCARD_SPECS = [
+    # (label, left table, left key, right table, right key)
+    ("orders*lineitem@orderkey", "orders", "o_orderkey",
+     "lineitem", "l_orderkey"),
+    ("part*lineitem@partkey", "part", "p_partkey",
+     "lineitem", "l_partkey"),
+    ("supplier*lineitem@suppkey", "supplier", "s_suppkey",
+     "lineitem", "l_suppkey"),
+    ("customer*orders@custkey", "customer", "c_custkey",
+     "orders", "o_custkey"),
+    ("events*events@user_id", "events", "user_id",
+     "events", "user_id"),
+]
+
+
+def _joincard_oracle_sql() -> str:
+    blocks = []
+    for label, lt, lk, rt, rk in _JOINCARD_SPECS:
+        blocks.append(f"""
+    SELECT '{label}' AS join_name,
+           l.n AS n_left, r.n AS n_right,
+           l.d AS ndv_left, r.d AS ndv_right,
+           CAST((l.n * r.n) // GREATEST(l.d, r.d) AS BIGINT) AS est_rows,
+           a.actual AS actual_rows,
+           CAST(CASE WHEN (l.n * r.n) // GREATEST(l.d, r.d) >= a.actual
+                THEN (1000000 * ((l.n * r.n) // GREATEST(l.d, r.d)
+                                 - a.actual)) // a.actual
+                ELSE -((1000000 * (a.actual
+                                   - (l.n * r.n) // GREATEST(l.d, r.d)))
+                       // a.actual) END AS BIGINT) AS err_ppm
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT {lk}) AS BIGINT) AS d FROM {lt}) l,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT {rk}) AS BIGINT) AS d FROM {rt}) r,
+         (SELECT CAST(COALESCE(SUM(lc.c * rc.c), 0) AS BIGINT) AS actual
+          FROM (SELECT {lk} AS k, COUNT(*) AS c FROM {lt} GROUP BY 1) lc
+          JOIN (SELECT {rk} AS k, COUNT(*) AS c FROM {rt} GROUP BY 1) rc
+            ON rc.k = lc.k) a""")
+    return (
+        "SELECT * FROM (" + " UNION ALL ".join(blocks)
+        + ") ORDER BY join_name"
+    )
+
+
+@query("join_cardinality_estimate", _joincard_oracle_sql())
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer join-size estimation audit: the textbook
+    uniformity/containment estimate |R|*|S| / max(ndv_R, ndv_S)
+    against the EXACT join cardinality for four FK joins and the
+    skewed events self-join — estimation error in sign-split ppm.
+    The FK estimates land near zero error (containment holds); the
+    self-join exposes what uniformity misses: actual = sum of squared
+    per-user counts, which skew inflates past n^2/ndv. The exact
+    cardinality is computed from per-key COUNT tables joined on the
+    key (sum of count products) — the join's size without
+    materializing the join, which is also how a 100 TB engine should
+    audit a planned join before running it. Everything integer;
+    selectivity_estimation_report is the single-column sibling."""
+    t = load_tables(spark, sf_dir)
+    outs = []
+    for label, lt, lk, rt, rk in _JOINCARD_SPECS:
+        ls = t[lt].agg(
+            F.count(F.lit(1)).cast("long").alias("n_left"),
+            F.countDistinct(lk).cast("long").alias("ndv_left"),
+        )
+        rs = t[rt].agg(
+            F.count(F.lit(1)).cast("long").alias("n_right"),
+            F.countDistinct(rk).cast("long").alias("ndv_right"),
+        )
+        lc = t[lt].groupBy(F.col(lk).alias("k")).agg(
+            F.count(F.lit(1)).alias("c1")
+        )
+        rc = t[rt].groupBy(F.col(rk).alias("k")).agg(
+            F.count(F.lit(1)).alias("c2")
+        )
+        act = lc.join(rc, "k").agg(
+            F.coalesce(F.sum(F.col("c1") * F.col("c2")), F.lit(0))
+            .cast("long")
+            .alias("actual_rows")
+        )
+        outs.append(
+            ls.crossJoin(F.broadcast(rs))
+            .crossJoin(F.broadcast(act))
+            .selectExpr(
+                f"'{label}' AS join_name",
+                "n_left", "n_right", "ndv_left", "ndv_right",
+                "CAST((n_left * n_right) div GREATEST(ndv_left, ndv_right)"
+                " AS BIGINT) AS est_rows",
+                "actual_rows",
+                "CAST(CASE WHEN (n_left * n_right)"
+                " div GREATEST(ndv_left, ndv_right) >= actual_rows"
+                " THEN (1000000 * ((n_left * n_right)"
+                "   div GREATEST(ndv_left, ndv_right) - actual_rows))"
+                "   div actual_rows"
+                " ELSE -((1000000 * (actual_rows - (n_left * n_right)"
+                "   div GREATEST(ndv_left, ndv_right))) div actual_rows)"
+                " END AS BIGINT) AS err_ppm",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("join_name")
