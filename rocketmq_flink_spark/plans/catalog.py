@@ -20047,3 +20047,114 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("join_name")
+
+
+_LOF_VE_DUCK = (
+    "list_transform(CAST(embedding AS DOUBLE[]),"
+    " x -> CAST(CAST(floor(x * 1e10 + 0.5) AS BIGINT)"
+    " * CAST(0.0000000001 AS DECIMAL(11,10)) AS DECIMAL(12,10)))"
+)
+
+
+@query(
+    "lof_outlier_panel",
+    f"""
+    WITH pan AS (
+      SELECT vec_id, {_LOF_VE_DUCK} AS ve
+      FROM embeddings WHERE vec_id % 97 = 0),
+    pd AS (
+      SELECT a.vec_id AS p, b.vec_id AS o,
+             CAST(ROUND(list_sum(list_transform(list_zip(a.ve, b.ve),
+                  q -> (q[1]-q[2])*(q[1]-q[2]))) * 1000000000000, 0)
+                  AS BIGINT) AS d2t
+      FROM pan a JOIN pan b ON a.vec_id <> b.vec_id),
+    rk AS (
+      SELECT p, o, d2t,
+             ROW_NUMBER() OVER (PARTITION BY p ORDER BY d2t, o) AS rn
+      FROM pd),
+    kd AS (SELECT p, d2t AS kdist FROM rk WHERE rn = 3),
+    nb AS (SELECT p, o, d2t FROM rk WHERE rn <= 3),
+    reach AS (
+      SELECT nb.p, nb.o, GREATEST(kd.kdist, nb.d2t) AS r
+      FROM nb JOIN kd ON kd.p = nb.o),
+    lrd AS (
+      SELECT p, CAST((CAST(3 AS HUGEINT) * 1000000000000000000)
+                     // GREATEST(SUM(r), 1) AS BIGINT) AS lrd_t
+      FROM reach GROUP BY p),
+    lof AS (
+      SELECT nb.p,
+             CAST((CAST(1000000 AS HUGEINT) * SUM(lo.lrd_t))
+                  // (3 * CAST(lp.lrd_t AS HUGEINT)) AS BIGINT) AS lof_ppm
+      FROM nb JOIN lrd lo ON lo.p = nb.o
+              JOIN lrd lp ON lp.p = nb.p
+      GROUP BY nb.p, lp.lrd_t)
+    SELECT CAST(p AS BIGINT) AS vec_id, lof_ppm
+    FROM lof ORDER BY lof_ppm DESC, vec_id LIMIT 10
+    """,
+)
+def lof_outlier_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor (Breunig et al., k = 3) over a
+    deterministic 1-in-97 embedding panel — the MULTIVARIATE density
+    anomaly detector next to the univariate family (MAD days, CUSUM,
+    event-rate): LOF compares each point's local reachability density
+    to its neighbors' (lof ~ 1e6 ppm = inlier, >> 1e6 = isolated),
+    catching outliers that are normal in every single coordinate.
+    Exact pipeline: decimal-quantized L2^2 rounded to 1e-12 ticks
+    (half-up — identical in both engines on non-negative values),
+    deterministic (dist, id) neighbor ranking, reach-dist =
+    max(k-dist(o), d(p,o)), lrd and the final ratio as floor-div
+    ticks — the whole chain replayed by the oracle. Scale: LOF is
+    inherently O(panel^2) pairwise — the panel IS the design (an
+    audit probe, like the harmonic-centrality seeds); at 100 TB the
+    candidate pairs come from the LSH/IVF bucket index instead of a
+    cross join, same downstream arithmetic. Top-10 by (LOF, id)."""
+    from rocketmq_flink_spark.operators.similarity import _dec, l2_sq
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    pan = emb.where(F.col("vec_id") % 97 == 0).select(
+        "vec_id", _dec(F.col("embedding")).alias("ve")
+    )
+    a = pan.select(F.col("vec_id").alias("p"), F.col("ve").alias("va"))
+    b = pan.select(F.col("vec_id").alias("o"), F.col("ve").alias("vb"))
+    pd_ = (
+        a.join(b, F.col("p") != F.col("o"))
+        .select(
+            "p",
+            "o",
+            F.round(
+                l2_sq(F.col("va"), F.col("vb")) * 1_000_000_000_000, 0
+            ).cast("long").alias("d2t"),
+        )
+    )
+    w = Window.partitionBy("p").orderBy("d2t", "o")
+    rk = pd_.withColumn("rn", F.row_number().over(w))
+    kd = rk.where(F.col("rn") == 3).select("p", F.col("d2t").alias("kdist"))
+    nb = rk.where(F.col("rn") <= 3).select("p", "o", "d2t")
+    reach = nb.join(
+        kd.select(F.col("p").alias("o"), "kdist"), "o"
+    ).select("p", "o", F.greatest("kdist", "d2t").alias("r"))
+    lrd = reach.groupBy("p").agg(
+        F.expr(
+            "CAST((CAST(3 AS DECIMAL(38,0)) * 1000000000000000000)"
+            " div GREATEST(SUM(r), 1) AS BIGINT)"
+        ).alias("lrd_t")
+    )
+    lof = (
+        nb.join(lrd.select(F.col("p").alias("o"), F.col("lrd_t").alias("lo_t")), "o")
+        .join(lrd, "p")
+        .groupBy("p", "lrd_t")
+        .agg(
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * SUM(lo_t))"
+                " div (3 * CAST(FIRST(lrd_t) AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ).alias("lof_ppm")
+        )
+    )
+    return (
+        lof.select(
+            F.col("p").cast("long").alias("vec_id"), "lof_ppm"
+        )
+        .orderBy(F.desc("lof_ppm"), "vec_id")
+        .limit(10)
+    )
