@@ -20158,3 +20158,111 @@ def lof_outlier_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lof_ppm"), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "unpivot_pricing_metrics",
+    """
+    WITH w AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * 100) AS BIGINT)
+               AS sum_qty_c,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * 100)
+               AS BIGINT) AS sum_price_c,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1, 2)
+    SELECT l_returnflag, l_linestatus, metric, value
+    FROM (
+      SELECT l_returnflag, l_linestatus, 'sum_qty_c' AS metric,
+             sum_qty_c AS value FROM w
+      UNION ALL
+      SELECT l_returnflag, l_linestatus, 'sum_price_c', sum_price_c FROM w
+      UNION ALL
+      SELECT l_returnflag, l_linestatus, 'n_lines', n_lines FROM w)
+    ORDER BY l_returnflag, l_linestatus, metric
+    """,
+)
+def unpivot_pricing_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT surface (the inverse of pivot_priority_by_status): the
+    wide per-(returnflag, linestatus) pricing aggregate melted to long
+    (group, metric, value) form with Spark's native unpivot operator —
+    the reshape every metrics-warehouse export needs (long form is
+    what time-series stores and BI semantic layers ingest). Values
+    are exact integer cents/counts so the melt is hash-certifiable.
+    Scale: unpivot is a zero-shuffle projection (Expand node) over the
+    already-aggregated frame — rows multiply by the metric count, no
+    exchange."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    w = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.expr("CAST(l_quantity AS DECIMAL(12,2)) * 100"))
+        .cast("long")
+        .alias("sum_qty_c"),
+        F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(12,2)) * 100"))
+        .cast("long")
+        .alias("sum_price_c"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    return (
+        w.unpivot(
+            ["l_returnflag", "l_linestatus"],
+            ["sum_qty_c", "sum_price_c", "n_lines"],
+            "metric",
+            "value",
+        )
+        .orderBy("l_returnflag", "l_linestatus", "metric")
+    )
+
+
+@query(
+    "trailing_window_range_frame",
+    """
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    t AS (
+      SELECT user_id, ts_us,
+             CAST(SUM(cents) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS trail_cents,
+             CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS trail_n
+      FROM p)
+    SELECT user_id, ts_us, trail_cents, trail_n
+    FROM t ORDER BY trail_cents DESC, user_id, ts_us LIMIT 20
+    """,
+)
+def trailing_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame analytic window: per purchase, the user's trailing
+    7-DAY spend (sum + count) with a VALUE-based frame
+    (RANGE BETWEEN 604800000000 micros PRECEDING AND CURRENT ROW) —
+    physically a RangeFrame, not the RowFrame the rest of the window
+    suite exercises: the frame boundary binds by timestamp VALUE, so
+    same-timestamp peers enter together regardless of row order —
+    which is also why the result is deterministic without a row
+    tie-break. Top-20 trailing totals (exact cents). Scale: one
+    user-partitioned ordered window — no global ordering, no state
+    beyond the 7-day frame."""
+    ev = load_tables(spark, sf_dir)["events"]
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-604_800_000_000, 0)
+    )
+    t = p.select(
+        "user_id",
+        "ts_us",
+        F.sum("cents").over(w).cast("long").alias("trail_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trail_n"),
+    )
+    return t.orderBy(F.desc("trail_cents"), "user_id", "ts_us").limit(20)
