@@ -20266,3 +20266,111 @@ def trailing_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("trail_n"),
     )
     return t.orderBy(F.desc("trail_cents"), "user_id", "ts_us").limit(20)
+
+
+def _silhouette_oracle_sql() -> str:
+    """DuckDB replay of the k-means silhouette: the shared Lloyd chain
+    (same trainer as the cluster profile), then per point the
+    distance-squared simplified silhouette from the nearest and
+    second-nearest centroid, ticked at 1e-6 and aggregated per cell."""
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    h = hash60_sql("CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH allv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents0 AS (
+      SELECT cid, cv FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY {h}, vec_id) - 1 AS cid,
+               v AS cv
+        FROM allv)
+      WHERE cid < 32),
+    {_lloyd_step_sql('cents0', 1)},
+    {_lloyd_step_sql('cents1', 2)},
+    d2 AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(list_zip(e.v, c.cv),
+                      z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+               list_sum(list_transform(list_zip(e.v, c.cv),
+                        z -> (z[1]-z[2])*(z[1]-z[2]))), c.cid) AS rn
+      FROM allv e CROSS JOIN cents2 c),
+    ab AS (
+      SELECT a.vec_id, a.cid,
+             CAST(CASE WHEN b.d2 = 0 THEN 0
+                  ELSE ROUND(1000000 * (b.d2 - a.d2) / b.d2, 0) END
+                  AS BIGINT) AS s_tick
+      FROM d2 a JOIN d2 b ON b.vec_id = a.vec_id AND b.rn = 2
+      WHERE a.rn = 1)
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(s_tick) // COUNT(*) AS BIGINT) AS mean_sil_micro,
+           CAST(MIN(s_tick) AS BIGINT) AS min_sil_micro,
+           CAST(MAX(s_tick) AS BIGINT) AS max_sil_micro
+    FROM ab GROUP BY cid ORDER BY cid
+    """
+
+
+@query("kmeans_silhouette_score", _silhouette_oracle_sql())
+def kmeans_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering quality by simplified silhouette — the measurement
+    kmeans_cluster_profile's purity can't give when labels are absent:
+    per point s = (b - a)/b over distance-SQUARED to the nearest (a,
+    own cell by construction) and second-nearest (b) centroid (sqrt
+    dropped: monotone, sign-identical, no libm), ticked at 1e-6;
+    per-cell mean/min/max micro-silhouette. Same deterministic
+    portable-hash-seeded 32-cell trainer as the profile, so the two
+    reports describe one model. Distances are SEQUENTIAL left-fold
+    double sums (Spark `aggregate` == DuckDB list_sum, bit-identical
+    on identical inputs). Scale: one n x 32 assignment pass (the IVF
+    trainer's own shape), map-side-combined cell aggregates; only the
+    centroid table touches the driver."""
+    from rocketmq_flink_spark.operators.similarity import ivf_centroids
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = ivf_centroids(emb, "vec_id", "embedding", n_centroids=32, iters=2)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in cv]) for i, cv in enumerate(cents)],
+        "cid INT, cv ARRAY<DOUBLE>",
+    )
+    e = emb.select(
+        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
+    )
+    d2col = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d2 = e.crossJoin(F.broadcast(cdf)).select(
+        "vec_id", "cid", d2col.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    r = d2.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
+    a = r.where(F.col("rn") == 1).select(
+        "vec_id", "cid", F.col("d2").alias("da")
+    )
+    b = r.where(F.col("rn") == 2).select(
+        F.col("vec_id"), F.col("d2").alias("db")
+    )
+    ab = a.join(b, "vec_id").select(
+        "cid",
+        F.expr(
+            "CAST(CASE WHEN db = 0 THEN 0"
+            " ELSE ROUND(1000000 * (db - da) / db, 0) END AS BIGINT)"
+        ).alias("s_tick"),
+    )
+    return (
+        ab.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.expr("CAST(SUM(s_tick) div COUNT(*) AS BIGINT)").alias(
+                "mean_sil_micro"
+            ),
+            F.min("s_tick").cast("long").alias("min_sil_micro"),
+            F.max("s_tick").cast("long").alias("max_sil_micro"),
+        )
+        .selectExpr(
+            "CAST(cid AS BIGINT) AS cid", "n_vecs", "mean_sil_micro",
+            "min_sil_micro", "max_sil_micro",
+        )
+        .orderBy("cid")
+    )
