@@ -20374,3 +20374,123 @@ def kmeans_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+def _ecod_oracle_sql(k: int = 10) -> str:
+    """DuckDB replay of ECOD: per-dim two-sided ECDF tail ranks over
+    quantized ticks, -log2(n/r) per dim via the fixed-point fold over
+    distinct (r) values, summed per vector."""
+    return f"""
+    WITH RECURSIVE ex AS (
+      SELECT vec_id, z[2] AS d,
+             CAST(floor(z[1] * 1e10 + 0.5) AS BIGINT) AS xq
+      FROM (SELECT vec_id,
+                   unnest(list_zip(CAST(embedding AS DOUBLE[]),
+                                   range(0, 64))) AS z
+            FROM embeddings)),
+    nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+           FROM ex),
+    rk AS (
+      SELECT vec_id, d, xq,
+             COUNT(*) OVER (PARTITION BY d ORDER BY xq
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS le,
+             COUNT(*) OVER (PARTITION BY d ORDER BY xq DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ge
+      FROM ex),
+    rr AS (
+      SELECT vec_id, d, LEAST(le, ge) AS r FROM rk),
+    dv AS (SELECT DISTINCT r AS v FROM rr
+           WHERE r < (SELECT n FROM nn)),
+    b AS (SELECT v, (SELECT n FROM nn) AS p0,
+                 length(bin((SELECT n FROM nn) // v)) - 1 AS kk
+          FROM dv),
+    it AS (
+      SELECT v, kk, 0 AS i, p0 AS p, (v << kk) AS q,
+             CAST(0 AS BIGINT) AS acc
+      FROM b
+      UNION ALL
+      SELECT v, kk, i + 1,
+             (p >> s)*(p >> s),
+             CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                  THEN ((q >> s)*(q >> s)) << 1
+                  ELSE (q >> s)*(q >> s) END,
+             acc*2 + CASE WHEN (p >> s)*(p >> s) >= 2*((q >> s)*(q >> s))
+                     THEN 1 ELSE 0 END
+      FROM (SELECT *, greatest(0, length(bin(q)) - 30) AS s FROM it)
+      WHERE i < 20),
+    lg AS (SELECT v, acc + (CAST(kk AS BIGINT) << 20) AS tick
+           FROM it WHERE i = 20),
+    sc AS (
+      SELECT rr.vec_id,
+             CAST(SUM(COALESCE(lg.tick, 0)) AS BIGINT) AS score_ticks
+      FROM rr LEFT JOIN lg ON lg.v = rr.r
+      GROUP BY rr.vec_id)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, score_ticks
+    FROM sc ORDER BY score_ticks DESC, vec_id LIMIT {k}
+    """
+
+
+@query("ecod_anomaly_scores", _ecod_oracle_sql())
+def ecod_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECOD anomaly scoring (Li et al. 2022) over the FULL embedding
+    corpus: per dimension, each value's two-sided empirical tail rank
+    r = min(#<=, #>=); the outlier score sums -log2 of the tail
+    probability, i.e. fp_log2(n, r) ticks across the 64 dims — points
+    extreme in MANY dimensions float to the top. The parameter-free,
+    full-corpus complement to lof_outlier_panel (LOF measures local
+    density on a probe panel; ECOD measures marginal extremity
+    everywhere): no pairwise distances at all, so it scales where LOF
+    can't. Ranks are value-frame window counts over quantized 1e-10
+    ticks (tie-inclusive RANGE frames, engine-identical); the log is
+    the shared fixed-point fold over the DISTINCT rank values only.
+    Scale: one explode to (dim, value), 64 dimension-partitioned
+    windows, one vocabulary-sized log join — every stage
+    map-side-combinable or windowed, zero driver sync. Top-10 by
+    (score, id)."""
+    from rocketmq_flink_spark.operators.retrieval import fp_log2_sql
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.expr("CAST(embedding AS ARRAY<DOUBLE>)")).alias(
+            "d", "x"
+        ),
+    ).select(
+        "vec_id",
+        "d",
+        F.expr("CAST(floor(x * 1e10 + 0.5) AS BIGINT)").alias("xq"),
+    )
+    nn = emb.agg(F.countDistinct("vec_id").cast("long").alias("n"))
+    wle = (
+        Window.partitionBy("d")
+        .orderBy("xq")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    wge = (
+        Window.partitionBy("d")
+        .orderBy(F.col("xq").desc())
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    rr = ex.select(
+        "vec_id",
+        "d",
+        F.least(
+            F.count(F.lit(1)).over(wle), F.count(F.lit(1)).over(wge)
+        ).alias("r"),
+    )
+    sc = (
+        rr.crossJoin(F.broadcast(nn))
+        .selectExpr(
+            "vec_id",
+            "CASE WHEN r >= n THEN CAST(0 AS BIGINT) ELSE "
+            + fp_log2_sql("n", "r")
+            + " END AS tick",
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("tick").cast("long").alias("score_ticks"))
+    )
+    return (
+        sc.select(F.col("vec_id").cast("long").alias("vec_id"), "score_ticks")
+        .orderBy(F.desc("score_ticks"), "vec_id")
+        .limit(10)
+    )
