@@ -20494,3 +20494,134 @@ def ecod_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_ticks"), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "conformal_spend_interval",
+    """
+    WITH mw AS (SELECT MAX(epoch_us(ts) // 86400000000 // 7) AS w
+                FROM events),
+    us AS (
+      SELECT e.user_id,
+             CAST(COALESCE(SUM(CASE WHEN epoch_us(e.ts) // 86400000000 // 7
+                     BETWEEN mw.w - 3 AND mw.w - 1
+                     AND e.event_type = 'purchase' THEN
+                     CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   END), 0) AS BIGINT) AS hist,
+             CAST(COALESCE(SUM(CASE WHEN epoch_us(e.ts) // 86400000000 // 7
+                     = mw.w AND e.event_type = 'purchase' THEN
+                     CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   END), 0) AS BIGINT) AS actual
+      FROM events e CROSS JOIN mw GROUP BY 1),
+    r AS (
+      SELECT user_id,
+             ABS(actual - hist // 3) AS res,
+             (('0x' || substr(md5('conf:' || CAST(user_id AS VARCHAR)),
+               1, 15))::BIGINT) % 2 = 0 AS is_cal
+      FROM us),
+    cal AS (
+      SELECT res, ROW_NUMBER() OVER (ORDER BY res, user_id) AS rn
+      FROM r WHERE is_cal),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cal),
+    qq AS (
+      SELECT res AS q FROM cal CROSS JOIN nc
+      WHERE rn = LEAST((9 * nc.n + 18) // 10, nc.n)),
+    tst AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN r.res <= qq.q THEN 1 ELSE 0 END)
+                  AS BIGINT) AS covered
+      FROM r CROSS JOIN qq WHERE NOT r.is_cal)
+    SELECT nc.n AS n_cal, tst.n_test, qq.q AS q_cents,
+           CAST((2 * 1000000 * tst.covered + tst.n_test)
+                // (2 * tst.n_test) AS BIGINT) AS coverage_ppm
+    FROM nc CROSS JOIN qq CROSS JOIN tst
+    """,
+)
+def conformal_spend_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval (alpha = 0.1) for next-week
+    user spend: the point predictor is the trailing-3-week floor-div
+    mean, the calibration half (hash split) supplies the
+    ceil(0.9*(n+1))-th smallest absolute residual as the
+    distribution-free interval half-width q, and the held-out half
+    measures empirical coverage — the finite-sample guarantee
+    (coverage >= 90% in expectation) that no parametric interval
+    gives, and the uncertainty layer the point forecasts
+    (holt_linear_forecast) lack. Everything rank-exact integer cents;
+    coverage in half-up ppm. Scale: one per-user two-column aggregate,
+    one rank window over the calibration residuals (user-bounded), two
+    scalar broadcasts."""
+    from rocketmq_flink_spark.functions.porthash import hash60
+
+    ev = load_tables(spark, sf_dir)["events"]
+    week = F.expr("unix_micros(ts) div 86400000000 div 7")
+    mw = ev.agg(F.max(week).alias("w"))
+    cents = F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    us = (
+        ev.crossJoin(F.broadcast(mw))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        week.between(F.col("w") - 3, F.col("w") - 1)
+                        & (F.col("event_type") == "purchase"),
+                        cents,
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("hist"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (week == F.col("w"))
+                        & (F.col("event_type") == "purchase"),
+                        cents,
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("actual"),
+        )
+    )
+    r = us.select(
+        "user_id",
+        F.abs(F.col("actual") - F.expr("hist div 3")).alias("res"),
+        (
+            hash60(F.concat(F.lit("conf:"), F.col("user_id").cast("string")))
+            % 2
+            == 0
+        ).alias("is_cal"),
+    )
+    wcal = Window.orderBy("res", "user_id")
+    cal = r.where("is_cal").select(
+        "res", F.row_number().over(wcal).alias("rn")
+    )
+    nc = cal.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    qq = (
+        cal.crossJoin(F.broadcast(nc))
+        .where(
+            F.col("rn")
+            == F.least(F.expr("(9 * n + 18) div 10"), F.col("n"))
+        )
+        .select(F.col("res").alias("q"))
+    )
+    tst = (
+        r.where(~F.col("is_cal"))
+        .crossJoin(F.broadcast(qq))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("res") <= F.col("q"), 1).otherwise(0)
+            ).cast("long").alias("covered"),
+        )
+    )
+    return (
+        nc.crossJoin(F.broadcast(qq))
+        .crossJoin(F.broadcast(tst))
+        .selectExpr(
+            "n AS n_cal",
+            "n_test",
+            "q AS q_cents",
+            "CAST((2 * 1000000 * covered + n_test) div (2 * n_test)"
+            " AS BIGINT) AS coverage_ppm",
+        )
+    )
