@@ -20625,3 +20625,70 @@ def conformal_spend_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) AS coverage_ppm",
         )
     )
+
+
+@query(
+    "srm_assignment_check",
+    """
+    WITH arm AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN (('0x' || substr(md5('did:' ||
+                 CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % 2 = 0
+               THEN 'T' ELSE 'C' END AS arm
+      FROM events),
+    c AS (
+      SELECT CAST(SUM(CASE WHEN arm = 'T' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nt,
+             CAST(SUM(CASE WHEN arm = 'C' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nc
+      FROM arm)
+    SELECT nt AS n_users_t, nc AS n_users_c,
+           CAST((1000000 * (nt - nc) * (nt - nc)) // (nt + nc) AS BIGINT)
+             AS chi2_micro,
+           CAST(CASE WHEN 1000000 * (nt - nc) * (nt - nc)
+                     > 3841459 * (nt + nc) THEN 1 ELSE 0 END AS BIGINT)
+             AS srm_detected
+    FROM c
+    """,
+)
+def srm_assignment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard — the experiment-ops check that
+    must pass BEFORE any readout (CUPED, DiD, z-test) is trusted: a
+    chi-squared test of the observed 50/50 hash-assignment counts,
+    chi2 = (n_T - n_C)^2/(n_T + n_C) in exact micro ticks against the
+    3.841459 alpha = 0.05 critical value (the McNemar tick
+    discipline — even the reject bit hash-certifies). A detected SRM
+    means the assignment or logging pipeline is dropping one arm's
+    users, which silently biases every downstream estimate. On the
+    healthy fixture the bit is 0 — like the integrity audit, the
+    value is the check running. Scale: one distinct-user pass, one
+    2-cell fold."""
+    from rocketmq_flink_spark.functions.porthash import hash60
+
+    ev = load_tables(spark, sf_dir)["events"]
+    arm = ev.select("user_id").distinct().select(
+        F.when(
+            hash60(F.concat(F.lit("did:"), F.col("user_id").cast("string")))
+            % 2 == 0,
+            F.lit("T"),
+        ).otherwise(F.lit("C")).alias("arm")
+    )
+    return (
+        arm.agg(
+            F.sum(F.when(F.col("arm") == "T", 1).otherwise(0))
+            .cast("long")
+            .alias("nt"),
+            F.sum(F.when(F.col("arm") == "C", 1).otherwise(0))
+            .cast("long")
+            .alias("nc"),
+        )
+        .selectExpr(
+            "nt AS n_users_t",
+            "nc AS n_users_c",
+            "CAST((1000000 * (nt - nc) * (nt - nc)) div (nt + nc)"
+            " AS BIGINT) AS chi2_micro",
+            "CAST(CASE WHEN 1000000 * (nt - nc) * (nt - nc)"
+            " > 3841459 * (nt + nc) THEN 1 ELSE 0 END AS BIGINT)"
+            " AS srm_detected",
+        )
+    )
