@@ -20692,3 +20692,133 @@ def srm_assignment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS srm_detected",
         )
     )
+
+
+@query(
+    "encoding_size_planning",
+    """
+    WITH o AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls,
+             CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) AS sd,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qt,
+             l_partkey AS pk,
+             ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+      FROM lineitem),
+    fl AS (
+      SELECT rf, ls, sd, qt, pk,
+             CASE WHEN rf <> LAG(rf) OVER w THEN 1 ELSE 0 END AS c_rf,
+             CASE WHEN ls <> LAG(ls) OVER w THEN 1 ELSE 0 END AS c_ls,
+             CASE WHEN sd <> LAG(sd) OVER w THEN 1 ELSE 0 END AS c_sd,
+             CASE WHEN qt <> LAG(qt) OVER w THEN 1 ELSE 0 END AS c_qt,
+             CASE WHEN pk <> LAG(pk) OVER w THEN 1 ELSE 0 END AS c_pk
+      FROM o WINDOW w AS (ORDER BY rn)),
+    r AS (
+      SELECT COUNT(*) AS n,
+             1 + SUM(c_rf) AS runs_rf, 1 + SUM(c_ls) AS runs_ls,
+             1 + SUM(c_sd) AS runs_sd, 1 + SUM(c_qt) AS runs_qt,
+             1 + SUM(c_pk) AS runs_pk,
+             COUNT(DISTINCT rf) AS d_rf, COUNT(DISTINCT ls) AS d_ls,
+             COUNT(DISTINCT sd) AS d_sd, COUNT(DISTINCT qt) AS d_qt,
+             COUNT(DISTINCT pk) AS d_pk
+      FROM fl),
+    cols AS (
+      SELECT 'l_returnflag' AS col, 1 AS width, runs_rf AS runs,
+             d_rf AS ndv, n FROM r
+      UNION ALL SELECT 'l_linestatus', 1, runs_ls, d_ls, n FROM r
+      UNION ALL SELECT 'l_shipdate_day', 4, runs_sd, d_sd, n FROM r
+      UNION ALL SELECT 'l_quantity_c', 4, runs_qt, d_qt, n FROM r
+      UNION ALL SELECT 'l_partkey', 8, runs_pk, d_pk, n FROM r),
+    est AS (
+      SELECT col, CAST(n AS BIGINT) AS n_rows, CAST(ndv AS BIGINT) AS ndv,
+             CAST(runs AS BIGINT) AS n_runs,
+             CAST(n * width AS BIGINT) AS bytes_plain,
+             CAST((n * CASE WHEN ndv <= 1 THEN 1
+                       ELSE length(bin(CAST(ndv - 1 AS BIGINT))) END + 7)
+                  // 8 + ndv * width AS BIGINT) AS bytes_dict,
+             CAST(runs * (width + 4) AS BIGINT) AS bytes_rle
+      FROM cols)
+    SELECT col, n_rows, ndv, n_runs, bytes_plain, bytes_dict, bytes_rle,
+           CASE WHEN bytes_rle <= bytes_plain AND bytes_rle <= bytes_dict
+                  THEN 'rle'
+                WHEN bytes_dict <= bytes_plain THEN 'dict'
+                ELSE 'plain' END AS best_encoding
+    FROM est ORDER BY col
+    """,
+)
+def encoding_size_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar encoding planner: for five lineitem columns, the exact
+    run count (in physical (orderkey, linenumber) order), distinct
+    count, and projected bytes under PLAIN / DICTIONARY
+    (bit-packed indices + dictionary) / RLE — the decision table a
+    storage layer consults before writing a column chunk, and the
+    quantitative reason sort order (zorder/hilbert reports) changes
+    file sizes, not just pruning. Integer arithmetic only (bit width
+    = bin-length of ndv-1, half-open byte rounding). Scale: the run
+    count uses ONE ordered window pass (here global for oracle
+    replay; production counts runs per row group, which is
+    embarrassingly parallel and what parquet actually stores);
+    distinct counts are one map-side pass."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    o = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        F.expr(
+            "CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("sd"),
+        F.expr(
+            "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("qt"),
+        F.col("l_partkey").alias("pk"),
+        F.row_number()
+        .over(Window.orderBy("l_orderkey", "l_linenumber"))
+        .alias("rn"),
+    )
+    w = Window.orderBy("rn")
+    cols = ("rf", "ls", "sd", "qt", "pk")
+    flags = o.select(
+        *[F.col(c) for c in cols],
+        *[
+            F.when(F.col(c) != F.lag(c).over(w), 1)
+            .otherwise(0)
+            .alias(f"chg_{c}")
+            for c in cols
+        ],
+    )
+    r = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[(F.lit(1) + F.sum(f"chg_{c}")).alias(f"runs_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"d_{c}") for c in cols],
+    )
+    specs = [
+        ("l_returnflag", 1, "rf"),
+        ("l_linestatus", 1, "ls"),
+        ("l_shipdate_day", 4, "sd"),
+        ("l_quantity_c", 4, "qt"),
+        ("l_partkey", 8, "pk"),
+    ]
+    outs = []
+    for name, width, tag in specs:
+        outs.append(
+            r.selectExpr(
+                f"'{name}' AS col",
+                "CAST(n AS BIGINT) AS n_rows",
+                f"CAST(d_{tag} AS BIGINT) AS ndv",
+                f"CAST(runs_{tag} AS BIGINT) AS n_runs",
+                f"CAST(n * {width} AS BIGINT) AS bytes_plain",
+                f"CAST((n * CASE WHEN d_{tag} <= 1 THEN 1"
+                f" ELSE length(bin(CAST(d_{tag} - 1 AS BIGINT))) END + 7)"
+                f" div 8 + d_{tag} * {width} AS BIGINT) AS bytes_dict",
+                f"CAST(runs_{tag} * ({width} + 4) AS BIGINT) AS bytes_rle",
+            )
+        )
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionAll(x)
+    return out.selectExpr(
+        "col", "n_rows", "ndv", "n_runs", "bytes_plain", "bytes_dict",
+        "bytes_rle",
+        "CASE WHEN bytes_rle <= bytes_plain AND bytes_rle <= bytes_dict"
+        " THEN 'rle' WHEN bytes_dict <= bytes_plain THEN 'dict'"
+        " ELSE 'plain' END AS best_encoding",
+    ).orderBy("col")
