@@ -475,3 +475,36 @@ def test_referential_integrity_broadcasts_dims(spark):
     plan = _plan(REGISTRY["referential_integrity_audit"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_session_c4_second_wave_no_cartesian_no_python(spark):
+    # optimizer audits, anomaly scores, intervals, planners: all
+    # JVM-side (LOF's panel pair join is an inequality hash-range
+    # join, never CartesianProduct; ECOD is windows + one log join)
+    for name in (
+        "selectivity_estimation_report",
+        "join_cardinality_estimate",
+        "shapley_attribution",
+        "cohort_ltv_curve",
+        "ecod_anomaly_scores",
+        "conformal_spend_interval",
+        "srm_assignment_check",
+        "encoding_size_planning",
+        "unpivot_pricing_metrics",
+        "trailing_window_range_frame",
+        "kmeans_silhouette_score",
+    ):
+        plan = _plan(REGISTRY[name].fn(spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_unpivot_is_expand_no_shuffle_after_agg(spark):
+    plan = _plan(REGISTRY["unpivot_pricing_metrics"].fn(spark, SF))
+    assert "Expand" in plan
+
+
+def test_trailing_range_frame_is_rangeframe(spark):
+    df = REGISTRY["trailing_window_range_frame"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "RangeFrame" in plan
