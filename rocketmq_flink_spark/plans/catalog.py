@@ -20822,3 +20822,56 @@ def encoding_size_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
         " THEN 'rle' WHEN bytes_dict <= bytes_plain THEN 'dict'"
         " ELSE 'plain' END AS best_encoding",
     ).orderBy("col")
+
+
+@query(
+    "partition_pruning_scan",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM events WHERE event_type IN ('purchase', 'signup')
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def partition_pruning_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning, demonstrated end to end: events
+    re-written as parquet PARTITIONED BY event_type, read back with a
+    partition-column predicate — Catalyst prunes at the METADATA
+    level, so three of five partition directories are never opened
+    (PartitionFilters in the scan node, pinned by
+    tests/test_plan_quality.py) — the single most important scan
+    optimization at 100 TB after column pruning, and the reason
+    pipelines partition by coarse keys. The aggregate over the
+    surviving partitions must match the oracle's plain filter on the
+    source table, proving the re-layout is lossless. Scale: the
+    partitioned write is the one-time layout cost (repartition by the
+    partition column avoids small files); the read touches only the
+    selected directories."""
+    import tempfile
+
+    ev = load_tables(spark, sf_dir)["events"]
+    root = tempfile.mkdtemp(prefix="part_prune_")
+    (
+        ev.select(
+            "event_id", "user_id", "value", "event_type"
+        )
+        .repartition("event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(root)
+    )
+    back = spark.read.parquet(root).where(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            ).cast("long").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -508,3 +508,12 @@ def test_trailing_range_frame_is_rangeframe(spark):
     df = REGISTRY["trailing_window_range_frame"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "RangeFrame" in plan
+
+
+def test_partition_pruning_scan_has_partition_filters(spark):
+    # the partitioned read must prune at metadata level: the scan node
+    # carries PartitionFilters on event_type and reads only 2/5 dirs
+    df = REGISTRY["partition_pruning_scan"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1][:200]
