@@ -20875,3 +20875,61 @@ def partition_pruning_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _retrieval_cmp_oracle_sql() -> str:
+    """Self-retrieval rank comparison: both full ranked pipelines
+    (BM25 and query-likelihood, k unbounded) as parenthesized
+    subqueries, each filtered to the query's own source document."""
+    bm = _bm25_oracle_sql(k=1000000)
+    ql = _ql_oracle_sql(k=1000000)
+    return f"""
+    SELECT a.query_id, a.rank AS rank_bm25, b.rank AS rank_ql
+    FROM (SELECT query_id, rank FROM ({bm}) WHERE doc_id = query_id) a
+    JOIN (SELECT query_id, rank FROM ({ql}) WHERE doc_id = query_id) b
+      USING (query_id)
+    ORDER BY query_id
+    """
+
+
+@query("retrieval_model_comparison", _retrieval_cmp_oracle_sql())
+def retrieval_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head ranker evaluation on the self-retrieval task: each
+    query is derived from a known document (bm25_search_docs' panel),
+    so that document's rank under each scorer is a labeled quality
+    signal with zero annotation cost — the standard sanity eval before
+    trusting a ranker change. Reports the source document's exact rank
+    under BM25 and under the Jelinek-Mercer query-likelihood model per
+    query (rank = deterministic (score desc, doc) position among all
+    term-sharing candidates). Both pipelines are the existing exact
+    integer-tick scorers run unbounded; the comparison is a top-k-sized
+    join. A model beating the other here and losing on ndcg_retrieval
+    would signal overfitting to self-similarity — which is why both
+    evals exist."""
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+    from rocketmq_flink_spark.operators.retrieval import (
+        bm25_topk,
+        query_likelihood_topk,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        "filter(split("
+        + normalize_sql("text")
+        + ", '\\\\s+'), x -> x <> '')"
+    )
+    queries = docs.where(F.col("doc_id") < 5).selectExpr(
+        "doc_id AS query_id",
+        f"concat_ws(' ', slice(array_distinct({toks}), 1, 6)) AS qtext",
+    )
+    a = (
+        bm25_topk(docs, queries, k=1_000_000)
+        .where(F.col("query_id") == F.col("doc_id"))
+        .select("query_id", F.col("rank").cast("long").alias("rank_bm25"))
+    )
+    b = (
+        query_likelihood_topk(docs, queries, k=1_000_000)
+        .where(F.col("query_id") == F.col("doc_id"))
+        .select("query_id", F.col("rank").cast("long").alias("rank_ql"))
+    )
+    return a.join(b, "query_id").orderBy("query_id")
