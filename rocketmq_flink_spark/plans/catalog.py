@@ -20933,3 +20933,148 @@ def retrieval_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("rank").cast("long").alias("rank_ql"))
     )
     return a.join(b, "query_id").orderBy("query_id")
+
+
+@query(
+    "schema_evolution_merge",
+    """
+    WITH half AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 2 = 0 THEN NULL
+                  ELSE CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+             END AS cents
+      FROM events)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(cents) AS BIGINT) AS n_with_value,
+           CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing_value,
+           CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS sum_cents
+    FROM half
+    """,
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations: generation 1 writes
+    events WITHOUT the value column (event_id % 2 = 0), generation 2
+    writes WITH it — then one mergeSchema read unions both, the old
+    generation's missing column surfacing as NULL (never a read error,
+    never a silent drop). The report counts rows per generation and
+    checks the value mass survived — exactly what a 100 TB lakehouse
+    hits every time a producer adds a field mid-stream, and the batch
+    sibling of the connector's dirty-data policies (absent field ->
+    NULL is PAD semantics at the file level). Scale: mergeSchema costs
+    one footer read per FILE at planning; the data path is unchanged."""
+    import tempfile
+
+    ev = load_tables(spark, sf_dir)["events"]
+    root = tempfile.mkdtemp(prefix="schema_evo_")
+    g1 = ev.where(F.col("event_id") % 2 == 0).select("event_id", "user_id")
+    g2 = ev.where(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    g1.write.mode("overwrite").parquet(root + "/g=1")
+    g2.write.mode("overwrite").parquet(root + "/g=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        root + "/g=1", root + "/g=2"
+    )
+    return merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("cents").cast("long").alias("n_with_value"),
+        F.sum(
+            F.when(F.col("cents").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_missing_value"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("sum_cents"),
+    )
+
+
+def _hash_collision_oracle_sql() -> str:
+    from rocketmq_flink_spark.functions.porthash import hash60_sql
+
+    h = hash60_sql("tok")
+    blocks = []
+    for b in (1024, 8192):
+        blocks.append(f"""
+    SELECT {b} AS n_buckets,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab,
+           CAST(COUNT(DISTINCT bk) AS BIGINT) AS occupied,
+           CAST(MAX(terms_in_bucket) AS BIGINT) AS max_terms_per_bucket,
+           CAST(SUM(CASE WHEN terms_in_bucket > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS colliding_terms,
+           CAST((2 * 1000000 * SUM(CASE WHEN terms_in_bucket > 1
+                                        THEN cf ELSE 0 END)
+                 + SUM(cf)) // (2 * SUM(cf)) AS BIGINT)
+             AS colliding_mass_ppm
+    FROM (
+      SELECT tok, cf, bk,
+             COUNT(*) OVER (PARTITION BY bk) AS terms_in_bucket
+      FROM (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf, {h} % {b} AS bk
+        FROM (SELECT unnest(list_filter(
+                regexp_split_to_array({_NORM_SQL_DUCK}, '\\s+'),
+                x -> x <> '')) AS tok
+              FROM documents)
+        GROUP BY tok))""")
+    return (
+        "SELECT * FROM (" + " UNION ALL ".join(blocks)
+        + ") ORDER BY n_buckets"
+    )
+
+
+@query("feature_hash_collision_report", _hash_collision_oracle_sql())
+def feature_hash_collision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision audit at 1024 and 8192 buckets — the
+    due-diligence table behind nb_source_classifier's B = 8192 choice:
+    vocabulary size, occupied buckets, the worst bucket's term count,
+    how many TERMS share a bucket, and (the number that matters) what
+    fraction of token MASS lands in shared buckets — conflated mass is
+    where a hashed model loses signal, and frequency-weighting shows
+    hot tokens colliding is far worse than tail tokens. All exact
+    integers over the portable hash, half-up ppm mass. Scale: one
+    vocabulary-sized aggregate per width, a bucket-partitioned count
+    window over the vocab table (vocabulary-bounded, never the token
+    stream)."""
+    from rocketmq_flink_spark.functions.porthash import hash60
+    from rocketmq_flink_spark.operators.dedup import normalize_sql
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        docs.select(
+            F.explode(
+                F.split(F.expr(normalize_sql("text")), r"\s+")
+            ).alias("tok")
+        )
+        .where(F.col("tok") != "")
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cf")
+    )
+    outs = []
+    for b in (1024, 8192):
+        vb = vocab.withColumn("bk", hash60(F.col("tok")) % b)
+        w = Window.partitionBy("bk")
+        t = vb.withColumn("terms_in_bucket", F.count(F.lit(1)).over(w))
+        outs.append(
+            t.agg(
+                F.lit(b).cast("long").alias("n_buckets"),
+                F.countDistinct("tok").cast("long").alias("vocab"),
+                F.countDistinct("bk").cast("long").alias("occupied"),
+                F.max("terms_in_bucket").cast("long").alias(
+                    "max_terms_per_bucket"
+                ),
+                F.sum(
+                    F.when(F.col("terms_in_bucket") > 1, 1).otherwise(0)
+                ).cast("long").alias("colliding_terms"),
+                F.expr(
+                    "CAST((2 * 1000000 * SUM(CASE WHEN terms_in_bucket > 1"
+                    " THEN cf ELSE 0 END) + SUM(cf)) div (2 * SUM(cf))"
+                    " AS BIGINT)"
+                ).alias("colliding_mass_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("n_buckets")
