@@ -21078,3 +21078,92 @@ def feature_hash_collision_report(spark: SparkSession, sf_dir: str) -> DataFrame
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("n_buckets")
+
+
+@query(
+    "quantile_treatment_effect",
+    """
+    WITH p AS (
+      SELECT CASE WHEN (('0x' || substr(md5('did:' ||
+                 CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % 2 = 0
+               THEN 'T' ELSE 'C' END AS arm,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    h AS (SELECT arm, cents, CAST(COUNT(*) AS BIGINT) AS c
+          FROM p GROUP BY 1, 2),
+    w AS (
+      SELECT arm, cents,
+             SUM(c) OVER (PARTITION BY arm ORDER BY cents) AS cc,
+             SUM(c) OVER (PARTITION BY arm) AS n
+      FROM h),
+    qs AS (SELECT unnest([25, 50, 75, 90]) AS q),
+    qv AS (
+      SELECT qs.q, w.arm, MIN(w.cents) AS v
+      FROM qs JOIN w ON 100 * w.cc >= qs.q * w.n
+      GROUP BY 1, 2)
+    SELECT t.q AS percentile, t.v AS t_cents, c.v AS c_cents,
+           t.v - c.v AS qte_cents
+    FROM (SELECT q, v FROM qv WHERE arm = 'T') t
+    JOIN (SELECT q, v FROM qv WHERE arm = 'C') c USING (q)
+    ORDER BY percentile
+    """,
+)
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects at p25/50/75/90 — the readout that
+    catches what mean-based estimates (z-test, CUPED, DiD) average
+    away: a treatment that moves only the tail shows a flat median
+    and a large p90 effect. Per-arm purchase-value quantiles are
+    rank-EXACT (smallest value whose cumulative count crosses the
+    rank, from the per-arm distinct-value histogram — the
+    order_value_deciles discipline, never percentile_approx), so the
+    per-quantile difference is exact cents. On the untreated fixture
+    the effects are the A/A noise floor. Scale: one (arm, value)
+    histogram then arm-partitioned cumulative windows over DISTINCT
+    values — no row-level sort."""
+    from rocketmq_flink_spark.functions.porthash import hash60
+
+    ev = load_tables(spark, sf_dir)["events"]
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.when(
+            hash60(F.concat(F.lit("did:"), F.col("user_id").cast("string")))
+            % 2 == 0,
+            F.lit("T"),
+        ).otherwise(F.lit("C")).alias("arm"),
+        F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    h = p.groupBy("arm", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("arm")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("arm")
+    w = h.select(
+        "arm",
+        "cents",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    qs = spark.createDataFrame([(25,), (50,), (75,), (90,)], "q LONG")
+    qv = (
+        F.broadcast(qs)
+        .join(w, 100 * F.col("cc") >= F.col("q") * F.col("n"))
+        .groupBy("q", "arm")
+        .agg(F.min("cents").alias("v"))
+    )
+    t = qv.where(F.col("arm") == "T").select("q", F.col("v").alias("t_cents"))
+    c = qv.where(F.col("arm") == "C").select("q", F.col("v").alias("c_cents"))
+    return (
+        t.join(c, "q")
+        .select(
+            F.col("q").alias("percentile"),
+            "t_cents",
+            "c_cents",
+            (F.col("t_cents") - F.col("c_cents")).alias("qte_cents"),
+        )
+        .orderBy("percentile")
+    )
