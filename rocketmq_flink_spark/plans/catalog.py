@@ -21167,3 +21167,111 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("percentile")
     )
+
+
+@query(
+    "point_in_time_features",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS ts_us,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM events),
+    w AS (
+      SELECT user_id, event_id, event_type, ts_us, cents,
+             LAST_VALUE(CASE WHEN event_type = 'view' THEN cents END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_view_cents,
+             LAST_VALUE(CASE WHEN event_type = 'signup' THEN ts_us END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_signup_us,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
+               AS clicks_24h
+      FROM e)
+    SELECT user_id, ts_us, cents AS label_cents,
+           COALESCE(last_view_cents, -1) AS last_view_cents,
+           CAST(COALESCE(clicks_24h, 0) AS BIGINT) AS clicks_24h,
+           CASE WHEN last_signup_us IS NULL THEN -1
+                ELSE (ts_us - last_signup_us) // 1000000 END
+             AS secs_since_signup
+    FROM w WHERE event_type = 'purchase'
+    ORDER BY user_id, ts_us, event_id LIMIT 20
+    """,
+)
+def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time join: for every purchase label, the
+    most recent PRIOR view value, the click count in the trailing 24
+    hours (exclusive of label time), and seconds since the last prior
+    signup — each feature guaranteed leakage-free by frame bounds that
+    END strictly before the label row (ROWS ... 1 PRECEDING / RANGE
+    ... 1 PRECEDING), the correctness property naive feature joins
+    silently violate. Implemented as ONE pass of per-user ordered
+    windows over the merged event stream — no join at all, which at
+    100 TB beats an as-of join per feature table by a full shuffle
+    each (asof_purchase_after_click demonstrates the two-table form).
+    First 20 labels by (user, time). Exact integer cents/seconds."""
+    ev = load_tables(spark, sf_dir)["events"]
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    wrow = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrange = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-86_400_000_000, -1)
+    )
+    w = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_us",
+        "cents",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("cents")),
+            ignorenulls=True,
+        ).over(wrow).alias("last_view_cents"),
+        F.last(
+            F.when(F.col("event_type") == "signup", F.col("ts_us")),
+            ignorenulls=True,
+        ).over(wrow).alias("last_signup_us"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).over(wrange).alias("clicks_24h"),
+    )
+    return (
+        w.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts_us",
+            F.col("cents").alias("label_cents"),
+            F.coalesce(F.col("last_view_cents"), F.lit(-1)).alias(
+                "last_view_cents"
+            ),
+            F.coalesce(F.col("clicks_24h"), F.lit(0)).cast("long").alias(
+                "clicks_24h"
+            ),
+            F.when(
+                F.col("last_signup_us").isNull(), F.lit(-1).cast("long")
+            ).otherwise(
+                F.expr("(ts_us - last_signup_us) div 1000000")
+            ).alias("secs_since_signup"),
+        )
+        .orderBy("user_id", "ts_us")
+        .limit(20)
+    )

@@ -77,6 +77,21 @@ QUERIES = [
     "jaccard_threshold_sensitivity", # shingle join, 5-way fan
     "fulfillment_latency_profile",   # SF x SF shuffle join
     "sprt_conversion_monitor",    # daily prefix-sum fold
+    "sssp_weighted_copurchase",   # bounded Bellman-Ford rounds
+    "local_clustering_coefficient",  # oriented-wedge triangles + ppm
+    "functional_dependency_audit",   # 7x two-stage g3 aggregates
+    "token_burstiness_report",    # per-doc count moments
+    "slope_one_brand_recs",       # item-matrix self-join + broadcast
+    "rake_keyword_extraction",    # islands window + vocab scores
+    "ppr_recommendations",        # seed-teleport power iteration
+    "hilbert_layout_report",      # 8-layer rotation walk + tiling
+    "bitmap_segment_intersections",  # word-packed set algebra
+    "query_likelihood_search",    # postings + fp_log2 candidates
+    "markov_removal_attribution", # journey counts + tiny fold
+    "shapley_attribution",        # mask histogram + 16-cell zeta
+    "ecod_anomaly_scores",        # 64 dim-windows + log join
+    "consistent_hash_rebalance",  # 64-point ring argmin
+    "encoding_size_planning",     # global run-count window
 ]
 REPS = 3
 
