@@ -810,3 +810,186 @@ def test_simpson_oracle_matches_fraction_witness(masses, dups):
     # half-up rationals bracket the exact Fractions within 1 unit
     assert abs(sm - float(simpson)) <= 1 and abs(evm - float(ev)) <= 1
     assert got == ("src", t, len(counts), sm, evm)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),    # o_custkey
+            st.sampled_from(["1-URGENT", "3-MEDIUM", "5-LOW"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_fd_audit_oracle_matches_g3_witness(rows):
+    """The functional_dependency_audit ORACLE's g3 error equals the
+    direct definition (rows minus the per-key majority) on arbitrary
+    orders; the key-implied FD stays at zero violations."""
+    import duckdb
+
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders(o_orderkey BIGINT, o_custkey BIGINT,"
+        " o_orderstatus VARCHAR, o_orderpriority VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO orders VALUES (?, ?, 'O', ?)",
+        [(i, ck, pr) for i, (ck, pr) in enumerate(rows)],
+    )
+    con.execute("CREATE TABLE lineitem(l_partkey BIGINT, l_suppkey BIGINT)")
+    con.execute("INSERT INTO lineitem VALUES (1, 1)")
+    con.execute("CREATE TABLE part(p_brand VARCHAR, p_type VARCHAR)")
+    con.execute("INSERT INTO part VALUES ('B', 'T')")
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, lang VARCHAR,"
+        " source VARCHAR)"
+    )
+    con.execute("INSERT INTO documents VALUES (1, 'en', 's')")
+    con.execute("CREATE TABLE events(user_id BIGINT, event_type VARCHAR)")
+    con.execute("INSERT INTO events VALUES (1, 'view')")
+    out = {
+        r[0]: r
+        for r in con.execute(
+            REGISTRY["functional_dependency_audit"].oracle
+        ).fetchall()
+    }
+    # witness: g3 = n - sum over custkeys of the majority-priority count
+    from collections import Counter, defaultdict
+
+    per = defaultdict(Counter)
+    for ck, pr in rows:
+        per[ck][pr] += 1
+    n = len(rows)
+    keep = sum(c.most_common(1)[0][1] for c in per.values())
+    row = out["orders.o_custkey->o_orderpriority"]
+    assert row[1] == n and row[2] == len(per)
+    assert row[3] == n - keep
+    assert row[4] == (1_000_000 * (n - keep)) // n
+    key_fd = out["orders.o_orderkey->o_orderstatus"]
+    assert key_fd[3] == 0 and key_fd[4] == 0
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["1-URGENT", "3-MEDIUM"]),   # prio
+            st.sampled_from(["O", "F"]),                 # status
+            st.integers(min_value=132051, max_value=49970505),  # cents
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_t_closeness_oracle_matches_fraction_witness(rows):
+    """The t_closeness_report ORACLE equals a Fraction-exact EMD
+    witness (ordered-attribute prefix-difference mass over the ten
+    fixed 50k-dollar bands) on arbitrary orders."""
+    import duckdb
+    from collections import Counter
+
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders(o_orderpriority VARCHAR,"
+        " o_orderstatus VARCHAR, o_totalprice DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO orders VALUES (?, ?, ?)",
+        [(p, s, c / 100.0) for p, s, c in rows],
+    )
+    got = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(
+            REGISTRY["t_closeness_report"].oracle
+        ).fetchall()
+    }
+    big_n = len(rows)
+    band = lambda c: min(c // 5_000_000, 9)
+    g = Counter(band(c) for _, _, c in rows)
+    classes = Counter((p, s) for p, s, _ in rows)
+    for (p, s), n in classes.items():
+        cls = Counter(band(c) for pp, ss, c in rows if (pp, ss) == (p, s))
+        sumabs = 0
+        d = 0
+        for b in range(9):  # prefix diffs j = 0..8 (j = 9 is 0)
+            d += cls.get(b, 0) * big_n - g.get(b, 0) * n
+            sumabs += abs(d)
+        emd = (1_000_000 * sumabs) // (n * big_n * 9)
+        assert got[(p, s)] == (n, emd)
+
+
+@settings(**SETTINGS)
+@given(
+    users=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=12),  # user_id
+            st.integers(min_value=0, max_value=500000),  # pre cents
+            st.integers(min_value=0, max_value=500000),  # post cents
+        ),
+        min_size=2,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_cuped_oracle_matches_fraction_witness(users):
+    """The cuped_adjusted_abtest ORACLE equals a Fraction-exact CUPED
+    witness (pooled theta = Cov/Var, sign-split trunc divisions) on
+    arbitrary per-user pre/post spends."""
+    import duckdb
+    import hashlib
+
+    from hypothesis import assume
+
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+    def arm(uid):
+        h = int(hashlib.md5(f"did:{uid}".encode()).hexdigest()[:15], 16)
+        return "T" if h % 2 == 0 else "C"
+
+    assume(len({arm(u) for u, _, _ in users}) == 2)  # both arms present
+    # variance of X must be nonzero for theta to exist
+    xs = [x for _, x, _ in users]
+    assume(len(set(xs)) > 1)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(user_id BIGINT, event_type VARCHAR,"
+        " ts TIMESTAMP, value DOUBLE)"
+    )
+    ins = []
+    for uid, pre, post in users:
+        if pre:
+            ins.append((uid, "purchase", "2024-01-05 00:00:00", pre / 100.0))
+        if post:
+            ins.append((uid, "purchase", "2024-01-20 00:00:00", post / 100.0))
+        ins.append((uid, "view", "2024-01-02 00:00:00", 1.0))
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?)", ins)
+    got = con.execute(REGISTRY["cuped_adjusted_abtest"].oracle).fetchone()
+
+    def trunc_div(a, b):
+        return a // b if a >= 0 else -((-a) // b)
+
+    n = len(users)
+    sx = sum(x for _, x, _ in users)
+    sy = sum(y for _, _, y in users)
+    sxx = sum(x * x for _, x, _ in users)
+    sxy = sum(x * y for _, x, y in users)
+    a_ = n * sxy - sx * sy
+    b_ = n * sxx - sx * sx
+    t = [(x, y) for u, x, y in users if arm(u) == "T"]
+    c = [(x, y) for u, x, y in users if arm(u) == "C"]
+    nt, nc = len(t), len(c)
+    dy = sum(y for _, y in t) * nc - sum(y for _, y in c) * nt
+    dx = sum(x for x, _ in t) * nc - sum(x for x, _ in c) * nt
+    assert got == (
+        nt,
+        nc,
+        trunc_div(1000 * dy, nt * nc),
+        trunc_div(1_000_000 * a_, b_),
+        trunc_div(1000 * (dy * b_ - a_ * dx), nt * nc * b_),
+    )
