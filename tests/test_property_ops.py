@@ -993,3 +993,70 @@ def test_cuped_oracle_matches_fraction_witness(users):
         trunc_div(1_000_000 * a_, b_),
         trunc_div(1000 * (dy * b_ - a_ * dx), nt * nc * b_),
     )
+
+
+@settings(**SETTINGS)
+@given(
+    lines=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),   # custkey
+            st.integers(min_value=1, max_value=6),   # partkey -> brand
+        ),
+        min_size=4,
+        max_size=40,
+    )
+)
+def test_slope_one_oracle_matches_python_witness(lines):
+    """The slope_one_brand_recs ORACLE equals a pure-Python weighted
+    Slope-One (P(u,j) = sum(s_ji + r_ui*n_ji)/sum(n_ji), sign-split
+    milli division, top-5 per target user) on arbitrary baskets."""
+    import duckdb
+    from collections import Counter, defaultdict
+
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE orders(o_orderkey BIGINT, o_custkey BIGINT)")
+    con.execute(
+        "CREATE TABLE lineitem(l_orderkey BIGINT, l_partkey BIGINT)"
+    )
+    con.execute("CREATE TABLE part(p_partkey BIGINT, p_brand VARCHAR)")
+    for pk in range(1, 7):
+        con.execute(f"INSERT INTO part VALUES ({pk}, 'B{pk % 3}')")
+    for i, (ck, pk) in enumerate(lines):
+        con.execute(f"INSERT INTO orders VALUES ({i}, {ck})")
+        con.execute(f"INSERT INTO lineitem VALUES ({i}, {pk})")
+    got = con.execute(REGISTRY["slope_one_brand_recs"].oracle).fetchall()
+
+    brand = {pk: f"B{pk % 3}" for pk in range(1, 7)}
+    r = Counter((ck, brand[pk]) for ck, pk in lines)
+    by_user = defaultdict(dict)
+    for (u, it), cnt in r.items():
+        by_user[u][it] = cnt
+    dev = defaultdict(lambda: [0, 0])  # (j, i) -> [n, s]
+    for u, items in by_user.items():
+        for i_, ri in items.items():
+            for j_, rj in items.items():
+                if i_ != j_:
+                    dev[(j_, i_)][0] += 1
+                    dev[(j_, i_)][1] += rj - ri
+    targets = sorted(u for u, it in by_user.items() if len(it) >= 2)[:3]
+    want = []
+    for u in targets:
+        preds = {}
+        for (j_, i_), (n_, s_) in dev.items():
+            if i_ in by_user[u] and j_ not in by_user[u]:
+                acc = preds.setdefault(j_, [0, 0])
+                acc[0] += s_ + by_user[u][i_] * n_
+                acc[1] += n_
+        sc = []
+        for j_, (num, den) in preds.items():
+            m = (
+                (1000 * num) // den
+                if num >= 0
+                else -((1000 * -num) // den)
+            )
+            sc.append((u, j_, m, den))
+        sc.sort(key=lambda t: (-t[2], t[1]))
+        want.extend(sc[:5])
+    assert got == want
