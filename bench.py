@@ -199,6 +199,43 @@ EXTRA = [
     "discount_band_volume",
     "order_aging_report",
     "fulfillment_latency_profile",
+    # round 4 continuation 5
+    "sssp_weighted_copurchase",
+    "local_clustering_coefficient",
+    "functional_dependency_audit",
+    "t_closeness_report",
+    "did_treatment_effect",
+    "token_burstiness_report",
+    "slope_one_brand_recs",
+    "rake_keyword_extraction",
+    "ppr_recommendations",
+    "hilbert_layout_report",
+    "cuped_adjusted_abtest",
+    "referential_integrity_audit",
+    "bitmap_segment_intersections",
+    "matryoshka_truncation_recall",
+    "query_likelihood_search",
+    "markov_removal_attribution",
+    "consistent_hash_rebalance",
+    "shapley_attribution",
+    "cohort_ltv_curve",
+    "selectivity_estimation_report",
+    "join_cardinality_estimate",
+    "lof_outlier_panel",
+    "ecod_anomaly_scores",
+    "unpivot_pricing_metrics",
+    "trailing_window_range_frame",
+    "kmeans_silhouette_score",
+    "conformal_spend_interval",
+    "srm_assignment_check",
+    "encoding_size_planning",
+    "partition_pruning_scan",
+    "retrieval_model_comparison",
+    "schema_evolution_merge",
+    "feature_hash_collision_report",
+    "quantile_treatment_effect",
+    "point_in_time_features",
+    "event_lateness_profile",
 ]
 
 

@@ -21275,3 +21275,99 @@ def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "ts_us")
         .limit(20)
     )
+
+
+@query(
+    "event_lateness_profile",
+    """
+    WITH q AS (
+      SELECT event_id, epoch_us(ts) AS ts_us, user_id % 4 AS que,
+             ROW_NUMBER() OVER (PARTITION BY user_id % 4
+               ORDER BY epoch_us(ts), event_id) AS pos
+      FROM events),
+    a AS (
+      SELECT ts_us,
+             MAX(ts_us) OVER (
+               ORDER BY pos, que
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+      FROM q),
+    lat AS (SELECT (hwm - ts_us) // 1000 AS late_ms FROM a),
+    h AS (SELECT late_ms, CAST(COUNT(*) AS BIGINT) AS c
+          FROM lat GROUP BY 1),
+    w AS (
+      SELECT late_ms, c AS cv,
+             SUM(c) OVER (ORDER BY late_ms) AS cc,
+             SUM(c) OVER () AS n
+      FROM h)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST((2 * 1000000 * SUM(CASE WHEN late_ms = 0 THEN cv ELSE 0 END)
+                 + MAX(n)) // (2 * MAX(n)) AS BIGINT) AS in_order_ppm,
+           CAST(MIN(CASE WHEN 2 * cc >= n THEN late_ms END) AS BIGINT)
+             AS p50_late_ms,
+           CAST(MIN(CASE WHEN 20 * cc >= 19 * n THEN late_ms END) AS BIGINT)
+             AS p95_late_ms,
+           CAST(MIN(CASE WHEN 1000 * cc >= 999 * n THEN late_ms END)
+                AS BIGINT) AS p999_late_ms,
+           CAST(MAX(late_ms) AS BIGINT) AS max_late_ms
+    FROM w
+    """,
+)
+def event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile of a MULTI-QUEUE merge — the reference
+    phenomenon in numbers: four queues (user_id mod 4) each deliver in
+    perfect local order, but the round-robin merged stream is globally
+    out of order because queues advance at different event-time rates
+    (exactly why the reference has per-queue watermarks, W2, and why a
+    single bounded-out-of-orderness delay, W1, must be sized from this
+    table). Lateness = merged-stream event-time high-water-mark minus
+    own event time; report the in-order fraction and rank-exact
+    p50/p95/p99.9/max lateness in ms — the p99.9 row IS the W1 delay
+    to configure, and max >> p99.9 says route stragglers to the
+    late-data router (W10) instead. Scale: per-queue position windows
+    parallelize by queue; the merge high-water-mark is one ordered
+    window (per-queue at scale); percentiles run on the distinct-value
+    lateness histogram."""
+    ev = load_tables(spark, sf_dir)["events"]
+    wq = Window.partitionBy(F.expr("user_id % 4")).orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    q = ev.select(
+        F.unix_micros("ts").alias("ts_us"),
+        F.expr("user_id % 4").alias("que"),
+        F.row_number().over(wq).alias("pos"),
+    )
+    wm = Window.orderBy("pos", "que").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    a = q.select("ts_us", F.max("ts_us").over(wm).alias("hwm"))
+    lat = a.select(F.expr("(hwm - ts_us) div 1000").alias("late_ms"))
+    h = lat.groupBy("late_ms").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcum = Window.orderBy("late_ms").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    w = h.select(
+        "late_ms",
+        F.col("c").alias("cv"),
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return w.agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.expr(
+            "CAST((2 * 1000000 * SUM(CASE WHEN late_ms = 0 THEN cv"
+            " ELSE 0 END) + MAX(n)) div (2 * MAX(n)) AS BIGINT)"
+        ).alias("in_order_ppm"),
+        F.min(
+            F.when(2 * F.col("cc") >= F.col("n"), F.col("late_ms"))
+        ).cast("long").alias("p50_late_ms"),
+        F.min(
+            F.when(20 * F.col("cc") >= 19 * F.col("n"), F.col("late_ms"))
+        ).cast("long").alias("p95_late_ms"),
+        F.min(
+            F.when(1000 * F.col("cc") >= 999 * F.col("n"), F.col("late_ms"))
+        ).cast("long").alias("p999_late_ms"),
+        F.max("late_ms").cast("long").alias("max_late_ms"),
+    )
