@@ -18956,12 +18956,14 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(bit_count(a.word & b.word)) AS BIGINT) AS n_inter
       FROM bm a JOIN bm b ON a.bucket = b.bucket AND a.seg < b.seg
       GROUP BY 1, 2)
-    SELECT i.seg_a, i.seg_b, ca.n AS n_a, cb.n AS n_b, i.n_inter,
-           CAST((2 * 1000000 * i.n_inter + (ca.n + cb.n - i.n_inter))
-                // (2 * (ca.n + cb.n - i.n_inter)) AS BIGINT)
+    SELECT ca.seg AS seg_a, cb.seg AS seg_b, ca.n AS n_a, cb.n AS n_b,
+           COALESCE(i.n_inter, 0) AS n_inter,
+           CAST((2 * 1000000 * COALESCE(i.n_inter, 0)
+                 + (ca.n + cb.n - COALESCE(i.n_inter, 0)))
+                // (2 * (ca.n + cb.n - COALESCE(i.n_inter, 0))) AS BIGINT)
              AS jaccard_ppm
-    FROM inter i JOIN card ca ON ca.seg = i.seg_a
-                 JOIN card cb ON cb.seg = i.seg_b
+    FROM card ca JOIN card cb ON ca.seg < cb.seg
+    LEFT JOIN inter i ON i.seg_a = ca.seg AND i.seg_b = cb.seg
     ORDER BY seg_a, seg_b
     """,
 )
@@ -19010,13 +19012,20 @@ def bitmap_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ca = card.select(F.col("seg").alias("seg_a"), F.col("n").alias("n_a"))
     cb = card.select(F.col("seg").alias("seg_b"), F.col("n").alias("n_b"))
+    # pair grid from the cardinality table, intersections LEFT-joined:
+    # two segments sharing NO bucket still get their (0-intersection)
+    # row — the inner join alone would silently drop disjoint pairs
+    # (caught by the set-algebra property witness)
     return (
-        inter.join(F.broadcast(ca), "seg_a")
-        .join(F.broadcast(cb), "seg_b")
+        ca.join(cb, F.col("seg_a") < F.col("seg_b"))
+        .join(inter, ["seg_a", "seg_b"], "left")
         .selectExpr(
-            "seg_a", "seg_b", "n_a", "n_b", "n_inter",
-            "CAST((2 * 1000000 * n_inter + (n_a + n_b - n_inter))"
-            " div (2 * (n_a + n_b - n_inter)) AS BIGINT) AS jaccard_ppm",
+            "seg_a", "seg_b", "n_a", "n_b",
+            "COALESCE(n_inter, 0) AS n_inter",
+            "CAST((2 * 1000000 * COALESCE(n_inter, 0)"
+            " + (n_a + n_b - COALESCE(n_inter, 0)))"
+            " div (2 * (n_a + n_b - COALESCE(n_inter, 0))) AS BIGINT)"
+            " AS jaccard_ppm",
         )
         .orderBy("seg_a", "seg_b")
     )

@@ -1060,3 +1060,96 @@ def test_slope_one_oracle_matches_python_witness(lines):
         sc.sort(key=lambda t: (-t[2], t[1]))
         want.extend(sc[:5])
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "purchase"]),
+            st.integers(min_value=0, max_value=200),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_bitmap_intersections_oracle_matches_set_witness(pairs):
+    """The bitmap_segment_intersections ORACLE equals plain Python set
+    algebra (packing and popcount change nothing) on arbitrary
+    (event_type, user) pairs."""
+    import duckdb
+    from collections import defaultdict
+
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+    segs = defaultdict(set)
+    for t, u in pairs:
+        segs[t].add(u)
+    from hypothesis import assume
+
+    assume(len(segs) >= 2)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(event_type VARCHAR, user_id BIGINT)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", pairs)
+    got = con.execute(
+        REGISTRY["bitmap_segment_intersections"].oracle
+    ).fetchall()
+    want = []
+    for a in sorted(segs):
+        for b in sorted(segs):
+            if a < b:
+                na, nb = len(segs[a]), len(segs[b])
+                ni = len(segs[a] & segs[b])
+                un = na + nb - ni
+                want.append(
+                    (a, b, na, nb, ni, (2 * 1_000_000 * ni + un) // (2 * un))
+                )
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    users=st.lists(
+        st.integers(min_value=0, max_value=10**6),
+        min_size=1,
+        max_size=80,
+        unique=True,
+    )
+)
+def test_consistent_hash_oracle_matches_ring_witness(users):
+    """The consistent_hash_rebalance ORACLE equals a pure-Python ring
+    (same md5 points, clockwise arg-min) and modulo model."""
+    import duckdb
+    import hashlib
+
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def assign(uid, n_shards):
+        kh = h60(f"key:{uid}")
+        best, bestadj = None, None
+        for shard in range(n_shards):
+            for vn in range(8):
+                p = h60(f"ring:{shard}:{vn}")
+                adj = p if p >= kh else p + (1 << 60)
+                if bestadj is None or adj < bestadj:
+                    best, bestadj = shard, adj
+        return best
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(user_id BIGINT)")
+    con.executemany("INSERT INTO events VALUES (?)", [(u,) for u in users])
+    got = {r[0]: r for r in con.execute(
+        REGISTRY["consistent_hash_rebalance"].oracle
+    ).fetchall()}
+    n = len(users)
+    ring_moved = sum(1 for u in users if assign(u, 8) != assign(u, 9))
+    mod_moved = sum(1 for u in users if u % 8 != u % 9)
+    assert got["ring"] == (
+        "ring", n, ring_moved, (2 * 1_000_000 * ring_moved + n) // (2 * n)
+    )
+    assert got["mod"] == (
+        "mod", n, mod_moved, (2 * 1_000_000 * mod_moved + n) // (2 * n)
+    )
