@@ -1153,3 +1153,105 @@ def test_consistent_hash_oracle_matches_ring_witness(users):
     assert got["mod"] == (
         "mod", n, mod_moved, (2 * 1_000_000 * mod_moved + n) // (2 * n)
     )
+
+
+@settings(**SETTINGS)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-512, max_value=511),  # k/1024: exact f32
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_ecod_oracle_matches_fp_log2_witness(vecs):
+    """The ecod_anomaly_scores ORACLE equals a pure-Python witness:
+    quantized tie-inclusive two-sided ranks per dim, fp_log2_py(n, r)
+    ticks summed — on arbitrary float32-exact vectors."""
+    import duckdb
+    import math
+
+    from rocketmq_flink_spark.operators.retrieval import fp_log2_py
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+    rows = [(i, [k / 1024.0 for k in v]) for i, v in enumerate(vecs)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding FLOAT[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
+    got = con.execute(REGISTRY["ecod_anomaly_scores"].oracle).fetchall()
+
+    n = len(rows)
+    scores = {}
+    for vid, v in rows:
+        total = 0
+        for d in range(64):
+            xq = math.floor(v[d] * 1e10 + 0.5)
+            col = [math.floor(w[d] * 1e10 + 0.5) for _, w in rows]
+            le = sum(1 for y in col if y <= xq)
+            ge = sum(1 for y in col if y >= xq)
+            r = min(le, ge)
+            if r < n:
+                total += fp_log2_py(n, r)
+        scores[vid] = total
+    want = sorted(
+        ((vid, s) for vid, s in scores.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=30),       # user
+            st.integers(min_value=1, max_value=100000),   # cents
+        ),
+        min_size=4,
+        max_size=60,
+    )
+)
+def test_qte_oracle_matches_rank_witness(rows):
+    """The quantile_treatment_effect ORACLE equals the direct sorted
+    rank-quantile definition per arm on arbitrary purchases."""
+    import duckdb
+    import hashlib
+
+    from hypothesis import assume
+
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+    def arm(uid):
+        h = int(hashlib.md5(f"did:{uid}".encode()).hexdigest()[:15], 16)
+        return "T" if h % 2 == 0 else "C"
+
+    t = sorted(c for u, c in rows if arm(u) == "T")
+    c_ = sorted(c for u, c in rows if arm(u) == "C")
+    assume(t and c_)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(user_id BIGINT, event_type VARCHAR,"
+        " value DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO events VALUES (?, 'purchase', ?)",
+        [(u, c / 100.0) for u, c in rows],
+    )
+    got = con.execute(
+        REGISTRY["quantile_treatment_effect"].oracle
+    ).fetchall()
+
+    def q(sorted_vals, pct):
+        n = len(sorted_vals)
+        for i, v in enumerate(sorted_vals, start=1):
+            if 100 * i >= pct * n:
+                return v
+
+    want = []
+    for pct in (25, 50, 75, 90):
+        tv, cv = q(t, pct), q(c_, pct)
+        want.append((pct, tv, cv, tv - cv))
+    assert got == want
