@@ -1255,3 +1255,126 @@ def test_qte_oracle_matches_rank_witness(rows):
         tv, cv = q(t, pct), q(c_, pct)
         want.append((pct, tv, cv, tv - cv))
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),    # user
+            st.integers(min_value=0, max_value=400),  # minute offset
+            st.sampled_from(
+                ["view", "click", "signup", "error", "purchase"]
+            ),
+        ),
+        min_size=3,
+        max_size=50,
+        unique_by=lambda t: (t[0], t[1]),  # unique (user, ts)
+    )
+)
+def test_attribution_oracles_match_python_witness(events):
+    """The markov_removal_attribution AND shapley_attribution ORACLES
+    equal independent pure-Python models (journey cut at first
+    purchase; 16 floor-div absorption rounds per removal scenario;
+    coalition subset-sums with {6,2,2,6}/24 weights) on arbitrary
+    event streams."""
+    import duckdb
+    from collections import defaultdict
+
+    from rocketmq_flink_spark.plans.catalog import (
+        _MARKOV_CHANNELS,
+        REGISTRY,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(user_id BIGINT, event_id BIGINT,"
+        " event_type VARCHAR, ts TIMESTAMP)"
+    )
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?, ?,"
+        " TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (?) MINUTE)",
+        [(u, i, t, m) for i, (u, m, t) in enumerate(events)],
+    )
+    # --- python journeys: per user ordered by (ts, event_id), cut at
+    # first purchase (inclusive)
+    by_user = defaultdict(list)
+    for i, (u, m, t) in enumerate(events):
+        by_user[u].append((m, i, "CONV" if t == "purchase" else t))
+    journeys = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        seq = [t for _, _, t in evs]
+        if "CONV" in seq:
+            seq = seq[: seq.index("CONV") + 1]
+        journeys[u] = seq
+    # --- markov witness
+    counts = defaultdict(int)
+    for seq in journeys.values():
+        counts[("START", seq[0])] += 1
+        for a, b in zip(seq, seq[1:]):
+            counts[(a, b)] += 1
+        if seq[-1] != "CONV":
+            counts[(seq[-1], "END")] += 1
+
+    def absorb(cnt):
+        states = sorted({s for s, _ in cnt})
+        p = {s: 0 for s in states}
+        for _ in range(16):
+            nxt = {}
+            for s in states:
+                num = den = 0
+                for (ss, t2), c in cnt.items():
+                    if ss != s:
+                        continue
+                    den += c
+                    pt = (
+                        1_000_000 if t2 == "CONV"
+                        else (0 if t2 == "END" else p.get(t2, 0))
+                    )
+                    num += c * pt
+                nxt[s] = num // den if den else 0
+            p = nxt
+        return p.get("START", 0)
+
+    p_full = absorb(counts)
+    want_m = []
+    for ch in _MARKOV_CHANNELS:
+        rem = defaultdict(int)
+        for (s, t2), c in counts.items():
+            if s == ch:
+                continue
+            rem[(s, "END" if t2 == ch else t2)] += c
+        pr = absorb(rem)
+        want_m.append((ch, p_full, pr, p_full - pr))
+    got_m = con.execute(
+        REGISTRY["markov_removal_attribution"].oracle
+    ).fetchall()
+    assert got_m == want_m
+    # --- shapley witness
+    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    mc = defaultdict(int)
+    for seq in journeys.values():
+        conv = 1 if seq[-1] == "CONV" else 0
+        mask = 0
+        for t2 in (seq[:-1] if conv else seq):
+            mask |= bits[t2]
+        mc[mask] += conv
+    v = {S: sum(c for m, c in mc.items() if (m & S) == m)
+         for S in range(16)}
+    wgt = {0: 6, 1: 2, 2: 2, 3: 6}
+    want_s = []
+    for name in sorted(bits):
+        b = bits[name]
+        phi = sum(
+            wgt[bin(S).count("1")] * (v[S + b] - v[S])
+            for S in range(16)
+            if not S & b
+        )
+        want_s.append((name, phi))
+    tot = sum(p for _, p in want_s)
+    got_s = con.execute(REGISTRY["shapley_attribution"].oracle).fetchall()
+    assert [
+        (n, p, (1_000_000 * p) // tot if tot > 0 else 0)
+        for n, p in want_s
+    ] == got_s
