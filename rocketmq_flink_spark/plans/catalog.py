@@ -21380,3 +21380,85 @@ def event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("p999_late_ms"),
         F.max("late_ms").cast("long").alias("max_late_ms"),
     )
+
+
+@query(
+    "late_data_router_audit",
+    """
+    WITH q AS (
+      SELECT event_id, epoch_us(ts) AS ts_us, user_id % 4 AS que,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id % 4
+               ORDER BY epoch_us(ts), event_id) AS pos
+      FROM events),
+    a AS (
+      SELECT event_id, ts_us, cents,
+             MAX(ts_us) OVER (
+               ORDER BY pos, que
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      FROM q),
+    r AS (
+      SELECT CASE WHEN hwm IS NOT NULL
+                   AND ts_us < hwm - 3600000000 THEN 'late'
+                  ELSE 'kept' END AS route,
+             event_id, cents
+      FROM a)
+    SELECT route, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM r GROUP BY route ORDER BY route
+    """,
+)
+def late_data_router_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing of late data (W10), replayed as a
+    deterministic batch audit: on the four-queue round-robin merge
+    (event_lateness_profile's arrival order), the watermark is the
+    running event-time high-water-mark minus a 1-hour
+    bounded-out-of-orderness delay, and every event older than that
+    at arrival routes to the late stream instead of being dropped —
+    the reference drops late rows silently; the router is this
+    engine's exceeds-reference behavior, here pinned by COUNTS and
+    CHECKSUMS per route (id and cents sums prove the split is a
+    partition, not a filter: kept + late = everything). Scale: the
+    same two windows as the lateness profile; routing is a pure
+    per-row expression."""
+    ev = load_tables(spark, sf_dir)["events"]
+    wq = Window.partitionBy(F.expr("user_id % 4")).orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    q = ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.expr("user_id % 4").alias("que"),
+        F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        F.row_number().over(wq).alias("pos"),
+    )
+    wm = Window.orderBy("pos", "que").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    a = q.select(
+        "event_id",
+        "ts_us",
+        "cents",
+        F.max("ts_us").over(wm).alias("hwm"),
+    )
+    r = a.select(
+        F.when(
+            F.col("hwm").isNotNull()
+            & (F.col("ts_us") < F.col("hwm") - 3_600_000_000),
+            F.lit("late"),
+        ).otherwise(F.lit("kept")).alias("route"),
+        "event_id",
+        "cents",
+    )
+    return (
+        r.groupBy("route")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("sum_id"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("route")
+    )
