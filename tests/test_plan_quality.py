@@ -517,3 +517,27 @@ def test_partition_pruning_scan_has_partition_filters(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_session_c4_third_wave_no_cartesian_no_python(spark):
+    for name in (
+        "retrieval_model_comparison",
+        "schema_evolution_merge",
+        "feature_hash_collision_report",
+        "quantile_treatment_effect",
+        "point_in_time_features",
+        "event_lateness_profile",
+        "late_data_router_audit",
+    ):
+        plan = _plan(REGISTRY[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_point_in_time_features_is_single_window_pass_no_join(spark):
+    # the PIT features must come from windows over ONE scan — a join
+    # (beyond none) would betray the single-pass design
+    plan = _plan(REGISTRY["point_in_time_features"].fn(spark, SF))
+    assert "Join" not in plan
+    assert "Window" in plan
