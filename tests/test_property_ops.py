@@ -1378,3 +1378,68 @@ def test_attribution_oracles_match_python_witness(events):
         (n, p, (1_000_000 * p) // tot if tot > 0 else 0)
         for n, p in want_s
     ] == got_s
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab the of x yz ", min_size=0, max_size=60),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_rake_oracle_matches_python_witness(texts):
+    """The rake_keyword_extraction ORACLE equals a pure-Python RAKE
+    (stopword islands, len <= 4, degree/frequency floor-div ppm word
+    scores, phrase score = sum over words WITH multiplicity) over an
+    ascii alphabet where the engine normalization equals
+    [a-z0-9 ] lowering."""
+    import duckdb
+    import re
+    from collections import Counter, defaultdict
+
+    from rocketmq_flink_spark.plans.catalog import _RAKE_STOPS, REGISTRY
+
+    stops = {s.strip("'") for s in _RAKE_STOPS.split(",")}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, lang VARCHAR, text VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO documents VALUES (?, 'en', ?)",
+        list(enumerate(texts)),
+    )
+    got = con.execute(REGISTRY["rake_keyword_extraction"].oracle).fetchall()
+
+    phrases = []
+    for t in texts:
+        norm = re.sub(
+            r"\s+", " ", re.sub(r"[^a-z0-9\s]", " ", t.lower())
+        ).strip()
+        toks = [x for x in norm.split(" ") if x != ""]
+        run = []
+        for tok in toks + [None]:
+            if tok is None or tok in stops:
+                if run and len(run) <= 4:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(tok)
+    from hypothesis import assume
+
+    assume(phrases)
+    freq, deg = Counter(), defaultdict(int)
+    for ph in phrases:
+        for wd in ph:
+            freq[wd] += 1
+            deg[wd] += len(ph)
+    wscore = {
+        wd: (1_000_000 * deg[wd]) // freq[wd] for wd in freq
+    }
+    docc = Counter(" ".join(ph) for ph in phrases)
+    scored = [
+        (p, n, sum(wscore[w] for w in p.split(" ")))
+        for p, n in docc.items()
+    ]
+    scored.sort(key=lambda t: (-t[2], t[0]))
+    assert got == scored[:20]
