@@ -235,17 +235,21 @@ def query_likelihood_topk(
         .select("qid", F.explode("qtk").alias("term"))
         .distinct()
     )
+    cand = qterms.join(tf, "term").join(cf, "term")
+    # the 20-step fixed-point fold is the expensive expression: run it
+    # once per DISTINCT (cf, dl, tf) triple (vocabulary x length x tf
+    # bounded), not once per candidate row — the same
+    # distinct-values-only discipline as the DuckDB oracle's dv CTE
+    # (measured 6x on the sf0.1 candidate set)
+    ticks = cand.select("cf", "dl", "tf").distinct().selectExpr(
+        "cf",
+        "dl",
+        "tf",
+        fp_log2_sql(f"cf * dl + tf * CAST({cl} AS BIGINT)", "cf * dl")
+        + " AS tick",
+    )
     scored = (
-        qterms.join(tf, "term")
-        .join(cf, "term")
-        .selectExpr(
-            "qid",
-            "doc",
-            fp_log2_sql(
-                f"cf * dl + tf * CAST({cl} AS BIGINT)", "cf * dl"
-            )
-            + " AS tick",
-        )
+        cand.join(ticks, ["cf", "dl", "tf"])
         .groupBy("qid", "doc")
         .agg(F.sum("tick").cast("long").alias("score_ticks"))
     )

@@ -20487,14 +20487,22 @@ def ecod_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(wle), F.count(F.lit(1)).over(wge)
         ).alias("r"),
     )
-    sc = (
-        rr.crossJoin(F.broadcast(nn))
+    # fold once per DISTINCT rank value (<= n/2 of them), never per
+    # exploded (vec, dim) row — mirrors the oracle's dv CTE; the join
+    # back is rank-vocabulary sized and broadcasts
+    ticks = (
+        rr.select("r")
+        .distinct()
+        .crossJoin(F.broadcast(nn))
         .selectExpr(
-            "vec_id",
+            "r",
             "CASE WHEN r >= n THEN CAST(0 AS BIGINT) ELSE "
             + fp_log2_sql("n", "r")
             + " END AS tick",
         )
+    )
+    sc = (
+        rr.join(F.broadcast(ticks), "r")
         .groupBy("vec_id")
         .agg(F.sum("tick").cast("long").alias("score_ticks"))
     )
