@@ -21470,3 +21470,89 @@ def late_data_router_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("route")
     )
+
+
+@query(
+    "merge_upsert_apply",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders WHERE o_orderkey % 10 <> 0),
+    delta AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 3 THEN 'D' ELSE 'U' END AS op,
+             'X' AS o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               + 100 AS cents
+      FROM orders WHERE o_orderkey % 5 = 0),
+    merged AS (
+      SELECT COALESCE(d.o_orderkey, b.o_orderkey) AS k,
+             CASE WHEN d.op = 'D' THEN NULL
+                  WHEN d.op = 'U' THEN d.o_orderstatus
+                  ELSE b.o_orderstatus END AS st,
+             CASE WHEN d.op = 'D' THEN NULL
+                  WHEN d.op = 'U' THEN d.cents
+                  ELSE b.cents END AS cents
+      FROM base b FULL OUTER JOIN delta d
+        ON d.o_orderkey = b.o_orderkey),
+    fin AS (SELECT * FROM merged WHERE st IS NOT NULL)
+    SELECT st AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(k) AS BIGINT) AS min_key,
+           CAST(MAX(k) AS BIGINT) AS max_key
+    FROM fin GROUP BY st ORDER BY st
+    """,
+)
+def merge_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics, Spark-native: a CDC delta (upserts that
+    both UPDATE matched keys and INSERT unmatched ones, plus
+    tombstone deletes) applied to a base snapshot via one full-outer
+    join — when-matched-update / when-not-matched-insert /
+    when-matched-delete in a single pass, the engine mechanics under
+    every lakehouse MERGE statement (and the batch dual of
+    log_compaction's latest-per-key). The delta derives
+    deterministically from the fixture (keys % 5 upsert with bumped
+    cents, % 7 = 3 of those delete; base omits % 10 = 0 so inserts
+    actually happen), and the post-merge census (count / cents mass /
+    key range per status) certifies all three branches fired. Scale:
+    one key-keyed full-outer shuffle join — exactly the cost MERGE
+    pays on any engine; AQE handles the skew."""
+    o = load_tables(spark, sf_dir)["orders"]
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    base = o.where(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("bk"),
+        F.col("o_orderstatus").alias("bst"),
+        cents.alias("bcents"),
+    )
+    delta = o.where(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("dk"),
+        F.when(F.col("o_orderkey") % 7 == 3, "D").otherwise("U").alias("op"),
+        F.lit("X").alias("dst"),
+        (cents + 100).alias("dcents"),
+    )
+    merged = base.join(
+        delta, base["bk"] == delta["dk"], "full_outer"
+    ).select(
+        F.coalesce(F.col("dk"), F.col("bk")).alias("k"),
+        F.when(F.col("op") == "D", F.lit(None))
+        .when(F.col("op") == "U", F.col("dst"))
+        .otherwise(F.col("bst"))
+        .alias("st"),
+        F.when(F.col("op") == "D", F.lit(None).cast("long"))
+        .when(F.col("op") == "U", F.col("dcents"))
+        .otherwise(F.col("bcents"))
+        .alias("cents"),
+    )
+    return (
+        merged.where(F.col("st").isNotNull())
+        .groupBy(F.col("st").alias("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.min("k").cast("long").alias("min_key"),
+            F.max("k").cast("long").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )

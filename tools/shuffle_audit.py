@@ -76,6 +76,19 @@ QUERIES = [
     "lpa_modularity_score",
     "association_rules_lift",
     "cross_source_duplication",
+    # round 4 continuation 5
+    "sssp_weighted_copurchase",
+    "local_clustering_coefficient",
+    "slope_one_brand_recs",
+    "rake_keyword_extraction",
+    "ppr_recommendations",
+    "bitmap_segment_intersections",
+    "query_likelihood_search",
+    "token_burstiness_report",
+    "ecod_anomaly_scores",
+    "shapley_attribution",
+    "point_in_time_features",
+    "quantile_treatment_effect",
 ]
 
 _UNITS = {"B": 1, "KiB": 1 << 10, "MiB": 1 << 20, "GiB": 1 << 30}
