@@ -541,3 +541,12 @@ def test_point_in_time_features_is_single_window_pass_no_join(spark):
     plan = _plan(REGISTRY["point_in_time_features"].fn(spark, SF))
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_merge_upsert_no_python_no_cartesian(spark):
+    plan = _plan(REGISTRY["merge_upsert_apply"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # MERGE pays exactly one key-keyed full-outer join
+    assert "FullOuter" in plan
