@@ -1443,3 +1443,102 @@ def test_rake_oracle_matches_python_witness(texts):
     ]
     scored.sort(key=lambda t: (-t[2], t[0]))
     assert got == scored[:20]
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),      # partkey
+            st.integers(min_value=100, max_value=5000),  # qty cents
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_encoding_planner_oracle_matches_python_witness(rows):
+    """The encoding_size_planning ORACLE's run counts, ndv, and byte
+    models equal a direct Python computation on arbitrary lineitem
+    rows (partkey / quantity columns checked; fixed-width model)."""
+    import duckdb
+
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE lineitem(l_orderkey BIGINT, l_linenumber BIGINT,"
+        " l_returnflag VARCHAR, l_linestatus VARCHAR,"
+        " l_shipdate TIMESTAMP, l_quantity DOUBLE, l_partkey BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO lineitem VALUES (?, 1, 'N', 'O',"
+        " TIMESTAMP '1995-01-01', ?, ?)",
+        [(i, q / 100.0, pk) for i, (pk, q) in enumerate(rows)],
+    )
+    got = {
+        r[0]: r
+        for r in con.execute(
+            REGISTRY["encoding_size_planning"].oracle
+        ).fetchall()
+    }
+
+    def model(vals, width):
+        n = len(vals)
+        runs = 1 + sum(
+            1 for a, b in zip(vals, vals[1:]) if a != b
+        )
+        ndv = len(set(vals))
+        bits = 1 if ndv <= 1 else (ndv - 1).bit_length()
+        return (
+            n,
+            ndv,
+            runs,
+            n * width,
+            (n * bits + 7) // 8 + ndv * width,
+            runs * (width + 4),
+        )
+
+    pks = [pk for pk, _ in rows]
+    qts = [q for _, q in rows]
+    assert got["l_partkey"][1:7] == model(pks, 8)
+    assert got["l_quantity_c"][1:7] == model(qts, 4)
+
+
+@settings(**SETTINGS)
+@given(
+    cents=st.lists(
+        st.integers(min_value=1000, max_value=10_000_000),
+        min_size=4,
+        max_size=60,
+    )
+)
+def test_selectivity_oracle_truth_and_depth_bounds(cents):
+    """The selectivity_estimation_report ORACLE's true counts equal
+    the direct predicate counts, and the equi-depth estimate is within
+    one bucket's row share of truth (the boundedness that justifies
+    keeping depth histograms)."""
+    import duckdb
+
+    from hypothesis import assume
+
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+    assume(len(set(cents)) > 1)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE orders(o_orderkey BIGINT, o_totalprice DOUBLE)")
+    con.executemany(
+        "INSERT INTO orders VALUES (?, ?)",
+        [(i, c / 100.0) for i, c in enumerate(cents)],
+    )
+    got = con.execute(
+        REGISTRY["selectivity_estimation_report"].oracle
+    ).fetchall()
+    mn, mx = min(cents), max(cents)
+    n = len(cents)
+    for q, t, true_rows, est_w, est_d, err_w, err_d in got:
+        want_t = mn + ((mx - mn) * q) // 4
+        assert t == want_t
+        assert true_rows == sum(1 for c in cents if c <= want_t)
+        # equi-depth: each bucket holds ~n/16 rows; interpolation can
+        # miss by at most ~2 buckets' mass (boundary + partial bucket)
+        assert abs(est_d - true_rows) <= (n // 16 + 1) * 2
