@@ -21556,3 +21556,181 @@ def merge_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "source_embedding_separation",
+    """
+    WITH j AS (
+      SELECT d.source,
+             list_transform(CAST(e.embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS vt
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+    ex AS (
+      SELECT source, z[2] AS dim, CAST(z[1] AS BIGINT) AS t
+      FROM (SELECT source, unnest(list_zip(vt, range(0, 64))) AS z
+            FROM j)),
+    s AS (
+      SELECT source, dim, CAST(SUM(t) AS BIGINT) AS v
+      FROM ex GROUP BY 1, 2),
+    n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM j GROUP BY 1),
+    nor AS (
+      SELECT source, CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS n2
+      FROM s GROUP BY 1),
+    pr AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(SUM(CAST(a.v AS HUGEINT) * b.v) AS HUGEINT) AS dot
+      FROM s a JOIN s b ON b.dim = a.dim AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT pr.source_a, pr.source_b, na.n_docs AS n_a, nb.n_docs AS n_b,
+           ROUND(CAST(pr.dot AS DOUBLE)
+                 / (sqrt(CAST(ra.n2 AS DOUBLE))
+                    * sqrt(CAST(rb.n2 AS DOUBLE))), 9) AS centroid_cos
+    FROM pr JOIN n na ON na.source = pr.source_a
+            JOIN n nb ON nb.source = pr.source_b
+            JOIN nor ra ON ra.source = pr.source_a
+            JOIN nor rb ON rb.source = pr.source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def source_embedding_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table semantic separation: for every source pair, the
+    cosine between the sources' embedding CENTROIDS (documents joined
+    to their vectors on doc_id = vec_id) — the one-number answer to
+    "are these corpora semantically distinct?" that drives mixture
+    and dedup decisions across tables, complementing
+    lang_similarity_jsd (surface trigram view) with the embedding
+    view. Cosine of the SUM vector equals cosine of the mean
+    (scale-invariant), so no division happens before the final IEEE
+    sqrt/divide: components quantize to 1e-10 integer ticks, per-dim
+    sums and the 64-term dot/norms are exact HUGEINT/decimal
+    integers, and identical exact integers convert to identical
+    doubles in both engines (the knn_cosine discipline). Scale: one
+    doc-keyed join, one (source, dim) map-side sum — the pairwise
+    stage is source-vocabulary bounded (|S|^2 x 64 cells)."""
+    t = load_tables(spark, sf_dir)
+    j = (
+        t["documents"]
+        .select("doc_id", "source")
+        .join(
+            t["embeddings"].select(
+                F.col("vec_id"),
+                F.expr(
+                    "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+                    " x -> CAST(floor(x * 1e10 + 0.5) AS BIGINT))"
+                ).alias("vt"),
+            ),
+            F.col("vec_id") == F.col("doc_id"),
+        )
+    )
+    ex = j.select(
+        "source", F.posexplode("vt").alias("dim", "tick")
+    )
+    s = ex.groupBy("source", "dim").agg(
+        F.sum("tick").cast("long").alias("v")
+    )
+    n = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    D = "DECIMAL(38,0)"
+    nor = s.groupBy("source").agg(
+        F.sum(F.expr(f"CAST(v AS {D}) * v")).cast(D).alias("n2")
+    )
+    a = s.select(
+        F.col("source").alias("source_a"), "dim", F.col("v").alias("va")
+    )
+    b = s.select(
+        F.col("source").alias("source_b"), "dim", F.col("v").alias("vb")
+    )
+    pr = (
+        a.join(b, "dim")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.expr(f"CAST(va AS {D}) * vb")).cast(D).alias("dot")
+        )
+    )
+    na = n.select(F.col("source").alias("source_a"), F.col("n_docs").alias("n_a"))
+    nb = n.select(F.col("source").alias("source_b"), F.col("n_docs").alias("n_b"))
+    ra = nor.select(F.col("source").alias("source_a"), F.col("n2").alias("na2"))
+    rb = nor.select(F.col("source").alias("source_b"), F.col("n2").alias("nb2"))
+    return (
+        pr.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .join(F.broadcast(ra), "source_a")
+        .join(F.broadcast(rb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                ),
+                9,
+            ).alias("centroid_cos"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@query(
+    "trending_parts_wow",
+    """
+    WITH w AS (
+      SELECT l_partkey,
+             epoch_us(CAST(l_shipdate AS TIMESTAMP))
+               // 86400000000 // 7 AS wk,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2),
+    mx AS (SELECT MAX(wk) AS mw FROM w),
+    cur AS (SELECT l_partkey, c FROM w CROSS JOIN mx WHERE wk = mw),
+    prv AS (SELECT l_partkey, c FROM w CROSS JOIN mx WHERE wk = mw - 1),
+    f AS (
+      SELECT COALESCE(cur.l_partkey, prv.l_partkey) AS l_partkey,
+             COALESCE(cur.c, 0) AS c_now, COALESCE(prv.c, 0) AS c_prev
+      FROM cur FULL OUTER JOIN prv ON prv.l_partkey = cur.l_partkey)
+    SELECT l_partkey, c_now, c_prev, c_now - c_prev AS wow_delta
+    FROM f
+    ORDER BY wow_delta DESC, l_partkey LIMIT 10
+    """,
+)
+def trending_parts_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week trending parts: shipped-line counts per part in
+    the newest epoch-week vs the week before (full-outer so new
+    entrants and vanishing parts both rank), top-10 risers by exact
+    integer delta — the per-entity trend readout next to the global
+    trend tests (Mann-Kendall / Theil-Sen measure the corpus; this
+    names the movers). Scale: one (part, week) map-side count, two
+    week slices, one part-keyed full-outer join — the ranking is a
+    TakeOrdered top-10, never a global sort."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    wk = F.expr(
+        "unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+        " div 86400000000 div 7"
+    )
+    w = li.groupBy(F.col("l_partkey"), wk.alias("wk")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    mx = w.agg(F.max("wk").alias("mw"))
+    wb = w.crossJoin(F.broadcast(mx))
+    cur = wb.where(F.col("wk") == F.col("mw")).select(
+        F.col("l_partkey").alias("pk_a"), F.col("c").alias("c_now")
+    )
+    prv = wb.where(F.col("wk") == F.col("mw") - 1).select(
+        F.col("l_partkey").alias("pk_b"), F.col("c").alias("c_prev")
+    )
+    f = cur.join(prv, cur["pk_a"] == prv["pk_b"], "full_outer").select(
+        F.coalesce(F.col("pk_a"), F.col("pk_b")).alias("l_partkey"),
+        F.coalesce(F.col("c_now"), F.lit(0)).cast("long").alias("c_now"),
+        F.coalesce(F.col("c_prev"), F.lit(0)).cast("long").alias("c_prev"),
+    )
+    return (
+        f.withColumn("wow_delta", F.col("c_now") - F.col("c_prev"))
+        .orderBy(F.desc("wow_delta"), "l_partkey")
+        .limit(10)
+    )
