@@ -550,3 +550,14 @@ def test_merge_upsert_no_python_no_cartesian(spark):
     assert "ArrowEvalPython" not in plan
     # MERGE pays exactly one key-keyed full-outer join
     assert "FullOuter" in plan
+
+
+def test_final_wave_no_python_no_cartesian(spark):
+    for name in ("source_embedding_separation", "trending_parts_wow"):
+        plan = _plan(REGISTRY[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    # top-10 risers must be a TakeOrdered cut, not a global sort
+    plan = _plan(REGISTRY["trending_parts_wow"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
