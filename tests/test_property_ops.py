@@ -1597,3 +1597,130 @@ def test_merge_upsert_oracle_matches_set_witness(keys):
         (s, a[0], a[1], a[2], a[3]) for s, a in agg.items()
     )
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab x yz ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_burstiness_oracle_matches_fraction_witness(texts):
+    """The token_burstiness_report ORACLE equals the direct
+    VMR = (N*S - T^2)/(N*T) floor-div ppm definition (zeros included
+    via N = docs with any token) on arbitrary ascii documents."""
+    import duckdb
+    import re
+    from collections import Counter, defaultdict
+
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(texts))
+    )
+    got = con.execute(REGISTRY["token_burstiness_report"].oracle).fetchall()
+
+    per = defaultdict(Counter)
+    for i, t in enumerate(texts):
+        norm = re.sub(
+            r"\s+", " ", re.sub(r"[^a-z0-9\s]", " ", t.lower())
+        ).strip()
+        for tok in norm.split(" "):
+            if tok:
+                per[i][tok] += 1
+    n = sum(1 for c in per.values() if c)
+    stats = defaultdict(lambda: [0, 0, 0])  # tok -> [df, T, S]
+    for c in per.values():
+        for tok, tf in c.items():
+            s = stats[tok]
+            s[0] += 1
+            s[1] += tf
+            s[2] += tf * tf
+    want = []
+    for tok, (df, t_, s_) in stats.items():
+        if df >= 5:
+            vmr = (1_000_000 * (n * s_ - t_ * t_)) // (n * t_)
+            want.append((tok, df, t_, vmr))
+    want.sort(key=lambda r: (-r[3], r[0]))
+    assert got == want[:20]
+
+
+@settings(**SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),     # user
+            st.integers(min_value=0, max_value=3000),  # minute offset
+            st.sampled_from(["view", "click", "signup", "purchase"]),
+            st.integers(min_value=100, max_value=9000),  # cents
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_pit_features_oracle_matches_python_witness(events):
+    """The point_in_time_features ORACLE equals a pure-Python replay
+    of the leakage-safe window semantics (strictly-prior last view /
+    signup, trailing-24h-exclusive click count) on arbitrary event
+    streams."""
+    import duckdb
+
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(user_id BIGINT, event_id BIGINT,"
+        " event_type VARCHAR, ts TIMESTAMP, value DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?, ?,"
+        " TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (?) MINUTE, ?)",
+        [(u, i, t, m, c / 100.0) for i, (u, m, t, c) in enumerate(events)],
+    )
+    got = con.execute(REGISTRY["point_in_time_features"].oracle).fetchall()
+
+    base = 1704067200 * 1_000_000  # 2024-01-01 UTC epoch micros
+    want = []
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for i, (u, m, t, c) in enumerate(events):
+        per[u].append((base + m * 60_000_000, i, t, c))
+    for u in per:
+        rows = sorted(per[u])
+        for idx, (ts, i, t, c) in enumerate(rows):
+            if t != "purchase":
+                continue
+            prior = rows[:idx]
+            lv = next(
+                (pc for pts, pi, pt, pc in reversed(prior) if pt == "view"),
+                None,
+            )
+            lsu = next(
+                (pts for pts, pi, pt, pc in reversed(prior)
+                 if pt == "signup"),
+                None,
+            )
+            clicks = sum(
+                1
+                for pts, pi, pt, pc in prior
+                if pt == "click"
+                and ts - 86_400_000_000 <= pts <= ts - 1
+            )
+            want.append(
+                (
+                    u,
+                    ts,
+                    c,
+                    lv if lv is not None else -1,
+                    clicks,
+                    (ts - lsu) // 1_000_000 if lsu is not None else -1,
+                )
+            )
+    want.sort()
+    assert got == want[:20]
