@@ -1724,3 +1724,142 @@ def test_pit_features_oracle_matches_python_witness(events):
             )
     want.sort()
     assert got == want[:20]
+
+
+@settings(**SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),      # user -> queue
+            st.integers(min_value=0, max_value=10000),  # minute offset
+            st.integers(min_value=100, max_value=9000),  # cents
+        ),
+        min_size=2,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_late_router_oracle_matches_merge_witness(events):
+    """The late_data_router_audit ORACLE equals a pure-Python replay
+    of the four-queue round-robin merge + running-HWM-minus-1h
+    watermark routing, including the kept+late = everything
+    partition property."""
+    import duckdb
+
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(user_id BIGINT, event_id BIGINT,"
+        " ts TIMESTAMP, value DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?,"
+        " TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (?) MINUTE, ?)",
+        [(u, i, m, c / 100.0) for i, (u, m, c) in enumerate(events)],
+    )
+    got = {r[0]: r for r in con.execute(
+        REGISTRY["late_data_router_audit"].oracle
+    ).fetchall()}
+
+    base = 1704067200 * 1_000_000
+    rows = [
+        (u % 4, base + m * 60_000_000, i, c)
+        for i, (u, m, c) in enumerate(events)
+    ]
+    # per-queue position by (ts, event_id); merge order = (pos, queue)
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for que, ts, i, c in rows:
+        per[que].append((ts, i, c))
+    merged = []
+    for que in per:
+        for pos, (ts, i, c) in enumerate(sorted(per[que]), start=1):
+            merged.append((pos, que, ts, i, c))
+    merged.sort()
+    hwm = None
+    agg = {"kept": [0, 0, 0], "late": [0, 0, 0]}
+    for pos, que, ts, i, c in merged:
+        route = (
+            "late"
+            if hwm is not None and ts < hwm - 3_600_000_000
+            else "kept"
+        )
+        a = agg[route]
+        a[0] += 1
+        a[1] += i
+        a[2] += c
+        hwm = ts if hwm is None else max(hwm, ts)
+    want = {
+        r: (r, a[0], a[1], a[2]) for r, a in agg.items() if a[0] > 0
+    }
+    assert got == want
+    total = sum(a[0] for a in agg.values())
+    assert total == len(events)
+
+
+@settings(**SETTINGS)
+@given(
+    users=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=40),       # user
+            st.integers(min_value=0, max_value=200000),   # hist cents
+            st.integers(min_value=0, max_value=200000),   # target cents
+        ),
+        min_size=4,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_conformal_oracle_matches_rank_witness(users):
+    """The conformal_spend_interval ORACLE equals a pure-Python
+    split-conformal witness: trailing-3-week floor mean predictor,
+    ceil(0.9*(n+1))-th smallest calibration residual, held-out
+    coverage ppm."""
+    import duckdb
+    import hashlib
+
+    from hypothesis import assume
+
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+    def cal(uid):
+        h = int(hashlib.md5(f"conf:{uid}".encode()).hexdigest()[:15], 16)
+        return h % 2 == 0
+
+    assume(any(cal(u) for u, _, _ in users))
+    assume(any(not cal(u) for u, _, _ in users))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(user_id BIGINT, event_type VARCHAR,"
+        " ts TIMESTAMP, value DOUBLE)"
+    )
+    ins = []
+    # weeks: put history purchases 2 weeks before max, targets at max;
+    # anchor the max week with a view event for every user
+    for u, h, y in users:
+        if h:
+            ins.append((u, "purchase", "2024-01-10 00:00:00", h / 100.0))
+        if y:
+            ins.append((u, "purchase", "2024-01-24 00:00:00", y / 100.0))
+        ins.append((u, "view", "2024-01-24 01:00:00", 1.0))
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?)", ins)
+    got = con.execute(REGISTRY["conformal_spend_interval"].oracle).fetchone()
+
+    res = {u: abs(y - h // 3) for u, h, y in users}
+    cal_res = sorted(
+        (res[u], u) for u, _, _ in users if cal(u)
+    )
+    n_cal = len(cal_res)
+    rn = min((9 * n_cal + 18) // 10, n_cal)
+    q = cal_res[rn - 1][0]
+    tst = [(res[u]) for u, _, _ in users if not cal(u)]
+    covered = sum(1 for r in tst if r <= q)
+    n_test = len(tst)
+    assert got == (
+        n_cal,
+        n_test,
+        q,
+        (2 * 1_000_000 * covered + n_test) // (2 * n_test),
+    )
