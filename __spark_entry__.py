@@ -51,12 +51,22 @@ def _verified_names() -> set[str]:
     return green
 
 
+# §2-adjacent anchors the judge asked to witness next (VERDICT r4 item 7):
+# always first among never-green so they land in the driver's 50-query window.
+_PRIORITY_HEAD = (
+    "connector_pipeline_e2e",
+    "merge_upsert_apply",
+    "late_data_router_audit",
+    "event_lateness_profile",
+)
+
+
 def _ordered_names() -> list[str]:
     green = _verified_names()
     names = list(REGISTRY)
-    return [n for n in names if n not in green] + [
-        n for n in names if n in green
-    ]
+    head = [n for n in _PRIORITY_HEAD if n in REGISTRY and n not in green]
+    rest_never = [n for n in names if n not in green and n not in head]
+    return head + rest_never + [n for n in names if n in green]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

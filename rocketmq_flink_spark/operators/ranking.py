@@ -1,0 +1,124 @@
+"""Distributed exact global rank / prefix sums — no single-partition sort.
+
+A global ``row_number()`` / ``ntile()`` / running ``SUM`` expressed as
+``Window.orderBy(...)`` with no partition spec moves the ENTIRE input
+through one task (Spark warns "No Partition Defined ... Moving all data
+to a single partition") — correct on 60k rows, dead at 100 TB. This
+module ships the distributed exact form used by the catalog's ranked
+queries:
+
+1. bucket every row by a *deterministic* range function of an integral
+   key that is monotone in the sort order (no sampling — unlike
+   ``repartitionByRange``, the bucket of a row depends only on the data,
+   so the plan is replayable and needs no checkpoint/persist barrier);
+2. aggregate per-bucket counts/sums (map-side combinable, <= n_buckets
+   rows);
+3. turn those into *exclusive* per-bucket offsets with a tiny
+   bucket-axis self-join (<= n_buckets^2 nested-loop rows — window-free,
+   so the shipped plans contain NO partition-less WindowExec at all);
+4. broadcast the offsets back and finish with a window PARTITIONED by
+   bucket: offset + within-bucket row_number / running sum.
+
+Wall-clock at scale: one extra tiny aggregate versus the single-sort
+form, and the heavy sort becomes n_buckets independent partition-local
+sorts. The results are exact (not approximate) — each catalog query
+keeps its original DuckDB ntile/row_number/cumsum oracle bit-for-bit.
+
+Skew note: linear range buckets assume the key is roughly spread over
+[min, max] (true for the catalog's price-cents, doc-id and 60-bit-hash
+keys). For adversarial key distributions, swap step 1's linear split
+for approx-quantile cutpoints — the rest of the pipeline is unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["distributed_prefix", "ntile_from_pos_sql"]
+
+
+def distributed_prefix(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    bucket_col: str,
+    sum_cols: Sequence[str] = (),
+    pos_col: str | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Add exact global prefix columns to ``df`` without a global sort.
+
+    order_cols: the total order (must be strict — include a tiebreaker —
+        wherever downstream consumes positions of tied sort keys).
+    bucket_col: NAME of an integral (long) column in ``df`` that is
+        monotone non-decreasing in the sort order (typically the first
+        order column, or a fixed-point projection of it).
+    sum_cols:  integral columns to accumulate; each yields ``cum_<c>``
+        (inclusive running sum in sort order).
+    pos_col:   if set, adds the global 1-based row number.
+    """
+    if not sum_cols and pos_col is None:
+        raise ValueError("nothing to compute: pass sum_cols or pos_col")
+    bounds = df.agg(
+        F.min(bucket_col).alias("_rk_lo"), F.max(bucket_col).alias("_rk_hi")
+    )
+    b = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_rk_bkt",
+        F.expr(
+            f"CAST(({bucket_col} - _rk_lo)"
+            f" DIV ((_rk_hi - _rk_lo) DIV {int(n_buckets)} + 1) AS INT)"
+        ),
+    ).drop("_rk_lo", "_rk_hi")
+    aggs = [F.count(F.lit(1)).cast("long").alias("_rk_n")]
+    aggs += [F.sum(c).cast("long").alias(f"_rk_t_{c}") for c in sum_cols]
+    tot = b.groupBy("_rk_bkt").agg(*aggs)
+    prev = tot.select(
+        F.col("_rk_bkt").alias("_rk_b2"),
+        "_rk_n",
+        *[f"_rk_t_{c}" for c in sum_cols],
+    )
+    off = (
+        tot.select("_rk_bkt")
+        .join(prev, F.col("_rk_b2") < F.col("_rk_bkt"), "left")
+        .groupBy("_rk_bkt")
+        .agg(
+            F.coalesce(F.sum("_rk_n"), F.lit(0)).alias("_rk_off_n"),
+            *[
+                F.coalesce(F.sum(f"_rk_t_{c}"), F.lit(0)).alias(f"_rk_off_{c}")
+                for c in sum_cols
+            ],
+        )
+    )
+    out = b.join(F.broadcast(off), "_rk_bkt")
+    w = Window.partitionBy("_rk_bkt").orderBy(*order_cols)
+    if pos_col is not None:
+        out = out.withColumn(
+            pos_col,
+            (F.col("_rk_off_n") + F.row_number().over(w)).cast("long"),
+        )
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}", F.col(f"_rk_off_{c}") + F.sum(c).over(ws)
+        )
+    return out.drop(
+        "_rk_bkt", "_rk_off_n", *[f"_rk_off_{c}" for c in sum_cols]
+    )
+
+
+def ntile_from_pos_sql(pos: str, n: str, tiles: int) -> str:
+    """SQL text computing ``ntile(tiles)`` from a 1-based global position
+    ``pos`` and total count ``n`` — the exact standard-SQL bucketing
+    (first n%tiles buckets get one extra row). Integer-only; lazy CASE
+    keeps the else-branch division safe when n < tiles."""
+    k = f"({n} DIV {tiles})"
+    r = f"({n} % {tiles})"
+    big = f"({k} + 1)"
+    return (
+        f"CAST(CASE WHEN {pos} <= {r} * {big}"
+        f" THEN ({pos} + {big} - 1) DIV {big}"
+        f" ELSE {r} + (({pos} - {r} * {big}) + {k} - 1) DIV {k}"
+        f" END AS INT)"
+    )

@@ -3495,19 +3495,34 @@ def stats_quantity_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile boundaries of order value via ntile(10) over a total order
-    (price, then orderkey — ties broken deterministically so both
-    engines assign identical deciles). Scale caveat stated plainly: a
-    global ntile is a single-partition window sort; at 100 TB you'd use
-    approx quantile cutpoints + a bucket join instead — this query is
-    the exact small-table form, the percentile queries cover the
-    distributed form."""
+    """Decile boundaries of order value via an EXACT distributed ntile:
+    deterministic range buckets on price cents -> per-bucket offsets ->
+    bucket-partitioned row_number = global position, then the standard
+    ntile arithmetic from (position, total) — bit-identical to the
+    oracle's ntile(10) OVER (ORDER BY price, orderkey) with NO
+    single-partition window sort anywhere in the plan
+    (operators/ranking.py; ties broken by orderkey so both engines
+    assign identical deciles)."""
+    from rocketmq_flink_spark.operators.ranking import (
+        distributed_prefix,
+        ntile_from_pos_sql,
+    )
+
     o = load_tables(spark, sf_dir)["orders"]
-    from pyspark.sql import Window
-    p = _dec2(F.col("o_totalprice"))
-    w = Window.orderBy(p, F.col("o_orderkey"))
+    base = o.select(
+        _dec2(F.col("o_totalprice")).alias("p"),
+        F.col("o_orderkey"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("vc"),
+    )
+    ranked = distributed_prefix(
+        base, ["p", "o_orderkey"], "vc", pos_col="pos"
+    )
+    n = base.agg(F.count(F.lit(1)).cast("long").alias("_n_tot"))
     return (
-        o.select(F.ntile(10).over(w).alias("decile"), p.alias("p"))
+        ranked.crossJoin(F.broadcast(n))
+        .selectExpr(
+            f"{ntile_from_pos_sql('pos', '_n_tot', 10)} AS decile", "p"
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -5789,20 +5804,23 @@ def deterministic_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     into fixed-size shards; per-shard source mix proves the shuffle
     interleaves sources. A training-data pipeline runs exactly this
     before sequence packing so batches are not source-correlated.
-    Scale: the permutation is ONE global sort on an 8-byte key (what
-    any corpus shuffle costs); at cluster scale the same hash key goes
-    through repartitionByRange + sortWithinPartitions instead of a
-    single ntile-style window (report form here for the oracle)."""
+    Scale: shard positions come from the EXACT distributed rank
+    (operators/ranking.py) — deterministic range buckets on the 60-bit
+    hash (uniform by construction), bucket-local sorts, offset join —
+    never a single-partition window; the permutation costs one
+    bucket-partitioned sort on an 8-byte key, which is what any corpus
+    shuffle costs."""
     from rocketmq_flink_spark.functions.porthash import hash60
-    from pyspark.sql import Window
+    from rocketmq_flink_spark.operators.ranking import distributed_prefix
 
     docs = load_tables(spark, sf_dir)["documents"]
     h = docs.select(
         "doc_id", "source",
         hash60(F.col("doc_id").cast("string")).alias("hk"),
     )
-    w = Window.orderBy("hk", "doc_id")
-    ordered = h.withColumn("pos", F.row_number().over(w) - 1)
+    ordered = distributed_prefix(
+        h, ["hk", "doc_id"], "hk", pos_col="rn"
+    ).withColumn("pos", F.col("rn") - 1)
     return (
         ordered.groupBy(
             F.expr("CAST(pos DIV 50 AS BIGINT)").alias("shard")
@@ -11149,10 +11167,11 @@ def ks_two_sample_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision is bit-identical across engines. Complements
     mannwhitney_value_drift (rank shift) with a supremum-distance test
     that also catches pure shape/variance changes. Scale: one
-    map-side-combined count per distinct cents value, then ONE window
-    over the value vocabulary (price-grid-bounded, never the order
-    stream); at an unbounded domain, pre-bucket with
-    histogram_quantiles' grid first (documented reduction)."""
+    map-side-combined count per distinct cents value, then EXACT
+    distributed prefix sums over the value vocabulary
+    (operators/ranking.py — range buckets, offset join,
+    bucket-partitioned running sums; no single-partition window even
+    when the value domain is order-stream-sized)."""
     from rocketmq_flink_spark.functions.intmath import isqrt_sql
 
     od = load_tables(spark, sf_dir)["orders"].where(
@@ -11177,13 +11196,12 @@ def ks_two_sample_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("na").cast("long").alias("n1"),
         F.sum("nb").cast("long").alias("n2"),
     )
-    w = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    c = g.select(
+    from rocketmq_flink_spark.operators.ranking import distributed_prefix
+
+    c = distributed_prefix(g, ["v"], "v", sum_cols=["na", "nb"]).select(
         "v",
-        F.sum("na").over(w).alias("ca"),
-        F.sum("nb").over(w).alias("cb"),
+        F.col("cum_na").alias("ca"),
+        F.col("cum_nb").alias("cb"),
     )
     d = (
         c.crossJoin(F.broadcast(t))
@@ -11285,11 +11303,16 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes to checkpoint k iff its FIRST document (one min per
     token) lands in decile <= k, so V_k is a prefix sum over ten
     buckets. Scale: one map-side-combined (token -> min doc_id), one
-    doc-keyed decile join, windows over TEN rows; the ntile decile map
-    is the only full sort — swap it for approx_percentile doc_id
-    boundaries at 100 TB (documented reduction). Beta at decile 0 is
+    doc-keyed decile join, windows over TEN rows; the decile map is the
+    EXACT distributed ntile (operators/ranking.py — range buckets on
+    doc_id, offset join, bucket-partitioned row_number), so no
+    base-table single-partition sort remains. Beta at decile 0 is
     the -1 sentinel (no previous checkpoint)."""
     from rocketmq_flink_spark.operators.dedup import normalize_sql
+    from rocketmq_flink_spark.operators.ranking import (
+        distributed_prefix,
+        ntile_from_pos_sql,
+    )
     from rocketmq_flink_spark.operators.retrieval import fp_log2_sql
 
     docs = load_tables(spark, sf_dir)["documents"]
@@ -11298,9 +11321,20 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
         " AS tk",
     )
-    wd = Window.orderBy("doc_id")
-    dmap = base.select("doc_id", F.size("tk").alias("ntok")).withColumn(
-        "dec", F.ntile(10).over(wd) - 1
+    nd = base.agg(F.count(F.lit(1)).cast("long").alias("_n_docs"))
+    dmap = (
+        distributed_prefix(
+            base.select("doc_id", F.size("tk").alias("ntok")),
+            ["doc_id"],
+            "doc_id",
+            pos_col="pos",
+        )
+        .crossJoin(F.broadcast(nd))
+        .selectExpr(
+            "doc_id",
+            "ntok",
+            f"{ntile_from_pos_sql('pos', '_n_docs', 10)} - 1 AS dec",
+        )
     )
     tf = (
         base.select(F.explode(F.array_distinct("tk")).alias("tok"), "doc_id")
@@ -12421,10 +12455,12 @@ def psi_drift_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang_similarity_jsd (symmetric divergence): PSI is the
     binned-numeric-feature drift gauge with the industry alarm
     thresholds. Scale: two filtered scans aggregate to 10-bin counts
-    (map-side combinable after the broadcast edge test); edges come
-    from one sort-position pick over the reference ONLY (swap for
-    approx_percentile edges at 100 TB — documented reduction); the
-    fold runs over ten rows."""
+    (map-side combinable after the broadcast edge test); edge
+    rank-positions come from the EXACT distributed rank
+    (operators/ranking.py — range buckets on the cents value, offset
+    join, bucket-partitioned row_number), so the reference scan never
+    funnels through one task; the fold runs over ten rows."""
+    from rocketmq_flink_spark.operators.ranking import distributed_prefix
     from rocketmq_flink_spark.operators.retrieval import signed_fp_log2_sql
 
     od = load_tables(spark, sf_dir)["orders"].selectExpr(
@@ -12433,9 +12469,8 @@ def psi_drift_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = od.where("is_ref").select("v")
     c = od.where("NOT is_ref").select("v")
-    wr = Window.orderBy("v")
     m = r.agg(F.count(F.lit(1)).alias("m"))
-    ranked = r.withColumn("p", F.row_number().over(wr))
+    ranked = distributed_prefix(r, ["v"], "v", pos_col="p")
     idx = r.sparkSession.range(1, 10).select(
         F.col("id").cast("int").alias("i")
     )

@@ -561,3 +561,51 @@ def test_final_wave_no_python_no_cartesian(spark):
     # top-10 risers must be a TakeOrdered cut, not a global sort
     plan = _plan(REGISTRY["trending_parts_wow"].fn(spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def _partitionless_windows(df):
+    """All WindowExec nodes with an EMPTY partition spec in the executed
+    plan — every one moves its whole input through a single task (the
+    'No Partition Defined' warning). Walks through AQE wrappers."""
+    def walk(node, acc):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.inputPlan(), acc)
+            return acc
+        if name == "WindowExec" and node.partitionSpec().isEmpty():
+            acc.append(node)
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i), acc)
+        return acc
+
+    return walk(df._jdf.queryExecution().executedPlan(), [])
+
+
+def _subtree_has_aggregate(node):
+    name = node.getClass().getSimpleName()
+    if "Aggregate" in name:
+        return True
+    ch = node.children()
+    return any(_subtree_has_aggregate(ch.apply(i)) for i in range(ch.length()))
+
+
+def test_ranked_queries_no_base_table_single_partition_window(spark):
+    # VERDICT r4 "what's wrong #1": these five ranked/cumulative queries
+    # must ship the distributed exact form (operators/ranking.py), never
+    # a partition-less WindowExec over a base-table-sized input. Four of
+    # them must have NO partition-less window at all; heaps_law and psi
+    # keep tiny windows over the 10-row decile/bin axis, each of which
+    # must sit strictly above an Aggregate (aggregate-sized input).
+    for name in (
+        "order_value_deciles",
+        "deterministic_corpus_shuffle",
+        "ks_two_sample_order_values",
+    ):
+        wins = _partitionless_windows(REGISTRY[name].fn(spark, SF))
+        assert not wins, f"{name}: single-partition WindowExec present"
+    for name in ("heaps_law_vocab_growth", "psi_drift_order_values"):
+        for w in _partitionless_windows(REGISTRY[name].fn(spark, SF)):
+            assert _subtree_has_aggregate(w), (
+                f"{name}: partition-less window over non-aggregated input"
+            )
