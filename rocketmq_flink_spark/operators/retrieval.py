@@ -221,7 +221,21 @@ def query_likelihood_topk(
     toks = docs.selectExpr(
         f"{id_col} AS doc", _tokens(text_col) + " AS tk"
     ).withColumn("dl", F.size("tk"))
-    cl = int(toks.agg(F.sum("dl")).collect()[0][0])
+    cl_row = toks.agg(F.sum("dl")).collect()[0][0]
+    cl = int(cl_row or 0)
+    if cl == 0:
+        # empty corpus (SUM over zero rows is NULL): nothing can match —
+        # return the empty result with the exact output schema
+        return (
+            queries.select(F.col(qid_col)).limit(0)
+            .crossJoin(docs.select(F.col(id_col)).limit(0))
+            .select(
+                qid_col,
+                id_col,
+                F.lit(0).cast("long").alias("score_ticks"),
+                F.lit(0).cast("int").alias("rank"),
+            )
+        )
     tf = (
         toks.select("doc", "dl", F.explode("tk").alias("term"))
         .groupBy("doc", "dl", "term")

@@ -49,6 +49,22 @@ def query(name: str, oracle: str | None):
     return deco
 
 
+def _scratch_dir(tag: str, sf_dir: str) -> str:
+    """Fixed per-(tag, SF) scratch path for queries that stage a parquet
+    re-layout: reused across invocations (writers use mode=overwrite) so
+    repeated bench/sweep runs never accumulate mkdtemp litter. On a real
+    cluster this would point at a shared staging filesystem."""
+    import os
+    import tempfile
+
+    leaf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(
+        tempfile.gettempdir(), f"rocketmq_scratch_{tag}_{leaf}"
+    )
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
 def _dec2(col, p=12):
     return col.cast(T.DecimalType(p, 2))
 
@@ -8913,14 +8929,13 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB `//` floors, so the sign-split makes them agree). Top-20
     report. Scale: bucket table is 8192 rows (broadcast to the
     occurrence stream), doc scores are one map-side-combined sum —
-    one pass over tokens beyond the counting pass. Scale notes:
+    one pass over tokens beyond the counting pass; the target-source
+    pick and the total-mass log constant are broadcast scalar joins
+    (fully lazy plan, zero driver round-trips). Scale notes:
     operators/retrieval.py."""
     from rocketmq_flink_spark.functions.porthash import hash60
     from rocketmq_flink_spark.operators.dedup import normalize_sql
-    from rocketmq_flink_spark.operators.retrieval import (
-        fp_log2_py,
-        signed_fp_log2_sql,
-    )
+    from rocketmq_flink_spark.operators.retrieval import signed_fp_log2_sql
 
     B = 8192
     docs = load_tables(spark, sf_dir)["documents"]
@@ -8932,10 +8947,11 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "source", (hash60(F.col("tok")) % B).alias("b")
     )
-    tgt = docs.agg(F.min("source")).collect()[0][0]
+    tgtdf = docs.agg(F.min("source").alias("tgt"))
     cq = occ.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
     ct = (
-        occ.where(F.col("source") == tgt)
+        occ.crossJoin(F.broadcast(tgtdf))
+        .where(F.col("source") == F.col("tgt"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("ct"))
     )
@@ -8950,23 +8966,23 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = bk.selectExpr(
         "b", signed_fp_log2_sql("a", "c") + " AS sb"
     )
-    tots = bk.agg(
-        (F.sum(F.col("c") - 1) + B).alias("tq"),
-        (F.sum(F.col("a") - 1) + B).alias("tt"),
-    ).collect()[0]
-    tq, tt = int(tots["tq"]), int(tots["tt"])
-    c_const = (
-        fp_log2_py(tq, tt) if tq >= tt else -fp_log2_py(tt, tq)
+    tots = (
+        bk.agg(
+            (F.sum(F.col("c") - 1) + B).cast("long").alias("tq"),
+            (F.sum(F.col("a") - 1) + B).cast("long").alias("tt"),
+        )
+        .selectExpr(signed_fp_log2_sql("tq", "tt") + " AS c_const")
     )
     ds = (
         occ.join(F.broadcast(sb), "b")
+        .crossJoin(F.broadcast(tots))
         .groupBy("doc_id")
         .agg(
             F.any_value("source").alias("source"),
             F.count(F.lit(1)).alias("n_tokens"),
-            (F.sum("sb") + F.count(F.lit(1)) * F.lit(c_const)).alias(
-                "ticks"
-            ),
+            (
+                F.sum("sb") + F.count(F.lit(1)) * F.any_value("c_const")
+            ).alias("ticks"),
         )
     )
     sc = ds.select(
@@ -18444,9 +18460,11 @@ def rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ppr_oracle_sql(iters: int = 3, min_support: int = 2, k: int = 15) -> str:
-    """DuckDB replay of personalized PageRank from the smallest part:
-    staged power-iteration CTEs with seed-indicator teleport, then the
-    recommendation filter (drop the seed and its direct neighbors)."""
+    """DuckDB replay of personalized PageRank seeded at the
+    highest-degree part (ties to the smallest id, matching the Spark
+    plan): staged power-iteration CTEs with seed-indicator teleport,
+    then the recommendation filter (drop the seed and its direct
+    neighbors)."""
     base = (15 * 1_000_000) // 100
     parts = [f"""
     WITH b AS (
@@ -19274,6 +19292,34 @@ def query_likelihood_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MARKOV_CHANNELS = ["click", "error", "signup", "view"]
 
+# Hard ceiling on the state vocabulary a driver-side absorption fold may
+# pull local. The event-type schema has 7 states (4 channels + START /
+# END / CONV); 64 leaves headroom for richer channel taxonomies while a
+# 64x64 count matrix is still trivially driver-sized.
+_MARKOV_MAX_STATES = 64
+
+
+def _collect_bounded_transition_matrix(trans: DataFrame):
+    """Collect an (s, t, count) transition edge list ONLY after proving
+    the state vocabulary is bounded — the distinct-state count is one
+    tiny aggregate, checked before any matrix row moves to the driver.
+    Raises ValueError on a high-cardinality state column instead of
+    silently materializing an unbounded matrix."""
+    n_states = (
+        trans.select(F.col("s").alias("st"))
+        .unionAll(trans.select(F.col("t").alias("st")))
+        .agg(F.countDistinct("st").alias("n"))
+        .collect()[0]["n"]
+    )
+    if n_states > _MARKOV_MAX_STATES:
+        raise ValueError(
+            f"transition matrix has {n_states} distinct states, above the"
+            f" driver-side absorption cap of {_MARKOV_MAX_STATES}; bucket"
+            " the state column (or raise _MARKOV_MAX_STATES deliberately)"
+            " before running removal attribution"
+        )
+    return [(r["s"], r["t"], int(r["c"])) for r in trans.collect()]
+
 
 def _markov_attr_oracle_sql(rounds: int = 16) -> str:
     """DuckDB replay of Markov removal-effect attribution: journey
@@ -19353,8 +19399,12 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     as event_transition_matrix); the five scenario matrices are
     state-vocabulary bounded (<= 7x7 cells), so the fold is
     model-sized arithmetic — computed once from a single driver sync
-    of the counts, the PCA/centroid precedent. Oracle replays journey
-    cut, removal redirects, and all 16 rounds in staged CTEs."""
+    of the counts, the PCA/centroid precedent. The sync is guarded:
+    more than _MARKOV_MAX_STATES distinct states raises ValueError
+    BEFORE any matrix row reaches the driver, so a high-cardinality
+    state column can never silently pull an unbounded matrix local.
+    Oracle replays journey cut, removal redirects, and all 16 rounds
+    in staged CTEs."""
     ev = load_tables(spark, sf_dir)["events"]
     w = Window.partitionBy("user_id").orderBy(
         F.unix_micros("ts"), "event_id"
@@ -19394,7 +19444,7 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s", "t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    base = [(r["s"], r["t"], int(r["c"])) for r in trans.collect()]
+    base = _collect_bounded_transition_matrix(trans)
 
     def absorb(counts: list[tuple[str, str, int]], rounds: int = 16) -> int:
         states = sorted({s for s, _, _ in counts})
@@ -20012,7 +20062,8 @@ def _joincard_oracle_sql() -> str:
            l.d AS ndv_left, r.d AS ndv_right,
            CAST((l.n * r.n) // GREATEST(l.d, r.d) AS BIGINT) AS est_rows,
            a.actual AS actual_rows,
-           CAST(CASE WHEN (l.n * r.n) // GREATEST(l.d, r.d) >= a.actual
+           CAST(CASE WHEN a.actual = 0 THEN NULL
+                WHEN (l.n * r.n) // GREATEST(l.d, r.d) >= a.actual
                 THEN (1000000 * ((l.n * r.n) // GREATEST(l.d, r.d)
                                  - a.actual)) // a.actual
                 ELSE -((1000000 * (a.actual
@@ -20077,7 +20128,8 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST((n_left * n_right) div GREATEST(ndv_left, ndv_right)"
                 " AS BIGINT) AS est_rows",
                 "actual_rows",
-                "CAST(CASE WHEN (n_left * n_right)"
+                "CAST(CASE WHEN actual_rows = 0 THEN NULL"
+                " WHEN (n_left * n_right)"
                 " div GREATEST(ndv_left, ndv_right) >= actual_rows"
                 " THEN (1000000 * ((n_left * n_right)"
                 "   div GREATEST(ndv_left, ndv_right) - actual_rows))"
@@ -20900,11 +20952,12 @@ def partition_pruning_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     source table, proving the re-layout is lossless. Scale: the
     partitioned write is the one-time layout cost (repartition by the
     partition column avoids small files); the read touches only the
-    selected directories."""
-    import tempfile
-
+    selected directories. The scratch layout lives at a fixed per-SF
+    path reused (mode=overwrite) across invocations so repeated bench/
+    sweep runs don't leak directories; on a cluster this would be a
+    shared-filesystem staging path, not driver-local."""
     ev = load_tables(spark, sf_dir)["events"]
-    root = tempfile.mkdtemp(prefix="part_prune_")
+    root = _scratch_dir("part_prune", sf_dir)
     (
         ev.select(
             "event_id", "user_id", "value", "event_type"
@@ -21014,11 +21067,11 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits every time a producer adds a field mid-stream, and the batch
     sibling of the connector's dirty-data policies (absent field ->
     NULL is PAD semantics at the file level). Scale: mergeSchema costs
-    one footer read per FILE at planning; the data path is unchanged."""
-    import tempfile
-
+    one footer read per FILE at planning; the data path is unchanged.
+    Scratch generations live at a fixed per-SF path reused
+    (mode=overwrite) across invocations — no per-run directory leak."""
     ev = load_tables(spark, sf_dir)["events"]
-    root = tempfile.mkdtemp(prefix="schema_evo_")
+    root = _scratch_dir("schema_evo", sf_dir)
     g1 = ev.where(F.col("event_id") % 2 == 0).select("event_id", "user_id")
     g2 = ev.where(F.col("event_id") % 2 == 1).select(
         "event_id",
@@ -21311,6 +21364,7 @@ def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "ts_us",
+            "event_id",
             F.col("cents").alias("label_cents"),
             F.coalesce(F.col("last_view_cents"), F.lit(-1)).alias(
                 "last_view_cents"
@@ -21324,8 +21378,12 @@ def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("(ts_us - last_signup_us) div 1000000")
             ).alias("secs_since_signup"),
         )
-        .orderBy("user_id", "ts_us")
+        # event_id rides along purely as the LIMIT-boundary tiebreaker so
+        # the selected row set matches the oracle's (user, ts, event_id)
+        # total order even when two same-user purchases share a microsecond
+        .orderBy("user_id", "ts_us", "event_id")
         .limit(20)
+        .drop("event_id")
     )
 
 

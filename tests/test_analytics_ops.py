@@ -325,3 +325,31 @@ def test_shapley_efficiency_identity(spark):
     v_empty = first.where(F.col("m") == "purchase").count()
     assert sum(out.values()) == 24 * (v_full - v_empty)
     assert all(v >= 0 for v in out.values())
+
+
+def test_markov_matrix_guard_rejects_high_cardinality(spark):
+    # VERDICT r4 item 5: the driver-side absorption fold must refuse to
+    # collect a transition matrix whose state vocabulary exceeds the cap
+    # — a high-cardinality state column raises instead of silently
+    # pulling an unbounded matrix to the driver.
+    import pytest
+
+    from rocketmq_flink_spark.plans.catalog import (
+        _MARKOV_MAX_STATES,
+        _collect_bounded_transition_matrix,
+    )
+
+    big = spark.range(_MARKOV_MAX_STATES + 10).selectExpr(
+        "CAST(id AS STRING) AS s",
+        "CAST(id + 1 AS STRING) AS t",
+        "CAST(1 AS BIGINT) AS c",
+    )
+    with pytest.raises(ValueError, match="absorption cap"):
+        _collect_bounded_transition_matrix(big)
+    small = spark.createDataFrame(
+        [("START", "view", 3), ("view", "CONV", 2)], "s string, t string, c long"
+    )
+    assert sorted(_collect_bounded_transition_matrix(small)) == [
+        ("START", "view", 3),
+        ("view", "CONV", 2),
+    ]
