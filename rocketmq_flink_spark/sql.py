@@ -7,12 +7,15 @@ message log as a (temp) view over the DataSource, after which the full
 Catalyst SQL surface — joins, windows, aggregates — applies, exactly as
 Flink SQL applies to the reference's tables.
 
-Why views and not `CREATE TABLE ... USING rocketmq`: this Spark build
-does not forward the OPTIONS clause of a SQL-created table to a Python
-DataSource (the scan arrives with an empty options map), so persistent
-SQL tables over Python sources cannot carry connector options. The
-helpers below are the supported path; they accept the same option
-surface as `spark.read.format("rocketmq")`.
+Why views and not `CREATE TABLE ... USING rocketmq`: probed directly
+(round 5, pinned by test_sql_ddl_options_not_forwarded_probe) — on this
+Spark build a SQL-created table over a Python DataSource hands the
+reader an EMPTY options map at SELECT time, for all three spellings
+(OPTIONS, TBLPROPERTIES, LOCATION), while the identical source through
+`spark.read.format(...).options(...)` receives every option. Persistent
+SQL tables over Python sources therefore cannot carry connector
+options; the helpers below are the supported path and accept the same
+option surface as `spark.read.format("rocketmq")` (PARITY S10a).
 """
 
 from __future__ import annotations

@@ -3,8 +3,14 @@
 Reference parity map (paths under src/main/java/org/apache/rocketmq/flink):
 - with_event_time      <- BoundedOutOfOrdernessGenerator.java:25-59 (W1) and
   the per-queue variant BoundedOutOfOrdernessGeneratorPerQueue.java:28-69
-  (W2): Spark's watermark is already min-across-partitions of per-partition
-  max event time minus the delay, which is exactly W2's semantics.
+  (W2). W2 mapping (tested: test_per_queue_watermark_w2_equivalence):
+  Spark's watermark is GLOBAL max event time minus delay, while the
+  reference's per-queue generator takes the MIN over per-queue maxima —
+  a queue lagging the fastest queue by S keeps its in-order records
+  un-late. Reproduce that in Spark by setting
+  delay = bound + max expected cross-queue skew (the test demonstrates
+  exact window-result equality under the mapping and the divergence
+  without it).
 - tumbling/sliding/session windows <- not in the connector (host-engine
   Flink windows, SURVEY.md §2.6 W11); Spark built-ins window()/
   session_window().

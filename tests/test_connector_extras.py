@@ -271,3 +271,52 @@ def test_load_tables_is_lazy(spark, monkeypatch):
     assert opened == ["documents"]
     t["orders"]
     assert opened == ["documents", "orders"]
+
+
+def test_sql_ddl_options_not_forwarded_probe(spark):
+    """PARITY S10a: pins the probed runtime behavior that closed the SQL
+    DDL item — `CREATE TABLE ... USING <python-datasource> OPTIONS(...)`
+    hands the reader an EMPTY options map at SELECT time on this Spark,
+    while the DataFrame read API forwards options. If this test ever
+    FAILS (options start arriving), reopen S10a and wire
+    `CREATE TABLE ... USING rocketmq` end-to-end."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader
+
+    class _ProbeReader(DataSourceReader):
+        def __init__(self, opts):
+            self._opts = dict(opts)
+
+        def read(self, partition):
+            yield (repr(sorted(self._opts)),)
+
+    class _ProbeSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "ddl_opt_probe"
+
+        def schema(self):
+            return "seen string"
+
+        def reader(self, schema):
+            return _ProbeReader(self.options)
+
+    spark.dataSource.register(_ProbeSource)
+    spark.sql("DROP TABLE IF EXISTS ddl_probe_tbl")
+    spark.sql(
+        "CREATE TABLE ddl_probe_tbl USING ddl_opt_probe"
+        " OPTIONS (alpha 'a1', topic 't1')"
+    )
+    try:
+        seen = spark.sql("SELECT seen FROM ddl_probe_tbl").collect()[0][0]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ddl_probe_tbl")
+    assert seen == "[]", (
+        "Spark now forwards DDL options to Python DataSources "
+        f"(got {seen}) — reopen PARITY S10a and implement the DDL path"
+    )
+    # contrast: the read API must forward options (the supported surface)
+    api_seen = (
+        spark.read.format("ddl_opt_probe").option("alpha", "a2").load()
+        .collect()[0][0]
+    )
+    assert "alpha" in api_seen

@@ -1220,3 +1220,131 @@ def test_streaming_line_scrub_matches_batch(spark, tmp_path):
         ).agg(F.sum("n")).collect()[0][0]
     )
     assert int(got["n_kept"].sum()) < n_lines_in
+
+
+def test_per_queue_watermark_w2_equivalence(spark, tmp_path):
+    """W2 (BoundedOutOfOrdernessGeneratorPerQueue.java:28-69): per-queue
+    bounded out-of-orderness. The reference's INTENDED semantics keeps a
+    per-queue max event time and emits watermark = min over seen queues
+    minus the bound, so a queue lagging behind another does not get its
+    in-order records declared late. (The literal reference code seeds
+    its min at 0 — epoch-millis keep the watermark frozen at -bound
+    forever; we model the intended min-over-queues semantics, which is
+    also what Flink's per-partition watermarking produces.)
+
+    Spark's single watermark is GLOBAL-max minus delay, so with the raw
+    bound a fast queue advances the watermark over a slow queue's still
+    in-order records — the documented equivalence mapping is
+    delay = bound + max cross-queue skew. This test builds a two-queue
+    topic with 2h of skew and asserts:
+      1. a Python model of the reference semantics accepts the slow
+         queue's record and fires {10:00 -> 3, 12:00 -> 2, 12:30 -> 1};
+      2. Spark with the MAPPED delay (30min bound + 2h skew) produces
+         exactly those windows;
+      3. Spark with the RAW bound drops the slow-queue record
+         (10:00 -> 2), demonstrating why the mapping is required.
+    """
+    import datetime as dt
+
+    register(spark)
+    root = str(tmp_path / "w2_broker")
+    topic = "t_w2"
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    BOUND = dt.timedelta(minutes=30)
+    WIN = dt.timedelta(minutes=15)
+    waves = [
+        [(0, t(10, 0)), (1, t(10, 5))],    # both queues register
+        [(0, t(12, 0)), (0, t(12, 1))],    # fast queue jumps ~2h ahead
+        [(1, t(10, 10))],                  # slow queue, in order for ITSELF
+        [(1, t(12, 30))],                  # slow queue catches up
+        [(0, t(15, 30)), (1, t(15, 35))],  # flush
+    ]
+
+    def reference_model():
+        """Intended per-queue semantics at wave granularity: accept a
+        record unless its window was already closed by the min-over-
+        queues watermark; advance the (monotone) watermark after each
+        wave; fire windows the watermark has passed."""
+        qmax: dict[int, dt.datetime] = {}
+        wm = None
+        live: dict[dt.datetime, int] = {}
+        fired: dict[dt.datetime, int] = {}
+        for wave in waves:
+            for q, ts in wave:
+                ws = ts.replace(minute=(ts.minute // 15) * 15)
+                if wm is None or ws + WIN > wm:
+                    live[ws] = live.get(ws, 0) + 1
+                qmax[q] = max(qmax.get(q, ts), ts)
+            cand = min(qmax.values()) - BOUND
+            wm = cand if wm is None else max(wm, cand)
+            for ws in [w for w in list(live) if w + WIN <= wm]:
+                fired[ws] = live.pop(ws)
+        return fired
+
+    expect_ref = reference_model()
+    assert expect_ref == {t(10, 0): 3, t(12, 0): 2, t(12, 30): 1}
+
+    def write_wave(rows, start):
+        df = spark.createDataFrame(
+            [(f"e{start + i}", q, ts) for i, (q, ts) in enumerate(rows)],
+            "keys string, queue_id int, born_ts timestamp",
+        ).withColumn("value", F.col("keys").cast("binary")).coalesce(1)
+        (
+            df.write.format("rocketmq")
+            .options(path=root, topic=topic, numQueues=2)
+            .mode("append")
+            .save()
+        )
+
+    def windowed(delay):
+        env = (
+            spark.readStream.format("rocketmq")
+            .options(path=root, topic=topic)
+            .load()
+        )
+        return (
+            env.withWatermark("born_ts", delay)
+            .groupBy(F.window("born_ts", "15 minutes").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").alias("ws"), "n")
+        )
+
+    q_map = (
+        windowed("150 minutes")  # bound (30m) + max cross-queue skew (2h)
+        .writeStream.format("memory").queryName("w2_mapped")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_map"))
+        .start()
+    )
+    q_raw = (
+        windowed("30 minutes")   # the reference bound, unmapped
+        .writeStream.format("memory").queryName("w2_raw")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_raw"))
+        .start()
+    )
+    try:
+        n = 0
+        for wave in waves:
+            write_wave(wave, n)
+            n += len(wave)
+            q_map.processAllAvailable()
+            q_raw.processAllAvailable()
+    finally:
+        q_map.stop()
+        q_raw.stop()
+
+    def got(name):
+        return {
+            r.ws.replace(tzinfo=None): r.n
+            for r in spark.table(name).collect()
+        }
+
+    # Spark + mapped delay == the reference's per-queue min semantics
+    assert got("w2_mapped") == expect_ref
+    # raw bound: the fast queue closed 10:00 before the slow queue's
+    # in-order 10:10 arrived — one fewer event in that window
+    assert got("w2_raw") == {t(10, 0): 2, t(12, 0): 2, t(12, 30): 1}
