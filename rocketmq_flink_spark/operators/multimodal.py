@@ -6,12 +6,17 @@ WAV / PPM headers are parsed with struct/bytes (parse_media_header),
 and for the raw-dump containers the CONTENT is decoded too: PPM pixels
 and WAV PCM16 samples are exact numpy frombuffer reads, with a genuine
 nearest-neighbor resize re-encoding real pixels (decode_ppm_pixels /
-resize_ppm / decode_wav_samples / media_pixel_features). Only
-compressed formats (JPEG/PNG/MP3/video) raise NotImplementedError:
-their decoders need libraries not present in this environment; they
-slot into decode_media unchanged. Everything Spark-side — schema,
-partition-preserving mapInPandas, Arrow batch shapes, UDF signatures —
-is real and tested.
+resize_ppm / decode_wav_samples / media_pixel_features).
+
+Compressed formats (round 5): PNG is FULLY decoded with the stdlib —
+zlib inflate + all five scanline unfilters (decode_png_pixels), and
+encode_png round-trips real filtered scanlines. JPEG headers (the
+fields a corpus pipeline filters on: dimensions, component count) are
+parsed by the real marker walk (SOFn segment); JPEG *pixel* decode
+(Huffman+DCT) still needs codec libraries and raises
+NotImplementedError behind the same registry slot, as do MP3/video.
+Everything Spark-side — schema, partition-preserving mapInPandas,
+Arrow batch shapes, UDF signatures — is real and tested.
 
 Scale: feature extraction runs as mapInPandas over Arrow batches (one
 Python hop, vectorized per batch, no per-row serde); batch size is
@@ -55,10 +60,10 @@ def attach_media(
 def decode_media(payload: bytes, media_type: str, fake: bool = False) -> dict:
     """Decode one media payload. fake=True returns the deterministic
     pure-bytes 'decode' (pipeline-shape testing). Otherwise the REAL
-    stdlib header parsers run: BMP / WAV / PPM containers are parsed
-    with struct/bytes only (no codec libraries needed). Compressed
-    formats (JPEG/PNG/MP3/video) still raise NotImplementedError —
-    their decoders need libraries this environment does not have."""
+    stdlib header parsers run: BMP / WAV / PPM / PNG (CRC-verified
+    IHDR) / JPEG (SOFn marker walk) — no codec libraries needed.
+    MP3/video still raise NotImplementedError, as does JPEG pixel
+    (not header) decode."""
     if fake:
         return {
             "byte_len": len(payload),
@@ -126,12 +131,26 @@ def encode_ppm(width: int, height: int) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode() + bytes(3 * width * height)
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# color type -> channel count (PNG spec 11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# SOF markers that carry frame dimensions (JPEG spec B.2.2): C0-C3,
+# C5-C7, C9-CB, CD-CF (C4=DHT, C8=JPG, CC=DAC are not frames)
+_JPEG_SOF = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}
+
+
 def parse_media_header(payload: bytes) -> dict:
     """Parse a REAL container header (magic-sniffed), returning typed
     metadata: fmt, width, height, sample_rate, n_channels, duration_ms,
-    byte_len. Fields that don't apply to the format are None. Raises
-    NotImplementedError for containers whose decode needs codec
-    libraries (JPEG/PNG/...), ValueError for a malformed payload."""
+    byte_len. Fields that don't apply to the format are None. PNG IHDR
+    (CRC-verified) and JPEG SOFn (real marker walk) are parsed with the
+    stdlib. Raises NotImplementedError for containers with no
+    stdlib-parsable header (MP3/video), ValueError for a malformed
+    payload."""
     import struct
 
     out = {
@@ -169,10 +188,55 @@ def parse_media_header(payload: bytes) -> dict:
             raise ValueError("malformed PPM header")
         out.update(fmt="ppm", width=int(m.group(1)), height=int(m.group(2)))
         return out
+    if payload[:8] == PNG_SIG:
+        import zlib
+
+        if len(payload) < 33 or payload[12:16] != b"IHDR":
+            raise ValueError("malformed PNG: missing IHDR")
+        if struct.unpack_from(">I", payload, 8)[0] != 13:
+            raise ValueError("malformed PNG: bad IHDR length")
+        crc = struct.unpack_from(">I", payload, 29)[0]
+        if zlib.crc32(payload[12:29]) & 0xFFFFFFFF != crc:
+            raise ValueError("malformed PNG: IHDR CRC mismatch")
+        width, height = struct.unpack_from(">II", payload, 16)
+        depth, color = payload[24], payload[25]
+        if color not in _PNG_CHANNELS:
+            raise ValueError(f"malformed PNG: color type {color}")
+        out.update(
+            fmt="png", width=width, height=height,
+            n_channels=_PNG_CHANNELS[color],
+        )
+        return out
+    if payload[:2] == b"\xff\xd8":
+        # real JPEG marker walk: skip segments until a SOFn frame header
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("malformed JPEG: lost marker sync")
+            marker = payload[pos + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                pos += 2  # standalone markers have no length
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            size = struct.unpack_from(">H", payload, pos + 2)[0]
+            if marker in _JPEG_SOF:
+                _prec, height, width, ncomp = struct.unpack_from(
+                    ">BHHB", payload, pos + 4
+                )
+                out.update(
+                    fmt="jpeg", width=width, height=height,
+                    n_channels=ncomp,
+                )
+                return out
+            if marker == 0xDA:  # SOS: entropy data follows, no SOF seen
+                break
+            pos += 2 + size
+        raise ValueError("malformed JPEG: no SOF frame header")
     raise NotImplementedError(
-        "unrecognized container magic: only BMP/WAV/PPM headers are "
-        "stdlib-parsable; compressed formats need codec libraries not "
-        "present in this environment"
+        "unrecognized container magic: BMP/WAV/PPM/PNG headers and JPEG "
+        "SOF dimensions are stdlib-parsable; other compressed formats "
+        "(MP3/video) need codec libraries not present in this environment"
     )
 
 
@@ -490,13 +554,15 @@ PIXEL_FEATURE_SCHEMA = (
 
 
 def media_pixel_features(df: DataFrame, resize_factor: int = 2) -> DataFrame:
-    """REAL content decode over the media envelope: PPM payloads are
-    pixel-decoded (exact per-channel integer sums + the same sums after
-    a genuine nearest-neighbor resize), WAV payloads are PCM16-decoded
-    (exact sum of squares + peak amplitude). One vectorized Arrow hop;
-    every emitted number is an exact integer, so a SQL oracle that
-    regenerates the deterministic pixel/sample patterns hash-checks the
-    entire decode -> transform -> aggregate path."""
+    """REAL content decode over the media envelope: PPM and PNG
+    payloads are pixel-decoded (PNG through the full stdlib inflate +
+    unfilter codec; exact per-channel integer sums + the same sums
+    after a genuine nearest-neighbor resize), WAV payloads are
+    PCM16-decoded (exact sum of squares + peak amplitude). One
+    vectorized Arrow hop; every emitted number is an exact integer, so
+    a SQL oracle that regenerates the deterministic pixel/sample
+    patterns hash-checks the entire decode -> transform -> aggregate
+    path."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -514,13 +580,15 @@ def media_pixel_features(df: DataFrame, resize_factor: int = 2) -> DataFrame:
                     rows.append(row)  # all-null features, like resize_media
                     continue
                 payload = bytes(r.payload)
-                if payload[:2] == b"P6":
-                    px = decode_ppm_pixels(payload).astype(np.int64)
-                    rs = decode_ppm_pixels(
-                        resize_ppm(payload, resize_factor)
-                    ).astype(np.int64)
+                if payload[:2] == b"P6" or payload[:8] == PNG_SIG:
+                    is_png = payload[:8] == PNG_SIG
+                    dec = decode_png_pixels if is_png else decode_ppm_pixels
+                    rsz = resize_png if is_png else resize_ppm
+                    px = dec(payload).astype(np.int64)
+                    rs = dec(rsz(payload, resize_factor)).astype(np.int64)
                     row.update(
-                        fmt="ppm", width=px.shape[1], height=px.shape[0],
+                        fmt="png" if is_png else "ppm",
+                        width=px.shape[1], height=px.shape[0],
                         sum_r=int(px[:, :, 0].sum()),
                         sum_g=int(px[:, :, 1].sum()),
                         sum_b=int(px[:, :, 2].sum()),
@@ -536,8 +604,9 @@ def media_pixel_features(df: DataFrame, resize_factor: int = 2) -> DataFrame:
                     )
                 else:
                     raise NotImplementedError(
-                        "pixel/sample decode is implemented for PPM/WAV; "
-                        "compressed formats need codec libraries"
+                        "pixel/sample decode is implemented for PPM/PNG/"
+                        "WAV; JPEG pixel decode (Huffman+DCT) and MP3/"
+                        "video need codec libraries"
                     )
                 rows.append(row)
             yield pd.DataFrame(rows)
@@ -590,4 +659,210 @@ def audio_frame_energy(df: DataFrame, frame_len: int = 256) -> DataFrame:
 
     return df.select("media_id", "payload").mapInPandas(
         run, schema=AUDIO_FRAME_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed-image codec (round 5): PNG, fully decoded with the
+# stdlib — zlib IS the official PNG compression, and the five scanline
+# filters are pure byte arithmetic, so encode_png/decode_png_pixels are a
+# genuine codec pair (the encoder cycles through ALL five filter types so
+# the decoder's unfilter paths are all exercised by round-trip tests).
+# JPEG gets the real header/marker walk in parse_media_header; its pixel
+# decode (Huffman + DCT) stays behind the codec registry.
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels) -> bytes:
+    """REAL PNG encoder for an (h, w, 3) uint8 array: filtered
+    scanlines (row y uses filter y % 5 — None/Sub/Up/Average/Paeth,
+    so every decoder filter path gets exercised), zlib-deflated into
+    one IDAT, CRC-stamped chunks."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    assert ch == 3, "encode_png writes RGB8"
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int64)
+    for y in range(h):
+        row = px[y].reshape(-1).astype(np.int64)
+        f = y % 5
+        raw.append(f)
+        if f == 0:
+            flt = row
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+            flt = (row - left) % 256
+        elif f == 2:  # Up
+            flt = (row - prev) % 256
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+            flt = (row - (left + prev) // 2) % 256
+        else:  # Paeth
+            left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+            pr = np.fromiter(
+                (
+                    _paeth(int(a), int(b), int(c))
+                    for a, b, c in zip(left, prev, upleft)
+                ),
+                dtype=np.int64,
+                count=w * bpp,
+            )
+            flt = (row - pr) % 256
+        raw += bytes(flt.astype(np.uint8))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(payload: bytes):
+    """REAL full PNG decode with the stdlib: IHDR parse (8-bit depth,
+    color types 0/2/6, non-interlaced), IDAT concat + zlib inflate,
+    and all five scanline unfilters. Returns an (h, w, channels) uint8
+    array. Raises ValueError on malformed input, NotImplementedError
+    for PNG features beyond this profile (16-bit, palette, interlace)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        size = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + size]
+        crc = struct.unpack_from(">I", payload, pos + 8 + size)[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"malformed PNG: {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in (0, 2, 6) or interlace:
+                raise NotImplementedError(
+                    "PNG profile beyond 8-bit gray/RGB/RGBA non-interlaced"
+                )
+            ch = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if w is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("malformed PNG: bad decompressed length")
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if f == 0:
+            cur = row
+        elif f == 2:  # Up
+            cur = (row + prev) % 256
+        elif f in (1, 3, 4):  # Sub/Average/Paeth: left-dependent, per pixel
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = cur[i - ch] if i >= ch else 0
+                if f == 1:
+                    cur[i] = (row[i] + left) % 256
+                elif f == 3:
+                    cur[i] = (row[i] + (left + prev[i]) // 2) % 256
+                else:
+                    upleft = prev[i - ch] if i >= ch else 0
+                    cur[i] = (
+                        row[i] + _paeth(int(left), int(prev[i]), int(upleft))
+                    ) % 256
+        else:
+            raise ValueError(f"malformed PNG: filter type {f}")
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
+def encode_png_pattern(media_id: int, width: int, height: int) -> bytes:
+    """PNG with the SAME deterministic pixel pattern as
+    encode_ppm_pattern ((7*id + 3y + 5x + 11c) mod 256), so the one
+    oracle formula certifies both the raw-dump and the compressed
+    codec path."""
+    import numpy as np
+
+    y = np.arange(height)[:, None, None]
+    x = np.arange(width)[None, :, None]
+    c = np.arange(3)[None, None, :]
+    px = ((media_id * 7 + y * 3 + x * 5 + c * 11) % 256).astype(np.uint8)
+    return encode_png(px)
+
+
+def resize_png(payload: bytes, factor: int = 2) -> bytes:
+    """REAL nearest-neighbor downsample for PNG: full decode, keep every
+    factor-th row/column, re-encode (RGB profile)."""
+    px = decode_png_pixels(payload)[::factor, ::factor, :]
+    if px.shape[2] != 3:
+        raise NotImplementedError("resize_png re-encodes RGB only")
+    return encode_png(px)
+
+
+def encode_jpeg_header_pattern(
+    media_id: int, width: int, height: int
+) -> bytes:
+    """Genuine JPEG marker stream (SOI, APP0/JFIF, DQT, SOF0, SOS, EOI)
+    with real segment lengths — what parse_media_header's marker walk
+    sees in a camera file. The entropy-coded scan is a placeholder (a
+    real scan needs the Huffman tables this environment can't verify),
+    so ONLY header fields are meaningful — exactly the JPEG surface the
+    engine supports (dimension/component filtering, not pixel decode)."""
+    import struct
+
+    app0 = b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 72, 72) + b"\x00\x00"
+    dqt = bytes([0]) + bytes((media_id * 3 + i) % 255 + 1 for i in range(64))
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    for comp in range(3):
+        sof += bytes([comp + 1, 0x11 if comp == 0 else 0x11, 0 if comp == 0 else 1])
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        + b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        + bytes([(media_id + i) % 255 for i in range(8)])  # entropy stub
+        + b"\xff\xd9"
     )
