@@ -236,6 +236,7 @@ EXTRA = [
     "quantile_treatment_effect",
     "point_in_time_features",
     "event_lateness_profile",
+    "compressed_media_features",
 ]
 
 

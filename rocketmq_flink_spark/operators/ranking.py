@@ -37,7 +37,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["distributed_prefix", "ntile_from_pos_sql"]
+__all__ = ["distributed_prefix", "distributed_ntile", "ntile_from_pos_sql"]
 
 
 def distributed_prefix(
@@ -46,6 +46,8 @@ def distributed_prefix(
     bucket_col: str,
     sum_cols: Sequence[str] = (),
     pos_col: str | None = None,
+    max_cols: Sequence[str] = (),
+    max_cols_excl: Sequence[str] = (),
     n_buckets: int = 64,
 ) -> DataFrame:
     """Add exact global prefix columns to ``df`` without a global sort.
@@ -58,9 +60,17 @@ def distributed_prefix(
     sum_cols:  integral columns to accumulate; each yields ``cum_<c>``
         (inclusive running sum in sort order).
     pos_col:   if set, adds the global 1-based row number.
+    max_cols:  columns yielding ``cummax_<c>`` — the inclusive running
+        max (high-water-mark) in sort order.
+    max_cols_excl: columns yielding ``cummaxx_<c>`` — the EXCLUSIVE
+        running max (over strictly earlier rows; NULL on the global
+        first row, exactly like MAX OVER (... AND 1 PRECEDING)).
     """
-    if not sum_cols and pos_col is None:
-        raise ValueError("nothing to compute: pass sum_cols or pos_col")
+    if not sum_cols and not max_cols and not max_cols_excl and (
+        pos_col is None
+    ):
+        raise ValueError("nothing to compute: pass sum/max cols or pos_col")
+    mset = sorted(set(max_cols) | set(max_cols_excl))
     bounds = df.agg(
         F.min(bucket_col).alias("_rk_lo"), F.max(bucket_col).alias("_rk_hi")
     )
@@ -73,11 +83,13 @@ def distributed_prefix(
     ).drop("_rk_lo", "_rk_hi")
     aggs = [F.count(F.lit(1)).cast("long").alias("_rk_n")]
     aggs += [F.sum(c).cast("long").alias(f"_rk_t_{c}") for c in sum_cols]
+    aggs += [F.max(c).alias(f"_rk_m_{c}") for c in mset]
     tot = b.groupBy("_rk_bkt").agg(*aggs)
     prev = tot.select(
         F.col("_rk_bkt").alias("_rk_b2"),
         "_rk_n",
         *[f"_rk_t_{c}" for c in sum_cols],
+        *[f"_rk_m_{c}" for c in mset],
     )
     off = (
         tot.select("_rk_bkt")
@@ -89,6 +101,12 @@ def distributed_prefix(
                 F.coalesce(F.sum(f"_rk_t_{c}"), F.lit(0)).alias(f"_rk_off_{c}")
                 for c in sum_cols
             ],
+            # prefix max over earlier buckets: stays NULL for the first
+            # bucket (no coalesce — the domain may include any value)
+            *[
+                F.max(f"_rk_m_{c}").alias(f"_rk_offm_{c}")
+                for c in mset
+            ],
         )
     )
     out = b.join(F.broadcast(off), "_rk_bkt")
@@ -99,12 +117,54 @@ def distributed_prefix(
             (F.col("_rk_off_n") + F.row_number().over(w)).cast("long"),
         )
     ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wx = w.rowsBetween(Window.unboundedPreceding, -1)
     for c in sum_cols:
         out = out.withColumn(
             f"cum_{c}", F.col(f"_rk_off_{c}") + F.sum(c).over(ws)
         )
+    # greatest() skips NULLs, so a NULL bucket offset (first bucket) or a
+    # NULL exclusive within-bucket max (first row of a bucket) defers to
+    # the other side; both NULL -> NULL (global first row, exclusive)
+    for c in max_cols:
+        out = out.withColumn(
+            f"cummax_{c}",
+            F.greatest(F.col(f"_rk_offm_{c}"), F.max(c).over(ws)),
+        )
+    for c in max_cols_excl:
+        out = out.withColumn(
+            f"cummaxx_{c}",
+            F.greatest(F.col(f"_rk_offm_{c}"), F.max(c).over(wx)),
+        )
     return out.drop(
-        "_rk_bkt", "_rk_off_n", *[f"_rk_off_{c}" for c in sum_cols]
+        "_rk_bkt",
+        "_rk_off_n",
+        *[f"_rk_off_{c}" for c in sum_cols],
+        *[f"_rk_offm_{c}" for c in mset],
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    bucket_col: str,
+    tiles: int,
+    out: str = "bucket",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact standard-SQL ntile(tiles) over a global order, computed
+    distributed: global position via distributed_prefix, bucket via the
+    integer ntile arithmetic. Bit-identical to a single-partition
+    ntile() window, with no partition-less WindowExec in the plan."""
+    n = df.agg(F.count(F.lit(1)).cast("long").alias("_rk_n_tot"))
+    ranked = distributed_prefix(
+        df, order_cols, bucket_col, pos_col="_rk_pos", n_buckets=n_buckets
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(
+            out, F.expr(ntile_from_pos_sql("_rk_pos", "_rk_n_tot", tiles))
+        )
+        .drop("_rk_pos", "_rk_n_tot")
     )
 
 

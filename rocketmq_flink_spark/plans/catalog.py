@@ -5721,23 +5721,25 @@ def zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    from pyspark.sql import Window
+    from rocketmq_flink_spark.operators.ranking import distributed_ntile
 
-    def tiled(name: str, src: DataFrame, *order):
-        w = Window.orderBy(*order)
-        return src.select(
+    def tiled(name: str, src: DataFrame, bucket_col: str, *order):
+        return distributed_ntile(src, list(order), bucket_col, 32).select(
             F.lit(name).alias("layout"),
             "l_partkey",
             "l_suppkey",
-            F.ntile(32).over(w).alias("bucket"),
+            "bucket",
         )
 
     lay = (
-        tiled("zorder", zbase, "zkey", "l_orderkey", "l_linenumber")
+        tiled("zorder", zbase, "zkey",
+              "zkey", "l_orderkey", "l_linenumber")
         .unionAll(
-            tiled("partkey", li, "l_partkey", "l_orderkey", "l_linenumber")
+            tiled("partkey", li, "l_partkey",
+                  "l_partkey", "l_orderkey", "l_linenumber")
         )
-        .unionAll(tiled("natural", li, "l_orderkey", "l_linenumber"))
+        .unionAll(tiled("natural", li, "l_orderkey",
+                        "l_orderkey", "l_linenumber"))
     )
     spans = lay.groupBy("layout", "bucket").agg(
         (F.max("l_partkey") - F.min("l_partkey")).alias("part_span"),
@@ -18781,20 +18783,24 @@ def hilbert_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-    def tiled(name, src, *order):
-        w = Window.orderBy(*order)
-        return src.select(
+    from rocketmq_flink_spark.operators.ranking import distributed_ntile
+
+    def tiled(name, src, bucket_col, *order):
+        return distributed_ntile(src, list(order), bucket_col, 32).select(
             F.lit(name).alias("layout"),
             "l_partkey",
             "l_suppkey",
-            F.ntile(32).over(w).alias("bucket"),
+            "bucket",
         )
 
     lay = (
-        tiled("hilbert", hb, "hkey", "l_orderkey", "l_linenumber")
-        .unionAll(tiled("zorder", zb, "zkey", "l_orderkey", "l_linenumber"))
+        tiled("hilbert", hb, "hkey",
+              "hkey", "l_orderkey", "l_linenumber")
+        .unionAll(tiled("zorder", zb, "zkey",
+                        "zkey", "l_orderkey", "l_linenumber"))
         .unionAll(
-            tiled("partkey", li, "l_partkey", "l_orderkey", "l_linenumber")
+            tiled("partkey", li, "l_partkey",
+                  "l_partkey", "l_orderkey", "l_linenumber")
         )
     )
     spans = lay.groupBy("layout", "bucket").agg(
@@ -20072,9 +20078,10 @@ def selectivity_estimation_report(spark: SparkSession, sf_dir: str) -> DataFrame
         "mn + (b * w + 15) div 16 AS lo",
         "mn + ((b + 1) * w + 15) div 16 - 1 AS hi",
     )
-    wtile = Window.orderBy("v", "o_orderkey")
+    from rocketmq_flink_spark.operators.ranking import distributed_ntile
+
     ed = (
-        o.withColumn("tile", F.ntile(16).over(wtile))
+        distributed_ntile(o, ["v", "o_orderkey"], "v", 16, out="tile")
         .groupBy("tile")
         .agg(
             F.count(F.lit(1)).cast("long").alias("c"),
@@ -20955,12 +20962,19 @@ def encoding_size_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantitative reason sort order (zorder/hilbert reports) changes
     file sizes, not just pruning. Integer arithmetic only (bit width
     = bin-length of ndv-1, half-open byte rounding). Scale: the run
-    count uses ONE ordered window pass (here global for oracle
-    replay; production counts runs per row group, which is
-    embarrassingly parallel and what parquet actually stores);
-    distinct counts are one map-side pass."""
+    count is fully distributed — the exact global position comes from
+    operators/ranking.distributed_prefix (range buckets on orderkey,
+    no single-partition window) and each row meets its predecessor
+    through a position-keyed self-join (uniform join key, one
+    shuffle); production would count runs per row group, which is
+    embarrassingly parallel and what parquet actually stores.
+    Distinct counts are one map-side pass."""
+    from rocketmq_flink_spark.operators.ranking import distributed_prefix
+
     li = load_tables(spark, sf_dir)["lineitem"]
-    o = li.select(
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
         F.col("l_returnflag").alias("rf"),
         F.col("l_linestatus").alias("ls"),
         F.expr(
@@ -20971,16 +20985,21 @@ def encoding_size_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)"
         ).alias("qt"),
         F.col("l_partkey").alias("pk"),
-        F.row_number()
-        .over(Window.orderBy("l_orderkey", "l_linenumber"))
-        .alias("rn"),
     )
-    w = Window.orderBy("rn")
     cols = ("rf", "ls", "sd", "qt", "pk")
-    flags = o.select(
+    ranked = distributed_prefix(
+        base, ["l_orderkey", "l_linenumber"], "l_orderkey", pos_col="rn"
+    ).select("rn", *cols)
+    prev = ranked.select(
+        (F.col("rn") + 1).alias("rn"),
+        *[F.col(c).alias(f"p_{c}") for c in cols],
+    )
+    # rn is dense and unique, so the self-join key is perfectly uniform;
+    # the first row's predecessor is NULL -> chg = 0, matching lag()
+    flags = ranked.join(prev, "rn", "left").select(
         *[F.col(c) for c in cols],
         *[
-            F.when(F.col(c) != F.lag(c).over(w), 1)
+            F.when(F.col(c) != F.col(f"p_{c}"), 1)
             .otherwise(0)
             .alias(f"chg_{c}")
             for c in cols
@@ -21531,9 +21550,11 @@ def event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     p50/p95/p99.9/max lateness in ms — the p99.9 row IS the W1 delay
     to configure, and max >> p99.9 says route stragglers to the
     late-data router (W10) instead. Scale: per-queue position windows
-    parallelize by queue; the merge high-water-mark is one ordered
-    window (per-queue at scale); percentiles run on the distinct-value
-    lateness histogram."""
+    parallelize by queue; the merge high-water-mark is the EXACT
+    distributed running max (operators/ranking.py — range buckets on
+    the merge position, per-bucket max offsets, bucket-partitioned
+    windows; no single-partition window); percentiles run on the
+    distinct-value lateness histogram."""
     ev = load_tables(spark, sf_dir)["events"]
     wq = Window.partitionBy(F.expr("user_id % 4")).orderBy(
         F.unix_micros("ts"), "event_id"
@@ -21543,10 +21564,11 @@ def event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("user_id % 4").alias("que"),
         F.row_number().over(wq).alias("pos"),
     )
-    wm = Window.orderBy("pos", "que").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    a = q.select("ts_us", F.max("ts_us").over(wm).alias("hwm"))
+    from rocketmq_flink_spark.operators.ranking import distributed_prefix
+
+    a = distributed_prefix(
+        q, ["pos", "que"], "pos", max_cols=["ts_us"]
+    ).select("ts_us", F.col("cummax_ts_us").alias("hwm"))
     lat = a.select(F.expr("(hwm - ts_us) div 1000").alias("late_ms"))
     h = lat.groupBy("late_ms").agg(
         F.count(F.lit(1)).cast("long").alias("c")
@@ -21617,9 +21639,10 @@ def late_data_router_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference drops late rows silently; the router is this
     engine's exceeds-reference behavior, here pinned by COUNTS and
     CHECKSUMS per route (id and cents sums prove the split is a
-    partition, not a filter: kept + late = everything). Scale: the
-    same two windows as the lateness profile; routing is a pure
-    per-row expression."""
+    partition, not a filter: kept + late = everything). Scale: same
+    distributed running-max shape as the lateness profile (exclusive
+    frame — the watermark a row is judged against excludes the row
+    itself); routing is a pure per-row expression."""
     ev = load_tables(spark, sf_dir)["events"]
     wq = Window.partitionBy(F.expr("user_id % 4")).orderBy(
         F.unix_micros("ts"), "event_id"
@@ -21633,14 +21656,15 @@ def late_data_router_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.row_number().over(wq).alias("pos"),
     )
-    wm = Window.orderBy("pos", "que").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    a = q.select(
+    from rocketmq_flink_spark.operators.ranking import distributed_prefix
+
+    a = distributed_prefix(
+        q, ["pos", "que"], "pos", max_cols_excl=["ts_us"]
+    ).select(
         "event_id",
         "ts_us",
         "cents",
-        F.max("ts_us").over(wm).alias("hwm"),
+        F.col("cummaxx_ts_us").alias("hwm"),
     )
     r = a.select(
         F.when(

@@ -2328,3 +2328,44 @@ def test_jpeg_header_marker_walk():
     # SOI followed by EOI only: a JPEG with no frame header is malformed
     with pytest.raises(ValueError, match="no SOF"):
         M.parse_media_header(b"\xff\xd8\xff\xd9")
+
+
+def test_distributed_prefix_matches_python_model(spark):
+    """operators/ranking.py vs a pure-Python prefix model on adversarial
+    input: negative bucket keys, duplicate keys (tie-broken), small
+    n_buckets forcing many cross-bucket offsets, and all four outputs
+    (pos, cum sum, inclusive and exclusive running max) at once."""
+    import random
+
+    from rocketmq_flink_spark.operators.ranking import distributed_prefix
+
+    rnd = random.Random(7)
+    rows = [
+        (rnd.randint(-50, 50), i, rnd.randint(0, 9), rnd.randint(-5, 5))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k long, tie long, s long, m long")
+    got = (
+        distributed_prefix(
+            df, ["k", "tie"], "k", sum_cols=["s"], pos_col="pos",
+            max_cols=["m"], max_cols_excl=["m"], n_buckets=7,
+        )
+        .orderBy("pos")
+        .collect()
+    )
+    cs, mx = 0, None
+    for i, (k, tie, s, m) in enumerate(
+        sorted(rows, key=lambda r: (r[0], r[1])), 1
+    ):
+        row = got[i - 1]
+        assert (row.pos, row.k, row.tie) == (i, k, tie)
+        cs += s
+        assert row.cum_s == cs
+        assert row.cummaxx_m == mx  # exclusive: None on the first row
+        mx = m if mx is None else max(mx, m)
+        assert row.cummax_m == mx
+    # empty input stays empty with the requested columns present
+    empty = distributed_prefix(
+        df.limit(0), ["k"], "k", sum_cols=["s"], pos_col="pos"
+    )
+    assert empty.count() == 0 and {"pos", "cum_s"} <= set(empty.columns)
