@@ -49,6 +49,8 @@ def distributed_prefix(
     max_cols: Sequence[str] = (),
     max_cols_excl: Sequence[str] = (),
     n_buckets: int = 64,
+    extra_agg: dict[str, Column] | None = None,
+    domain: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Add exact global prefix columns to ``df`` without a global sort.
 
@@ -65,22 +67,43 @@ def distributed_prefix(
     max_cols_excl: columns yielding ``cummaxx_<c>`` — the EXCLUSIVE
         running max (over strictly earlier rows; NULL on the global
         first row, exactly like MAX OVER (... AND 1 PRECEDING)).
+    extra_agg: optional {name: agg Column} piggybacked onto the bounds
+        pass and broadcast onto every output row — lets callers that
+        also need a global scalar (e.g. the total count for ntile)
+        avoid a second full scan; the caller drops the column.
+    domain: optional (lo, hi) literal bounds of bucket_col, when the
+        caller knows the key domain statically (e.g. a 16-bit Morton /
+        Hilbert code). Skips the min/max stats pass entirely, so an
+        expensive key expression is evaluated one fewer time.
     """
     if not sum_cols and not max_cols and not max_cols_excl and (
         pos_col is None
     ):
         raise ValueError("nothing to compute: pass sum/max cols or pos_col")
     mset = sorted(set(max_cols) | set(max_cols_excl))
-    bounds = df.agg(
-        F.min(bucket_col).alias("_rk_lo"), F.max(bucket_col).alias("_rk_hi")
-    )
-    b = df.crossJoin(F.broadcast(bounds)).withColumn(
-        "_rk_bkt",
-        F.expr(
-            f"CAST(({bucket_col} - _rk_lo)"
-            f" DIV ((_rk_hi - _rk_lo) DIV {int(n_buckets)} + 1) AS INT)"
-        ),
-    ).drop("_rk_lo", "_rk_hi")
+    if domain is not None:
+        lo, hi = int(domain[0]), int(domain[1])
+        width = (hi - lo) // int(n_buckets) + 1
+        b = df.withColumn(
+            "_rk_bkt",
+            F.expr(f"CAST(({bucket_col} - {lo}) DIV {width} AS INT)"),
+        )
+        if extra_agg:
+            ex = df.agg(*[c.alias(n) for n, c in extra_agg.items()])
+            b = b.crossJoin(F.broadcast(ex))
+    else:
+        bounds = df.agg(
+            F.min(bucket_col).alias("_rk_lo"),
+            F.max(bucket_col).alias("_rk_hi"),
+            *[c.alias(n) for n, c in (extra_agg or {}).items()],
+        )
+        b = df.crossJoin(F.broadcast(bounds)).withColumn(
+            "_rk_bkt",
+            F.expr(
+                f"CAST(({bucket_col} - _rk_lo)"
+                f" DIV ((_rk_hi - _rk_lo) DIV {int(n_buckets)} + 1) AS INT)"
+            ),
+        ).drop("_rk_lo", "_rk_hi")
     aggs = [F.count(F.lit(1)).cast("long").alias("_rk_n")]
     aggs += [F.sum(c).cast("long").alias(f"_rk_t_{c}") for c in sum_cols]
     aggs += [F.max(c).alias(f"_rk_m_{c}") for c in mset]
@@ -150,22 +173,28 @@ def distributed_ntile(
     tiles: int,
     out: str = "bucket",
     n_buckets: int = 64,
+    domain: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Exact standard-SQL ntile(tiles) over a global order, computed
     distributed: global position via distributed_prefix, bucket via the
     integer ntile arithmetic. Bit-identical to a single-partition
-    ntile() window, with no partition-less WindowExec in the plan."""
-    n = df.agg(F.count(F.lit(1)).cast("long").alias("_rk_n_tot"))
+    ntile() window, with no partition-less WindowExec in the plan. The
+    total count rides the bounds pass (extra_agg), saving one full
+    input evaluation (3 passes: stats, bucket totals, window) — it
+    matters when the order key is an expensive expression
+    (Morton/Hilbert codes)."""
     ranked = distributed_prefix(
-        df, order_cols, bucket_col, pos_col="_rk_pos", n_buckets=n_buckets
+        df,
+        order_cols,
+        bucket_col,
+        pos_col="_rk_pos",
+        n_buckets=n_buckets,
+        extra_agg={"_rk_n_tot": F.count(F.lit(1)).cast("long")},
+        domain=domain,
     )
-    return (
-        ranked.crossJoin(F.broadcast(n))
-        .withColumn(
-            out, F.expr(ntile_from_pos_sql("_rk_pos", "_rk_n_tot", tiles))
-        )
-        .drop("_rk_pos", "_rk_n_tot")
-    )
+    return ranked.withColumn(
+        out, F.expr(ntile_from_pos_sql("_rk_pos", "_rk_n_tot", tiles))
+    ).drop("_rk_pos", "_rk_n_tot")
 
 
 def ntile_from_pos_sql(pos: str, n: str, tiles: int) -> str:

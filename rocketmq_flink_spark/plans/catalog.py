@@ -3616,10 +3616,7 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window sort anywhere in the plan
     (operators/ranking.py; ties broken by orderkey so both engines
     assign identical deciles)."""
-    from rocketmq_flink_spark.operators.ranking import (
-        distributed_prefix,
-        ntile_from_pos_sql,
-    )
+    from rocketmq_flink_spark.operators.ranking import distributed_ntile
 
     o = load_tables(spark, sf_dir)["orders"]
     base = o.select(
@@ -3627,15 +3624,11 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey"),
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("vc"),
     )
-    ranked = distributed_prefix(
-        base, ["p", "o_orderkey"], "vc", pos_col="pos"
-    )
-    n = base.agg(F.count(F.lit(1)).cast("long").alias("_n_tot"))
     return (
-        ranked.crossJoin(F.broadcast(n))
-        .selectExpr(
-            f"{ntile_from_pos_sql('pos', '_n_tot', 10)} AS decile", "p"
+        distributed_ntile(
+            base, ["p", "o_orderkey"], "vc", 10, out="decile"
         )
+        .select("decile", "p")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -5712,6 +5705,9 @@ def zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # union branches are planned independently (no cross-branch CSE),
     # so putting zkey on the shared base would evaluate it — and rerun
     # the stats subquery — three times (measured ~2x on this query).
+    # materialize the sampled keyed rows once (localCheckpoint): the
+    # 64-term Morton interleave is evaluated a single time instead of
+    # once per distributed-ntile pass (stats / bucket totals / window)
     zbase = li.crossJoin(F.broadcast(mx)).withColumn(
         "zkey",
         F.expr(
@@ -5720,11 +5716,19 @@ def zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 scale16_sql("l_suppkey", "smax"),
             )
         ),
-    )
+    ).select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber", "zkey"
+    ).localCheckpoint(eager=False)
     from rocketmq_flink_spark.operators.ranking import distributed_ntile
 
-    def tiled(name: str, src: DataFrame, bucket_col: str, *order):
-        return distributed_ntile(src, list(order), bucket_col, 32).select(
+    def tiled(name: str, src: DataFrame, bucket_col: str, *order,
+              domain=None):
+        # a statically-known key domain (the 32-bit Morton space) skips
+        # the min/max stats pass — one fewer evaluation of the 64-term
+        # interleave expression
+        return distributed_ntile(
+            src, list(order), bucket_col, 32, domain=domain
+        ).select(
             F.lit(name).alias("layout"),
             "l_partkey",
             "l_suppkey",
@@ -5733,7 +5737,8 @@ def zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lay = (
         tiled("zorder", zbase, "zkey",
-              "zkey", "l_orderkey", "l_linenumber")
+              "zkey", "l_orderkey", "l_linenumber",
+              domain=(0, (1 << 32) - 1))
         .unionAll(
             tiled("partkey", li, "l_partkey",
                   "l_partkey", "l_orderkey", "l_linenumber")
@@ -11424,10 +11429,7 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     base-table single-partition sort remains. Beta at decile 0 is
     the -1 sentinel (no previous checkpoint)."""
     from rocketmq_flink_spark.operators.dedup import normalize_sql
-    from rocketmq_flink_spark.operators.ranking import (
-        distributed_prefix,
-        ntile_from_pos_sql,
-    )
+    from rocketmq_flink_spark.operators.ranking import distributed_ntile
     from rocketmq_flink_spark.operators.retrieval import fp_log2_sql
 
     docs = load_tables(spark, sf_dir)["documents"]
@@ -11436,21 +11438,13 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
         " AS tk",
     )
-    nd = base.agg(F.count(F.lit(1)).cast("long").alias("_n_docs"))
-    dmap = (
-        distributed_prefix(
-            base.select("doc_id", F.size("tk").alias("ntok")),
-            ["doc_id"],
-            "doc_id",
-            pos_col="pos",
-        )
-        .crossJoin(F.broadcast(nd))
-        .selectExpr(
-            "doc_id",
-            "ntok",
-            f"{ntile_from_pos_sql('pos', '_n_docs', 10)} - 1 AS dec",
-        )
-    )
+    dmap = distributed_ntile(
+        base.select("doc_id", F.size("tk").alias("ntok")),
+        ["doc_id"],
+        "doc_id",
+        10,
+        out="_t10",
+    ).selectExpr("doc_id", "ntok", "_t10 - 1 AS dec")
     tf = (
         base.select(F.explode(F.array_distinct("tk")).alias("tok"), "doc_id")
         .groupBy("tok")
@@ -18767,11 +18761,19 @@ def hilbert_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_partkey").alias("pmax"), F.max("l_suppkey").alias("smax")
     )
     base = li.crossJoin(F.broadcast(mx))
+    # The 8-layer Hilbert rotation walk is a chained projection whose
+    # expressions double per layer if Catalyst collapses them into a
+    # downstream consumer — and the distributed ntile reads the key in
+    # several passes. localCheckpoint materializes the SAMPLED keyed
+    # rows once (tiny: 1-in-8 of four int columns), so the curve key is
+    # evaluated exactly once and the collapse chain is cut.
     hb = hilbert_cols(
         base.withColumn("hx", F.expr(scale_sql("l_partkey", "pmax", 8)))
         .withColumn("hy", F.expr(scale_sql("l_suppkey", "smax", 8))),
         order=8,
-    )
+    ).select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber", "hkey"
+    ).localCheckpoint(eager=False)
     zb = base.withColumn(
         "zkey",
         F.expr(
@@ -18781,12 +18783,19 @@ def hilbert_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bits=8,
             )
         ),
-    )
+    ).select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber", "zkey"
+    ).localCheckpoint(eager=False)
 
     from rocketmq_flink_spark.operators.ranking import distributed_ntile
 
-    def tiled(name, src, bucket_col, *order):
-        return distributed_ntile(src, list(order), bucket_col, 32).select(
+    def tiled(name, src, bucket_col, *order, domain=None):
+        # hkey/zkey live in the statically-known 16-bit curve domain —
+        # skipping the stats pass saves one evaluation of the unrolled
+        # Hilbert rotation / Morton interleave expression per branch
+        return distributed_ntile(
+            src, list(order), bucket_col, 32, domain=domain
+        ).select(
             F.lit(name).alias("layout"),
             "l_partkey",
             "l_suppkey",
@@ -18795,9 +18804,11 @@ def hilbert_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lay = (
         tiled("hilbert", hb, "hkey",
-              "hkey", "l_orderkey", "l_linenumber")
+              "hkey", "l_orderkey", "l_linenumber",
+              domain=(0, (1 << 16) - 1))
         .unionAll(tiled("zorder", zb, "zkey",
-                        "zkey", "l_orderkey", "l_linenumber"))
+                        "zkey", "l_orderkey", "l_linenumber",
+                        domain=(0, (1 << 16) - 1)))
         .unionAll(
             tiled("partkey", li, "l_partkey",
                   "l_partkey", "l_orderkey", "l_linenumber")

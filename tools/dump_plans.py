@@ -63,13 +63,16 @@ AUDIT = [
      "ADC scoring = broadcast hash join of exploded 4-byte codes against "
      "the queries x m x k LUT; only shortlist rows touch full vectors"),
     ("deterministic_corpus_shuffle",
-     "one global sort on the 8-byte portable hash key — the minimum any "
-     "corpus shuffle costs; no Python"),
+     "shard positions from the EXACT distributed rank "
+     "(operators/ranking.py): range buckets on the uniform 8-byte hash, "
+     "bucket-partitioned sorts + broadcast offset join — no "
+     "single-partition WindowExec anywhere; no Python"),
     ("zorder_skipping_report",
      "Morton key is a pure codegen bit expression evaluated only on "
-     "the branch ordered by it; tiling runs on a deterministic 1-in-8 "
-     "row sample so the diagnostic window stays constant-cost "
-     "(production path is repartitionByRange)"),
+     "the branch ordered by it; 32-tile bucketing is the EXACT "
+     "distributed ntile (ranking.distributed_ntile) over a "
+     "deterministic 1-in-8 sample — no single-partition window "
+     "(production re-layout path is repartitionByRange)"),
     ("semantic_dedup_drops",
      "within-cluster pair generation is a hash equi-join on the "
      "cluster id — never cartesian; decimal cosine on pairs only"),
