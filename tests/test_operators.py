@@ -2369,3 +2369,42 @@ def test_distributed_prefix_matches_python_model(spark):
         df.limit(0), ["k"], "k", sum_cols=["s"], pos_col="pos"
     )
     assert empty.count() == 0 and {"pos", "cum_s"} <= set(empty.columns)
+
+
+def test_copurchase_support_memoized_and_exact(spark):
+    """The shared co-purchase kernel (plans.catalog.copurchase_support)
+    must (a) memoize per (session, sf_dir) and persist — the graph
+    family amortizes one edge materialization across the whole suite —
+    and (b) produce exactly the pair supports of an inline rebuild."""
+    from rocketmq_flink_spark.plans.catalog import copurchase_support
+
+    a = copurchase_support(spark, SF)
+    b = copurchase_support(spark, SF)
+    assert a is b  # memoized: the identical DataFrame object
+    assert a.storageLevel.useMemory or a.storageLevel.useDisk
+    other = copurchase_support(spark, "/root/testdata/sf0.001")
+    assert other is not a  # per-sf_dir entry
+
+    li = load_tables(spark, SF)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    inline = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ps) >= 2 THEN"
+                    " flatten(transform(sequence(0, size(ps) - 2),"
+                    "  i -> transform(sequence(i + 1, size(ps) - 1),"
+                    "   j -> struct(ps[i] AS p1, ps[j] AS p2))))"
+                    " ELSE array() END"
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.p1", "pr.p2")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    got = {(r.p1, r.p2): r.s for r in a.collect()}
+    want = {(r.p1, r.p2): r.s for r in inline.collect()}
+    assert got == want and len(got) > 0
+    assert all(p1 < p2 for p1, p2 in got)  # sorted-basket orientation
