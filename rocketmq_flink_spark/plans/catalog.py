@@ -111,6 +111,12 @@ def copurchase_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = os.path.abspath(sf_dir)
     cached = per_session.get(key)
     if cached is not None:
+        # spark.catalog.clearCache() (bench.py runs it before every
+        # query's reps) silently unpersists without invalidating the
+        # memo; re-arm persistence so the next action re-materializes
+        # once instead of rebuilding on every consumer.
+        if cached.storageLevel == StorageLevel.NONE:
+            cached.persist(StorageLevel.MEMORY_AND_DISK)
         return cached
     li = load_tables(spark, sf_dir)["lineitem"]
     baskets = li.groupBy("l_orderkey").agg(

@@ -2385,6 +2385,13 @@ def test_copurchase_support_memoized_and_exact(spark):
     other = copurchase_support(spark, "/root/testdata/sf0.001")
     assert other is not a  # per-sf_dir entry
 
+    # clearCache() (bench.py runs it between queries) must not leave the
+    # memoized kernel permanently unpersisted: the next lookup re-arms it
+    spark.catalog.clearCache()
+    rearmed = copurchase_support(spark, SF)
+    assert rearmed is a
+    assert rearmed.storageLevel.useMemory or rearmed.storageLevel.useDisk
+
     li = load_tables(spark, SF)["lineitem"]
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
