@@ -142,7 +142,16 @@ def fuzzy_contamination(
             word_shingles(F.split("probe_text", " "), n)
         ).alias("sh"),
     ).distinct()
-    chunks = chunk_documents(docs, id_col, text_col, chunk_tokens, overlap)
+    # the chunk/gram explode is the corpus-side CPU stage; spread a
+    # small single-row-group scan so it parallelizes (metadata no-op at
+    # real corpus scale, where the "never shuffles" property holds —
+    # the round-robin only fires on under-partitioned small inputs)
+    from rocketmq_flink_spark.session import spread_for_compute
+
+    chunks = chunk_documents(
+        spread_for_compute(docs.select(id_col, text_col)),
+        id_col, text_col, chunk_tokens, overlap,
+    )
     chunk_grams = chunks.select(
         id_col,
         "chunk_idx",

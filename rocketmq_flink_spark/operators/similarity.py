@@ -666,6 +666,8 @@ def ivf_assign(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from rocketmq_flink_spark.session import spread_for_compute
+
     cents = np.array(centroids)  # (C, dim)
     c_norm2 = (cents * cents).sum(axis=1)
 
@@ -676,7 +678,12 @@ def ivf_assign(
         scores = c_norm2[None, :] - 2.0 * (mat @ cents.T)
         return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
 
-    return df.withColumn("_centroid", nearest(F.col(vec_col)))
+    # the argmin matmul is the CPU stage: a one-row-group parquet scan
+    # would otherwise stream every Arrow batch through a single task
+    # (metadata no-op at real corpus scale)
+    return spread_for_compute(df).withColumn(
+        "_centroid", nearest(F.col(vec_col))
+    )
 
 
 def ivf_topk(

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from rocketmq_flink_spark.session import load_tables
+from rocketmq_flink_spark.session import spread_for_compute as _spread
 
 FD = "\x01"
 
@@ -9088,7 +9089,7 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
     )
-    occ = docs.selectExpr(
+    occ = _spread(docs.select("doc_id", "source", "text")).selectExpr(
         "doc_id", "source", f"explode({toks}) AS tok"
     ).select(
         "doc_id", "source", (hash60(F.col("tok")) % B).alias("b")
@@ -10720,7 +10721,7 @@ def _nb_frames(
     toks = (
         f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
     )
-    occ = docs.selectExpr(
+    occ = _spread(docs.select("doc_id", "source", "text")).selectExpr(
         "doc_id", "source", f"explode({toks}) AS tok"
     ).select(
         "doc_id",
@@ -12268,9 +12269,14 @@ def lang_similarity_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     inlined per row, zero driver sync."""
     from rocketmq_flink_spark.operators.dedup import normalize_sql
     from rocketmq_flink_spark.operators.retrieval import signed_fp_log2_sql
+    from rocketmq_flink_spark.session import spread_for_compute
 
     docs = load_tables(spark, sf_dir)["documents"]
-    nrm = docs.selectExpr("lang", normalize_sql("text") + " AS n")
+    # the trigram explode is the CPU stage: don't let a one-row-group
+    # parquet scan pin it to a single task (no-op at corpus scale)
+    nrm = spread_for_compute(docs.select("lang", "text")).selectExpr(
+        "lang", normalize_sql("text") + " AS n"
+    )
     tg = (
         nrm.selectExpr(
             "lang",
