@@ -70,9 +70,6 @@ def _dec2(col, p=12):
     return col.cast(T.DecimalType(p, 2))
 
 
-_COPURCHASE_SUPPORT_CACHE: "weakref.WeakKeyDictionary" = None  # lazy init
-
-
 def copurchase_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-purchase pair support — the shared edge kernel of the graph
     family (pagerank / triangle / LPA / k-core / BFS / SSSP / PPR /
@@ -86,44 +83,26 @@ def copurchase_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus self-join — and the support count is a map-side-combinable
     groupBy on (p1, p2).
 
-    Memoized and persisted (MEMORY_AND_DISK) per (SparkSession,
-    sf_dir): every graph query consumes this *identical* subplan, so
-    the suite materializes the edge list ONCE and amortizes the basket
-    shuffle across the whole analysis run — the standard move at
-    100 TB, where rebuilding edges per query would dominate every
-    individual graph query (VERDICT r4 named this the family's
-    remaining cost). Sessions are held weakly, so a dropped session
-    releases its cached plan; the counts are exact integers, so a
-    recompute after block eviction is bit-identical and every
-    downstream oracle hash is unaffected.
+    Deliberately a PURE subplan factory, NOT a persisted cache. Within
+    one query the identical support exchange appears many times
+    (iterative joins) and Spark already executes it once and reuses
+    the shuffle output (ReusedExchange), so the rebuild is free where
+    it matters. A .persist(MEMORY_AND_DISK) variant was built and
+    measured (sf0.1, min-of-5 per query): every iterative consumer got
+    SLOWER — e.g. harmonic_centrality_seeds 2.9 s -> 9.0 s,
+    local_clustering_coefficient 2.1 s -> 5.4 s — because the
+    InMemoryRelation read path replaces the reused in-flight exchange
+    and degrades AQE's runtime join planning (the small filtered edge
+    side stops being broadcast). At 100 TB the equivalent move is to
+    MATERIALIZE the edge list to storage once per analysis run and
+    point every query at it — a pipeline-level decision, not something
+    to hide inside the operator.
     """
-    global _COPURCHASE_SUPPORT_CACHE
-    import os
-    import weakref
-
-    from pyspark import StorageLevel
-
-    if _COPURCHASE_SUPPORT_CACHE is None:
-        _COPURCHASE_SUPPORT_CACHE = weakref.WeakKeyDictionary()
-    per_session = _COPURCHASE_SUPPORT_CACHE.get(spark)
-    if per_session is None:
-        per_session = {}
-        _COPURCHASE_SUPPORT_CACHE[spark] = per_session
-    key = os.path.abspath(sf_dir)
-    cached = per_session.get(key)
-    if cached is not None:
-        # spark.catalog.clearCache() (bench.py runs it before every
-        # query's reps) silently unpersists without invalidating the
-        # memo; re-arm persistence so the next action re-materializes
-        # once instead of rebuilding on every consumer.
-        if cached.storageLevel == StorageLevel.NONE:
-            cached.persist(StorageLevel.MEMORY_AND_DISK)
-        return cached
     li = load_tables(spark, sf_dir)["lineitem"]
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
-    sup = (
+    return (
         baskets.select(
             F.explode(
                 F.expr(
@@ -137,10 +116,7 @@ def copurchase_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("pr.p1", "pr.p2")
         .agg(F.count(F.lit(1)).alias("s"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    per_session[key] = sup
-    return sup
 
 
 def _one():

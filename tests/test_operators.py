@@ -2371,26 +2371,19 @@ def test_distributed_prefix_matches_python_model(spark):
     assert empty.count() == 0 and {"pos", "cum_s"} <= set(empty.columns)
 
 
-def test_copurchase_support_memoized_and_exact(spark):
+def test_copurchase_support_pure_factory_and_exact(spark):
     """The shared co-purchase kernel (plans.catalog.copurchase_support)
-    must (a) memoize per (session, sf_dir) and persist — the graph
-    family amortizes one edge materialization across the whole suite —
-    and (b) produce exactly the pair supports of an inline rebuild."""
+    must (a) stay a PURE subplan factory — no persist: the identical
+    exchange is already executed once and reused within a query
+    (ReusedExchange), and a cached variant measured strictly slower on
+    every iterative consumer (see the kernel docstring) — and (b)
+    produce exactly the pair supports of an inline rebuild."""
+    from pyspark import StorageLevel
+
     from rocketmq_flink_spark.plans.catalog import copurchase_support
 
     a = copurchase_support(spark, SF)
-    b = copurchase_support(spark, SF)
-    assert a is b  # memoized: the identical DataFrame object
-    assert a.storageLevel.useMemory or a.storageLevel.useDisk
-    other = copurchase_support(spark, "/root/testdata/sf0.001")
-    assert other is not a  # per-sf_dir entry
-
-    # clearCache() (bench.py runs it between queries) must not leave the
-    # memoized kernel permanently unpersisted: the next lookup re-arms it
-    spark.catalog.clearCache()
-    rearmed = copurchase_support(spark, SF)
-    assert rearmed is a
-    assert rearmed.storageLevel.useMemory or rearmed.storageLevel.useDisk
+    assert a.storageLevel == StorageLevel.NONE  # pure factory, no cache
 
     li = load_tables(spark, SF)["lineitem"]
     baskets = li.groupBy("l_orderkey").agg(
