@@ -119,14 +119,7 @@ def bm25_topk(
     See the module docstring for the exact-integer scoring design.
     Query-side term frequency is ignored (standard for short queries);
     duplicate query terms count once."""
-    from rocketmq_flink_spark.session import spread_for_compute
-
-    # the corpus tokenize (regex normalize + split + explode) is the
-    # CPU-heavy stage: make sure a small single-row-group parquet scan
-    # doesn't pin it to one task (no-op at real corpus scale)
-    toks = spread_for_compute(
-        docs.select(id_col, text_col)
-    ).selectExpr(
+    toks = docs.selectExpr(
         f"{id_col} AS doc", _tokens(text_col) + " AS tk"
     ).withColumn("dl", F.size("tk"))
     stats = toks.agg(
@@ -225,13 +218,7 @@ def query_likelihood_topk(
     across engines. Same postings-join scale shape as bm25_topk: cf
     lives on the vocabulary table, only documents sharing a query
     term are scored, the only driver sync is the CL scalar."""
-    from rocketmq_flink_spark.session import spread_for_compute
-
-    # same scan-parallelism guard as bm25_topk: the tokenize explode
-    # must not inherit a one-row-group parquet scan's single partition
-    toks = spread_for_compute(
-        docs.select(id_col, text_col)
-    ).selectExpr(
+    toks = docs.selectExpr(
         f"{id_col} AS doc", _tokens(text_col) + " AS tk"
     ).withColumn("dl", F.size("tk"))
     cl_row = toks.agg(F.sum("dl")).collect()[0][0]

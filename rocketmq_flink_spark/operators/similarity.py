@@ -633,7 +633,9 @@ def ivf_centroids(
     centroids = [list(r[vec_col]) for r in seed_rows]
 
     for _ in range(iters):
-        assigned = ivf_assign(corpus, centroids, vec_col)
+        # spread=False: the training step's downstream is one tiny
+        # (centroid, dim) groupBy — see ivf_assign's docstring
+        assigned = ivf_assign(corpus, centroids, vec_col, spread=False)
         sums = (
             assigned.select(
                 "_centroid", F.posexplode(F.col(vec_col)).alias("_d", "_x")
@@ -658,10 +660,23 @@ def ivf_centroids(
 
 
 def ivf_assign(
-    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    spread: bool = True,
 ) -> DataFrame:
     """Attach `_centroid` = argmin L2 over the centroid table (one numpy
-    matmul per Arrow batch; centroids broadcast in the udf closure)."""
+    matmul per Arrow batch; centroids broadcast in the udf closure).
+
+    `spread=True` (default) guards the scan-parallelism of consumer
+    paths: assignment output usually feeds heavy per-cell work (pair
+    scoring in semantic_dedup, candidate ranking in ivf_topk), and a
+    single-row-group parquet scan would stream every Arrow batch
+    through one task. The Lloyd TRAINING loop (ivf_centroids) passes
+    spread=False: its downstream is only a (centroid, dim) partial-sum
+    groupBy, and A/B at sf0.1 showed the per-iteration round-robin of
+    the vector column costs more than it saves there. Both are
+    metadata no-ops at real corpus scale."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -678,12 +693,8 @@ def ivf_assign(
         scores = c_norm2[None, :] - 2.0 * (mat @ cents.T)
         return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
 
-    # the argmin matmul is the CPU stage: a one-row-group parquet scan
-    # would otherwise stream every Arrow batch through a single task
-    # (metadata no-op at real corpus scale)
-    return spread_for_compute(df).withColumn(
-        "_centroid", nearest(F.col(vec_col))
-    )
+    base = spread_for_compute(df) if spread else df
+    return base.withColumn("_centroid", nearest(F.col(vec_col)))
 
 
 def ivf_topk(

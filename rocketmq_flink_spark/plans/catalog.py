@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from rocketmq_flink_spark.session import load_tables
-from rocketmq_flink_spark.session import spread_for_compute as _spread
 
 FD = "\x01"
 
@@ -9065,7 +9064,7 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
     )
-    occ = _spread(docs.select("doc_id", "source", "text")).selectExpr(
+    occ = docs.selectExpr(
         "doc_id", "source", f"explode({toks}) AS tok"
     ).select(
         "doc_id", "source", (hash60(F.col("tok")) % B).alias("b")
@@ -10697,7 +10696,7 @@ def _nb_frames(
     toks = (
         f"filter(split({normalize_sql('text')}, '\\\\s+'), x -> x <> '')"
     )
-    occ = _spread(docs.select("doc_id", "source", "text")).selectExpr(
+    occ = docs.selectExpr(
         "doc_id", "source", f"explode({toks}) AS tok"
     ).select(
         "doc_id",
