@@ -149,7 +149,17 @@ def _one():
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan + filter + hash agg with 8 aggregates.
     Scale: partial aggregation map-side; 6 output groups — no skew."""
-    l = load_tables(spark, sf_dir)["lineitem"]
+    from rocketmq_flink_spark.session import spread_for_compute
+
+    # the 4-decimal-product partial agg is the CPU stage and the fixture
+    # parquet is single-row-group (one scan task): spread the pruned
+    # 7-column projection (A/B: 1.05s -> 0.75s at sf0.1; the shipdate
+    # filter still reaches the scan as a PushedFilter through the
+    # repartition). Metadata no-op at real scale.
+    l = spread_for_compute(load_tables(spark, sf_dir)["lineitem"].select(
+        "l_shipdate", "l_returnflag", "l_linestatus",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    ))
     qty, ep = _dec2(F.col("l_quantity")), _dec2(F.col("l_extendedprice"))
     disc = F.col("l_discount").cast(T.DecimalType(4, 2))
     tax = F.col("l_tax").cast(T.DecimalType(4, 2))
