@@ -5527,7 +5527,9 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     cents = ivf_centroids(emb, "vec_id", "embedding", n_centroids=32, iters=2)
     cnt = (
-        ivf_assign(emb, cents)
+        # spread=False: downstream is one map-side-combinable count —
+        # same rationale as the Lloyd loop (ivf_assign docstring)
+        ivf_assign(emb, cents, spread=False)
         .groupBy(F.col("_centroid").alias("cid"), "label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
