@@ -24,7 +24,9 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 # (query, the scale property the plan must show)
 AUDIT = [
     ("q1_pricing_summary",
-     "single lineitem scan; map-side partial DECIMAL hash-agg before one "
+     "single lineitem scan with shipdate PushedFilter + 7-column pruning; "
+     "round-robin spread of the single-row-group scan so the partial "
+     "DECIMAL hash-agg parallelizes (metadata no-op at scale), then one "
      "exchange on 6 groups"),
     ("q3_shipping_priority",
      "customer dim broadcast; filters pushed to every parquet scan; "
