@@ -34,6 +34,18 @@ def test_q6_filters_pushed_to_scan(spark):
     assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
 
 
+def test_q1_spread_keeps_pushdown_and_pruning(spark):
+    # q1 spreads the single-row-group scan before the partial decimal
+    # agg; the shipdate filter and 7-column pruning must still reach
+    # the scan THROUGH the round-robin repartition
+    plan = _plan(REGISTRY["q1_pricing_summary"].fn(spark, SF))
+    assert "RoundRobinPartitioning" in plan
+    scan = next(ln for ln in plan.splitlines() if "Scan parquet" in ln)
+    assert "PushedFilters" in scan and "l_shipdate" in scan
+    read_schema = scan.split("ReadSchema:")[1]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
 def test_topk_queries_use_take_ordered(spark):
     for name in ("q3_shipping_priority", "q10_returned_items",
                  "q18_large_orders", "q2_best_supplier_per_part"):
