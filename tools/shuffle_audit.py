@@ -185,6 +185,15 @@ def main() -> None:
         "survivor rows per query per batch shuffle — the corpus x query",
         "grid never does.",
         "",
+        "Spread rows: queries guarded by spread_for_compute (q1, the JSD",
+        "trigram explode, fuzzy decontamination, ivf consumer assigns)",
+        "show an extra round-robin exchange of their pruned input HERE",
+        "because every fixture parquet is single-row-group (one scan",
+        "task). That exchange exists ONLY on under-partitioned small",
+        "inputs — at real corpus scale the input already has cluster",
+        "parallelism and spread_for_compute returns it untouched, so",
+        "those ratios drop back to their pre-spread values.",
+        "",
         "| query | scan MB | shuffle-write MB | shuffle/scan |",
         "|---|---|---|---|",
     ]
