@@ -105,6 +105,18 @@ def _tokens(text_col: str):
     )
 
 
+def corpus_tokens(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, tk, dl) tokenized corpus — the shared prep of bm25_topk and
+    query_likelihood_topk. Callers running SEVERAL scorers over the same
+    corpus (retrieval_model_comparison) compute this once and pass it
+    via `toks=` so the normalize/split pass isn't repeated per scorer."""
+    return docs.selectExpr(
+        f"{id_col} AS doc", _tokens(text_col) + " AS tk"
+    ).withColumn("dl", F.size("tk"))
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -113,19 +125,25 @@ def bm25_topk(
     qid_col: str = "query_id",
     qtext_col: str = "qtext",
     k: int = 10,
+    toks: DataFrame | None = None,
+    stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Top-k BM25 documents per query: (query_id, doc_id, score, rank).
 
     See the module docstring for the exact-integer scoring design.
     Query-side term frequency is ignored (standard for short queries);
-    duplicate query terms count once."""
-    toks = docs.selectExpr(
-        f"{id_col} AS doc", _tokens(text_col) + " AS tk"
-    ).withColumn("dl", F.size("tk"))
-    stats = toks.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("l")
-    ).collect()[0]
-    n_docs, total_len = int(stats["n"]), int(stats["l"])
+    duplicate query terms count once. `stats` = precomputed
+    (n_docs, total_token_count) — pass it (with `toks`) when several
+    scorers run over one corpus so the counting action happens once;
+    note total_token_count is exactly query_likelihood_topk's `cl`."""
+    if toks is None:
+        toks = corpus_tokens(docs, id_col, text_col)
+    if stats is None:
+        row = toks.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("l")
+        ).collect()[0]
+        stats = (int(row["n"]), int(row["l"] or 0))
+    n_docs, total_len = stats
     tf = (
         toks.select("doc", "dl", F.explode("tk").alias("term"))
         .groupBy("doc", "dl", "term")
@@ -202,6 +220,8 @@ def query_likelihood_topk(
     qid_col: str = "query_id",
     qtext_col: str = "qtext",
     k: int = 10,
+    toks: DataFrame | None = None,
+    cl: int | None = None,
 ) -> DataFrame:
     """Top-k documents per query under the query-likelihood language
     model with Jelinek-Mercer smoothing (lambda = 1/2) — the second
@@ -218,11 +238,11 @@ def query_likelihood_topk(
     across engines. Same postings-join scale shape as bm25_topk: cf
     lives on the vocabulary table, only documents sharing a query
     term are scored, the only driver sync is the CL scalar."""
-    toks = docs.selectExpr(
-        f"{id_col} AS doc", _tokens(text_col) + " AS tk"
-    ).withColumn("dl", F.size("tk"))
-    cl_row = toks.agg(F.sum("dl")).collect()[0][0]
-    cl = int(cl_row or 0)
+    if toks is None:
+        toks = corpus_tokens(docs, id_col, text_col)
+    if cl is None:
+        cl_row = toks.agg(F.sum("dl")).collect()[0][0]
+        cl = int(cl_row or 0)
     if cl == 0:
         # empty corpus (SUM over zero rows is NULL): nothing can match —
         # return the empty result with the exact output schema

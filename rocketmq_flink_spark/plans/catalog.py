@@ -20930,6 +20930,7 @@ def retrieval_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rocketmq_flink_spark.operators.dedup import normalize_sql
     from rocketmq_flink_spark.operators.retrieval import (
         bm25_topk,
+        corpus_tokens,
         query_likelihood_topk,
     )
 
@@ -20943,13 +20944,23 @@ def retrieval_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id AS query_id",
         f"concat_ws(' ', slice(array_distinct({toks}), 1, 6)) AS qtext",
     )
+    # tokenize + count the corpus ONCE and hand both to both scorers:
+    # BM25's total_len and QL's collection length are the same scalar,
+    # so the two scorers' separate counting actions collapse to one
+    shared = corpus_tokens(docs)
+    row = shared.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("l")
+    ).collect()[0]
+    n_docs, cl = int(row["n"]), int(row["l"] or 0)
     a = (
-        bm25_topk(docs, queries, k=1_000_000)
+        bm25_topk(docs, queries, k=1_000_000, toks=shared,
+                  stats=(n_docs, cl))
         .where(F.col("query_id") == F.col("doc_id"))
         .select("query_id", F.col("rank").cast("long").alias("rank_bm25"))
     )
     b = (
-        query_likelihood_topk(docs, queries, k=1_000_000)
+        query_likelihood_topk(docs, queries, k=1_000_000, toks=shared,
+                              cl=cl)
         .where(F.col("query_id") == F.col("doc_id"))
         .select("query_id", F.col("rank").cast("long").alias("rank_ql"))
     )
