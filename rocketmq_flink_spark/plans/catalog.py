@@ -15407,8 +15407,6 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors; re-scale ticks before 10^6-vector corpora). Scale: one
     posexplode pass, map-side-combined per-dimension moments, output
     is dimension-bounded (64 rows)."""
-    from rocketmq_flink_spark.functions.quant import dec10_array
-
     dec = "decimal(38,0)"
     emb = load_tables(spark, sf_dir)["embeddings"]
     px = emb.select(

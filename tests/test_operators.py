@@ -2408,3 +2408,51 @@ def test_copurchase_support_pure_factory_and_exact(spark):
     want = {(r.p1, r.p2): r.s for r in inline.collect()}
     assert got == want and len(got) > 0
     assert all(p1 < p2 for p1, p2 in got)  # sorted-basket orientation
+
+
+def test_bm25_ql_shared_toks_stats_equivalence(spark):
+    """Passing a precomputed corpus (toks=) and scalars (stats=/cl=) to
+    bm25_topk / query_likelihood_topk must be result-identical to the
+    self-contained form — the sharing path retrieval_model_comparison
+    uses must never diverge from the public single-scorer API."""
+    from rocketmq_flink_spark.operators.retrieval import (
+        bm25_topk,
+        corpus_tokens,
+        query_likelihood_topk,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown cat sleeps on the warm mat"),
+        (3, "foxes and dogs are common household animals"),
+        (4, "the dog chased the fox across the brown field"),
+    ]
+    queries = [(1, "quick brown fox"), (2, "dog")]
+    ddf = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    qdf = spark.createDataFrame(queries, "query_id LONG, qtext STRING")
+    shared = corpus_tokens(ddf)
+    row = shared.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("l")
+    ).collect()[0]
+    n, cl = int(row["n"]), int(row["l"])
+
+    def key(rows):
+        return sorted(
+            (r["query_id"], r["doc_id"], round(r["score"], 9), r["rank"])
+            for r in rows
+        )
+
+    a = key(bm25_topk(ddf, qdf, k=4).collect())
+    b = key(bm25_topk(ddf, qdf, k=4, toks=shared, stats=(n, cl)).collect())
+    assert a == b and len(a) > 0
+    c = sorted(
+        (r["query_id"], r["doc_id"], r["score_ticks"], r["rank"])
+        for r in query_likelihood_topk(ddf, qdf, k=4).collect()
+    )
+    d = sorted(
+        (r["query_id"], r["doc_id"], r["score_ticks"], r["rank"])
+        for r in query_likelihood_topk(
+            ddf, qdf, k=4, toks=shared, cl=cl
+        ).collect()
+    )
+    assert c == d and len(c) > 0
