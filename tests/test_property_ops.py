@@ -1863,3 +1863,38 @@ def test_conformal_oracle_matches_rank_witness(users):
         q,
         (2 * 1_000_000 * covered + n_test) // (2 * n_test),
     )
+
+
+def test_partitioning_invariance_representative_queries(spark):
+    """The engine's core determinism claim: results are BIT-IDENTICAL
+    under different parallelism. Run one representative query per major
+    family at sf0.001 with shuffle.partitions 3 vs 17 (both unlike the
+    suite's 8) and require exactly equal row sets — exact integer /
+    decimal arithmetic everywhere is what makes this hold (a
+    double-sum pipeline would drift in the last ulp)."""
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+    names = [
+        "q1_pricing_summary",          # decimal agg
+        "pagerank_copurchase",         # iterative graph (quantized)
+        "minhash_dedup_groups",        # dedup banding
+        "bm25_search_docs",            # fixed-point retrieval
+        "scd2_user_event_history",     # window/versioning
+        "ks_two_sample_order_values",  # distributed exact rank
+    ]
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for p in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", p)
+            for n in names:
+                rows = sorted(
+                    map(tuple, REGISTRY[n].fn(spark, sf).collect())
+                )
+                assert rows, n
+                results.setdefault(n, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for n, (a, b) in results.items():
+        assert a == b, f"{n}: results differ across shuffle partitioning"
