@@ -296,6 +296,22 @@ def main() -> None:
             }
         )
     )
+    # The driver stores only the TAIL of stdout, so the giant line above
+    # can lose its head (and with it the headline value). Re-emit a short
+    # summary LAST so the stored artifact always retains the gate number.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "reps": reps,
+                "extra_total": round(sum(extra.values()), 3),
+                "note": "summary of the full line above",
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -117,7 +117,10 @@ def fuzzy_contamination(
     target docs are split into overlapping chunk_tokens-token windows
     (chunk_documents — zero shuffle); a chunk becomes a candidate when
     it shares any word n-gram with a probe (BROADCAST join against the
-    benchmark gram set — the corpus never shuffles for the probe);
+    benchmark gram set — at real corpus scale the corpus never shuffles
+    for the probe; only an under-partitioned small input pays a
+    one-time round-robin spread_for_compute exchange so the
+    per-chunk DP parallelizes, see the inline comment);
     only candidates pay the Levenshtein DP, and a pair is verified
     when 100 * dist <= max_dist_pct * len(probe).
 

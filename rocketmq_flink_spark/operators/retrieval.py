@@ -111,7 +111,13 @@ def corpus_tokens(
     """(doc, tk, dl) tokenized corpus — the shared prep of bm25_topk and
     query_likelihood_topk. Callers running SEVERAL scorers over the same
     corpus (retrieval_model_comparison) compute this once and pass it
-    via `toks=` so the normalize/split pass isn't repeated per scorer."""
+    via `toks=` together with precomputed `stats=`, which deduplicates
+    the driver-side stats COLLECT (one counting action instead of one
+    per scorer). The tokenize pass itself is a map-only projection —
+    no exchange, nothing for Spark to reuse — so each scorer's physical
+    plan still re-evaluates it inline; that is the cheap part, and
+    deliberately NOT persisted (see perf discipline: operator-internal
+    persist measured slower than recompute on this shape)."""
     return docs.selectExpr(
         f"{id_col} AS doc", _tokens(text_col) + " AS tk"
     ).withColumn("dl", F.size("tk"))

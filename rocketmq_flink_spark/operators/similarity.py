@@ -1209,6 +1209,16 @@ def hard_negatives(
     )
 
 
+# Greedy farthest-point is inherently sequential: each center needs the
+# previous one's argmax, so kcenter_coreset runs exactly one
+# TakeOrdered(1).collect() driver round-trip PER CENTER (k-1 Spark jobs
+# after the seed). That is the right shape for the small k a coreset
+# wants, and catastrophic for a large one — cap it hard (the
+# _MARKOV_MAX_STATES pattern) so a mis-sized call fails loudly instead
+# of launching thousands of sequential jobs on a shared cluster.
+_KCENTER_MAX_K = 256
+
+
 def kcenter_coreset(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -1240,7 +1250,20 @@ def kcenter_coreset(
     the chosen set already covers every distinct vector exactly, and
     continuing would re-select chosen ids. The SQL oracle replays a
     fixed k steps, so callers wanting hash-parity must use
-    k <= #distinct vectors (the catalog query does)."""
+    k <= #distinct vectors (the catalog query does).
+
+    Driver-sync budget: 1 seed collect + (k-1) TakeOrdered(1) collects,
+    sequential by nature of the greedy argmax — hard-capped at
+    _KCENTER_MAX_K (raise the constant deliberately if a genuinely
+    larger coreset is wanted; past that size prefer k-means/IVF
+    seeding, which is one job per Lloyd ROUND, not per center)."""
+    if k > _KCENTER_MAX_K:
+        raise ValueError(
+            f"kcenter_coreset k={k} exceeds the sequential driver-sync"
+            f" cap of {_KCENTER_MAX_K} (one Spark job per center);"
+            " use kmeans/IVF seeding for large k, or raise"
+            " _KCENTER_MAX_K deliberately"
+        )
     from rocketmq_flink_spark.functions.porthash import hash60
 
     c = corpus.select(

@@ -6,10 +6,16 @@ arbitrary inputs — a stronger guarantee than fixture-pinned examples.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
+
+# smallest fixture SF — module-level like tests/test_operators.py's SF
+# (plus an env override) so a moved fixture tree is a one-line change
+SF_TINY = os.environ.get("SPARK_GRAFT_SF_TINY_DIR", "/root/testdata/sf0.001")
 
 SETTINGS = dict(
     max_examples=10,
@@ -1882,7 +1888,7 @@ def test_partitioning_invariance_representative_queries(spark):
         "scd2_user_event_history",     # window/versioning
         "ks_two_sample_order_values",  # distributed exact rank
     ]
-    sf = "/root/testdata/sf0.001"
+    sf = SF_TINY
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
     try:
