@@ -174,6 +174,7 @@ def distributed_ntile(
     out: str = "bucket",
     n_buckets: int = 64,
     domain: tuple[int, int] | None = None,
+    total: int | None = None,
 ) -> DataFrame:
     """Exact standard-SQL ntile(tiles) over a global order, computed
     distributed: global position via distributed_prefix, bucket via the
@@ -182,19 +183,32 @@ def distributed_ntile(
     total count rides the bounds pass (extra_agg), saving one full
     input evaluation (3 passes: stats, bucket totals, window) — it
     matters when the order key is an expensive expression
-    (Morton/Hilbert codes)."""
+    (Morton/Hilbert codes). Callers that already hold BOTH the key
+    domain and the row count (e.g. from a stats pass they ran anyway)
+    pass domain= AND total= and the stats scan disappears entirely —
+    2 input evaluations, the map-side bucket totals and the final
+    bucket-partitioned window."""
+    if total is not None and domain is None:
+        raise ValueError(
+            "distributed_ntile: total= requires domain= (without the"
+            " domain the bounds pass runs anyway and the caller-supplied"
+            " count would merely shadow the one it already computes)"
+        )
     ranked = distributed_prefix(
         df,
         order_cols,
         bucket_col,
         pos_col="_rk_pos",
         n_buckets=n_buckets,
-        extra_agg={"_rk_n_tot": F.count(F.lit(1)).cast("long")},
+        extra_agg=None if total is not None else {
+            "_rk_n_tot": F.count(F.lit(1)).cast("long")
+        },
         domain=domain,
     )
+    n_expr = str(int(total)) if total is not None else "_rk_n_tot"
     return ranked.withColumn(
-        out, F.expr(ntile_from_pos_sql("_rk_pos", "_rk_n_tot", tiles))
-    ).drop("_rk_pos", "_rk_n_tot")
+        out, F.expr(ntile_from_pos_sql("_rk_pos", n_expr, tiles))
+    ).drop("_rk_pos", *([] if total is not None else ["_rk_n_tot"]))
 
 
 def ntile_from_pos_sql(pos: str, n: str, tiles: int) -> str:

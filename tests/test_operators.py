@@ -2366,6 +2366,99 @@ def test_jpeg_header_marker_walk():
         M.parse_media_header(b"\xff\xd8\xff\xd9")
 
 
+def test_jpeg_entropy_layer_bit_exact_roundtrip():
+    """The lossless layer of the baseline JPEG codec: for ARBITRARY
+    images (random pixels, non-multiple-of-8 dims, non-unit quant), the
+    decoder must recover the encoder's quantized coefficients
+    bit-for-bit — Huffman tables, DC prediction, ZRL/EOB runs, and
+    0xFF byte stuffing all sit on this path."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    m = M._dct_matrix()
+    zz = np.asarray(M._ZIGZAG)
+    stuffed_seen = False
+    for h, w, q in [(24, 17, 3), (8, 8, 1), (16, 40, 7), (9, 9, 2)]:
+        img = rng.integers(0, 256, (h, w)).astype("uint8")
+        qt = [q] * 64
+        p = M.encode_jpeg_baseline(img, quant=(qt, qt))
+        stuffed_seen = stuffed_seen or b"\xff\x00" in p
+        d = M.decode_jpeg_coefficients(p)
+        assert (d["width"], d["height"], d["n_components"]) == (w, h, 1)
+        assert d["quant"][0] == qt
+        blocks = M._to_blocks(img) - 128.0
+        co = np.einsum("ux,byxv,wv->byuw", m, blocks, m, optimize=True)
+        qm = np.asarray(qt)[zz].reshape(8, 8)
+        want = (
+            (np.sign(co) * np.floor(np.abs(co) / qm + 0.5))
+            .reshape(-1, 64)[:, zz].astype("int64")
+        )
+        assert (d["coefs"][0] == want).all(), (h, w, q)
+        assert (want[:, 1:] != 0).any()  # ACs actually exercised
+    assert stuffed_seen  # at least one stream crossed an 0xFF boundary
+
+
+def test_jpeg_block_constant_pixels_decode_exactly():
+    """JPEG is lossy in general, but 8x8-block-constant planes with unit
+    quant have exactly one integer DCT coefficient per block, so the
+    full decode (entropy + dequant + IDCT + color conversion with
+    neutral chroma) returns the source pixels EXACTLY — gray and
+    3-component interleaved paths both pinned."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    blocky = rng.integers(0, 256, (3, 4)).astype("uint8")
+    y = np.repeat(np.repeat(blocky, 8, 0), 8, 1)
+    px = M.decode_jpeg_pixels(M.encode_jpeg_baseline(y))
+    assert px.shape == (24, 32, 3)
+    for c in range(3):  # grayscale replicates across channels
+        assert (px[:, :, c] == y).all()
+
+    for mid, w, h in [(13, 336, 256), (1, 320, 240)]:
+        p = M.encode_jpeg_pattern(mid, w, h)
+        hd = M.parse_media_header(p)
+        assert (hd["fmt"], hd["width"], hd["height"], hd["n_channels"]) == (
+            "jpeg", w, h, 3,
+        )
+        px = M.decode_jpeg_pixels(p)
+        by = np.arange(h // 8)[:, None]
+        bx = np.arange(w // 8)[None, :]
+        want = np.repeat(np.repeat(
+            ((mid * 7 + by * 3 + bx * 5) % 256).astype(np.uint8), 8, 0
+        ), 8, 1)
+        for c in range(3):
+            assert (px[:, :, c] == want).all(), (mid, c)
+
+
+def test_jpeg_decoder_rejects_unsupported_modes():
+    import numpy as np
+
+    p = bytearray(M.encode_jpeg_pattern(3, 16, 16))
+    i = p.find(b"\xff\xc0")
+    assert i > 0
+    prog = bytearray(p)
+    prog[i + 1] = 0xC2  # progressive DCT
+    with pytest.raises(NotImplementedError, match="progressive|SOF0"):
+        M.decode_jpeg_coefficients(bytes(prog))
+    # SOF layout: marker(2) len(2) prec(1) h(2) w(2) ncomp(1) then
+    # [id, h/v, tq] per component -> component 1's h/v byte is i+11
+    sub = bytearray(p)
+    sub[i + 11] = 0x22  # luma sampling 2x2 -> subsampled chroma
+    with pytest.raises(NotImplementedError, match="sampling"):
+        M.decode_jpeg_coefficients(bytes(sub))
+    trunc = bytes(p[:len(p) // 2])
+    with pytest.raises(ValueError):
+        M.decode_jpeg_coefficients(trunc)
+    # header-only legacy stream has a placeholder scan, not a real one
+    with pytest.raises(ValueError):
+        M.decode_jpeg_pixels(M.encode_jpeg_header_pattern(9, 64, 64))
+    # lossy-but-sane on arbitrary content with a real quant table
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 16)).astype("uint8")
+    px = M.decode_jpeg_pixels(M.encode_jpeg_baseline(img, quant=([3] * 64,) * 2))
+    assert float(np.abs(px[:, :, 0].astype(int) - img.astype(int)).mean()) < 4
+
+
 def test_distributed_prefix_matches_python_model(spark):
     """operators/ranking.py vs a pure-Python prefix model on adversarial
     input: negative bucket keys, duplicate keys (tie-broken), small
