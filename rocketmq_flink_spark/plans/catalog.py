@@ -1935,8 +1935,13 @@ def compressed_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_header_features as decode_headers,
         media_pixel_features,
     )
+    from rocketmq_flink_spark.session import spread_for_compute
 
-    ids = (
+    # the per-row codec CPU (PNG deflate/inflate + JPEG Huffman/DCT,
+    # ~1.3 s across the 36 ids) otherwise runs in the documents scan's
+    # ONE task (single-row-group fixture) — the spread_for_compute win
+    # case; interleaved 7-rep A/B at sf0.01: 1.98/2.19 vs 2.40/2.48 s
+    ids = spread_for_compute(
         load_tables(spark, sf_dir)["documents"]
         .where(F.col("doc_id") < 36)
         .select(F.col("doc_id").alias("media_id"))
