@@ -2500,6 +2500,46 @@ def test_distributed_prefix_matches_python_model(spark):
     assert empty.count() == 0 and {"pos", "cum_s"} <= set(empty.columns)
 
 
+def test_distributed_ntile_matches_window_ntile_all_call_shapes(spark):
+    """distributed_ntile must equal the single-partition ntile() window
+    bit-for-bit on every call shape — plain (stats pass), domain= (skip
+    bounds scan), and domain=+total= (skip the stats scan entirely, the
+    selectivity/hilbert fast path) — including the uneven-remainder
+    bucketing (n % tiles buckets get one extra row) and duplicate keys
+    under a strict tiebreak."""
+    import random
+
+    from pyspark.sql import Window
+
+    from rocketmq_flink_spark.operators.ranking import distributed_ntile
+
+    rnd = random.Random(13)
+    rows = [(rnd.randint(-40, 40), i) for i in range(501)]  # 501 % 7 != 0
+    df = spark.createDataFrame(rows, "k long, tie long")
+    w = Window.orderBy("k", "tie")
+    want = {
+        (r.k, r.tie): r.t
+        for r in df.withColumn("t", F.ntile(7).over(w)).collect()
+    }
+    lo = min(k for k, _ in rows)
+    hi = max(k for k, _ in rows)
+    shapes = [
+        dict(),
+        dict(domain=(lo, hi)),
+        dict(domain=(lo, hi), total=len(rows)),
+    ]
+    for kw in shapes:
+        got = {
+            (r.k, r.tie): r.bucket
+            for r in distributed_ntile(
+                df, ["k", "tie"], "k", 7, n_buckets=5, **kw
+            ).collect()
+        }
+        assert got == want, kw
+    with pytest.raises(ValueError, match="total= requires domain="):
+        distributed_ntile(df, ["k", "tie"], "k", 7, total=len(rows))
+
+
 def test_copurchase_support_pure_factory_and_exact(spark):
     """The shared co-purchase kernel (plans.catalog.copurchase_support)
     must (a) stay a PURE subplan factory — no persist: the identical
