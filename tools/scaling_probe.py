@@ -92,6 +92,8 @@ QUERIES = [
     "ecod_anomaly_scores",        # 64 dim-windows + log join
     "consistent_hash_rebalance",  # 64-point ring argmin
     "encoding_size_planning",     # global run-count window
+    "selectivity_estimation_report",  # r6: literal-stats + 2-pass ntile
+    "compressed_media_features",  # r6: spread PNG+JPEG codec hops
 ]
 REPS = 3
 
