@@ -683,8 +683,9 @@ def audio_frame_energy(df: DataFrame, frame_len: int = 256) -> DataFrame:
 # filters are pure byte arithmetic, so encode_png/decode_png_pixels are a
 # genuine codec pair (the encoder cycles through ALL five filter types so
 # the decoder's unfilter paths are all exercised by round-trip tests).
-# JPEG gets the real header/marker walk in parse_media_header; its pixel
-# decode (Huffman + DCT) stays behind the codec registry.
+# JPEG gets the real header/marker walk in parse_media_header; since
+# round 6 its baseline pixel decode is real too — see the JPEG codec
+# section at the end of this module.
 # ---------------------------------------------------------------------------
 
 
@@ -860,10 +861,12 @@ def encode_jpeg_header_pattern(
 ) -> bytes:
     """Genuine JPEG marker stream (SOI, APP0/JFIF, DQT, SOF0, SOS, EOI)
     with real segment lengths — what parse_media_header's marker walk
-    sees in a camera file. The entropy-coded scan is a placeholder (a
-    real scan needs the Huffman tables this environment can't verify),
-    so ONLY header fields are meaningful — exactly the JPEG surface the
-    engine supports (dimension/component filtering, not pixel decode)."""
+    sees in a camera file. The entropy-coded scan is a PLACEHOLDER (no
+    DHT segment, stub scan bytes), so only header fields are meaningful:
+    this is the header-parse test fixture, kept for the malformed-input
+    and marker-walk tests. For streams with real decodable pixels use
+    encode_jpeg_baseline / encode_jpeg_pattern (round 6);
+    decode_jpeg_* on THIS fixture correctly raises ValueError."""
     import struct
 
     app0 = b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 72, 72) + b"\x00\x00"
