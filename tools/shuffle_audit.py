@@ -89,6 +89,9 @@ QUERIES = [
     "shapley_attribution",
     "point_in_time_features",
     "quantile_treatment_effect",
+    # round 6 rewrites
+    "selectivity_estimation_report",
+    "compressed_media_features",
 ]
 
 _UNITS = {"B": 1, "KiB": 1 << 10, "MiB": 1 << 20, "GiB": 1 << 30}
