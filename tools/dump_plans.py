@@ -120,6 +120,12 @@ AUDIT = [
      "two-phase dense numbering: bucket counts -> broadcast prefix "
      "offsets -> per-bucket hash-distributed windows; no "
      "single-partition global window"),
+    ("selectivity_estimation_report",
+     "one 3-scalar stats collect inlined as literals (r6): two "
+     "map-side histogram aggregates, the 2-pass distributed ntile "
+     "(domain+total supplied, no stats scan), and a single "
+     "conditional-agg scan for the true counts — no theta join, no "
+     "re-evaluated stats subplan, windows partitioned by range bucket"),
 ]
 
 
