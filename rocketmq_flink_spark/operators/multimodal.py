@@ -908,10 +908,14 @@ def encode_jpeg_header_pattern(
 #     can regenerate every channel sum with integer arithmetic — the
 #     same planted-fixture certification compressed_media_features uses
 #     for PNG.
-# Out of scope (raise NotImplementedError, still behind the codec
-# registry): progressive (SOF2) / arithmetic / hierarchical modes,
-# chroma subsampling other than 4:4:4, 16-bit quant tables, restart
-# intervals, MP3/video.
+# Restart intervals (DRI + RSTn markers, byte-aligned DC-prediction
+# resets) and 4:2:0 chroma subsampling (the camera/web default: 4 Y
+# blocks + Cb + Cr per 16x16 MCU, box-upsampled chroma) are supported
+# on both sides — encode_jpeg_420 / the sampling-aware MCU walk. Out of
+# scope (raise NotImplementedError, still behind the codec registry):
+# progressive (SOF2) / arithmetic / hierarchical modes, sampling
+# layouts other than gray/4:4:4/4:2:0 (e.g. 4:2:2), 16-bit quant
+# tables, MP3/video.
 # ---------------------------------------------------------------------------
 
 
@@ -1040,6 +1044,13 @@ class _BitWriter:
             self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # pad 1s
         return bytes(self.buf)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-padding, stuffed if it lands on 0xFF) and emit
+        the RSTn marker — markers are NOT stuffed, per spec."""
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        self.buf += bytes([0xFF, 0xD0 + (n % 8)])
+
 
 class _BitReader:
     """MSB-first bit reader over an entropy-coded segment with 0xFF00
@@ -1071,6 +1082,19 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def restart(self) -> None:
+        """Consume an expected RSTn marker: discard partial bits (the
+        encoder byte-aligned before the marker) and step over 0xFFD0-D7."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("malformed JPEG: expected restart marker")
+        self.pos += 2
 
     def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
         code = 0
@@ -1150,7 +1174,9 @@ def _encode_block(
     return coef[0]
 
 
-def encode_jpeg_baseline(y, cb=None, cr=None, quant=None) -> bytes:
+def encode_jpeg_baseline(
+    y, cb=None, cr=None, quant=None, restart_interval: int = 0
+) -> bytes:
     """Encode Y (H, W) — optionally with full-resolution Cb/Cr planes
     (4:4:4) — as a genuine baseline-sequential JFIF stream. quant is
     (luma_table, chroma_table) of 64 zigzag-ordered ints; default is
@@ -1158,7 +1184,57 @@ def encode_jpeg_baseline(y, cb=None, cr=None, quant=None) -> bytes:
     the planted-fixture oracle certification relies on). Callers with
     RGB input do the standard BT.601 conversion first — lossy exactly
     the way every JPEG writer is; the planted fixtures sidestep it
-    with neutral chroma (Cb = Cr = 128)."""
+    with neutral chroma (Cb = Cr = 128). restart_interval > 0 emits a
+    DRI segment and RST0-7 markers every that-many MCUs (byte-aligned,
+    DC predictors reset) — the error-resilience structure real camera
+    files carry."""
+    import numpy as np
+
+    y = np.asarray(y, dtype="uint8")
+    planes = [y]
+    if cb is not None or cr is not None:
+        if cb is None or cr is None or cb.shape != y.shape or cr.shape != y.shape:
+            raise ValueError("4:4:4 requires Cb and Cr at luma resolution")
+        planes += [np.asarray(cb, dtype="uint8"), np.asarray(cr, dtype="uint8")]
+    samplings = [(1, 1)] * len(planes)
+    return _encode_jpeg(planes, samplings, quant, restart_interval)
+
+
+def encode_jpeg_420(
+    y, cb, cr, quant=None, restart_interval: int = 0
+) -> bytes:
+    """Encode with 4:2:0 chroma subsampling — the layout virtually every
+    camera/web JPEG uses: each 16x16 luma MCU carries four Y blocks plus
+    one Cb and one Cr block at half resolution. cb/cr must ALREADY be
+    the half-resolution planes (ceil(H/2) x ceil(W/2)) — the subsample
+    step (averaging) is the caller's, exactly like the RGB->YCbCr
+    conversion, so the codec itself stays lossless in coefficient
+    space. Neutral (constant-128) chroma makes the 2x2 replicate
+    upsample + color conversion exact on decode, which is what the
+    block-constant exactness tests use."""
+    import numpy as np
+
+    y = np.asarray(y, dtype="uint8")
+    h, w = y.shape
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    cb = np.asarray(cb, dtype="uint8")
+    cr = np.asarray(cr, dtype="uint8")
+    if cb.shape != (ch, cw) or cr.shape != (ch, cw):
+        raise ValueError(
+            f"4:2:0 requires half-resolution chroma ({ch}x{cw}),"
+            f" got {cb.shape} / {cr.shape}"
+        )
+    return _encode_jpeg(
+        [y, cb, cr], [(2, 2), (1, 1), (1, 1)], quant, restart_interval
+    )
+
+
+def _encode_jpeg(planes, samplings, quant, restart_interval: int) -> bytes:
+    """Shared baseline encoder over per-component planes with sampling
+    factors (h, v). The frame is sized by plane 0 (which must carry the
+    max factors); every plane is edge-padded to full MCU coverage;
+    blocks are emitted in interleaved MCU order (raster within the
+    MCU), per spec A.2.3."""
     import struct
 
     import numpy as np
@@ -1166,29 +1242,34 @@ def encode_jpeg_baseline(y, cb=None, cr=None, quant=None) -> bytes:
     if quant is None:
         quant = ([1] * 64, [1] * 64)
     qy = np.asarray(quant[0], dtype="int64")
-    qc = np.asarray(quant[1] if cb is not None else quant[0], dtype="int64")
+    qc = np.asarray(quant[1] if len(planes) > 1 else quant[0], dtype="int64")
     if np.any(qy < 1) or np.any(qy > 255) or np.any(qc < 1) or np.any(qc > 255):
         raise ValueError("8-bit quant tables only (values 1..255)")
-    y = np.asarray(y, dtype="uint8")
-    h, w = y.shape
-    planes = [y]
-    if cb is not None or cr is not None:
-        if cb is None or cr is None or cb.shape != y.shape or cr.shape != y.shape:
-            raise ValueError("4:4:4 requires Cb and Cr at luma resolution")
-        planes += [np.asarray(cb, dtype="uint8"), np.asarray(cr, dtype="uint8")]
+    h, w = planes[0].shape
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
     m = _dct_matrix()
     zz = np.asarray(_ZIGZAG)
-    comp_coefs = []
-    for ci, plane in enumerate(planes):
+    comp_blocks = []  # per comp: (nby, nbx, 64) zigzag quantized
+    for ci, (plane, (sh, sv)) in enumerate(zip(planes, samplings)):
+        th, tw = mcuy * sv * 8, mcux * sh * 8
+        ph, pw = th - plane.shape[0], tw - plane.shape[1]
+        if ph < 0 or pw < 0:
+            raise ValueError("plane larger than its sampling grid")
+        if ph or pw:
+            plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
         blocks = _to_blocks(plane) - 128.0
         coefs = np.einsum("ux,byxv,wv->byuw", m, blocks, m, optimize=True)
         q = (qy if ci == 0 else qc)[zz].reshape(8, 8)
         # round-half-away like libjpeg's DESCALE; exact for the planted
         # fixtures (integer coefficients, unit tables)
-        qc_blocks = np.sign(coefs) * np.floor(np.abs(coefs) / q + 0.5)
-        nby, nbx = qc_blocks.shape[:2]
-        flat = qc_blocks.reshape(nby * nbx, 64)[:, zz].astype("int64")
-        comp_coefs.append(flat)
+        qb = np.sign(coefs) * np.floor(np.abs(coefs) / q + 0.5)
+        nby, nbx = qb.shape[:2]
+        comp_blocks.append(
+            qb.reshape(nby, nbx, 64)[:, :, zz].astype("int64")
+        )
     dc_tabs = [_huff_codes(*_DC_LUM)] + (
         [_huff_codes(*_DC_CHR)] * 2 if len(planes) == 3 else []
     )
@@ -1197,12 +1278,21 @@ def encode_jpeg_baseline(y, cb=None, cr=None, quant=None) -> bytes:
     )
     wtr = _BitWriter()
     preds = [0] * len(planes)
-    for b in range(comp_coefs[0].shape[0]):  # interleaved 1x1 MCUs
-        for ci in range(len(planes)):
-            preds[ci] = _encode_block(
-                wtr, comp_coefs[ci][b].tolist(), preds[ci],
-                dc_tabs[ci], ac_tabs[ci],
-            )
+    rst = 0
+    for mcu in range(mcuy * mcux):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            wtr.restart(rst)
+            rst += 1
+            preds = [0] * len(planes)
+        my, mx = divmod(mcu, mcux)
+        for ci, (sh, sv) in enumerate(samplings):
+            for dy in range(sv):
+                for dx in range(sh):
+                    preds[ci] = _encode_block(
+                        wtr,
+                        comp_blocks[ci][my * sv + dy, mx * sh + dx].tolist(),
+                        preds[ci], dc_tabs[ci], ac_tabs[ci],
+                    )
     scan = wtr.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1213,8 +1303,8 @@ def encode_jpeg_baseline(y, cb=None, cr=None, quant=None) -> bytes:
     if len(planes) == 3:
         dqt += bytes([0x01]) + bytes(int(v) for v in qc)
     sof = struct.pack(">BHHB", 8, h, w, len(planes))
-    for ci in range(len(planes)):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    for ci, (sh, sv) in enumerate(samplings):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
 
     def dht(tc: int, th: int, table: tuple[list[int], list[int]]) -> bytes:
         return bytes([(tc << 4) | th]) + bytes(table[0]) + bytes(table[1])
@@ -1226,9 +1316,13 @@ def encode_jpeg_baseline(y, cb=None, cr=None, quant=None) -> bytes:
     for ci in range(len(planes)):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     sos += bytes([0, 63, 0])
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval else b""
+    )
     return (
         b"\xff\xd8" + seg(0xE0, app0) + seg(0xDB, dqt) + seg(0xC0, sof)
-        + seg(0xC4, dht_body) + seg(0xDA, sos) + scan + b"\xff\xd9"
+        + seg(0xC4, dht_body) + dri + seg(0xDA, sos) + scan + b"\xff\xd9"
     )
 
 
@@ -1239,9 +1333,10 @@ def decode_jpeg_coefficients(payload: bytes) -> dict:
     "quant": [per-component 64-int zigzag tables]}. The entropy decode
     is bit-exact: for any stream encode_jpeg_baseline produced, coefs
     equals the encoder's quantized coefficients array exactly (the
-    round-trip property test). Raises NotImplementedError for
-    progressive/arithmetic modes, subsampling, or restart intervals;
-    ValueError for malformed streams."""
+    round-trip property test). Restart intervals (DRI + RSTn, DC
+    prediction reset) are supported. Raises NotImplementedError for
+    progressive/arithmetic modes or subsampling; ValueError for
+    malformed streams."""
     import struct
 
     import numpy as np
@@ -1254,6 +1349,7 @@ def decode_jpeg_coefficients(payload: bytes) -> dict:
     frame = None
     comps: list[dict] = []
     scan_comps = None
+    restart_interval = 0
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("malformed JPEG: lost marker sync")
@@ -1276,7 +1372,7 @@ def decode_jpeg_coefficients(payload: bytes) -> dict:
                 "lossless/arithmetic JPEG modes need a fuller decoder"
             )
         if marker == 0xDD:
-            raise NotImplementedError("restart intervals (DRI) unsupported")
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         if marker == 0xDB:
             p = 0
             while p < len(body):
@@ -1305,12 +1401,17 @@ def decode_jpeg_coefficients(payload: bytes) -> dict:
             frame = (h, w, nc)
             for ci in range(nc):
                 cid, hv, tq = body[6 + ci * 3:9 + ci * 3]
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "1x1 sampling (4:4:4 / grayscale) only; subsampled "
-                        "chroma needs upsampling logic"
-                    )
-                comps.append({"id": cid, "tq": tq})
+                comps.append(
+                    {"id": cid, "tq": tq, "h": hv >> 4, "v": hv & 0x0F}
+                )
+            layout = tuple((c["h"], c["v"]) for c in comps)
+            if layout not in (
+                ((1, 1),), ((1, 1),) * 3, ((2, 2), (1, 1), (1, 1)),
+            ):
+                raise NotImplementedError(
+                    "supported sampling layouts: grayscale, 4:4:4, and"
+                    f" 4:2:0 (Y 2x2 + chroma 1x1); frame declares {layout}"
+                )
         elif marker == 0xDA:
             ns = body[0]
             scan_comps = []
@@ -1330,8 +1431,11 @@ def decode_jpeg_coefficients(payload: bytes) -> dict:
     if end < 0:
         raise ValueError("malformed JPEG: missing EOI")
     rdr = _BitReader(payload[pos:end])
-    nby, nbx = (h + 7) // 8, (w + 7) // 8
-    n_mcu = nby * nbx
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    n_mcu = mcuy * mcux
     order = {c["id"]: i for i, c in enumerate(comps)}
     tabs = []
     for cs, td, ta in scan_comps:
@@ -1340,42 +1444,61 @@ def decode_jpeg_coefficients(payload: bytes) -> dict:
         if (0, td) not in huff or (1, ta) not in huff:
             raise ValueError("malformed JPEG: missing Huffman table")
         tabs.append((huff[(0, td)], huff[(1, ta)]))
-    coefs = [np.zeros((n_mcu, 64), dtype="int64") for _ in comps]
+    # per-component block grids (raster order), sized by sampling factor
+    grids = [(mcuy * c["v"], mcux * c["h"]) for c in comps]
+    coefs = [
+        np.zeros((gy * gx, 64), dtype="int64") for gy, gx in grids
+    ]
     preds = [0] * nc
-    for b in range(n_mcu):
+    for mcu in range(n_mcu):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            rdr.restart()
+            preds = [0] * nc
+        my, mx = divmod(mcu, mcux)
         for ci in range(nc):
             dc_tab, ac_tab = tabs[ci]
-            size = rdr.read_symbol(dc_tab)
-            diff = 0
-            if size:
-                diff = rdr.read_bits(size)
-                if diff < (1 << (size - 1)):
-                    diff -= (1 << size) - 1
-            preds[ci] += diff
-            coefs[ci][b, 0] = preds[ci]
-            k = 1
-            while k <= 63:
-                sym = rdr.read_symbol(ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("malformed JPEG: bad AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("malformed JPEG: AC run past block end")
-                v = rdr.read_bits(size)
-                if v < (1 << (size - 1)):
-                    v -= (1 << size) - 1
-                coefs[ci][b, k] = v
-                k += 1
+            ch, cv = comps[ci]["h"], comps[ci]["v"]
+            gx = grids[ci][1]
+            for dy in range(cv):
+                for dx in range(ch):
+                    b = (my * cv + dy) * gx + (mx * ch + dx)
+                    size = rdr.read_symbol(dc_tab)
+                    diff = 0
+                    if size:
+                        diff = rdr.read_bits(size)
+                        if diff < (1 << (size - 1)):
+                            diff -= (1 << size) - 1
+                    preds[ci] += diff
+                    coefs[ci][b, 0] = preds[ci]
+                    k = 1
+                    while k <= 63:
+                        sym = rdr.read_symbol(ac_tab)
+                        if sym == 0x00:  # EOB
+                            break
+                        run, size = sym >> 4, sym & 0x0F
+                        if size == 0:
+                            if run != 15:
+                                raise ValueError(
+                                    "malformed JPEG: bad AC symbol"
+                                )
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError(
+                                "malformed JPEG: AC run past block end"
+                            )
+                        v = rdr.read_bits(size)
+                        if v < (1 << (size - 1)):
+                            v -= (1 << size) - 1
+                        coefs[ci][b, k] = v
+                        k += 1
     return {
         "width": w, "height": h, "n_components": nc,
         "coefs": coefs,
         "quant": [quant_tables[c["tq"]] for c in comps],
+        "sampling": [(c["h"], c["v"]) for c in comps],
+        "grids": grids,
     }
 
 
@@ -1390,21 +1513,30 @@ def decode_jpeg_pixels(payload: bytes):
 
     d = decode_jpeg_coefficients(payload)
     h, w, nc = d["height"], d["width"], d["n_components"]
-    nby, nbx = (h + 7) // 8, (w + 7) // 8
+    hmax = max(s[0] for s in d["sampling"])
+    vmax = max(s[1] for s in d["sampling"])
     m = _dct_matrix()
     zz = np.asarray(_ZIGZAG)
     planes = []
     for ci in range(nc):
+        gy, gx = d["grids"][ci]
+        sh, sv = d["sampling"][ci]
         deq = d["coefs"][ci] * np.asarray(d["quant"][ci], dtype="int64")
         nat = np.zeros_like(deq)
         nat[:, zz] = deq
         blocks = nat.reshape(-1, 8, 8).astype("float64")
         pix = np.einsum("xu,buv,vy->bxy", m.T, blocks, m, optimize=True) + 128.0
         plane = (
-            pix.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
-            .reshape(nby * 8, nbx * 8)[:h, :w]
+            pix.reshape(gy, gx, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(gy * 8, gx * 8)
         )
-        planes.append(plane)
+        if (sh, sv) != (hmax, vmax):
+            # 2x2 replicate upsample — the standard "box" chroma
+            # upsampling; exact for neutral/constant chroma
+            plane = np.repeat(
+                np.repeat(plane, vmax // sv, axis=0), hmax // sh, axis=1
+            )
+        planes.append(plane[:h, :w])
     if nc == 1:
         g = np.clip(np.round(planes[0]), 0, 255).astype("uint8")
         return np.repeat(g[:, :, None], 3, axis=2)
@@ -1429,7 +1561,13 @@ def encode_jpeg_pattern(media_id: int, width: int, height: int) -> bytes:
     formula, certifying the ENTIRE marker+Huffman+DCT path the same way
     the PNG pattern certifies inflate+unfilter. The stream itself is a
     fully general baseline JPEG (3 components, interleaved MCUs, DC
-    prediction across a non-trivial pattern, Annex K tables)."""
+    prediction across a non-trivial pattern, Annex K tables).
+
+    ids with media_id % 4 == 3 encode through the 4:2:0 + restart-
+    interval path instead of 4:4:4 (block-constant luma stays exact
+    under box-upsampled neutral chroma), so the oracle formula is
+    UNCHANGED while the driver certifies both sampling layouts, the
+    RSTn walk, and the DC-prediction resets."""
     import numpy as np
 
     nby, nbx = (height + 7) // 8, (width + 7) // 8
@@ -1437,5 +1575,8 @@ def encode_jpeg_pattern(media_id: int, width: int, height: int) -> bytes:
     bx = np.arange(nbx)[None, :]
     blocky = ((media_id * 7 + by * 3 + bx * 5) % 256).astype("uint8")
     y = np.repeat(np.repeat(blocky, 8, axis=0), 8, axis=1)[:height, :width]
+    if media_id % 4 == 3:
+        half = np.full(((height + 1) // 2, (width + 1) // 2), 128, "uint8")
+        return encode_jpeg_420(y, half, half, restart_interval=7)
     neutral = np.full((height, width), 128, dtype="uint8")
     return encode_jpeg_baseline(y, neutral, neutral)

@@ -1915,9 +1915,13 @@ def compressed_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     unfilter), nearest-neighbor-resized through a real re-encode, and
     reduced to exact integer channel sums; odd ids carry REAL baseline
     JPEGs (round 6, VERDICT r5 item 6) — 3-component interleaved scans
-    with Annex K Huffman tables — whose SOF0 header is parsed by the
-    real marker walk AND whose pixels are fully decoded (Huffman
-    entropy decode + dequantize + IDCT + color conversion). The PNG
+    with Annex K Huffman tables; ids with media_id % 4 == 3 take the
+    4:2:0-subsampled + restart-interval path (the camera default),
+    the rest 4:4:4 — whose SOF0 header is parsed by the real marker
+    walk AND whose pixels are fully decoded (Huffman entropy decode +
+    RSTn walk + dequantize + IDCT + chroma upsample + color
+    conversion). Block-constant luma is exact under BOTH layouts, so
+    one oracle formula certifies both. The PNG
     pixel pattern ((7*id+3y+5x+11c) mod 256) and the JPEG 8x8-block-
     constant luma pattern ((7*id+3*by+5*bx) mod 256, neutral chroma,
     unit quant — exactly one integer DCT coefficient per block, so the

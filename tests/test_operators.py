@@ -2414,7 +2414,10 @@ def test_jpeg_block_constant_pixels_decode_exactly():
     for c in range(3):  # grayscale replicates across channels
         assert (px[:, :, c] == y).all()
 
-    for mid, w, h in [(13, 336, 256), (1, 320, 240)]:
+    # mid 13/1: 4:4:4; mid 3: the 4:2:0 + restart-interval path (same
+    # pattern formula — block-constant luma stays exact under the
+    # box-upsampled neutral chroma)
+    for mid, w, h in [(13, 336, 256), (1, 320, 240), (3, 368, 288)]:
         p = M.encode_jpeg_pattern(mid, w, h)
         hd = M.parse_media_header(p)
         assert (hd["fmt"], hd["width"], hd["height"], hd["n_channels"]) == (
@@ -2430,10 +2433,78 @@ def test_jpeg_block_constant_pixels_decode_exactly():
             assert (px[:, :, c] == want).all(), (mid, c)
 
 
+def test_jpeg_420_and_restart_intervals_bit_exact():
+    """The camera-default layout: 4:2:0 subsampling (4 Y + Cb + Cr
+    blocks per 16x16 MCU) with restart intervals. Pixel-exact for
+    macroblock-constant AND 8x8-block-constant luma under neutral
+    chroma; coefficient-exact for ARBITRARY content on all three
+    components (odd dims force edge padding, DRI forces RSTn walks and
+    DC-prediction resets)."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    mb = rng.integers(0, 256, (3, 5)).astype("uint8")
+    y = np.repeat(np.repeat(mb, 16, 0), 16, 1)  # 48x80, MCU-constant
+    neutral = np.full((24, 40), 128, dtype="uint8")
+    p = M.encode_jpeg_420(y, neutral, neutral, restart_interval=4)
+    assert sum(p.count(bytes([0xFF, 0xD0 + i])) for i in range(8)) == 3
+    hd = M.parse_media_header(p)
+    assert (hd["width"], hd["height"], hd["n_channels"]) == (80, 48, 3)
+    px = M.decode_jpeg_pixels(p)
+    for c in range(3):
+        assert (px[:, :, c] == y).all()
+
+    blocky = rng.integers(0, 256, (6, 10)).astype("uint8")
+    y2 = np.repeat(np.repeat(blocky, 8, 0), 8, 1)  # 8x8-constant only
+    px2 = M.decode_jpeg_pixels(M.encode_jpeg_420(y2, neutral, neutral))
+    for c in range(3):
+        assert (px2[:, :, c] == y2).all()
+
+    y3 = rng.integers(0, 256, (26, 35)).astype("uint8")
+    cb = rng.integers(0, 256, (13, 18)).astype("uint8")
+    cr = rng.integers(0, 256, (13, 18)).astype("uint8")
+    qt = ([2] * 64, [3] * 64)
+    p3 = M.encode_jpeg_420(y3, cb, cr, quant=qt, restart_interval=3)
+    d = M.decode_jpeg_coefficients(p3)
+    assert d["sampling"] == [(2, 2), (1, 1), (1, 1)]
+    assert d["grids"] == [(4, 6), (2, 3), (2, 3)]
+    m = M._dct_matrix()
+    zz = np.asarray(M._ZIGZAG)
+
+    def expected(plane, q, gy, gx):
+        th, tw = gy * 8, gx * 8
+        ph, pw = th - plane.shape[0], tw - plane.shape[1]
+        if ph or pw:
+            plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+        blocks = M._to_blocks(plane) - 128.0
+        co = np.einsum("ux,byxv,wv->byuw", m, blocks, m, optimize=True)
+        qm = np.asarray(q)[zz].reshape(8, 8)
+        qb = np.sign(co) * np.floor(np.abs(co) / qm + 0.5)
+        return qb.reshape(gy * gx, 64)[:, zz].astype("int64")
+
+    for ci, (plane, q) in enumerate([(y3, qt[0]), (cb, qt[1]), (cr, qt[1])]):
+        gy, gx = d["grids"][ci]
+        assert (d["coefs"][ci] == expected(plane, q, gy, gx)).all(), ci
+
+    # corrupting a restart marker is a hard error, not silent drift
+    bad = bytearray(p3)
+    for k in range(8):
+        i = bad.find(bytes([0xFF, 0xD0 + k]))
+        if i >= 0:
+            break
+    assert i >= 0
+    bad[i + 1] = 0x3A
+    with pytest.raises(ValueError, match="restart"):
+        M.decode_jpeg_coefficients(bytes(bad))
+    # wrong chroma resolution is rejected at encode time
+    with pytest.raises(ValueError, match="half-resolution"):
+        M.encode_jpeg_420(y3, y3, y3)
+
+
 def test_jpeg_decoder_rejects_unsupported_modes():
     import numpy as np
 
-    p = bytearray(M.encode_jpeg_pattern(3, 16, 16))
+    p = bytearray(M.encode_jpeg_pattern(5, 16, 16))  # 5 % 4 != 3: 4:4:4
     i = p.find(b"\xff\xc0")
     assert i > 0
     prog = bytearray(p)
@@ -2443,7 +2514,7 @@ def test_jpeg_decoder_rejects_unsupported_modes():
     # SOF layout: marker(2) len(2) prec(1) h(2) w(2) ncomp(1) then
     # [id, h/v, tq] per component -> component 1's h/v byte is i+11
     sub = bytearray(p)
-    sub[i + 11] = 0x22  # luma sampling 2x2 -> subsampled chroma
+    sub[i + 11] = 0x21  # luma 2x1 -> 4:2:2, outside gray/4:4:4/4:2:0
     with pytest.raises(NotImplementedError, match="sampling"):
         M.decode_jpeg_coefficients(bytes(sub))
     trunc = bytes(p[:len(p) // 2])
