@@ -3,10 +3,12 @@
 Images/audio/video are `binary` columns with a `media_type` tag and a
 metadata map. Decode is REAL for stdlib-parsable containers — BMP /
 WAV / PPM headers are parsed with struct/bytes (parse_media_header),
-and for the raw-dump containers the CONTENT is decoded too: PPM pixels
-and WAV PCM16 samples are exact numpy frombuffer reads, with a genuine
+and for the raw-dump containers the CONTENT is decoded too: PPM pixels,
+BMP pixels (BGR bottom-up padded rows, top-down variant included) and
+WAV PCM16 samples are exact numpy frombuffer reads, with a genuine
 nearest-neighbor resize re-encoding real pixels (decode_ppm_pixels /
-resize_ppm / decode_wav_samples / media_pixel_features).
+decode_bmp_pixels / resize_ppm / resize_bmp / decode_wav_samples /
+media_pixel_features).
 
 Compressed formats: PNG (round 5) is FULLY decoded with the stdlib —
 zlib inflate + all five scanline unfilters (decode_png_pixels), and
@@ -108,6 +110,83 @@ def encode_bmp(width: int, height: int) -> bytes:
         )
         + pixels
     )
+
+
+def encode_bmp_pixels(px) -> bytes:
+    """Encode an (H, W, 3) RGB uint8 array as a REAL 24-bit BMP: BGR
+    byte order, bottom-up rows, 4-byte row padding — the actual DIB
+    layout, so decode_bmp_pixels is a genuine codec counterpart."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype="uint8")
+    h, w = px.shape[:2]
+    row = _bmp_row_size(w)
+    body = bytearray(row * h)
+    bgr = px[::-1, :, ::-1]  # bottom-up, RGB -> BGR
+    for yy in range(h):
+        body[yy * row:yy * row + w * 3] = bgr[yy].tobytes()
+    file_size = 54 + len(body)
+    return (
+        struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+            2835, 2835, 0, 0,
+        )
+        + bytes(body)
+    )
+
+
+def decode_bmp_pixels(payload: bytes):
+    """REAL BMP pixel decode: 24bpp uncompressed BITMAPINFOHEADER DIBs,
+    bottom-up (positive height) or top-down (negative), padded rows
+    stripped. Returns (H, W, 3) RGB uint8. Raises ValueError on a
+    malformed header, NotImplementedError for other bit depths or
+    compressed BMPs."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            "24bpp uncompressed BMP only (BI_RGB); other depths/RLE "
+            "need a fuller DIB reader"
+        )
+    h = abs(h_signed)
+    row = _bmp_row_size(w)
+    if off + row * h > len(payload):
+        raise ValueError("malformed BMP: truncated pixel array")
+    arr = np.frombuffer(payload, dtype="uint8", count=row * h, offset=off)
+    rows = arr.reshape(h, row)[:, :w * 3].reshape(h, w, 3)
+    if h_signed > 0:
+        rows = rows[::-1]  # bottom-up storage -> top-down image
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp_pattern(media_id: int, width: int, height: int) -> bytes:
+    """BMP with the SAME deterministic pixel pattern as the PPM/PNG
+    encoders ((7*id + 3y + 5x + 11c) mod 256) — one oracle formula for
+    every raw-dump and compressed image container."""
+    import numpy as np
+
+    y = np.arange(height)[:, None, None]
+    x = np.arange(width)[None, :, None]
+    c = np.arange(3)[None, None, :]
+    px = ((media_id * 7 + y * 3 + x * 5 + c * 11) % 256).astype("uint8")
+    return encode_bmp_pixels(px)
+
+
+def resize_bmp(payload: bytes, factor: int = 2) -> bytes:
+    """REAL nearest-neighbor downsample for BMP: full decode, keep every
+    factor-th row/column, re-encode."""
+    return encode_bmp_pixels(decode_bmp_pixels(payload)[::factor, ::factor])
 
 
 def encode_wav(
@@ -556,15 +635,17 @@ PIXEL_FEATURE_SCHEMA = (
 
 
 def media_pixel_features(df: DataFrame, resize_factor: int = 2) -> DataFrame:
-    """REAL content decode over the media envelope: PPM and PNG
+    """REAL content decode over the media envelope: PPM, BMP and PNG
     payloads are pixel-decoded (PNG through the full stdlib inflate +
-    unfilter codec; exact per-channel integer sums + the same sums
-    after a genuine nearest-neighbor resize), WAV payloads are
-    PCM16-decoded (exact sum of squares + peak amplitude). One
-    vectorized Arrow hop; every emitted number is an exact integer, so
-    a SQL oracle that regenerates the deterministic pixel/sample
-    patterns hash-checks the entire decode -> transform -> aggregate
-    path."""
+    unfilter codec, BMP through the BGR/bottom-up/padded-row DIB
+    reader; exact per-channel integer sums + the same sums after a
+    genuine nearest-neighbor resize), baseline JPEG payloads are fully
+    decoded (entropy + IDCT; resize columns NULL — lossy re-encode has
+    no exact oracle), WAV payloads are PCM16-decoded (exact sum of
+    squares + peak amplitude). One vectorized Arrow hop; every emitted
+    number is an exact integer, so a SQL oracle that regenerates the
+    deterministic pixel/sample patterns hash-checks the entire
+    decode -> transform -> aggregate path."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -582,14 +663,20 @@ def media_pixel_features(df: DataFrame, resize_factor: int = 2) -> DataFrame:
                     rows.append(row)  # all-null features, like resize_media
                     continue
                 payload = bytes(r.payload)
-                if payload[:2] == b"P6" or payload[:8] == PNG_SIG:
-                    is_png = payload[:8] == PNG_SIG
-                    dec = decode_png_pixels if is_png else decode_ppm_pixels
-                    rsz = resize_png if is_png else resize_ppm
+                if (
+                    payload[:2] in (b"P6", b"BM")
+                    or payload[:8] == PNG_SIG
+                ):
+                    if payload[:8] == PNG_SIG:
+                        fmt, dec, rsz = "png", decode_png_pixels, resize_png
+                    elif payload[:2] == b"BM":
+                        fmt, dec, rsz = "bmp", decode_bmp_pixels, resize_bmp
+                    else:
+                        fmt, dec, rsz = "ppm", decode_ppm_pixels, resize_ppm
                     px = dec(payload).astype(np.int64)
                     rs = dec(rsz(payload, resize_factor)).astype(np.int64)
                     row.update(
-                        fmt="png" if is_png else "ppm",
+                        fmt=fmt,
                         width=px.shape[1], height=px.shape[0],
                         sum_r=int(px[:, :, 0].sum()),
                         sum_g=int(px[:, :, 1].sum()),

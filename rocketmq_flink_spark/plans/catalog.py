@@ -6737,7 +6737,9 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(MAX(ABS(s)) AS INT) AS peak
       FROM ws GROUP BY media_id)
     SELECT i.media_id,
-           CASE WHEN i.media_id % 2 = 0 THEN 'ppm' ELSE 'wav' END AS fmt,
+           CASE WHEN i.media_id % 2 = 1 THEN 'wav'
+                WHEN i.media_id % 4 = 2 THEN 'bmp'
+                ELSE 'ppm' END AS fmt,
            p.width, p.height, p.sum_r, p.sum_g, p.sum_b,
            p.rs_width, p.rs_sum_r,
            w.n_samples, w.sum_sq, w.peak
@@ -6748,17 +6750,21 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_pixel_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media content decode, end to end and library-free: PPM
-    payloads (raw RGB after a text header) are pixel-decoded, genuinely
-    nearest-neighbor-resized and re-encoded; WAV payloads (raw PCM16
-    after the RIFF chunks) are sample-decoded — numpy frombuffer IS the
-    full decoder for these containers, so nothing here is a stub. The
-    payloads carry a deterministic pattern (pixel = (7*id+3y+5x+11c)
-    mod 256; sample = ((31*id+17*i) mod 65536)-32768), and every
-    emitted feature is an exact integer sum, so the oracle REGENERATES
-    the same pixels/samples with range() arithmetic and hash-checks
-    decode -> resize -> aggregate bit-for-bit. Scale: synthesis and
-    decode are one Arrow hop each, payloads never touch the driver."""
+    payloads (raw RGB after a text header) and BMP payloads (BGR
+    bottom-up padded-row DIBs, ids % 4 == 2 since r6) are
+    pixel-decoded, genuinely nearest-neighbor-resized and re-encoded;
+    WAV payloads (raw PCM16 after the RIFF chunks) are sample-decoded —
+    numpy frombuffer IS the full decoder for these containers, so
+    nothing here is a stub. The payloads carry one deterministic
+    pattern (pixel = (7*id+3y+5x+11c) mod 256; sample =
+    ((31*id+17*i) mod 65536)-32768), and every emitted feature is an
+    exact integer sum, so the oracle REGENERATES the same
+    pixels/samples with range() arithmetic and hash-checks
+    decode -> resize -> aggregate bit-for-bit across ALL THREE
+    container layouts with one formula. Scale: synthesis and decode
+    are one Arrow hop each, payloads never touch the driver."""
     from rocketmq_flink_spark.operators.multimodal import (
+        encode_bmp_pattern,
         encode_ppm_pattern,
         encode_wav_pattern,
         media_pixel_features,
@@ -6777,10 +6783,16 @@ def media_pixel_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             for mid in pdf["media_id"]:
                 mid = int(mid)
                 if mid % 2 == 0:
-                    payload = encode_ppm_pattern(
+                    enc = encode_bmp_pattern if mid % 4 == 2 else (
+                        encode_ppm_pattern
+                    )
+                    payload = enc(
                         mid, 16 + (mid % 5) * 4, 12 + (mid % 3) * 4
                     )
-                    mt = "image/x-portable-pixmap"
+                    mt = (
+                        "image/bmp" if mid % 4 == 2
+                        else "image/x-portable-pixmap"
+                    )
                 else:
                     payload = encode_wav_pattern(mid, 8000, 1000 + mid * 10)
                     mt = "audio/wav"

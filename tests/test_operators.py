@@ -2356,6 +2356,49 @@ def test_png_parser_verifies_crc():
         M.decode_png_pixels(bytes(p))
 
 
+def test_bmp_pixel_codec_roundtrip():
+    """BMP joins the raw-dump family with real CONTENT decode: BGR byte
+    order, bottom-up rows, 4-byte row padding (odd widths pinned), the
+    top-down negative-height variant, a genuine decode -> slice ->
+    re-encode resize, and loud rejection of non-24bpp DIBs."""
+    import struct
+
+    import numpy as np
+
+    for mid, w, h in [(0, 16, 12), (7, 33, 9), (3, 1, 6), (11, 2, 5)]:
+        p = M.encode_bmp_pattern(mid, w, h)
+        px = M.decode_bmp_pixels(p)
+        y = np.arange(h)[:, None, None]
+        x = np.arange(w)[None, :, None]
+        c = np.arange(3)[None, None, :]
+        want = ((mid * 7 + y * 3 + x * 5 + c * 11) % 256).astype(np.uint8)
+        assert (px == want).all()
+        hd = M.parse_media_header(p)
+        assert (hd["fmt"], hd["width"], hd["height"]) == ("bmp", w, h)
+        rs = M.decode_bmp_pixels(M.resize_bmp(p, 2))
+        assert (rs == want[::2, ::2, :]).all()
+
+    # top-down storage (negative height): rows already in image order
+    src = M.decode_bmp_pixels(M.encode_bmp_pattern(5, 8, 6))
+    row = M._bmp_row_size(8)
+    body = b"".join(
+        src[yy, :, ::-1].tobytes().ljust(row, b"\x00") for yy in range(6)
+    )
+    hdr = bytearray(M.encode_bmp_pixels(src)[:54])
+    struct.pack_into("<i", hdr, 22, -6)
+    assert (M.decode_bmp_pixels(bytes(hdr) + body) == src).all()
+
+    # the zero-pixel header fixture decodes as black, shape preserved
+    z = M.decode_bmp_pixels(M.encode_bmp(10, 4))
+    assert z.shape == (4, 10, 3) and not z.any()
+    bad = bytearray(M.encode_bmp_pattern(1, 4, 4))
+    struct.pack_into("<H", bad, 28, 8)
+    with pytest.raises(NotImplementedError, match="24bpp"):
+        M.decode_bmp_pixels(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_bmp_pixels(M.encode_bmp_pattern(1, 8, 8)[:-10])
+
+
 def test_jpeg_header_marker_walk():
     h = M.parse_media_header(M.encode_jpeg_header_pattern(9, 640, 480))
     assert (h["fmt"], h["width"], h["height"], h["n_channels"]) == (
