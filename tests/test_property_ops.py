@@ -1904,3 +1904,67 @@ def test_partitioning_invariance_representative_queries(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     for n, (a, b) in results.items():
         assert a == b, f"{n}: results differ across shuffle partitioning"
+
+
+@settings(**SETTINGS)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    gray=st.booleans(),
+    use_420=st.booleans(),
+    rst=st.integers(0, 5),
+)
+def test_jpeg_entropy_layer_lossless_property(h, w, seed, gray, use_420, rst):
+    """Property form of the JPEG codec certification: for ARBITRARY
+    pixel content, dimensions (incl. non-multiples of 8/16), random
+    PER-ELEMENT quant tables, grayscale / 4:4:4 / 4:2:0 layouts, and
+    random restart intervals, the decoder recovers the encoder's
+    quantized coefficients bit-for-bit on every component. The entropy
+    layer is lossless by construction; this pins it against the whole
+    input space rather than the unit tests' fixed cases."""
+    import numpy as np
+
+    from rocketmq_flink_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 256, (h, w)).astype("uint8")
+    qt = (
+        rng.integers(1, 256, 64).tolist(),
+        rng.integers(1, 256, 64).tolist(),
+    )
+    if gray:
+        payload = M.encode_jpeg_baseline(y, quant=qt, restart_interval=rst)
+        planes = [(y, qt[0])]
+    elif use_420:
+        ch, cw = (h + 1) // 2, (w + 1) // 2
+        cb = rng.integers(0, 256, (ch, cw)).astype("uint8")
+        cr = rng.integers(0, 256, (ch, cw)).astype("uint8")
+        payload = M.encode_jpeg_420(y, cb, cr, quant=qt, restart_interval=rst)
+        planes = [(y, qt[0]), (cb, qt[1]), (cr, qt[1])]
+    else:
+        cb = rng.integers(0, 256, (h, w)).astype("uint8")
+        cr = rng.integers(0, 256, (h, w)).astype("uint8")
+        payload = M.encode_jpeg_baseline(
+            y, cb, cr, quant=qt, restart_interval=rst
+        )
+        planes = [(y, qt[0]), (cb, qt[1]), (cr, qt[1])]
+    d = M.decode_jpeg_coefficients(payload)
+    assert (d["width"], d["height"]) == (w, h)
+    m = M._dct_matrix()
+    zz = np.asarray(M._ZIGZAG)
+    for ci, (plane, q) in enumerate(planes):
+        gy, gx = d["grids"][ci]
+        pl = plane
+        ph, pw = gy * 8 - pl.shape[0], gx * 8 - pl.shape[1]
+        if ph or pw:
+            pl = np.pad(pl, ((0, ph), (0, pw)), mode="edge")
+        blocks = M._to_blocks(pl) - 128.0
+        co = np.einsum("ux,byxv,wv->byuw", m, blocks, m, optimize=True)
+        qm = np.asarray(q)[zz].reshape(8, 8)
+        want = (
+            (np.sign(co) * np.floor(np.abs(co) / qm + 0.5))
+            .reshape(gy * gx, 64)[:, zz].astype("int64")
+        )
+        assert (d["coefs"][ci] == want).all(), f"component {ci} drifted"
+        assert d["quant"][ci] == list(q)
