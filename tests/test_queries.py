@@ -39,3 +39,61 @@ def test_entry_contract(spark):
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 20
+
+
+def test_bench_artifact_tail_carries_headline():
+    """The bench artifact contract (VERDICT r5 item 2): bench.py's LAST
+    stdout line must be a short parseable JSON summary whose headline
+    value matches the full first line — the driver stores only the tail
+    of stdout, so this is what keeps the gate number in BENCH_r*.json."""
+    import json
+
+    import bench
+
+    lines = bench.output_lines(
+        total=9.579,
+        queries={"q1": 1.0},
+        reps=5,
+        spread={"q1": [1.0, 1.1, 1.2]},
+        extra={"x": 2.0, "y": 3.5},
+        sf=0.1,
+    )
+    assert len(lines) == 2
+    full, summary = (json.loads(line) for line in lines)
+    assert full["metric"] == summary["metric"] == "headline_queries_total"
+    assert full["value"] == summary["value"] == 9.579
+    assert full["extra_total"] == summary["extra_total"] == 5.5
+    # the summary must stay SHORT (survive tail truncation comfortably)
+    # and self-identifying
+    assert len(lines[1]) < 300
+    assert "summary" in summary["note"]
+    assert "queries" in full and "queries" not in summary
+
+
+def test_media_anchor_plants_both_jpeg_layouts():
+    """compressed_media_features certifies BOTH JPEG sampling layouts
+    under one oracle formula; pin the planted streams so a refactor
+    can't silently collapse them back to one path."""
+    import struct
+
+    from rocketmq_flink_spark.operators.multimodal import (
+        encode_jpeg_pattern,
+    )
+
+    def sof_luma_hv(p: bytes) -> int:
+        i = p.find(b"\xff\xc0")
+        assert i > 0
+        return p[i + 11]
+
+    p444 = encode_jpeg_pattern(1, 320, 240)   # 1 % 4 != 3
+    p420 = encode_jpeg_pattern(3, 368, 288)   # 3 % 4 == 3
+    assert sof_luma_hv(p444) == 0x11
+    assert sof_luma_hv(p420) == 0x22
+    # the 4:2:0 path also carries the DRI structure: a DRI segment with
+    # the advertised interval and at least one RSTn marker in the scan
+    i = p420.find(b"\xff\xdd")
+    assert i > 0 and struct.unpack_from(">H", p420, i + 4)[0] == 7
+    assert any(
+        bytes([0xFF, 0xD0 + k]) in p420 for k in range(8)
+    )
+    assert b"\xff\xdd" not in p444
