@@ -20616,8 +20616,11 @@ def conformal_spend_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     gives, and the uncertainty layer the point forecasts
     (holt_linear_forecast) lack. Everything rank-exact integer cents;
     coverage in half-up ppm. Scale: one per-user two-column aggregate,
-    one rank window over the calibration residuals (user-bounded), two
-    scalar broadcasts."""
+    then the calibration quantile is selected rank-exactly over the
+    DISTINCT-RESIDUAL HISTOGRAM via distributed_prefix (bucketed
+    prefix sums — no partition-less window; a user-scale row_number
+    here would sort the whole user dimension in one task), two scalar
+    broadcasts."""
     from rocketmq_flink_spark.functions.porthash import hash60
 
     ev = load_tables(spark, sf_dir)["events"]
@@ -20659,22 +20662,35 @@ def conformal_spend_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         ).alias("is_cal"),
     )
-    wcal = Window.orderBy("res", "user_id")
-    cal = r.where("is_cal").select(
-        "res", F.row_number().over(wcal).alias("rn")
+    from rocketmq_flink_spark.operators.ranking import distributed_prefix
+
+    # Rank-exact quantile over the distinct-residual histogram: the
+    # k-th smallest residual (counting multiplicity) is the value
+    # whose inclusive prefix count first reaches k. cum_c comes from
+    # bucketed prefix sums, so no single task ever sees more than one
+    # bucket of the histogram; n (the calibration count) rides the
+    # bounds pass for free.
+    v = (
+        r.where("is_cal")
+        .groupBy("res")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    nc = cal.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    qq = (
-        cal.crossJoin(F.broadcast(nc))
-        .where(
-            F.col("rn")
-            == F.least(F.expr("(9 * n + 18) div 10"), F.col("n"))
-        )
-        .select(F.col("res").alias("q"))
+    vp = distributed_prefix(
+        v,
+        ["res"],
+        "res",
+        sum_cols=["c"],
+        extra_agg={"n": F.sum("c").cast("long")},
+    ).withColumn(
+        "k", F.least(F.expr("(9 * n + 18) div 10"), F.col("n"))
     )
+    qq = vp.where(
+        (F.col("cum_c") >= F.col("k"))
+        & (F.col("cum_c") - F.col("c") < F.col("k"))
+    ).select(F.col("n"), F.col("res").alias("q"))
     tst = (
         r.where(~F.col("is_cal"))
-        .crossJoin(F.broadcast(qq))
+        .crossJoin(F.broadcast(qq.select("q")))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_test"),
             F.sum(
@@ -20683,8 +20699,7 @@ def conformal_spend_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        nc.crossJoin(F.broadcast(qq))
-        .crossJoin(F.broadcast(tst))
+        qq.crossJoin(F.broadcast(tst))
         .selectExpr(
             "n AS n_cal",
             "n_test",
