@@ -706,9 +706,9 @@ def media_pixel_features(df: DataFrame, resize_factor: int = 2) -> DataFrame:
                     )
                 else:
                     raise NotImplementedError(
-                        "pixel/sample decode is implemented for PPM/PNG/"
-                        "JPEG(baseline)/WAV; progressive JPEG and MP3/"
-                        "video need codec libraries"
+                        "pixel/sample decode is implemented for PPM/BMP/"
+                        "PNG/JPEG(baseline)/WAV; progressive JPEG and "
+                        "MP3/video need codec libraries"
                     )
                 rows.append(row)
             yield pd.DataFrame(rows)
@@ -1349,7 +1349,13 @@ def _encode_jpeg(planes, samplings, quant, restart_interval: int) -> bytes:
             plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
         blocks = _to_blocks(plane) - 128.0
         coefs = np.einsum("ux,byxv,wv->byuw", m, blocks, m, optimize=True)
-        q = (qy if ci == 0 else qc)[zz].reshape(8, 8)
+        # quant tables arrive in DQT (zigzag) order; the natural-order
+        # table is the SCATTER q_nat[zz] = q_zig, not the gather
+        # q_zig[zz] (a non-uniform table under the gather scales
+        # coefficients by the wrong entries)
+        q_nat = np.empty(64, dtype="int64")
+        q_nat[zz] = qy if ci == 0 else qc
+        q = q_nat.reshape(8, 8)
         # round-half-away like libjpeg's DESCALE; exact for the planted
         # fixtures (integer coefficients, unit tables)
         qb = np.sign(coefs) * np.floor(np.abs(coefs) / q + 0.5)
@@ -1513,8 +1519,11 @@ def decode_jpeg_coefficients(payload: bytes) -> dict:
     h, w, nc = frame
     if len(scan_comps) != nc:
         raise NotImplementedError("multi-scan streams unsupported")
-    # entropy segment runs to EOI
-    end = payload.rfind(b"\xff\xd9")
+    # entropy segment runs to EOI; search only FROM the scan start —
+    # byte stuffing guarantees no FF D9 inside the entropy data, while
+    # earlier segment bodies (DQT/DHT/APPn) may contain the pair, so a
+    # whole-buffer rfind on a truncated stream could land BEFORE pos
+    end = payload.find(b"\xff\xd9", pos)
     if end < 0:
         raise ValueError("malformed JPEG: missing EOI")
     rdr = _BitReader(payload[pos:end])

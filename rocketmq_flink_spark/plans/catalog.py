@@ -10777,8 +10777,12 @@ def nb_confidence_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment (ntile over (margin, doc) — total order) are exact
     integer ticks; accuracy reported in half-up ppm. Scale: same
     broadcast-scored pipeline as nb_source_classifier; the quartile
-    window orders test-doc-sized data (one row per doc). Scale notes:
-    operators/classify.py."""
+    assignment is the EXACT distributed ntile (operators/ranking.py —
+    range buckets on the margin ticks, offset join, bucket-partitioned
+    row_number), never a partition-less ntile window over the
+    doc-scale margins. Scale notes: operators/classify.py."""
+    from rocketmq_flink_spark.operators.ranking import distributed_ntile
+
     _, truth, scored = _nb_frames(spark, sf_dir, scores=True)
     w = Window.partitionBy("doc").orderBy(F.desc("score"), "c")
     ranked = scored.withColumn("rn", F.row_number().over(w)).where(
@@ -10791,8 +10795,8 @@ def nb_confidence_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.max(F.when(F.col("rn") == 2, F.col("score")))
         ).cast("long").alias("margin"),
     ).join(truth, "doc")
-    qt = top2.withColumn(
-        "quartile", F.ntile(4).over(Window.orderBy("margin", "doc"))
+    qt = distributed_ntile(
+        top2, ["margin", "doc"], "margin", tiles=4, out="quartile"
     )
     return (
         qt.groupBy("quartile")

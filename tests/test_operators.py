@@ -2573,6 +2573,57 @@ def test_jpeg_decoder_rejects_unsupported_modes():
     assert float(np.abs(px[:, :, 0].astype(int) - img.astype(int)).mean()) < 4
 
 
+def test_jpeg_nonuniform_quant_round_trip():
+    """Regression: the encoder must SCATTER the DQT (zigzag-order)
+    quant table into natural order (q_nat[zz] = q_zig), not gather
+    q_zig[zz]. Uniform tables are permutation-invariant so every other
+    quant test is blind to this; a table that is non-uniform across
+    zigzag positions scaled coefficients by the wrong entries under
+    the gather (measured max pixel error 224/255 vs 2/255 correct)."""
+    import numpy as np
+
+    import rocketmq_flink_spark.operators.multimodal as M
+
+    img = (
+        128
+        + 60 * np.sin(np.arange(32)[:, None] / 3.0)
+        + 40 * np.cos(np.arange(48)[None, :] / 2.0)
+    ).astype("uint8")
+    qt = [1] * 64
+    qt[5] = 16  # one coarse AC entry: zigzag pos 5 != natural pos 5
+    qt[9] = 8
+    p = M.encode_jpeg_baseline(img, quant=(qt, qt))
+    # the emitted DQT must carry the table verbatim (zigzag order)
+    assert bytes(qt) in p
+    px = M.decode_jpeg_pixels(p)
+    err = int(np.abs(px[:, :, 0].astype(int) - img.astype(int)).max())
+    assert err <= 4, f"quant table applied in wrong order: max err {err}"
+
+
+def test_jpeg_truncated_eoi_with_ffd9_in_segment_body():
+    """Regression: EOI is located by searching FROM the scan start.
+    A stream truncated before EOI whose DQT body happens to contain
+    the byte pair FF D9 (legal 8-bit entries 255, 217) must raise
+    'missing EOI', not decode an empty/bogus entropy slice."""
+    import numpy as np
+
+    import rocketmq_flink_spark.operators.multimodal as M
+
+    img = (
+        128
+        + 60 * np.sin(np.arange(32)[:, None] / 3.0)
+        + 40 * np.cos(np.arange(48)[None, :] / 2.0)
+    ).astype("uint8")
+    qt = [1] * 64
+    qt[20], qt[21] = 255, 217  # 0xFF 0xD9 adjacent inside the DQT body
+    p = M.encode_jpeg_baseline(img, quant=(qt, qt))
+    assert p.rfind(b"\xff\xd9", 0, len(p) - 2) != -1  # pair planted pre-scan
+    # cut INSIDE the entropy data (well past the SOS header), keeping
+    # every marker segment intact — the failure must be about the EOI
+    with pytest.raises(ValueError, match="missing EOI"):
+        M.decode_jpeg_coefficients(p[:-10])
+
+
 def test_distributed_prefix_matches_python_model(spark):
     """operators/ranking.py vs a pure-Python prefix model on adversarial
     input: negative bucket keys, duplicate keys (tie-broken), small

@@ -623,31 +623,96 @@ def test_ranked_queries_no_base_table_single_partition_window(spark):
             )
 
 
-def _subtree_bounded(node):
-    """Input is aggregate-sized or limit-bounded somewhere below."""
+# Queries whose partition-less windows run over a GROUPED aggregate
+# whose grouping axis is certified bounded — a value-domain histogram,
+# a calendar axis, a fixed bucket census, or a small vocabulary — never
+# an entity key (user/order/doc id) that grows with the data. An
+# arbitrary Aggregate is NOT bounded (round-6 verdict: a groupBy over
+# user_id is an Aggregate but user-scale — exactly how the pre-fix
+# conformal_spend_interval slipped past the old heuristic); every entry
+# here names WHY its axis stays small at 100x the rows.
+_BOUNDED_GROUPED_WINDOW_AXES = {
+    "contiguous_id_assignment": "fixed B=32 bucket census",
+    "event_lateness_profile": "distinct-lateness (ms value) histogram",
+    "gini_order_concentration": "distinct order-price cents histogram",
+    "heaps_law_vocab_growth": "ten-checkpoint corpus decile axis",
+    "kaplan_meier_signup_to_purchase": (
+        "observation-window day-offset step table (~tens of rows)"
+    ),
+    "mannwhitney_value_drift": "distinct event-value cents histogram",
+    "psi_drift_order_values": "reference decile-bin axis (10 rows)",
+    "rfm_user_segments": (
+        "distinct R/F/M value histograms (day/count/cents domains)"
+    ),
+    "spearman_daily_activity_value": "calendar-day axis",
+    "sprt_conversion_monitor": "calendar-day axis",
+    "theil_sen_trend_daily": "calendar-day axis",
+    "token_budget_waterfill": "corpus source vocabulary",
+    "winsorized_mean_orders": "distinct order-price cents histogram",
+}
+
+
+def _agg_grouping_empty(node):
+    try:
+        return node.groupingExpressions().isEmpty()
+    except Exception:
+        return False
+
+
+def _subtree_bounded(node, allow_grouped_agg=False):
+    """Is this subtree's OUTPUT bounded (not data-scale)? Bounded
+    producers: Limit/TakeOrdered, a SCALAR aggregate (empty grouping —
+    one row), or, only for allowlisted queries, a grouped aggregate
+    over a certified-bounded axis. A grouped aggregate outside the
+    allowlist does NOT bound (its output is group-count-sized, which
+    can be entity-scale — the pre-fix conformal ranked one row per
+    USER); a Limit below it still does. Everything else — joins,
+    unions, projections, filters, exchanges — is bounded only if ALL
+    its inputs are: `any` semantics here let a 1-row broadcast side
+    of a crossJoin "bound" an entity-scale probe side, which is
+    exactly the false negative that hid the conformal finding."""
     name = node.getClass().getSimpleName()
-    if "Aggregate" in name or "Limit" in name or "TakeOrdered" in name:
+    if "Limit" in name or "TakeOrdered" in name:
         return True
+    if "Aggregate" in name and (
+        allow_grouped_agg or _agg_grouping_empty(node)
+    ):
+        return True
+    if name == "RangeExec":
+        # literal spark.range(...) axis: bounded iff the row count is
+        # literally small (catalog ranges are 9-row bin indexes)
+        try:
+            return int(str(node.numElements())) <= 10_000
+        except Exception:
+            return False
     ch = node.children()
-    return any(_subtree_bounded(ch.apply(i)) for i in range(ch.length()))
+    if ch.length() == 0:
+        return False  # leaf scan: data-scale
+    return all(
+        _subtree_bounded(ch.apply(i), allow_grouped_agg)
+        for i in range(ch.length())
+    )
 
 
 def test_registry_wide_no_unbounded_single_partition_windows(spark):
-    """Registry-wide 100TB guard (round 5): EVERY partition-less
-    WindowExec in EVERY catalog plan must consume aggregate-sized or
-    limit-bounded input — a global window directly over a scan-sized
-    stream moves the whole table through one task. The round-4 verdict
-    named five such queries; a full-plan sweep found six more (layout
-    tiling, selectivity/encoding profiling, lateness high-water-marks),
-    all now shipped in the distributed exact form
-    (operators/ranking.py). This sweep keeps the class extinct."""
+    """Registry-wide 100TB guard (round 5, tightened round 7): EVERY
+    partition-less WindowExec in EVERY catalog plan must consume
+    limit-bounded, scalar-aggregate, or allowlisted-bounded-axis input
+    — a global window directly over a scan-sized OR entity-keyed
+    stream moves the whole dimension through one task. The round-4
+    verdict named five such queries; a full-plan sweep found six more;
+    round 6 found conformal_spend_interval ranking the user dimension
+    through an Aggregate the old heuristic wrongly accepted as
+    bounded. This sweep keeps the class extinct."""
     bad = []
     for name in REGISTRY:
+        allow = name in _BOUNDED_GROUPED_WINDOW_AXES
         df = REGISTRY[name].fn(spark, SF)
         for w in _partitionless_windows(df):
             ch = w.children()
             if not all(
-                _subtree_bounded(ch.apply(i)) for i in range(ch.length())
+                _subtree_bounded(ch.apply(i), allow)
+                for i in range(ch.length())
             ):
                 bad.append(name)
                 break
