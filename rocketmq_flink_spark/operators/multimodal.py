@@ -996,13 +996,15 @@ def encode_jpeg_header_pattern(
 #     same planted-fixture certification compressed_media_features uses
 #     for PNG.
 # Restart intervals (DRI + RSTn markers, byte-aligned DC-prediction
-# resets) and 4:2:0 chroma subsampling (the camera/web default: 4 Y
-# blocks + Cb + Cr per 16x16 MCU, box-upsampled chroma) are supported
-# on both sides — encode_jpeg_420 / the sampling-aware MCU walk. Out of
-# scope (raise NotImplementedError, still behind the codec registry):
-# progressive (SOF2) / arithmetic / hierarchical modes, sampling
-# layouts other than gray/4:4:4/4:2:0 (e.g. 4:2:2), 16-bit quant
-# tables, MP3/video.
+# resets), 4:2:0 chroma subsampling (the camera/web default: 4 Y
+# blocks + Cb + Cr per 16x16 MCU, box-upsampled chroma), and 4:2:2
+# (the broadcast/video-frame layout: 2 Y blocks + Cb + Cr per 16x8
+# MCU, horizontal-only subsampling) are supported on both sides —
+# encode_jpeg_420 / encode_jpeg_422 / the sampling-aware MCU walk.
+# Out of scope (raise NotImplementedError, still behind the codec
+# registry): progressive (SOF2) / arithmetic / hierarchical modes,
+# other sampling layouts (e.g. 4:4:0, 4:1:1), 16-bit quant tables,
+# MP3/video.
 # ---------------------------------------------------------------------------
 
 
@@ -1316,6 +1318,33 @@ def encode_jpeg_420(
     )
 
 
+def encode_jpeg_422(
+    y, cb, cr, quant=None, restart_interval: int = 0
+) -> bytes:
+    """Encode with 4:2:2 chroma subsampling — the broadcast/video-frame
+    layout (two Y blocks plus one Cb and one Cr per 16x8 MCU): chroma
+    is half resolution HORIZONTALLY only, so vertical color edges keep
+    full fidelity. cb/cr must ALREADY be the (H x ceil(W/2)) planes —
+    the subsample step (averaging) is the caller's, exactly like
+    encode_jpeg_420. Neutral (constant-128) chroma makes the 1x2
+    replicate upsample + color conversion exact on decode."""
+    import numpy as np
+
+    y = np.asarray(y, dtype="uint8")
+    h, w = y.shape
+    cw = (w + 1) // 2
+    cb = np.asarray(cb, dtype="uint8")
+    cr = np.asarray(cr, dtype="uint8")
+    if cb.shape != (h, cw) or cr.shape != (h, cw):
+        raise ValueError(
+            f"4:2:2 requires half-WIDTH chroma ({h}x{cw}),"
+            f" got {cb.shape} / {cr.shape}"
+        )
+    return _encode_jpeg(
+        [y, cb, cr], [(2, 1), (1, 1), (1, 1)], quant, restart_interval
+    )
+
+
 def _encode_jpeg(planes, samplings, quant, restart_interval: int) -> bytes:
     """Shared baseline encoder over per-component planes with sampling
     factors (h, v). The frame is sized by plane 0 (which must carry the
@@ -1499,11 +1528,15 @@ def decode_jpeg_coefficients(payload: bytes) -> dict:
                 )
             layout = tuple((c["h"], c["v"]) for c in comps)
             if layout not in (
-                ((1, 1),), ((1, 1),) * 3, ((2, 2), (1, 1), (1, 1)),
+                ((1, 1),),
+                ((1, 1),) * 3,
+                ((2, 2), (1, 1), (1, 1)),
+                ((2, 1), (1, 1), (1, 1)),
             ):
                 raise NotImplementedError(
-                    "supported sampling layouts: grayscale, 4:4:4, and"
-                    f" 4:2:0 (Y 2x2 + chroma 1x1); frame declares {layout}"
+                    "supported sampling layouts: grayscale, 4:4:4,"
+                    " 4:2:0 (Y 2x2), and 4:2:2 (Y 2x1); frame declares"
+                    f" {layout}"
                 )
         elif marker == 0xDA:
             ns = body[0]

@@ -2544,6 +2544,58 @@ def test_jpeg_420_and_restart_intervals_bit_exact():
         M.encode_jpeg_420(y3, y3, y3)
 
 
+def test_jpeg_422_bit_exact():
+    """The broadcast/video-frame layout: 4:2:2 subsampling (2 Y + Cb +
+    Cr blocks per 16x8 MCU, horizontal-only chroma subsampling) with
+    restart intervals. Pixel-exact for 8x8-block-constant luma under
+    neutral chroma; coefficient-exact for ARBITRARY content on all
+    three components (odd dims force edge padding)."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    blocky = rng.integers(0, 256, (4, 10)).astype("uint8")
+    y = np.repeat(np.repeat(blocky, 8, 0), 8, 1)  # 32x80, block-constant
+    neutral = np.full((32, 40), 128, dtype="uint8")
+    p = M.encode_jpeg_422(y, neutral, neutral, restart_interval=2)
+    assert sum(p.count(bytes([0xFF, 0xD0 + i])) for i in range(8)) >= 1
+    hd = M.parse_media_header(p)
+    assert (hd["width"], hd["height"], hd["n_channels"]) == (80, 32, 3)
+    px = M.decode_jpeg_pixels(p)
+    for c in range(3):
+        assert (px[:, :, c] == y).all()
+
+    y3 = rng.integers(0, 256, (26, 35)).astype("uint8")
+    cb = rng.integers(0, 256, (26, 18)).astype("uint8")
+    cr = rng.integers(0, 256, (26, 18)).astype("uint8")
+    qt = ([2] * 64, [3] * 64)
+    p3 = M.encode_jpeg_422(y3, cb, cr, quant=qt, restart_interval=3)
+    d = M.decode_jpeg_coefficients(p3)
+    assert d["sampling"] == [(2, 1), (1, 1), (1, 1)]
+    assert d["grids"] == [(4, 6), (4, 3), (4, 3)]
+    m = M._dct_matrix()
+    zz = np.asarray(M._ZIGZAG)
+
+    def expected(plane, q, gy, gx):
+        th, tw = gy * 8, gx * 8
+        ph, pw = th - plane.shape[0], tw - plane.shape[1]
+        if ph or pw:
+            plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+        blocks = M._to_blocks(plane) - 128.0
+        co = np.einsum("ux,byxv,wv->byuw", m, blocks, m, optimize=True)
+        qn = np.empty(64, dtype="int64")
+        qn[zz] = np.asarray(q)  # natural-order table (scatter)
+        qm = qn.reshape(8, 8)
+        qb = np.sign(co) * np.floor(np.abs(co) / qm + 0.5)
+        return qb.reshape(gy * gx, 64)[:, zz].astype("int64")
+
+    for ci, (plane, q) in enumerate([(y3, qt[0]), (cb, qt[1]), (cr, qt[1])]):
+        gy, gx = d["grids"][ci]
+        assert (d["coefs"][ci] == expected(plane, q, gy, gx)).all(), ci
+    # wrong chroma resolution is rejected at encode time
+    with pytest.raises(ValueError, match="half-WIDTH"):
+        M.encode_jpeg_422(y3, y3, y3)
+
+
 def test_jpeg_decoder_rejects_unsupported_modes():
     import numpy as np
 
@@ -2557,7 +2609,7 @@ def test_jpeg_decoder_rejects_unsupported_modes():
     # SOF layout: marker(2) len(2) prec(1) h(2) w(2) ncomp(1) then
     # [id, h/v, tq] per component -> component 1's h/v byte is i+11
     sub = bytearray(p)
-    sub[i + 11] = 0x21  # luma 2x1 -> 4:2:2, outside gray/4:4:4/4:2:0
+    sub[i + 11] = 0x12  # luma 1x2 -> 4:4:0, outside the supported set
     with pytest.raises(NotImplementedError, match="sampling"):
         M.decode_jpeg_coefficients(bytes(sub))
     trunc = bytes(p[:len(p) // 2])

@@ -1912,17 +1912,18 @@ def test_partitioning_invariance_representative_queries(spark):
     w=st.integers(1, 40),
     seed=st.integers(0, 2**31 - 1),
     gray=st.booleans(),
-    use_420=st.booleans(),
+    layout=st.sampled_from(["444", "420", "422"]),
     rst=st.integers(0, 5),
 )
-def test_jpeg_entropy_layer_lossless_property(h, w, seed, gray, use_420, rst):
+def test_jpeg_entropy_layer_lossless_property(h, w, seed, gray, layout, rst):
     """Property form of the JPEG codec certification: for ARBITRARY
     pixel content, dimensions (incl. non-multiples of 8/16), random
-    PER-ELEMENT quant tables, grayscale / 4:4:4 / 4:2:0 layouts, and
-    random restart intervals, the decoder recovers the encoder's
-    quantized coefficients bit-for-bit on every component. The entropy
-    layer is lossless by construction; this pins it against the whole
-    input space rather than the unit tests' fixed cases."""
+    PER-ELEMENT quant tables, grayscale / 4:4:4 / 4:2:0 / 4:2:2
+    layouts, and random restart intervals, the decoder recovers the
+    encoder's quantized coefficients bit-for-bit on every component.
+    The entropy layer is lossless by construction; this pins it
+    against the whole input space rather than the unit tests' fixed
+    cases."""
     import numpy as np
 
     from rocketmq_flink_spark.operators import multimodal as M
@@ -1936,11 +1937,17 @@ def test_jpeg_entropy_layer_lossless_property(h, w, seed, gray, use_420, rst):
     if gray:
         payload = M.encode_jpeg_baseline(y, quant=qt, restart_interval=rst)
         planes = [(y, qt[0])]
-    elif use_420:
+    elif layout == "420":
         ch, cw = (h + 1) // 2, (w + 1) // 2
         cb = rng.integers(0, 256, (ch, cw)).astype("uint8")
         cr = rng.integers(0, 256, (ch, cw)).astype("uint8")
         payload = M.encode_jpeg_420(y, cb, cr, quant=qt, restart_interval=rst)
+        planes = [(y, qt[0]), (cb, qt[1]), (cr, qt[1])]
+    elif layout == "422":
+        cw = (w + 1) // 2
+        cb = rng.integers(0, 256, (h, cw)).astype("uint8")
+        cr = rng.integers(0, 256, (h, cw)).astype("uint8")
+        payload = M.encode_jpeg_422(y, cb, cr, quant=qt, restart_interval=rst)
         planes = [(y, qt[0]), (cb, qt[1]), (cr, qt[1])]
     else:
         cb = rng.integers(0, 256, (h, w)).astype("uint8")
@@ -1961,7 +1968,12 @@ def test_jpeg_entropy_layer_lossless_property(h, w, seed, gray, use_420, rst):
             pl = np.pad(pl, ((0, ph), (0, pw)), mode="edge")
         blocks = M._to_blocks(pl) - 128.0
         co = np.einsum("ux,byxv,wv->byuw", m, blocks, m, optimize=True)
-        qm = np.asarray(q)[zz].reshape(8, 8)
+        # DQT order -> natural order is the SCATTER q_nat[zz] = q
+        # (matches the r7 encoder fix; the old gather q[zz] only
+        # agreed for uniform tables)
+        qn = np.empty(64, dtype="int64")
+        qn[zz] = np.asarray(q)
+        qm = qn.reshape(8, 8)
         want = (
             (np.sign(co) * np.floor(np.abs(co) / qm + 0.5))
             .reshape(gy * gx, 64)[:, zz].astype("int64")

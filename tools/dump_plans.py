@@ -126,6 +126,16 @@ AUDIT = [
      "(domain+total supplied, no stats scan), and a single "
      "conditional-agg scan for the true counts — no theta join, no "
      "re-evaluated stats subplan, windows partitioned by range bucket"),
+    ("conformal_spend_interval",
+     "calibration quantile selected rank-exactly from the "
+     "distinct-residual histogram via distributed_prefix (r7): bucketed "
+     "prefix sums, bucket-partitioned windows only — never a "
+     "partition-less rank over the user dimension"),
+    ("nb_confidence_margin",
+     "margin quartiles from the exact distributed ntile (r7): range "
+     "buckets on margin ticks + broadcast offset join + "
+     "bucket-partitioned row_number — never a partition-less ntile "
+     "over doc-scale margins"),
 ]
 
 

@@ -92,6 +92,9 @@ QUERIES = [
     # round 6 rewrites
     "selectivity_estimation_report",
     "compressed_media_features",
+    # round 7 rewrites (distributed rank-exact quantile selection)
+    "conformal_spend_interval",
+    "nb_confidence_margin",
 ]
 
 _UNITS = {"B": 1, "KiB": 1 << 10, "MiB": 1 << 20, "GiB": 1 << 30}
