@@ -16,9 +16,10 @@ encode_png round-trips real filtered scanlines. Baseline-sequential
 JPEG (round 6) is FULLY decoded too: real Huffman entropy decode with
 byte unstuffing, dequantize, de-zigzag, IDCT, BT.601 color conversion
 (encode_jpeg_baseline / decode_jpeg_pixels — see the codec section for
-the exactness argument and feature boundary). Progressive JPEG,
-subsampled chroma, and MP3/video raise NotImplementedError behind the
-same registry slot.
+the exactness argument and feature boundary), with 4:2:0 / 4:2:2 /
+4:4:0 / 4:1:1 chroma subsampling, restart intervals, and 16-bit DQT
+decode (round 7). Progressive JPEG and MP3/video raise
+NotImplementedError behind the same registry slot.
 Everything Spark-side — schema, partition-preserving mapInPandas,
 Arrow batch shapes, UDF signatures — is real and tested.
 
@@ -996,15 +997,16 @@ def encode_jpeg_header_pattern(
 #     same planted-fixture certification compressed_media_features uses
 #     for PNG.
 # Restart intervals (DRI + RSTn markers, byte-aligned DC-prediction
-# resets), 4:2:0 chroma subsampling (the camera/web default: 4 Y
-# blocks + Cb + Cr per 16x16 MCU, box-upsampled chroma), and 4:2:2
-# (the broadcast/video-frame layout: 2 Y blocks + Cb + Cr per 16x8
-# MCU, horizontal-only subsampling) are supported on both sides —
-# encode_jpeg_420 / encode_jpeg_422 / the sampling-aware MCU walk.
+# resets) and four chroma-subsampling layouts are supported on both
+# sides — the MCU walk is sampling-generic: 4:2:0 (camera/web default,
+# 4 Y + Cb + Cr per 16x16 MCU), 4:2:2 (broadcast, 2 Y + Cb + Cr per
+# 16x8), 4:4:0 (its transpose, 8x16 MCU), 4:1:1 (DV video, 4 Y + Cb +
+# Cr per 32x8) — encode_jpeg_420/422/440/411. 16-bit (Pq=1) DQT tables
+# decode leniently (T.81 reserves Pq=1 for 12-bit samples, but real
+# encoders pair it with SOF0; the encoder here stays spec-strict).
 # Out of scope (raise NotImplementedError, still behind the codec
 # registry): progressive (SOF2) / arithmetic / hierarchical modes,
-# other sampling layouts (e.g. 4:4:0, 4:1:1), 16-bit quant tables,
-# MP3/video.
+# other sampling grids, MP3/video.
 # ---------------------------------------------------------------------------
 
 
@@ -1345,6 +1347,57 @@ def encode_jpeg_422(
     )
 
 
+def encode_jpeg_440(
+    y, cb, cr, quant=None, restart_interval: int = 0
+) -> bytes:
+    """Encode with 4:4:0 chroma subsampling — the transpose of 4:2:2
+    (two Y blocks stacked plus one Cb and one Cr per 8x16 MCU): chroma
+    is half resolution VERTICALLY only. Rare in cameras but emitted by
+    rotation-aware transcoders that transpose a 4:2:2 source. cb/cr
+    must ALREADY be the (ceil(H/2) x W) planes; neutral chroma makes
+    the 2x1 replicate upsample + color conversion exact on decode."""
+    import numpy as np
+
+    y = np.asarray(y, dtype="uint8")
+    h, w = y.shape
+    ch = (h + 1) // 2
+    cb = np.asarray(cb, dtype="uint8")
+    cr = np.asarray(cr, dtype="uint8")
+    if cb.shape != (ch, w) or cr.shape != (ch, w):
+        raise ValueError(
+            f"4:4:0 requires half-HEIGHT chroma ({ch}x{w}),"
+            f" got {cb.shape} / {cr.shape}"
+        )
+    return _encode_jpeg(
+        [y, cb, cr], [(1, 2), (1, 1), (1, 1)], quant, restart_interval
+    )
+
+
+def encode_jpeg_411(
+    y, cb, cr, quant=None, restart_interval: int = 0
+) -> bytes:
+    """Encode with 4:1:1 chroma subsampling — the DV-video layout (four
+    Y blocks in a row plus one Cb and one Cr per 32x8 MCU): chroma is
+    QUARTER resolution horizontally. cb/cr must ALREADY be the
+    (H x ceil(W/4)) planes; neutral chroma makes the 1x4 replicate
+    upsample + color conversion exact on decode."""
+    import numpy as np
+
+    y = np.asarray(y, dtype="uint8")
+    h, w = y.shape
+    cw = (w + 3) // 4
+    cb = np.asarray(cb, dtype="uint8")
+    cr = np.asarray(cr, dtype="uint8")
+    if cb.shape != (h, cw) or cr.shape != (h, cw):
+        raise ValueError(
+            f"4:1:1 requires quarter-WIDTH chroma ({h}x{cw}),"
+            f" got {cb.shape} / {cr.shape}"
+        )
+    return _encode_jpeg(
+        [y, cb, cr], [(4, 1), (1, 1), (1, 1)], quant, restart_interval
+    )
+
+
 def _encode_jpeg(planes, samplings, quant, restart_interval: int) -> bytes:
     """Shared baseline encoder over per-component planes with sampling
     factors (h, v). The frame is sized by plane 0 (which must carry the
@@ -1456,9 +1509,10 @@ def decode_jpeg_coefficients(payload: bytes) -> dict:
     is bit-exact: for any stream encode_jpeg_baseline produced, coefs
     equals the encoder's quantized coefficients array exactly (the
     round-trip property test). Restart intervals (DRI + RSTn, DC
-    prediction reset) are supported. Raises NotImplementedError for
-    progressive/arithmetic modes or subsampling; ValueError for
-    malformed streams."""
+    prediction reset), the 4:2:0 / 4:2:2 / 4:4:0 / 4:1:1 sampling
+    layouts, and 16-bit (Pq=1) quant tables are supported. Raises
+    NotImplementedError for progressive/arithmetic modes or other
+    sampling grids; ValueError for malformed streams."""
     import struct
 
     import numpy as np
@@ -1499,12 +1553,25 @@ def decode_jpeg_coefficients(payload: bytes) -> dict:
             p = 0
             while p < len(body):
                 pq, tq = body[p] >> 4, body[p] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables unsupported")
-                if p + 65 > len(body):
-                    raise ValueError("malformed JPEG: short DQT table")
-                quant_tables[tq] = list(body[p + 1:p + 65])
-                p += 65
+                if pq == 0:
+                    if p + 65 > len(body):
+                        raise ValueError("malformed JPEG: short DQT table")
+                    quant_tables[tq] = list(body[p + 1:p + 65])
+                    p += 65
+                elif pq == 1:
+                    # 16-bit (Pq=1) table: T.81 reserves this for 12-bit
+                    # samples, but real encoders emit it with SOF0 8-bit
+                    # frames too — decode leniently (the encoder here
+                    # stays spec-strict and never writes one)
+                    if p + 129 > len(body):
+                        raise ValueError("malformed JPEG: short DQT table")
+                    quant_tables[tq] = [
+                        struct.unpack_from(">H", body, p + 1 + 2 * k)[0]
+                        for k in range(64)
+                    ]
+                    p += 129
+                else:
+                    raise ValueError(f"malformed JPEG: DQT precision {pq}")
         elif marker == 0xC4:
             p = 0
             while p < len(body):
@@ -1532,11 +1599,13 @@ def decode_jpeg_coefficients(payload: bytes) -> dict:
                 ((1, 1),) * 3,
                 ((2, 2), (1, 1), (1, 1)),
                 ((2, 1), (1, 1), (1, 1)),
+                ((1, 2), (1, 1), (1, 1)),
+                ((4, 1), (1, 1), (1, 1)),
             ):
                 raise NotImplementedError(
                     "supported sampling layouts: grayscale, 4:4:4,"
-                    " 4:2:0 (Y 2x2), and 4:2:2 (Y 2x1); frame declares"
-                    f" {layout}"
+                    " 4:2:0 (Y 2x2), 4:2:2 (Y 2x1), 4:4:0 (Y 1x2),"
+                    f" and 4:1:1 (Y 4x1); frame declares {layout}"
                 )
         elif marker == 0xDA:
             ns = body[0]

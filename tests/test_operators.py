@@ -2596,6 +2596,177 @@ def test_jpeg_422_bit_exact():
         M.encode_jpeg_422(y3, y3, y3)
 
 
+def _expected_coefs(plane, q, gy, gx):
+    """Reference quantized-coefficient model (natural-order scatter of
+    the zigzag DQT table, edge padding, libjpeg-style rounding)."""
+    import numpy as np
+
+    m = M._dct_matrix()
+    zz = np.asarray(M._ZIGZAG)
+    th, tw = gy * 8, gx * 8
+    ph, pw = th - plane.shape[0], tw - plane.shape[1]
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    blocks = M._to_blocks(plane) - 128.0
+    co = np.einsum("ux,byxv,wv->byuw", m, blocks, m, optimize=True)
+    qn = np.empty(64, dtype="int64")
+    qn[zz] = np.asarray(q)
+    qm = qn.reshape(8, 8)
+    qb = np.sign(co) * np.floor(np.abs(co) / qm + 0.5)
+    return qb.reshape(gy * gx, 64)[:, zz].astype("int64")
+
+
+def test_jpeg_440_bit_exact():
+    """4:4:0 — the transpose of 4:2:2 (2 Y blocks stacked per 8x16 MCU,
+    vertical-only chroma subsampling). Pixel-exact for 8x8-block-
+    constant luma under neutral chroma; coefficient-exact for ARBITRARY
+    content with odd dims, restart intervals, and non-uniform tables."""
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    blocky = rng.integers(0, 256, (10, 4)).astype("uint8")
+    y = np.repeat(np.repeat(blocky, 8, 0), 8, 1)  # 80x32, block-constant
+    neutral = np.full((40, 32), 128, dtype="uint8")
+    p = M.encode_jpeg_440(y, neutral, neutral, restart_interval=2)
+    assert sum(p.count(bytes([0xFF, 0xD0 + i])) for i in range(8)) >= 1
+    hd = M.parse_media_header(p)
+    assert (hd["width"], hd["height"], hd["n_channels"]) == (32, 80, 3)
+    px = M.decode_jpeg_pixels(p)
+    for c in range(3):
+        assert (px[:, :, c] == y).all()
+
+    y3 = rng.integers(0, 256, (35, 26)).astype("uint8")
+    cb = rng.integers(0, 256, (18, 26)).astype("uint8")
+    cr = rng.integers(0, 256, (18, 26)).astype("uint8")
+    qt = ([2] * 64, [3] * 64)
+    p3 = M.encode_jpeg_440(y3, cb, cr, quant=qt, restart_interval=3)
+    d = M.decode_jpeg_coefficients(p3)
+    assert d["sampling"] == [(1, 2), (1, 1), (1, 1)]
+    assert d["grids"] == [(6, 4), (3, 4), (3, 4)]
+    for ci, (plane, q) in enumerate([(y3, qt[0]), (cb, qt[1]), (cr, qt[1])]):
+        gy, gx = d["grids"][ci]
+        assert (d["coefs"][ci] == _expected_coefs(plane, q, gy, gx)).all(), ci
+    with pytest.raises(ValueError, match="half-HEIGHT"):
+        M.encode_jpeg_440(y3, y3, y3)
+
+
+def test_jpeg_411_bit_exact():
+    """4:1:1 — the DV-video layout (4 Y blocks per 32x8 MCU, quarter-
+    width chroma). Pixel-exact for 8x8-block-constant luma under
+    neutral chroma; coefficient-exact for ARBITRARY content with odd
+    dims (32-pixel MCU width forces heavy edge padding)."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    blocky = rng.integers(0, 256, (2, 8)).astype("uint8")
+    y = np.repeat(np.repeat(blocky, 8, 0), 8, 1)  # 16x64, block-constant
+    neutral = np.full((16, 16), 128, dtype="uint8")
+    p = M.encode_jpeg_411(y, neutral, neutral, restart_interval=1)
+    assert sum(p.count(bytes([0xFF, 0xD0 + i])) for i in range(8)) >= 1
+    hd = M.parse_media_header(p)
+    assert (hd["width"], hd["height"], hd["n_channels"]) == (64, 16, 3)
+    px = M.decode_jpeg_pixels(p)
+    for c in range(3):
+        assert (px[:, :, c] == y).all()
+
+    y3 = rng.integers(0, 256, (21, 45)).astype("uint8")  # 32-wide MCUs pad to 64
+    cb = rng.integers(0, 256, (21, 12)).astype("uint8")
+    cr = rng.integers(0, 256, (21, 12)).astype("uint8")
+    qt = ([2] * 64, [3] * 64)
+    p3 = M.encode_jpeg_411(y3, cb, cr, quant=qt)
+    d = M.decode_jpeg_coefficients(p3)
+    assert d["sampling"] == [(4, 1), (1, 1), (1, 1)]
+    assert d["grids"] == [(3, 8), (3, 2), (3, 2)]
+    for ci, (plane, q) in enumerate([(y3, qt[0]), (cb, qt[1]), (cr, qt[1])]):
+        gy, gx = d["grids"][ci]
+        assert (d["coefs"][ci] == _expected_coefs(plane, q, gy, gx)).all(), ci
+    with pytest.raises(ValueError, match="quarter-WIDTH"):
+        M.encode_jpeg_411(y3, y3, y3)
+
+
+def _widen_dqt_to_16bit(payload: bytes) -> bytes:
+    """Test helper: rewrite every 8-bit (Pq=0) DQT table in a stream to
+    the 16-bit (Pq=1) encoding of the SAME values — the byte layout real
+    Pq=1 emitters produce — leaving all other segments untouched."""
+    import struct
+
+    out = bytearray(payload[:2])
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            out += payload[pos:]
+            break
+        marker = payload[pos + 1]
+        if marker == 0xD9 or (0xD0 <= marker <= 0xD7) or marker == 0x01:
+            out += payload[pos:pos + 2]
+            pos += 2
+            continue
+        size = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4:pos + 2 + size]
+        if marker == 0xDB:
+            nb = bytearray()
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                assert pq == 0
+                nb.append((1 << 4) | tq)
+                for v in body[p + 1:p + 65]:
+                    nb += struct.pack(">H", v)
+                p += 65
+            out += bytes([0xFF, 0xDB]) + struct.pack(">H", 2 + len(nb)) + nb
+        else:
+            out += payload[pos:pos + 2 + size]
+        if marker == 0xDA:
+            out += payload[pos + 2 + size:]
+            break
+        pos += 2 + size
+    return bytes(out)
+
+
+def test_jpeg_16bit_quant_table_decode():
+    """Pq=1 (16-bit) DQT decode: T.81 reserves it for 12-bit samples but
+    real encoders pair it with SOF0 frames, so the decoder is lenient.
+    A stream whose DQT is rewritten 8->16 bit with identical values must
+    decode to identical coefficients, tables, and pixels; values >255
+    (only representable in 16-bit) must come back verbatim."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(37)
+    img = rng.integers(0, 256, (24, 17)).astype("uint8")
+    qt = [1] * 64
+    qt[5], qt[9] = 16, 8  # non-uniform: catches order bugs too
+    p8 = M.encode_jpeg_baseline(img, quant=(qt, qt))
+    p16 = _widen_dqt_to_16bit(p8)
+    assert p16 != p8 and len(p16) == len(p8) + 64  # 1 table, 64 entries widened
+    d8 = M.decode_jpeg_coefficients(p8)
+    d16 = M.decode_jpeg_coefficients(p16)
+    assert d16["quant"] == d8["quant"]
+    assert all((a == b).all() for a, b in zip(d16["coefs"], d8["coefs"]))
+    assert (M.decode_jpeg_pixels(p16) == M.decode_jpeg_pixels(p8)).all()
+
+    # a value only 16 bits can hold survives the parse verbatim
+    big = _widen_dqt_to_16bit(M.encode_jpeg_baseline(img))
+    i = big.find(b"\xff\xdb") + 5  # first table entry (after Pq/Tq byte)
+    big = big[:i] + struct.pack(">H", 300) + big[i + 2:]
+    d = M.decode_jpeg_coefficients(big)
+    assert d["quant"][0][0] == 300
+
+    # truncated 16-bit table is malformed, not silently short-read
+    dqt_end = big.find(b"\xff\xdb") + 4 + 100  # inside the 129-byte body
+    cut = big[:big.find(b"\xff\xdb") + 2] + struct.pack(">H", 2 + 100) \
+        + big[big.find(b"\xff\xdb") + 4:dqt_end] + big[big.find(b"\xff\xc0"):]
+    with pytest.raises(ValueError, match="short DQT"):
+        M.decode_jpeg_coefficients(cut)
+    # reserved DQT precision values are malformed
+    bad = bytearray(p8)
+    j = bad.find(b"\xff\xdb") + 4
+    bad[j] = 0x20 | (bad[j] & 0x0F)
+    with pytest.raises(ValueError, match="DQT precision"):
+        M.decode_jpeg_coefficients(bytes(bad))
+
+
 def test_jpeg_decoder_rejects_unsupported_modes():
     import numpy as np
 
@@ -2609,7 +2780,7 @@ def test_jpeg_decoder_rejects_unsupported_modes():
     # SOF layout: marker(2) len(2) prec(1) h(2) w(2) ncomp(1) then
     # [id, h/v, tq] per component -> component 1's h/v byte is i+11
     sub = bytearray(p)
-    sub[i + 11] = 0x12  # luma 1x2 -> 4:4:0, outside the supported set
+    sub[i + 11] = 0x31  # luma 3x1: outside every supported layout
     with pytest.raises(NotImplementedError, match="sampling"):
         M.decode_jpeg_coefficients(bytes(sub))
     trunc = bytes(p[:len(p) // 2])

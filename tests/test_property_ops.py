@@ -1912,18 +1912,18 @@ def test_partitioning_invariance_representative_queries(spark):
     w=st.integers(1, 40),
     seed=st.integers(0, 2**31 - 1),
     gray=st.booleans(),
-    layout=st.sampled_from(["444", "420", "422"]),
+    layout=st.sampled_from(["444", "420", "422", "440", "411"]),
     rst=st.integers(0, 5),
 )
 def test_jpeg_entropy_layer_lossless_property(h, w, seed, gray, layout, rst):
     """Property form of the JPEG codec certification: for ARBITRARY
     pixel content, dimensions (incl. non-multiples of 8/16), random
-    PER-ELEMENT quant tables, grayscale / 4:4:4 / 4:2:0 / 4:2:2
-    layouts, and random restart intervals, the decoder recovers the
-    encoder's quantized coefficients bit-for-bit on every component.
-    The entropy layer is lossless by construction; this pins it
-    against the whole input space rather than the unit tests' fixed
-    cases."""
+    PER-ELEMENT quant tables, grayscale / 4:4:4 / 4:2:0 / 4:2:2 /
+    4:4:0 / 4:1:1 layouts, and random restart intervals, the decoder
+    recovers the encoder's quantized coefficients bit-for-bit on every
+    component. The entropy layer is lossless by construction; this
+    pins it against the whole input space rather than the unit tests'
+    fixed cases."""
     import numpy as np
 
     from rocketmq_flink_spark.operators import multimodal as M
@@ -1948,6 +1948,18 @@ def test_jpeg_entropy_layer_lossless_property(h, w, seed, gray, layout, rst):
         cb = rng.integers(0, 256, (h, cw)).astype("uint8")
         cr = rng.integers(0, 256, (h, cw)).astype("uint8")
         payload = M.encode_jpeg_422(y, cb, cr, quant=qt, restart_interval=rst)
+        planes = [(y, qt[0]), (cb, qt[1]), (cr, qt[1])]
+    elif layout == "440":
+        ch = (h + 1) // 2
+        cb = rng.integers(0, 256, (ch, w)).astype("uint8")
+        cr = rng.integers(0, 256, (ch, w)).astype("uint8")
+        payload = M.encode_jpeg_440(y, cb, cr, quant=qt, restart_interval=rst)
+        planes = [(y, qt[0]), (cb, qt[1]), (cr, qt[1])]
+    elif layout == "411":
+        cw = (w + 3) // 4
+        cb = rng.integers(0, 256, (h, cw)).astype("uint8")
+        cr = rng.integers(0, 256, (h, cw)).astype("uint8")
+        payload = M.encode_jpeg_411(y, cb, cr, quant=qt, restart_interval=rst)
         planes = [(y, qt[0]), (cb, qt[1]), (cr, qt[1])]
     else:
         cb = rng.integers(0, 256, (h, w)).astype("uint8")
