@@ -18,8 +18,9 @@ byte unstuffing, dequantize, de-zigzag, IDCT, BT.601 color conversion
 (encode_jpeg_baseline / decode_jpeg_pixels — see the codec section for
 the exactness argument and feature boundary), with 4:2:0 / 4:2:2 /
 4:4:0 / 4:1:1 chroma subsampling, restart intervals, and 16-bit DQT
-decode (round 7). Progressive JPEG and MP3/video raise
-NotImplementedError behind the same registry slot.
+decode, and full PROGRESSIVE (SOF2) multi-scan decode with a
+progressive encoder driving bit-exact round-trip tests (round 7).
+MP3/video raise NotImplementedError behind the same registry slot.
 Everything Spark-side — schema, partition-preserving mapInPandas,
 Arrow batch shapes, UDF signatures — is real and tested.
 
@@ -67,8 +68,8 @@ def decode_media(payload: bytes, media_type: str, fake: bool = False) -> dict:
     pure-bytes 'decode' (pipeline-shape testing). Otherwise the REAL
     stdlib header parsers run: BMP / WAV / PPM / PNG (CRC-verified
     IHDR) / JPEG (SOFn marker walk) — no codec libraries needed.
-    MP3/video still raise NotImplementedError (baseline JPEG pixels
-    decode via decode_jpeg_pixels; progressive does not)."""
+    MP3/video still raise NotImplementedError (baseline AND progressive
+    JPEG pixels decode via decode_jpeg_pixels)."""
     if fake:
         return {
             "byte_len": len(payload),
@@ -708,8 +709,8 @@ def media_pixel_features(df: DataFrame, resize_factor: int = 2) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         "pixel/sample decode is implemented for PPM/BMP/"
-                        "PNG/JPEG(baseline)/WAV; progressive JPEG and "
-                        "MP3/video need codec libraries"
+                        "PNG/JPEG(baseline+progressive)/WAV; MP3/video "
+                        "need codec libraries"
                     )
                 rows.append(row)
             yield pd.DataFrame(rows)
@@ -1004,9 +1005,14 @@ def encode_jpeg_header_pattern(
 # Cr per 32x8) — encode_jpeg_420/422/440/411. 16-bit (Pq=1) DQT tables
 # decode leniently (T.81 reserves Pq=1 for 12-bit samples, but real
 # encoders pair it with SOF0; the encoder here stays spec-strict).
+# PROGRESSIVE (SOF2) streams fully decode too: multi-scan marker walk,
+# spectral selection, DC/AC successive approximation, EOBn run batching,
+# refinement correction bits (T.81 G.1.2) — and encode_jpeg_progressive
+# emits the canonical successive-approximation scan script over flat
+# Huffman tables so the round trip is bit-exact on every coded block.
 # Out of scope (raise NotImplementedError, still behind the codec
-# registry): progressive (SOF2) / arithmetic / hierarchical modes,
-# other sampling grids, MP3/video.
+# registry): extended-sequential / lossless / arithmetic / hierarchical
+# modes, other sampling grids, 12-bit precision, MP3/video.
 # ---------------------------------------------------------------------------
 
 
@@ -1398,14 +1404,12 @@ def encode_jpeg_411(
     )
 
 
-def _encode_jpeg(planes, samplings, quant, restart_interval: int) -> bytes:
-    """Shared baseline encoder over per-component planes with sampling
-    factors (h, v). The frame is sized by plane 0 (which must carry the
-    max factors); every plane is edge-padded to full MCU coverage;
-    blocks are emitted in interleaved MCU order (raster within the
-    MCU), per spec A.2.3."""
-    import struct
-
+def _quantize_planes(planes, samplings, quant):
+    """Shared FDCT + quantize front half of the JPEG encoders: per
+    component, edge-pad to full MCU coverage, forward-DCT, quantize
+    (libjpeg-style round-half-away), zigzag. Returns (comp_blocks —
+    per comp (nby, nbx, 64) zigzag int64 —, qy, qc, (h, w),
+    (mcuy, mcux))."""
     import numpy as np
 
     if quant is None:
@@ -1445,6 +1449,20 @@ def _encode_jpeg(planes, samplings, quant, restart_interval: int) -> bytes:
         comp_blocks.append(
             qb.reshape(nby, nbx, 64)[:, :, zz].astype("int64")
         )
+    return comp_blocks, qy, qc, (h, w), (mcuy, mcux)
+
+
+def _encode_jpeg(planes, samplings, quant, restart_interval: int) -> bytes:
+    """Shared baseline encoder over per-component planes with sampling
+    factors (h, v). The frame is sized by plane 0 (which must carry the
+    max factors); every plane is edge-padded to full MCU coverage;
+    blocks are emitted in interleaved MCU order (raster within the
+    MCU), per spec A.2.3."""
+    import struct
+
+    comp_blocks, qy, qc, (h, w), (mcuy, mcux) = _quantize_planes(
+        planes, samplings, quant
+    )
     dc_tabs = [_huff_codes(*_DC_LUM)] + (
         [_huff_codes(*_DC_CHR)] * 2 if len(planes) == 3 else []
     )
@@ -1501,18 +1519,478 @@ def _encode_jpeg(planes, samplings, quant, restart_interval: int) -> bytes:
     )
 
 
+# Flat Huffman tables for the progressive encoder: every 8-bit symbol is
+# codable, so EOBn run symbols (r<<4, r up to 14) need no per-image table
+# optimization. DC: 12 symbols at length 4. AC: 255 symbols at length 9 +
+# 1 at length 10 (a DHT bits entry is one byte, so 256-at-one-length is
+# unrepresentable; the canonical split keeps the all-ones code unused).
+_PROG_DC = ([0, 0, 0, 12] + [0] * 12, list(range(12)))
+_PROG_AC = ([0] * 8 + [255, 1] + [0] * 6, list(range(256)))
+
+
+def _noninterleaved_dims(h, w, samplings):
+    """Per-component block dims for NON-interleaved scans (T.81 A.2.2):
+    ceil over the component's own sample grid, NOT padded to MCU
+    multiples — trailing MCU-padding blocks are simply never coded in a
+    non-interleaved scan."""
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    out = []
+    for sh, sv in samplings:
+        cw = -(-(w * sh) // hmax)
+        chh = -(-(h * sv) // vmax)
+        out.append((-(-chh // 8), -(-cw // 8)))
+    return out
+
+
+def _prog_dc_scan(comp_blocks, samplings, mcuy, mcux, ah, al, ri) -> bytes:
+    """Progressive DC scan (interleaved over all components): first scan
+    (Ah=0) codes diffs of DC>>Al with magnitude categories; refinement
+    (Ah>0) emits one raw bit — (DC>>Al)&1 — per block, MSB-first
+    successive approximation (T.81 G.1.2.1)."""
+    dc_codes = _huff_codes(*_PROG_DC)
+    wtr = _BitWriter()
+    n = len(comp_blocks)
+    preds = [0] * n
+    rst = 0
+    for mcu in range(mcuy * mcux):
+        if ri and mcu and mcu % ri == 0:
+            wtr.restart(rst)
+            rst += 1
+            preds = [0] * n
+        my, mx = divmod(mcu, mcux)
+        for ci, (sh, sv) in enumerate(samplings):
+            for dy in range(sv):
+                for dx in range(sh):
+                    dc = int(comp_blocks[ci][my * sv + dy, mx * sh + dx, 0])
+                    if ah == 0:
+                        v = dc >> al  # arithmetic shift: preds live >>Al
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        size = _magnitude(diff)
+                        code, ln = dc_codes[size]
+                        wtr.write(code, ln)
+                        if size:
+                            wtr.write(
+                                diff if diff >= 0
+                                else diff + (1 << size) - 1, size,
+                            )
+                    else:
+                        wtr.write((dc >> al) & 1, 1)
+    return wtr.flush()
+
+
+def _prog_ac_first_scan(blocks, bh, bw, ss, se, al, ri) -> bytes:
+    """Progressive AC first scan (one component, non-interleaved): band
+    Ss..Se of |coef|>>Al with run/size symbols, ZRL, and EOBn run
+    batching (T.81 G.1.2.2)."""
+    ac_codes = _huff_codes(*_PROG_AC)
+    wtr = _BitWriter()
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            wtr.write(code, ln)
+            if r:
+                wtr.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    rst = 0
+    for i in range(bh * bw):
+        if ri and i and i % ri == 0:
+            flush_eob()
+            wtr.restart(rst)
+            rst += 1
+        by, bx = divmod(i, bw)
+        band = [int(blocks[by, bx, k]) for k in range(ss, se + 1)]
+        mags = [abs(v) >> al for v in band]
+        nz = [j for j, m in enumerate(mags) if m]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for j in range(nz[-1] + 1):
+            m = mags[j]
+            if m == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = ac_codes[0xF0]  # ZRL
+                wtr.write(code, ln)
+                run -= 16
+            s = m.bit_length()
+            code, ln = ac_codes[(run << 4) | s]
+            wtr.write(code, ln)
+            wtr.write(m if band[j] > 0 else (~m) & ((1 << s) - 1), s)
+            run = 0
+        if nz[-1] < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return wtr.flush()
+
+
+def _prog_ac_refine_scan(blocks, bh, bw, ss, se, al, ri) -> bytes:
+    """Progressive AC refinement scan (T.81 G.1.2.3): newly-significant
+    coefficients (|coef|>>Al == 1) get a (run<<4)|1 symbol + sign bit;
+    already-significant ones contribute buffered correction bits emitted
+    after the next symbol (or after the EOBn that closes a run)."""
+    ac_codes = _huff_codes(*_PROG_AC)
+    wtr = _BitWriter()
+    eobrun = 0
+    pend: list[int] = []  # correction bits riding the pending EOB run
+
+    def flush_eob() -> None:
+        nonlocal eobrun, pend
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            wtr.write(code, ln)
+            if r:
+                wtr.write(eobrun - (1 << r), r)
+            for b in pend:
+                wtr.write(b, 1)
+            eobrun = 0
+            pend = []
+
+    rst = 0
+    for i in range(bh * bw):
+        if ri and i and i % ri == 0:
+            flush_eob()
+            wtr.restart(rst)
+            rst += 1
+        by, bx = divmod(i, bw)
+        band = [int(blocks[by, bx, k]) for k in range(ss, se + 1)]
+        mags = [abs(v) >> al for v in band]
+        eobpos = -1  # index of the LAST newly-significant coefficient
+        for j, m in enumerate(mags):
+            if m == 1:
+                eobpos = j
+        run = 0
+        br: list[int] = []  # correction bits since the last symbol
+        for j, m in enumerate(mags):
+            if m == 0:
+                run += 1  # only zero-HISTORY positions count in runs
+                continue
+            while run > 15 and j <= eobpos:
+                flush_eob()
+                code, ln = ac_codes[0xF0]  # ZRL
+                wtr.write(code, ln)
+                run -= 16
+                for b in br:
+                    wtr.write(b, 1)
+                br = []
+            if m > 1:  # already significant: one correction bit
+                br.append(m & 1)
+                continue
+            flush_eob()
+            code, ln = ac_codes[(run << 4) | 1]
+            wtr.write(code, ln)
+            wtr.write(1 if band[j] >= 0 else 0, 1)
+            for b in br:
+                wtr.write(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            pend.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return wtr.flush()
+
+
+def encode_jpeg_progressive(
+    y, cb=None, cr=None, quant=None, luma_sampling=(1, 1),
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a PROGRESSIVE (SOF2) JPEG with the canonical successive-
+    approximation scan script (the shape libjpeg's default progression
+    uses): an interleaved DC-first scan at Al=1, per-component AC-first
+    scans split into two spectral bands (1..5, 6..63) at Al=2, two
+    per-component AC refinements stepping Al 2->1->0, and a final DC
+    refinement — every progressive coding mode (spectral selection,
+    DC/AC successive approximation, EOBn run batching, correction bits)
+    is exercised. Coefficient content is IDENTICAL to what
+    encode_jpeg_baseline produces for the same inputs (shared
+    _quantize_planes), so the decoder round-trip is bit-exact on every
+    really-coded block; MCU-padding blocks of subsampled layouts carry
+    DC only (non-interleaved AC scans never code them, per A.2.2).
+    luma_sampling picks the chroma layout exactly like the baseline
+    wrappers: (1,1)=4:4:4, (2,2)=4:2:0, (2,1)=4:2:2, (1,2)=4:4:0,
+    (4,1)=4:1:1, with cb/cr already at their subsampled resolution."""
+    import struct
+
+    import numpy as np
+
+    y = np.asarray(y, dtype="uint8")
+    h, w = y.shape
+    sh, sv = luma_sampling
+    if (sh, sv) not in ((1, 1), (2, 2), (2, 1), (1, 2), (4, 1)):
+        raise ValueError(f"unsupported luma sampling {luma_sampling}")
+    if cb is None and cr is None:
+        planes = [y]
+        samplings = [(1, 1)]
+    else:
+        ch, cw = -(-h // sv), -(-w // sh)
+        cb = np.asarray(cb, dtype="uint8")
+        cr = np.asarray(cr, dtype="uint8")
+        if cb.shape != (ch, cw) or cr.shape != (ch, cw):
+            raise ValueError(
+                f"{luma_sampling} luma needs {ch}x{cw} chroma,"
+                f" got {cb.shape} / {cr.shape}"
+            )
+        planes = [y, cb, cr]
+        samplings = [(sh, sv), (1, 1), (1, 1)]
+    comp_blocks, qy, qc, _, (mcuy, mcux) = _quantize_planes(
+        planes, samplings, quant
+    )
+    nc = len(planes)
+    nid = _noninterleaved_dims(h, w, samplings)
+    ri = restart_interval
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            body += bytes([ci + 1, 0x00])  # Td=0, Ta=0 (flat tables)
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    app0 = (
+        b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 72, 72)
+        + b"\x00\x00"
+    )
+    dqt = bytes([0x00]) + bytes(int(v) for v in qy)
+    if nc == 3:
+        dqt += bytes([0x01]) + bytes(int(v) for v in qc)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci, (csh, csv) in enumerate(samplings):
+        sof += bytes([ci + 1, (csh << 4) | csv, 0 if ci == 0 else 1])
+    dht_body = (
+        bytes([0x00]) + bytes(_PROG_DC[0]) + bytes(_PROG_DC[1])
+        + bytes([0x10]) + bytes(_PROG_AC[0]) + bytes(_PROG_AC[1])
+    )
+    dri = seg(0xDD, struct.pack(">H", ri)) if ri else b""
+    out = (
+        b"\xff\xd8" + seg(0xE0, app0) + seg(0xDB, dqt) + seg(0xC2, sof)
+        + seg(0xC4, dht_body) + dri
+    )
+    # scan script: DC first (Al=1) -> AC first bands (Al=2) ->
+    # AC refines (2->1, 1->0) -> DC refine (1->0)
+    out += sos(list(range(nc)), 0, 0, 0, 1) + _prog_dc_scan(
+        comp_blocks, samplings, mcuy, mcux, 0, 1, ri
+    )
+    for ci in range(nc):
+        bh, bw = nid[ci]
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos([ci], ss, se, 0, 2) + _prog_ac_first_scan(
+                comp_blocks[ci], bh, bw, ss, se, 2, ri
+            )
+    for ah, al in ((2, 1), (1, 0)):
+        for ci in range(nc):
+            bh, bw = nid[ci]
+            out += sos([ci], 1, 63, ah, al) + _prog_ac_refine_scan(
+                comp_blocks[ci], bh, bw, 1, 63, al, ri
+            )
+    out += sos(list(range(nc)), 0, 0, 1, 0) + _prog_dc_scan(
+        comp_blocks, samplings, mcuy, mcux, 1, 0, ri
+    )
+    return out + b"\xff\xd9"
+
+
+def _decode_scan(
+    data: bytes, tabs, comps, coefs, grids, nid, mcuy: int, mcux: int,
+    progressive: bool, ss: int, se: int, ah: int, al: int, ri: int,
+) -> None:
+    """Entropy-decode ONE scan in place over the per-component coefs
+    arrays. tabs is [(ci, dc_tab|None, ac_tab|None)] in scan order.
+    Baseline scans are the classic DC+AC pass; progressive scans
+    dispatch on (Ss, Ah) to DC-first / DC-refine / AC-first / AC-refine
+    per T.81 G.1.2 (EOBn runs, ZRL, and refinement correction bits).
+    Restart markers reset DC predictors AND the EOB run, per scan."""
+    rdr = _BitReader(data)
+    ns = len(tabs)
+    preds = {ci: 0 for ci, _, _ in tabs}
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    if not progressive:
+        kind = "baseline"
+        if ss != 0 or se != 63 or ah != 0 or al != 0:
+            raise ValueError("malformed JPEG: baseline scan must be 0..63")
+    elif ss == 0:
+        if se != 0:
+            raise ValueError("malformed JPEG: progressive scan mixes DC+AC")
+        kind = "dc_first" if ah == 0 else "dc_refine"
+    else:
+        if ns != 1:
+            raise ValueError("malformed JPEG: interleaved AC scan")
+        if se < ss or se > 63:
+            raise ValueError("malformed JPEG: bad spectral band")
+        kind = "ac_first" if ah == 0 else "ac_refine"
+    for ci, dc_tab, ac_tab in tabs:
+        if kind in ("baseline", "dc_first") and dc_tab is None:
+            raise ValueError("malformed JPEG: missing Huffman table")
+        if kind in ("baseline", "ac_first", "ac_refine") and ac_tab is None:
+            raise ValueError("malformed JPEG: missing Huffman table")
+
+    def blocks():
+        """Yield (unit, ci, dc_tab, ac_tab, flat_block_index); restart
+        cadence is per UNIT (MCU when interleaved, block otherwise)."""
+        if ns > 1:
+            for mcu in range(mcuy * mcux):
+                my, mx = divmod(mcu, mcux)
+                for ci, dc_tab, ac_tab in tabs:
+                    ch, cv = comps[ci]["h"], comps[ci]["v"]
+                    gx = grids[ci][1]
+                    for dy in range(cv):
+                        for dx in range(ch):
+                            b = (my * cv + dy) * gx + (mx * ch + dx)
+                            yield mcu, ci, dc_tab, ac_tab, b
+        else:
+            ci, dc_tab, ac_tab = tabs[0]
+            bh, bw = nid[ci]
+            gx = grids[ci][1]
+            for i in range(bh * bw):
+                yield i, ci, dc_tab, ac_tab, (i // bw) * gx + (i % bw)
+
+    def refine_nonzero(arr, b: int, k: int) -> None:
+        if rdr.read_bit():
+            v = int(arr[b, k])
+            if (v & p1) == 0:
+                arr[b, k] = v + (p1 if v >= 0 else m1)
+
+    last_unit = 0
+    for unit, ci, dc_tab, ac_tab, b in blocks():
+        if ri and unit != last_unit and unit % ri == 0:
+            rdr.restart()
+            for key in preds:
+                preds[key] = 0
+            eobrun = 0
+        last_unit = unit
+        arr = coefs[ci]
+        if kind in ("baseline", "dc_first"):
+            size = rdr.read_symbol(dc_tab)
+            diff = 0
+            if size:
+                diff = rdr.read_bits(size)
+                if diff < (1 << (size - 1)):
+                    diff -= (1 << size) - 1
+            preds[ci] += diff  # predictors live in the >>Al domain
+            arr[b, 0] = preds[ci] << al
+            if kind == "dc_first":
+                continue
+            k = 1
+            while k <= 63:
+                sym = rdr.read_symbol(ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("malformed JPEG: bad AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("malformed JPEG: AC run past block end")
+                v = rdr.read_bits(size)
+                if v < (1 << (size - 1)):
+                    v -= (1 << size) - 1
+                arr[b, k] = v
+                k += 1
+        elif kind == "dc_refine":
+            if rdr.read_bit():
+                arr[b, 0] = int(arr[b, 0]) | p1
+        elif kind == "ac_first":
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = rdr.read_symbol(ac_tab)
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        # EOBn: covers this block + (2^r - 1 + bits) more
+                        eobrun = (1 << run) - 1
+                        if run:
+                            eobrun += rdr.read_bits(run)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > se:
+                    raise ValueError("malformed JPEG: AC run past band end")
+                v = rdr.read_bits(size)
+                if v < (1 << (size - 1)):
+                    v -= (1 << size) - 1
+                arr[b, k] = v << al
+                k += 1
+        else:  # ac_refine (T.81 G.1.2.3)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = rdr.read_symbol(ac_tab)
+                    run, size = sym >> 4, sym & 0x0F
+                    newval = 0
+                    if size:
+                        if size != 1:
+                            raise ValueError(
+                                "malformed JPEG: refinement size != 1"
+                            )
+                        newval = p1 if rdr.read_bit() else m1
+                    elif run != 15:
+                        eobrun = 1 << run
+                        if run:
+                            eobrun += rdr.read_bits(run)
+                        break
+                    # advance over `run` zero-history coefficients,
+                    # emitting correction bits for nonzero ones passed
+                    while k <= se:
+                        if int(arr[b, k]) != 0:
+                            refine_nonzero(arr, b, k)
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if size and k <= se:
+                        arr[b, k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:  # tail correction bits under the EOB run
+                    if int(arr[b, k]) != 0:
+                        refine_nonzero(arr, b, k)
+                    k += 1
+                eobrun -= 1
+
+
 def decode_jpeg_coefficients(payload: bytes) -> dict:
-    """Parse a baseline JPEG stream back to its QUANTIZED coefficients —
-    the lossless layer. Returns {"width", "height", "n_components",
-    "coefs": [per-component (n_blocks, 64) int64 zigzag-ordered],
-    "quant": [per-component 64-int zigzag tables]}. The entropy decode
-    is bit-exact: for any stream encode_jpeg_baseline produced, coefs
-    equals the encoder's quantized coefficients array exactly (the
-    round-trip property test). Restart intervals (DRI + RSTn, DC
-    prediction reset), the 4:2:0 / 4:2:2 / 4:4:0 / 4:1:1 sampling
-    layouts, and 16-bit (Pq=1) quant tables are supported. Raises
-    NotImplementedError for progressive/arithmetic modes or other
-    sampling grids; ValueError for malformed streams."""
+    """Parse a baseline (SOF0) or PROGRESSIVE (SOF2) JPEG stream back to
+    its QUANTIZED coefficients — the lossless layer. Returns {"width",
+    "height", "n_components", "coefs": [per-component (n_blocks, 64)
+    int64 zigzag-ordered], "quant": [per-component 64-int zigzag
+    tables], "mode": "baseline"|"progressive"}. The entropy decode is
+    bit-exact: for any stream encode_jpeg_baseline or
+    encode_jpeg_progressive produced, coefs equals the encoder's
+    quantized coefficients array exactly on every coded block (the
+    round-trip property tests). Restart intervals (DRI + RSTn, DC
+    prediction + EOB-run reset), multi-scan progressive streams
+    (spectral selection + successive approximation), the 4:2:0 / 4:2:2
+    / 4:4:0 / 4:1:1 sampling layouts, and 16-bit (Pq=1) quant tables
+    are supported. Raises NotImplementedError for lossless/arithmetic/
+    hierarchical modes or other sampling grids; ValueError for
+    malformed streams."""
     import struct
 
     import numpy as np
@@ -1523,8 +2001,13 @@ def decode_jpeg_coefficients(payload: bytes) -> dict:
     quant_tables: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
     comps: list[dict] = []
-    scan_comps = None
+    coefs = None
+    grids = None
+    nid = None
+    mcuy = mcux = 0
+    scans_seen = 0
     restart_interval = 0
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -1541,11 +2024,12 @@ def decode_jpeg_coefficients(payload: bytes) -> dict:
         if pos + 2 + size > len(payload):
             raise ValueError("malformed JPEG: truncated segment")
         body = payload[pos + 4:pos + 2 + size]
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                       0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "baseline sequential (SOF0) only: progressive/extended/"
-                "lossless/arithmetic JPEG modes need a fuller decoder"
+                "baseline (SOF0) and progressive (SOF2) only: extended/"
+                "lossless/arithmetic/hierarchical JPEG modes need a"
+                " fuller decoder"
             )
         if marker == 0xDD:
             restart_interval = struct.unpack_from(">H", body, 0)[0]
@@ -1583,11 +2067,12 @@ def decode_jpeg_coefficients(payload: bytes) -> dict:
                 vals = list(body[p + 17:p + 17 + n])
                 huff[(tc, th)] = _huff_decode_map(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("8-bit precision only")
             frame = (h, w, nc)
+            progressive = marker == 0xC2
             for ci in range(nc):
                 cid, hv, tq = body[6 + ci * 3:9 + ci * 3]
                 comps.append(
@@ -1607,106 +2092,79 @@ def decode_jpeg_coefficients(payload: bytes) -> dict:
                     " 4:2:0 (Y 2x2), 4:2:2 (Y 2x1), 4:4:0 (Y 1x2),"
                     f" and 4:1:1 (Y 4x1); frame declares {layout}"
                 )
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            grids = [(mcuy * c["v"], mcux * c["h"]) for c in comps]
+            coefs = [
+                np.zeros((gy * gx, 64), dtype="int64") for gy, gx in grids
+            ]
+            nid = _noninterleaved_dims(h, w, layout)
         elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("malformed JPEG: SOS before SOF")
             ns = body[0]
-            scan_comps = []
+            order = {c["id"]: i for i, c in enumerate(comps)}
+            tabs = []
             for si in range(ns):
                 cs, tdta = body[1 + si * 2], body[2 + si * 2]
-                scan_comps.append((cs, tdta >> 4, tdta & 0x0F))
-            pos = pos + 2 + size
-            break
+                if cs not in order:
+                    raise ValueError(
+                        "malformed JPEG: scan references unknown component"
+                    )
+                tabs.append((
+                    order[cs],
+                    huff.get((0, tdta >> 4)),
+                    huff.get((1, tdta & 0x0F)),
+                ))
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            # entropy data runs from the SOS body end to the next real
+            # marker; stuffed 0x00 and RST0-7 stay inside the segment.
+            # Byte stuffing guarantees no false positive, while earlier
+            # segment bodies (DQT/DHT/APPn) may contain marker-like
+            # pairs, so the search starts AT the scan, never before it
+            start = pos + 2 + size
+            epos = start
+            while True:
+                f = payload.find(b"\xff", epos)
+                if f < 0 or f + 1 >= len(payload):
+                    raise ValueError("malformed JPEG: missing EOI")
+                nxt = payload[f + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                    epos = f + 2
+                    continue
+                break
+            _decode_scan(
+                payload[start:f], tabs, comps, coefs, grids, nid,
+                mcuy, mcux, progressive, ss, se, ah, al, restart_interval,
+            )
+            scans_seen += 1
+            pos = f
+            continue
         pos += 2 + size
-    if frame is None or scan_comps is None:
+    if frame is None or scans_seen == 0:
         raise ValueError("malformed JPEG: missing SOF or SOS")
     h, w, nc = frame
-    if len(scan_comps) != nc:
-        raise NotImplementedError("multi-scan streams unsupported")
-    # entropy segment runs to EOI; search only FROM the scan start —
-    # byte stuffing guarantees no FF D9 inside the entropy data, while
-    # earlier segment bodies (DQT/DHT/APPn) may contain the pair, so a
-    # whole-buffer rfind on a truncated stream could land BEFORE pos
-    end = payload.find(b"\xff\xd9", pos)
-    if end < 0:
-        raise ValueError("malformed JPEG: missing EOI")
-    rdr = _BitReader(payload[pos:end])
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    n_mcu = mcuy * mcux
-    order = {c["id"]: i for i, c in enumerate(comps)}
-    tabs = []
-    for cs, td, ta in scan_comps:
-        if cs not in order:
-            raise ValueError("malformed JPEG: scan references unknown component")
-        if (0, td) not in huff or (1, ta) not in huff:
-            raise ValueError("malformed JPEG: missing Huffman table")
-        tabs.append((huff[(0, td)], huff[(1, ta)]))
-    # per-component block grids (raster order), sized by sampling factor
-    grids = [(mcuy * c["v"], mcux * c["h"]) for c in comps]
-    coefs = [
-        np.zeros((gy * gx, 64), dtype="int64") for gy, gx in grids
-    ]
-    preds = [0] * nc
-    for mcu in range(n_mcu):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            rdr.restart()
-            preds = [0] * nc
-        my, mx = divmod(mcu, mcux)
-        for ci in range(nc):
-            dc_tab, ac_tab = tabs[ci]
-            ch, cv = comps[ci]["h"], comps[ci]["v"]
-            gx = grids[ci][1]
-            for dy in range(cv):
-                for dx in range(ch):
-                    b = (my * cv + dy) * gx + (mx * ch + dx)
-                    size = rdr.read_symbol(dc_tab)
-                    diff = 0
-                    if size:
-                        diff = rdr.read_bits(size)
-                        if diff < (1 << (size - 1)):
-                            diff -= (1 << size) - 1
-                    preds[ci] += diff
-                    coefs[ci][b, 0] = preds[ci]
-                    k = 1
-                    while k <= 63:
-                        sym = rdr.read_symbol(ac_tab)
-                        if sym == 0x00:  # EOB
-                            break
-                        run, size = sym >> 4, sym & 0x0F
-                        if size == 0:
-                            if run != 15:
-                                raise ValueError(
-                                    "malformed JPEG: bad AC symbol"
-                                )
-                            k += 16  # ZRL
-                            continue
-                        k += run
-                        if k > 63:
-                            raise ValueError(
-                                "malformed JPEG: AC run past block end"
-                            )
-                        v = rdr.read_bits(size)
-                        if v < (1 << (size - 1)):
-                            v -= (1 << size) - 1
-                        coefs[ci][b, k] = v
-                        k += 1
     return {
         "width": w, "height": h, "n_components": nc,
         "coefs": coefs,
         "quant": [quant_tables[c["tq"]] for c in comps],
         "sampling": [(c["h"], c["v"]) for c in comps],
         "grids": grids,
+        "mode": "progressive" if progressive else "baseline",
     }
 
 
 def decode_jpeg_pixels(payload: bytes):
-    """FULL baseline JPEG pixel decode: entropy decode (bit-exact) ->
-    dequantize -> de-zigzag -> IDCT -> level shift; 3-component streams
-    get the BT.601 YCbCr->RGB conversion (exact when chroma is neutral,
-    as in the planted fixtures). Returns (H, W, 3) uint8 — grayscale is
-    replicated across channels. See decode_jpeg_coefficients for the
-    supported-feature boundary."""
+    """FULL JPEG pixel decode — baseline (SOF0) and progressive (SOF2):
+    entropy decode (bit-exact) -> dequantize -> de-zigzag -> IDCT ->
+    level shift; 3-component streams get the BT.601 YCbCr->RGB
+    conversion (exact when chroma is neutral, as in the planted
+    fixtures). Returns (H, W, 3) uint8 — grayscale is replicated across
+    channels. See decode_jpeg_coefficients for the supported-feature
+    boundary."""
     import numpy as np
 
     d = decode_jpeg_coefficients(payload)

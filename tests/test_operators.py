@@ -2767,15 +2767,113 @@ def test_jpeg_16bit_quant_table_decode():
         M.decode_jpeg_coefficients(bytes(bad))
 
 
+def test_jpeg_progressive_bit_exact_roundtrip():
+    """Progressive (SOF2) codec certification: the canonical successive-
+    approximation scan script (interleaved DC first at Al=1, split
+    spectral-band AC first scans at Al=2, two AC refinements 2->1->0,
+    DC refinement) decodes back to EXACTLY the coefficients the shared
+    quantizer produced — grayscale and 4:4:4, arbitrary content,
+    non-uniform tables, restart intervals. Since encode_jpeg_baseline
+    shares _quantize_planes, the progressive pixel decode must equal
+    the baseline pixel decode of the same inputs bit-for-bit."""
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    for h, w, rst in [(24, 17, 0), (8, 8, 3), (16, 40, 2), (9, 9, 1)]:
+        img = rng.integers(0, 256, (h, w)).astype("uint8")
+        qt = rng.integers(1, 256, 64).tolist()
+        p = M.encode_jpeg_progressive(img, quant=(qt, qt), restart_interval=rst)
+        assert p[:2] == b"\xff\xd8" and b"\xff\xc2" in p
+        d = M.decode_jpeg_coefficients(p)
+        assert d["mode"] == "progressive"
+        assert (d["width"], d["height"], d["n_components"]) == (w, h, 1)
+        gy, gx = d["grids"][0]
+        assert (d["coefs"][0] == _expected_coefs(img, qt, gy, gx)).all(), (h, w)
+        base = M.encode_jpeg_baseline(img, quant=(qt, qt))
+        assert (M.decode_jpeg_pixels(p) == M.decode_jpeg_pixels(base)).all()
+    # 4:4:4 color: every block is coded in the non-interleaved AC scans
+    y = rng.integers(0, 256, (26, 35)).astype("uint8")
+    cb = rng.integers(0, 256, (26, 35)).astype("uint8")
+    cr = rng.integers(0, 256, (26, 35)).astype("uint8")
+    qy, qc = rng.integers(1, 256, 64).tolist(), rng.integers(1, 256, 64).tolist()
+    p = M.encode_jpeg_progressive(y, cb, cr, quant=(qy, qc), restart_interval=3)
+    assert sum(p.count(bytes([0xFF, 0xD0 + i])) for i in range(8)) >= 8
+    d = M.decode_jpeg_coefficients(p)
+    for ci, (plane, q) in enumerate([(y, qy), (cb, qc), (cr, qc)]):
+        gy, gx = d["grids"][ci]
+        assert (d["coefs"][ci] == _expected_coefs(plane, q, gy, gx)).all(), ci
+    base = M.encode_jpeg_baseline(y, cb, cr, quant=(qy, qc))
+    assert (M.decode_jpeg_pixels(p) == M.decode_jpeg_pixels(base)).all()
+
+
+def test_jpeg_progressive_subsampled_and_eobrun():
+    """Progressive + subsampling: non-interleaved AC scans cover only
+    the component's REAL block grid (T.81 A.2.2) while the interleaved
+    DC scan covers MCU padding too — so real blocks match the baseline
+    coefficients exactly, padding blocks carry DC-only, and the visible
+    pixel decode still equals the baseline decode bit-for-bit. The
+    block-constant case makes every AC band all-zero, forcing maximal
+    EOBn run batching through the encoder and the decoder's EOB-run
+    skip path."""
+    import numpy as np
+
+    rng = np.random.default_rng(43)
+    for sh, sv in [(2, 2), (2, 1), (1, 2), (4, 1)]:
+        h, w = 26, 35  # odd dims: padding blocks exist for luma
+        y = rng.integers(0, 256, (h, w)).astype("uint8")
+        ch, cw = -(-h // sv), -(-w // sh)
+        cb = rng.integers(0, 256, (ch, cw)).astype("uint8")
+        cr = rng.integers(0, 256, (ch, cw)).astype("uint8")
+        qy = rng.integers(1, 256, 64).tolist()
+        qc = rng.integers(1, 256, 64).tolist()
+        p = M.encode_jpeg_progressive(
+            y, cb, cr, quant=(qy, qc), luma_sampling=(sh, sv),
+            restart_interval=2,
+        )
+        d = M.decode_jpeg_coefficients(p)
+        assert d["sampling"] == [(sh, sv), (1, 1), (1, 1)]
+        nid = M._noninterleaved_dims(h, w, [(sh, sv), (1, 1), (1, 1)])
+        for ci, (plane, q) in enumerate([(y, qy), (cb, qc), (cr, qc)]):
+            gy, gx = d["grids"][ci]
+            bh, bw = nid[ci]
+            got = d["coefs"][ci].reshape(gy, gx, 64)
+            want = _expected_coefs(plane, q, gy, gx).reshape(gy, gx, 64)
+            assert (got[:bh, :bw] == want[:bh, :bw]).all(), (sh, sv, ci)
+            assert (got[..., 0] == want[..., 0]).all(), (sh, sv, ci)  # DC
+            assert (got[bh:, :, 1:] == 0).all() and (got[:, bw:, 1:] == 0).all()
+
+    # all-AC-zero content -> the whole band is one EOBn run per scan
+    blocky = rng.integers(0, 256, (4, 6)).astype("uint8")
+    y = np.repeat(np.repeat(blocky, 8, 0), 8, 1)
+    neutral = np.full((16, 24), 128, dtype="uint8")
+    p = M.encode_jpeg_progressive(y, neutral, neutral, luma_sampling=(2, 2))
+    px = M.decode_jpeg_pixels(p)
+    for c in range(3):
+        assert (px[:, :, c] == y).all()
+    # truncation inside a progressive scan is a hard error
+    with pytest.raises(ValueError):
+        M.decode_jpeg_coefficients(p[:len(p) // 2])
+    # header walk reports the progressive frame like any SOFn
+    hd = M.parse_media_header(p)
+    assert (hd["fmt"], hd["width"], hd["height"]) == ("jpeg", 48, 32)
+
+
 def test_jpeg_decoder_rejects_unsupported_modes():
     import numpy as np
 
     p = bytearray(M.encode_jpeg_pattern(5, 16, 16))  # 5 % 4 != 3: 4:4:4
     i = p.find(b"\xff\xc0")
     assert i > 0
+    ext = bytearray(p)
+    ext[i + 1] = 0xC1  # extended sequential: still out of scope
+    with pytest.raises(NotImplementedError, match="extended|SOF0"):
+        M.decode_jpeg_coefficients(bytes(ext))
+    # flipping a BASELINE stream's SOF0 to SOF2 yields a malformed
+    # progressive stream (a full-band 0..63 scan mixes DC and AC, which
+    # progressive scans may not) — a hard error, not a silent decode
     prog = bytearray(p)
-    prog[i + 1] = 0xC2  # progressive DCT
-    with pytest.raises(NotImplementedError, match="progressive|SOF0"):
+    prog[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="mixes DC\\+AC"):
         M.decode_jpeg_coefficients(bytes(prog))
     # SOF layout: marker(2) len(2) prec(1) h(2) w(2) ncomp(1) then
     # [id, h/v, tq] per component -> component 1's h/v byte is i+11

@@ -1992,3 +1992,78 @@ def test_jpeg_entropy_layer_lossless_property(h, w, seed, gray, layout, rst):
         )
         assert (d["coefs"][ci] == want).all(), f"component {ci} drifted"
         assert d["quant"][ci] == list(q)
+
+
+@settings(**SETTINGS)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    gray=st.booleans(),
+    layout=st.sampled_from(["444", "420", "422", "440", "411"]),
+    rst=st.integers(0, 5),
+)
+def test_jpeg_progressive_lossless_property(h, w, seed, gray, layout, rst):
+    """Progressive (SOF2) form of the entropy-layer certification: the
+    successive-approximation scan script (DC first/refine + spectral
+    band AC first scans + two AC refinements + EOBn runs + correction
+    bits) recovers the shared quantizer's coefficients bit-for-bit on
+    every REALLY-CODED block, for arbitrary content, dims, per-element
+    tables, all five layouts, and random restart intervals; MCU-padding
+    blocks of subsampled layouts carry DC-only (non-interleaved scans
+    never code them, per T.81 A.2.2)."""
+    import numpy as np
+
+    from rocketmq_flink_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 256, (h, w)).astype("uint8")
+    qt = (
+        rng.integers(1, 256, 64).tolist(),
+        rng.integers(1, 256, 64).tolist(),
+    )
+    sampling = {
+        "444": (1, 1), "420": (2, 2), "422": (2, 1),
+        "440": (1, 2), "411": (4, 1),
+    }[layout]
+    if gray:
+        payload = M.encode_jpeg_progressive(
+            y, quant=qt, restart_interval=rst
+        )
+        planes = [(y, qt[0])]
+        samplings = [(1, 1)]
+    else:
+        sh, sv = sampling
+        ch, cw = -(-h // sv), -(-w // sh)
+        cb = rng.integers(0, 256, (ch, cw)).astype("uint8")
+        cr = rng.integers(0, 256, (ch, cw)).astype("uint8")
+        payload = M.encode_jpeg_progressive(
+            y, cb, cr, quant=qt, luma_sampling=sampling, restart_interval=rst
+        )
+        planes = [(y, qt[0]), (cb, qt[1]), (cr, qt[1])]
+        samplings = [sampling, (1, 1), (1, 1)]
+    d = M.decode_jpeg_coefficients(payload)
+    assert d["mode"] == "progressive"
+    assert (d["width"], d["height"]) == (w, h)
+    m = M._dct_matrix()
+    zz = np.asarray(M._ZIGZAG)
+    nid = M._noninterleaved_dims(h, w, samplings)
+    for ci, (plane, q) in enumerate(planes):
+        gy, gx = d["grids"][ci]
+        pl = plane
+        ph, pw = gy * 8 - pl.shape[0], gx * 8 - pl.shape[1]
+        if ph or pw:
+            pl = np.pad(pl, ((0, ph), (0, pw)), mode="edge")
+        blocks = M._to_blocks(pl) - 128.0
+        co = np.einsum("ux,byxv,wv->byuw", m, blocks, m, optimize=True)
+        qn = np.empty(64, dtype="int64")
+        qn[zz] = np.asarray(q)
+        want = (
+            (np.sign(co) * np.floor(np.abs(co) / qn.reshape(8, 8) + 0.5))
+            .reshape(gy, gx, 64)[:, :, zz].astype("int64")
+        )
+        got = d["coefs"][ci].reshape(gy, gx, 64)
+        bh, bw = nid[ci]
+        assert (got[:bh, :bw] == want[:bh, :bw]).all(), f"comp {ci} drifted"
+        assert (got[..., 0] == want[..., 0]).all(), f"comp {ci} DC drifted"
+        assert (got[bh:, :, 1:] == 0).all() and (got[:, bw:, 1:] == 0).all()
