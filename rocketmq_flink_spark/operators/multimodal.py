@@ -1010,8 +1010,9 @@ def encode_jpeg_header_pattern(
 # refinement correction bits (T.81 G.1.2) — and encode_jpeg_progressive
 # emits the canonical successive-approximation scan script over flat
 # Huffman tables so the round trip is bit-exact on every coded block.
-# Out of scope (raise NotImplementedError, still behind the codec
-# registry): extended-sequential / lossless / arithmetic / hierarchical
+# SOF1 (extended sequential) at 8 bits decodes too — it is coding-
+# identical to baseline. Out of scope (raise NotImplementedError, still
+# behind the codec registry): lossless / arithmetic / hierarchical
 # modes, other sampling grids, 12-bit precision, MP3/video.
 # ---------------------------------------------------------------------------
 
@@ -2024,12 +2025,12 @@ def decode_jpeg_coefficients(payload: bytes) -> dict:
         if pos + 2 + size > len(payload):
             raise ValueError("malformed JPEG: truncated segment")
         body = payload[pos + 4:pos + 2 + size]
-        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                       0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "baseline (SOF0) and progressive (SOF2) only: extended/"
-                "lossless/arithmetic/hierarchical JPEG modes need a"
-                " fuller decoder"
+                "baseline (SOF0), extended-sequential (SOF1, 8-bit), and"
+                " progressive (SOF2) only: lossless/arithmetic/"
+                "hierarchical JPEG modes need a fuller decoder"
             )
         if marker == 0xDD:
             restart_interval = struct.unpack_from(">H", body, 0)[0]
@@ -2067,7 +2068,10 @@ def decode_jpeg_coefficients(payload: bytes) -> dict:
                 vals = list(body[p + 17:p + 17 + n])
                 huff[(tc, th)] = _huff_decode_map(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC2):
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF1 (extended sequential) with 8-bit samples uses the
+            # IDENTICAL coding model as baseline — it only lifts table-
+            # count/precision limits, and 12-bit is rejected below
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("8-bit precision only")

@@ -2864,10 +2864,17 @@ def test_jpeg_decoder_rejects_unsupported_modes():
     p = bytearray(M.encode_jpeg_pattern(5, 16, 16))  # 5 % 4 != 3: 4:4:4
     i = p.find(b"\xff\xc0")
     assert i > 0
+    lossless = bytearray(p)
+    lossless[i + 1] = 0xC3  # lossless sequential: out of scope
+    with pytest.raises(NotImplementedError, match="lossless|SOF0"):
+        M.decode_jpeg_coefficients(bytes(lossless))
+    # SOF1 (extended sequential) at 8 bits is coding-identical to
+    # baseline: the relabeled stream must decode to the same pixels
     ext = bytearray(p)
-    ext[i + 1] = 0xC1  # extended sequential: still out of scope
-    with pytest.raises(NotImplementedError, match="extended|SOF0"):
-        M.decode_jpeg_coefficients(bytes(ext))
+    ext[i + 1] = 0xC1
+    assert (
+        M.decode_jpeg_pixels(bytes(ext)) == M.decode_jpeg_pixels(bytes(p))
+    ).all()
     # flipping a BASELINE stream's SOF0 to SOF2 yields a malformed
     # progressive stream (a full-band 0..63 scan mixes DC and AC, which
     # progressive scans may not) — a hard error, not a silent decode
