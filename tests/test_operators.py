@@ -2430,7 +2430,7 @@ def test_jpeg_entropy_layer_bit_exact_roundtrip():
         assert (d["width"], d["height"], d["n_components"]) == (w, h, 1)
         assert d["quant"][0] == qt
         blocks = M._to_blocks(img) - 128.0
-        co = np.einsum("ux,byxv,wv->byuw", m, blocks, m, optimize=True)
+        co = np.matmul(m, np.matmul(blocks, m.T))  # same formula as encoder
         qm = np.asarray(qt)[zz].reshape(8, 8)
         want = (
             (np.sign(co) * np.floor(np.abs(co) / qm + 0.5))
@@ -2520,7 +2520,7 @@ def test_jpeg_420_and_restart_intervals_bit_exact():
         if ph or pw:
             plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
         blocks = M._to_blocks(plane) - 128.0
-        co = np.einsum("ux,byxv,wv->byuw", m, blocks, m, optimize=True)
+        co = np.matmul(m, np.matmul(blocks, m.T))  # same formula as encoder
         qm = np.asarray(q)[zz].reshape(8, 8)
         qb = np.sign(co) * np.floor(np.abs(co) / qm + 0.5)
         return qb.reshape(gy * gx, 64)[:, zz].astype("int64")
@@ -2581,7 +2581,7 @@ def test_jpeg_422_bit_exact():
         if ph or pw:
             plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
         blocks = M._to_blocks(plane) - 128.0
-        co = np.einsum("ux,byxv,wv->byuw", m, blocks, m, optimize=True)
+        co = np.matmul(m, np.matmul(blocks, m.T))  # same formula as encoder
         qn = np.empty(64, dtype="int64")
         qn[zz] = np.asarray(q)  # natural-order table (scatter)
         qm = qn.reshape(8, 8)
@@ -2608,7 +2608,7 @@ def _expected_coefs(plane, q, gy, gx):
     if ph or pw:
         plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
     blocks = M._to_blocks(plane) - 128.0
-    co = np.einsum("ux,byxv,wv->byuw", m, blocks, m, optimize=True)
+    co = np.matmul(m, np.matmul(blocks, m.T))  # same formula as encoder
     qn = np.empty(64, dtype="int64")
     qn[zz] = np.asarray(q)
     qm = qn.reshape(8, 8)

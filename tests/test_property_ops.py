@@ -1979,7 +1979,7 @@ def test_jpeg_entropy_layer_lossless_property(h, w, seed, gray, layout, rst):
         if ph or pw:
             pl = np.pad(pl, ((0, ph), (0, pw)), mode="edge")
         blocks = M._to_blocks(pl) - 128.0
-        co = np.einsum("ux,byxv,wv->byuw", m, blocks, m, optimize=True)
+        co = np.matmul(m, np.matmul(blocks, m.T))  # same formula as encoder
         # DQT order -> natural order is the SCATTER q_nat[zz] = q
         # (matches the r7 encoder fix; the old gather q[zz] only
         # agreed for uniform tables)
@@ -2055,7 +2055,7 @@ def test_jpeg_progressive_lossless_property(h, w, seed, gray, layout, rst):
         if ph or pw:
             pl = np.pad(pl, ((0, ph), (0, pw)), mode="edge")
         blocks = M._to_blocks(pl) - 128.0
-        co = np.einsum("ux,byxv,wv->byuw", m, blocks, m, optimize=True)
+        co = np.matmul(m, np.matmul(blocks, m.T))  # same formula as encoder
         qn = np.empty(64, dtype="int64")
         qn[zz] = np.asarray(q)
         want = (
