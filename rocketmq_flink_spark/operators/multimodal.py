@@ -1300,11 +1300,14 @@ def _magnitude(v: int) -> int:
 
 
 def _encode_block(
-    wtr: _BitWriter, coef: list[int], pred: int,
+    wtr: _BitWriter, coef: list[int], last_nz: int, pred: int,
     dc_codes: dict, ac_codes: dict,
 ) -> int:
-    """Entropy-encode one zigzag-ordered quantized block; returns the
-    new DC predictor."""
+    """Entropy-encode one zigzag-ordered quantized block; coef is the
+    TRIMMED prefix through the last nonzero coefficient (the caller
+    computes last_nz vectorized over the whole plane, so the 63-zero
+    tail of a sparse block never enters Python). Returns the new DC
+    predictor."""
     diff = coef[0] - pred
     size = _magnitude(diff)
     code, ln = dc_codes[size]
@@ -1312,11 +1315,6 @@ def _encode_block(
     if size:
         wtr.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
     run = 0
-    last_nz = 0
-    for i in range(63, 0, -1):
-        if coef[i]:
-            last_nz = i
-            break
     for i in range(1, last_nz + 1):
         v = coef[i]
         if v == 0:
@@ -1335,6 +1333,15 @@ def _encode_block(
         code, ln = ac_codes[0x00]  # EOB
         wtr.write(code, ln)
     return coef[0]
+
+
+def _last_nonzero(blocks):
+    """(nby, nbx, 64) zigzag blocks -> (nby, nbx) int index of each
+    block's last nonzero coefficient (0 when DC-only)."""
+    import numpy as np
+
+    nz = blocks[..., 1:] != 0
+    return np.where(nz.any(-1), 63 - np.argmax(nz[..., ::-1], axis=-1), 0)
 
 
 def encode_jpeg_baseline(
@@ -1538,6 +1545,7 @@ def _encode_jpeg(planes, samplings, quant, restart_interval: int) -> bytes:
     ac_tabs = [_huff_codes(*_AC_LUM)] + (
         [_huff_codes(*_AC_CHR)] * 2 if len(planes) == 3 else []
     )
+    last_nz = [_last_nonzero(cb) for cb in comp_blocks]
     wtr = _BitWriter()
     preds = [0] * len(planes)
     rst = 0
@@ -1550,10 +1558,12 @@ def _encode_jpeg(planes, samplings, quant, restart_interval: int) -> bytes:
         for ci, (sh, sv) in enumerate(samplings):
             for dy in range(sv):
                 for dx in range(sh):
+                    by, bx = my * sv + dy, mx * sh + dx
+                    ln = int(last_nz[ci][by, bx])
                     preds[ci] = _encode_block(
                         wtr,
-                        comp_blocks[ci][my * sv + dy, mx * sh + dx].tolist(),
-                        preds[ci], dc_tabs[ci], ac_tabs[ci],
+                        comp_blocks[ci][by, bx, :ln + 1].tolist(),
+                        ln, preds[ci], dc_tabs[ci], ac_tabs[ci],
                     )
     scan = wtr.flush()
 
