@@ -10795,6 +10795,12 @@ def nb_confidence_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.max(F.when(F.col("rn") == 2, F.col("score")))
         ).cast("long").alias("margin"),
     ).join(truth, "doc")
+    # distributed_ntile reads its input three times (stats, bucket
+    # totals, window); localCheckpoint materializes the per-doc margins
+    # ONCE (tiny: 4 columns x test docs) so the broadcast-scored NB
+    # pipeline isn't re-evaluated per pass — the hilbert_layout_report
+    # discipline
+    top2 = top2.localCheckpoint(eager=False)
     qt = distributed_ntile(
         top2, ["margin", "doc"], "margin", tiles=4, out="quartile"
     )
