@@ -20672,6 +20672,11 @@ def conformal_spend_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         ).alias("is_cal"),
     )
+    # the per-user residuals feed FOUR consumers (the histogram's
+    # bounds + main prefix passes, the test-coverage half, the final
+    # join); localCheckpoint materializes the events aggregate once —
+    # tiny: three columns x users
+    r = r.localCheckpoint(eager=False)
     from rocketmq_flink_spark.operators.ranking import distributed_prefix
 
     # Rank-exact quantile over the distinct-residual histogram: the
