@@ -2858,6 +2858,57 @@ def test_jpeg_progressive_subsampled_and_eobrun():
     assert (hd["fmt"], hd["width"], hd["height"]) == ("jpeg", 48, 32)
 
 
+def test_jpeg_progressive_refine_adversarial_scan_patterns():
+    """Coefficient-level pin of the AC refinement corner cases that
+    random content only hits probabilistically: a >15 zero-history run
+    before a newly-significant coefficient (ZRL + buffered-correction
+    flush, G.1.2.3), correction bits pending across an EOBn run and
+    delivered inside a later block's eobrun branch, and a negative
+    newly-significant value. The scan encoders/decoder are driven
+    directly on synthetic zigzag blocks so every path is deterministic."""
+    import numpy as np
+
+    blocks = np.zeros((1, 3, 64), dtype="int64")
+    blocks[0, 0, 5] = 5    # significant at Al=1 (mag 2); refine bit 1
+    blocks[0, 0, 40] = -1  # invisible at Al=1; newly significant at Al=0
+    # block 1: all-zero band (pure EOB-run member)
+    blocks[0, 2, 7] = 3    # history-only block: its refine correction
+    #                        bit must ride the closing EOBn run
+    first = M._prog_ac_first_scan(blocks, 1, 3, 1, 63, 1, 0)
+    refine = M._prog_ac_refine_scan(blocks, 1, 3, 1, 63, 0, 0)
+    comps = [{"id": 1, "tq": 0, "h": 1, "v": 1}]
+    coefs = [np.zeros((3, 64), dtype="int64")]
+    grids = [(1, 3)]
+    nid = [(1, 3)]
+    tab = M._HuffTable(*M._PROG_AC)
+    M._decode_scan(
+        first, [(0, None, tab)], comps, coefs, grids, nid,
+        1, 3, True, 1, 63, 0, 1, 0,
+    )
+    # after the first scan only the Al=1-visible magnitudes exist
+    mid = np.zeros((3, 64), dtype="int64")
+    mid[0, 5] = 4   # 2 << 1
+    mid[2, 7] = 2   # 1 << 1
+    assert (coefs[0] == mid).all()
+    M._decode_scan(
+        refine, [(0, None, tab)], comps, coefs, grids, nid,
+        1, 3, True, 1, 63, 1, 0, 0,
+    )
+    assert (coefs[0] == blocks.reshape(3, 64)).all()
+
+    # EOBn run spanning many blocks exercises the r>0 extra-bits math
+    wide = np.zeros((1, 7, 64), dtype="int64")
+    wide[0, 0, 63] = 9   # last nonzero AT Se: no EOB for this block
+    wide[0, 6, 1] = -2   # forces the run 1..5 to flush as EOB4+bits
+    f2 = M._prog_ac_first_scan(wide, 1, 7, 1, 63, 0, 0)
+    c2 = [np.zeros((7, 64), dtype="int64")]
+    M._decode_scan(
+        f2, [(0, None, tab)], comps, c2, [(1, 7)], [(1, 7)],
+        1, 7, True, 1, 63, 0, 0, 0,
+    )
+    assert (c2[0] == wide.reshape(7, 64)).all()
+
+
 def test_jpeg_decoder_rejects_unsupported_modes():
     import numpy as np
 
