@@ -17,10 +17,11 @@ JPEG (round 6) is FULLY decoded too: real Huffman entropy decode with
 byte unstuffing, dequantize, de-zigzag, IDCT, BT.601 color conversion
 (encode_jpeg_baseline / decode_jpeg_pixels — see the codec section for
 the exactness argument and feature boundary), with 4:2:0 / 4:2:2 /
-4:4:0 / 4:1:1 chroma subsampling, restart intervals, and 16-bit DQT
-decode, and full PROGRESSIVE (SOF2) multi-scan decode with a
-progressive encoder driving bit-exact round-trip tests (round 7).
-MP3/video raise NotImplementedError behind the same registry slot.
+4:4:0 / 4:1:1 chroma subsampling, restart intervals, 16-bit DQT
+decode, 12-bit-precision sequential (SOF1 + Pq=1, encode_jpeg_12bit),
+and full PROGRESSIVE (SOF2) multi-scan decode with a progressive
+encoder driving bit-exact round-trip tests (round 7). MP3/video raise
+NotImplementedError behind the same registry slot.
 Everything Spark-side — schema, partition-preserving mapInPandas,
 Arrow batch shapes, UDF signatures — is real and tested.
 
@@ -1010,10 +1011,13 @@ def encode_jpeg_header_pattern(
 # refinement correction bits (T.81 G.1.2) — and encode_jpeg_progressive
 # emits the canonical successive-approximation scan script over flat
 # Huffman tables so the round trip is bit-exact on every coded block.
-# SOF1 (extended sequential) at 8 bits decodes too — it is coding-
-# identical to baseline. Out of scope (raise NotImplementedError, still
+# SOF1 (extended sequential) decodes too — at 8 bits it is coding-
+# identical to baseline, and at 12 BITS (encode_jpeg_12bit: level shift
+# 2048, Pq=1 tables, flat Huffman tables for the wider DC/AC
+# categories) the round trip is bit-exact like the 8-bit path, with
+# uint16 pixel decode. Out of scope (raise NotImplementedError, still
 # behind the codec registry): lossless / arithmetic / hierarchical
-# modes, other sampling grids, 12-bit precision, MP3/video.
+# modes, 12-bit progressive, other sampling grids, MP3/video.
 # ---------------------------------------------------------------------------
 
 
@@ -1477,20 +1481,28 @@ def encode_jpeg_411(
     )
 
 
-def _quantize_planes(planes, samplings, quant):
+def _quantize_planes(planes, samplings, quant, precision: int = 8):
     """Shared FDCT + quantize front half of the JPEG encoders: per
-    component, edge-pad to full MCU coverage, forward-DCT, quantize
-    (libjpeg-style round-half-away), zigzag. Returns (comp_blocks —
-    per comp (nby, nbx, 64) zigzag int64 —, qy, qc, (h, w),
-    (mcuy, mcux))."""
+    component, edge-pad to full MCU coverage, level-shift by
+    2^(precision-1), forward-DCT, quantize (libjpeg-style
+    round-half-away), zigzag. Returns (comp_blocks — per comp
+    (nby, nbx, 64) zigzag int64 —, qy, qc, (h, w), (mcuy, mcux)).
+    precision 8 keeps the strict 1..255 table range (Pq=0); precision
+    12 admits 1..65535 (emitted as Pq=1, the pairing T.81 defines)."""
     import numpy as np
 
     if quant is None:
         quant = ([1] * 64, [1] * 64)
     qy = np.asarray(quant[0], dtype="int64")
     qc = np.asarray(quant[1] if len(planes) > 1 else quant[0], dtype="int64")
-    if np.any(qy < 1) or np.any(qy > 255) or np.any(qc < 1) or np.any(qc > 255):
-        raise ValueError("8-bit quant tables only (values 1..255)")
+    qmax = 255 if precision == 8 else 65535
+    if np.any(qy < 1) or np.any(qy > qmax) or np.any(qc < 1) or np.any(qc > qmax):
+        raise ValueError(
+            f"{precision}-bit quant tables only (values 1..{qmax})"
+        )
+    smax = (1 << precision) - 1
+    if any(int(np.asarray(p).max(initial=0)) > smax for p in planes):
+        raise ValueError(f"sample values exceed {precision}-bit range")
     h, w = planes[0].shape
     hmax = max(s[0] for s in samplings)
     vmax = max(s[1] for s in samplings)
@@ -1506,7 +1518,7 @@ def _quantize_planes(planes, samplings, quant):
             raise ValueError("plane larger than its sampling grid")
         if ph or pw:
             plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
-        blocks = _to_blocks(plane) - 128.0
+        blocks = _to_blocks(plane) - float(1 << (precision - 1))
         # FDCT = M @ B @ M.T — broadcast matmul beats the einsum path
         # ~10x on block batches and every downstream test model uses
         # the identical formula (the two differ in the last ulp)
@@ -1528,22 +1540,36 @@ def _quantize_planes(planes, samplings, quant):
     return comp_blocks, qy, qc, (h, w), (mcuy, mcux)
 
 
-def _encode_jpeg(planes, samplings, quant, restart_interval: int) -> bytes:
-    """Shared baseline encoder over per-component planes with sampling
+def _encode_jpeg(
+    planes, samplings, quant, restart_interval: int, precision: int = 8
+) -> bytes:
+    """Shared sequential encoder over per-component planes with sampling
     factors (h, v). The frame is sized by plane 0 (which must carry the
     max factors); every plane is edge-padded to full MCU coverage;
     blocks are emitted in interleaved MCU order (raster within the
-    MCU), per spec A.2.3."""
+    MCU), per spec A.2.3. precision 8 emits SOF0 with Annex K tables;
+    precision 12 emits SOF1 with Pq=1 quant tables and the flat Huffman
+    tables (Annex K stops at the 8-bit coefficient range)."""
     import struct
 
     comp_blocks, qy, qc, (h, w), (mcuy, mcux) = _quantize_planes(
-        planes, samplings, quant
+        planes, samplings, quant, precision
     )
-    dc_tabs = [_huff_codes(*_DC_LUM)] + (
-        [_huff_codes(*_DC_CHR)] * 2 if len(planes) == 3 else []
+    if precision == 8:
+        # Annex K tables: DC categories to 11, AC sizes to 10 — the
+        # exact 8-bit coefficient range
+        dc_lum, ac_lum = _DC_LUM, _AC_LUM
+        dc_chr, ac_chr = _DC_CHR, _AC_CHR
+    else:
+        # 12-bit coefficients need DC categories to 15 and AC sizes to
+        # 14, beyond Annex K — the flat tables cover every symbol
+        dc_lum = dc_chr = _FLAT_DC16
+        ac_lum = ac_chr = _PROG_AC
+    dc_tabs = [_huff_codes(*dc_lum)] + (
+        [_huff_codes(*dc_chr)] * 2 if len(planes) == 3 else []
     )
-    ac_tabs = [_huff_codes(*_AC_LUM)] + (
-        [_huff_codes(*_AC_CHR)] * 2 if len(planes) == 3 else []
+    ac_tabs = [_huff_codes(*ac_lum)] + (
+        [_huff_codes(*ac_chr)] * 2 if len(planes) == 3 else []
     )
     last_nz = [_last_nonzero(cb) for cb in comp_blocks]
     wtr = _BitWriter()
@@ -1571,19 +1597,30 @@ def _encode_jpeg(planes, samplings, quant, restart_interval: int) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
 
     app0 = b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 72, 72) + b"\x00\x00"
-    dqt = bytes([0x00]) + bytes(int(v) for v in qy)
+
+    def dqt_table(tq: int, q) -> bytes:
+        if precision == 8:
+            return bytes([tq]) + bytes(int(v) for v in q)
+        # 12-bit frames carry Pq=1 (16-bit) tables — T.81's pairing
+        return bytes([(1 << 4) | tq]) + b"".join(
+            struct.pack(">H", int(v)) for v in q
+        )
+
+    dqt = dqt_table(0, qy)
     if len(planes) == 3:
-        dqt += bytes([0x01]) + bytes(int(v) for v in qc)
-    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+        dqt += dqt_table(1, qc)
+    # 12-bit sequential is SOF1 (extended) territory; SOF0 is 8-bit only
+    sof_marker = 0xC0 if precision == 8 else 0xC1
+    sof = struct.pack(">BHHB", precision, h, w, len(planes))
     for ci, (sh, sv) in enumerate(samplings):
         sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
 
     def dht(tc: int, th: int, table: tuple[list[int], list[int]]) -> bytes:
         return bytes([(tc << 4) | th]) + bytes(table[0]) + bytes(table[1])
 
-    dht_body = dht(0, 0, _DC_LUM) + dht(1, 0, _AC_LUM)
+    dht_body = dht(0, 0, dc_lum) + dht(1, 0, ac_lum)
     if len(planes) == 3:
-        dht_body += dht(0, 1, _DC_CHR) + dht(1, 1, _AC_CHR)
+        dht_body += dht(0, 1, dc_chr) + dht(1, 1, ac_chr)
     sos = bytes([len(planes)])
     for ci in range(len(planes)):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -1593,7 +1630,7 @@ def _encode_jpeg(planes, samplings, quant, restart_interval: int) -> bytes:
         if restart_interval else b""
     )
     return (
-        b"\xff\xd8" + seg(0xE0, app0) + seg(0xDB, dqt) + seg(0xC0, sof)
+        b"\xff\xd8" + seg(0xE0, app0) + seg(0xDB, dqt) + seg(sof_marker, sof)
         + seg(0xC4, dht_body) + dri + seg(0xDA, sos) + scan + b"\xff\xd9"
     )
 
@@ -1605,6 +1642,34 @@ def _encode_jpeg(planes, samplings, quant, restart_interval: int) -> bytes:
 # unrepresentable; the canonical split keeps the all-ones code unused).
 _PROG_DC = ([0, 0, 0, 12] + [0] * 12, list(range(12)))
 _PROG_AC = ([0] * 8 + [255, 1] + [0] * 6, list(range(256)))
+# 12-bit DC needs categories 0..15: 16 codes at length 5 (all 16 at
+# length 4 would assign the forbidden all-ones code)
+_FLAT_DC16 = ([0, 0, 0, 0, 16] + [0] * 11, list(range(16)))
+
+
+def encode_jpeg_12bit(
+    y, cb=None, cr=None, quant=None, restart_interval: int = 0
+) -> bytes:
+    """Encode a 12-BIT-precision sequential JPEG (SOF1 + Pq=1 quant
+    tables — the pairing T.81 defines; medical/scientific imaging
+    territory). Planes are uint16 arrays with values 0..4095, level
+    shift 2048; chroma (optional, 4:4:4) at luma resolution. quant may
+    use the full 1..65535 range. The entropy layer is bit-exact like
+    the 8-bit path — same round-trip certification."""
+    import numpy as np
+
+    y = np.asarray(y, dtype="uint16")
+    planes = [y]
+    if cb is not None or cr is not None:
+        cb = np.asarray(cb, dtype="uint16")
+        cr = np.asarray(cr, dtype="uint16")
+        if cb.shape != y.shape or cr.shape != y.shape:
+            raise ValueError("4:4:4 requires Cb and Cr at luma resolution")
+        planes += [cb, cr]
+    return _encode_jpeg(
+        planes, [(1, 1)] * len(planes), quant, restart_interval,
+        precision=12,
+    )
 
 
 def _noninterleaved_dims(h, w, samplings):
@@ -2081,6 +2146,7 @@ def decode_jpeg_coefficients(payload: bytes) -> dict:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     progressive = False
+    precision = 8
     comps: list[dict] = []
     coefs = None
     grids = None
@@ -2148,11 +2214,22 @@ def decode_jpeg_coefficients(payload: bytes) -> dict:
                 p += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):
             # SOF1 (extended sequential) with 8-bit samples uses the
-            # IDENTICAL coding model as baseline — it only lifts table-
-            # count/precision limits, and 12-bit is rejected below
+            # IDENTICAL coding model as baseline — it only lifts the
+            # table-count/precision limits; 12-bit rides SOF1 (T.81
+            # pairs it with Pq=1 tables), never SOF0
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise NotImplementedError("8-bit precision only")
+            if prec == 12:
+                if marker == 0xC0:
+                    raise ValueError(
+                        "malformed JPEG: baseline (SOF0) is 8-bit only"
+                    )
+                if marker == 0xC2:
+                    raise NotImplementedError(
+                        "12-bit progressive unsupported"
+                    )
+            elif prec != 8:
+                raise NotImplementedError("8- or 12-bit precision only")
+            precision = prec
             frame = (h, w, nc)
             progressive = marker == 0xC2
             for ci in range(nc):
@@ -2236,6 +2313,7 @@ def decode_jpeg_coefficients(payload: bytes) -> dict:
         "sampling": [(c["h"], c["v"]) for c in comps],
         "grids": grids,
         "mode": "progressive" if progressive else "baseline",
+        "precision": precision,
     }
 
 
@@ -2253,6 +2331,9 @@ def decode_jpeg_pixels(payload: bytes):
     h, w, nc = d["height"], d["width"], d["n_components"]
     hmax = max(s[0] for s in d["sampling"])
     vmax = max(s[1] for s in d["sampling"])
+    level = float(1 << (d["precision"] - 1))
+    peak = (1 << d["precision"]) - 1
+    dtype = "uint8" if d["precision"] == 8 else "uint16"
     m = _dct_matrix()
     zz = np.asarray(_ZIGZAG)
     planes = []
@@ -2263,7 +2344,7 @@ def decode_jpeg_pixels(payload: bytes):
         nat = np.zeros_like(deq)
         nat[:, zz] = deq
         blocks = nat.reshape(-1, 8, 8).astype("float64")
-        pix = np.matmul(np.matmul(m.T, blocks), m) + 128.0  # IDCT
+        pix = np.matmul(np.matmul(m.T, blocks), m) + level  # IDCT
         plane = (
             pix.reshape(gy, gx, 8, 8).transpose(0, 2, 1, 3)
             .reshape(gy * 8, gx * 8)
@@ -2276,16 +2357,16 @@ def decode_jpeg_pixels(payload: bytes):
             )
         planes.append(plane[:h, :w])
     if nc == 1:
-        g = np.clip(np.round(planes[0]), 0, 255).astype("uint8")
+        g = np.clip(np.round(planes[0]), 0, peak).astype(dtype)
         return np.repeat(g[:, :, None], 3, axis=2)
     if nc != 3:
         raise NotImplementedError("1- or 3-component frames only")
     yy, cb, cr = planes
-    r = yy + 1.402 * (cr - 128.0)
-    g = yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = yy + 1.772 * (cb - 128.0)
+    r = yy + 1.402 * (cr - level)
+    g = yy - 0.344136 * (cb - level) - 0.714136 * (cr - level)
+    b = yy + 1.772 * (cb - level)
     rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype("uint8")
+    return np.clip(np.round(rgb), 0, peak).astype(dtype)
 
 
 def encode_jpeg_pattern(media_id: int, width: int, height: int) -> bytes:

@@ -2858,6 +2858,63 @@ def test_jpeg_progressive_subsampled_and_eobrun():
     assert (hd["fmt"], hd["width"], hd["height"]) == ("jpeg", 48, 32)
 
 
+def test_jpeg_12bit_precision_roundtrip():
+    """12-bit sequential JPEG (SOF1 + Pq=1 quant tables — the pairing
+    T.81 defines): level shift 2048, DC categories to 15 / AC sizes to
+    14 via the flat Huffman tables (Annex K stops at the 8-bit range),
+    quant values through the full 16-bit range. Coefficient-bit-exact
+    on arbitrary 12-bit content with restarts; pixel-exact uint16 on
+    block-constant planes with unit tables; SOF0 at 12 bits is
+    malformed, not silently decoded."""
+    import numpy as np
+
+    rng = np.random.default_rng(59)
+    for h, w, rst in [(24, 17, 0), (16, 40, 3), (9, 9, 1)]:
+        img = rng.integers(0, 4096, (h, w)).astype("uint16")
+        qt = rng.integers(1, 1000, 64).tolist()
+        p = M.encode_jpeg_12bit(img, quant=(qt, qt), restart_interval=rst)
+        d = M.decode_jpeg_coefficients(p)
+        assert (d["precision"], d["mode"]) == (12, "baseline")
+        assert d["quant"][0] == qt  # >255 entries arrive via Pq=1
+        gy, gx = d["grids"][0]
+        m = M._dct_matrix()
+        zz = np.asarray(M._ZIGZAG)
+        pl = np.pad(
+            img, ((0, gy * 8 - h), (0, gx * 8 - w)), mode="edge"
+        ) if (gy * 8 - h or gx * 8 - w) else img
+        blocks = M._to_blocks(pl) - 2048.0
+        co = np.matmul(m, np.matmul(blocks, m.T))
+        qn = np.empty(64, dtype="int64")
+        qn[zz] = np.asarray(qt)
+        want = (
+            (np.sign(co) * np.floor(np.abs(co) / qn.reshape(8, 8) + 0.5))
+            .reshape(gy * gx, 64)[:, zz].astype("int64")
+        )
+        assert (d["coefs"][0] == want).all(), (h, w, rst)
+
+    blocky = rng.integers(0, 4096, (3, 4)).astype("uint16")
+    img = np.repeat(np.repeat(blocky, 8, 0), 8, 1)
+    neutral = np.full(img.shape, 2048, dtype="uint16")
+    p = M.encode_jpeg_12bit(img, neutral, neutral)
+    px = M.decode_jpeg_pixels(p)
+    assert px.dtype == np.uint16
+    for c in range(3):
+        assert (px[:, :, c] == img).all()
+    # out-of-range samples and a 12-bit SOF0 relabel are hard errors
+    with pytest.raises(ValueError, match="12-bit range"):
+        M.encode_jpeg_12bit(np.full((8, 8), 4096, "uint16"))
+    bad = bytearray(p)
+    i = bad.find(b"\xff\xc1")
+    bad[i + 1] = 0xC0
+    with pytest.raises(ValueError, match="SOF0.*8-bit"):
+        M.decode_jpeg_coefficients(bytes(bad))
+    # 12-bit progressive stays pinned
+    bad2 = bytearray(p)
+    bad2[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="12-bit progressive"):
+        M.decode_jpeg_coefficients(bytes(bad2))
+
+
 def test_jpeg_progressive_refine_adversarial_scan_patterns():
     """Coefficient-level pin of the AC refinement corner cases that
     random content only hits probabilistically: a >15 zero-history run
