@@ -1015,9 +1015,10 @@ def encode_jpeg_header_pattern(
 # identical to baseline, and at 12 BITS (encode_jpeg_12bit: level shift
 # 2048, Pq=1 tables, flat Huffman tables for the wider DC/AC
 # categories) the round trip is bit-exact like the 8-bit path, with
-# uint16 pixel decode. Out of scope (raise NotImplementedError, still
-# behind the codec registry): lossless / arithmetic / hierarchical
-# modes, 12-bit progressive, other sampling grids, MP3/video.
+# uint16 pixel decode; encode_jpeg_progressive(precision=12) covers the
+# 12-bit progressive combination the same way. Out of scope (raise
+# NotImplementedError, still behind the codec registry): lossless /
+# arithmetic / hierarchical modes, other sampling grids, MP3/video.
 # ---------------------------------------------------------------------------
 
 
@@ -1687,12 +1688,14 @@ def _noninterleaved_dims(h, w, samplings):
     return out
 
 
-def _prog_dc_scan(comp_blocks, samplings, mcuy, mcux, ah, al, ri) -> bytes:
+def _prog_dc_scan(
+    comp_blocks, samplings, mcuy, mcux, ah, al, ri, dc_table=_PROG_DC
+) -> bytes:
     """Progressive DC scan (interleaved over all components): first scan
     (Ah=0) codes diffs of DC>>Al with magnitude categories; refinement
     (Ah>0) emits one raw bit — (DC>>Al)&1 — per block, MSB-first
     successive approximation (T.81 G.1.2.1)."""
-    dc_codes = _huff_codes(*_PROG_DC)
+    dc_codes = _huff_codes(*dc_table)
     wtr = _BitWriter()
     n = len(comp_blocks)
     preds = [0] * n
@@ -1853,7 +1856,7 @@ def _prog_ac_refine_scan(blocks, bh, bw, ss, se, al, ri) -> bytes:
 
 def encode_jpeg_progressive(
     y, cb=None, cr=None, quant=None, luma_sampling=(1, 1),
-    restart_interval: int = 0,
+    restart_interval: int = 0, precision: int = 8,
 ) -> bytes:
     """Encode a PROGRESSIVE (SOF2) JPEG with the canonical successive-
     approximation scan script (the shape libjpeg's default progression
@@ -1869,12 +1872,15 @@ def encode_jpeg_progressive(
     DC only (non-interleaved AC scans never code them, per A.2.2).
     luma_sampling picks the chroma layout exactly like the baseline
     wrappers: (1,1)=4:4:4, (2,2)=4:2:0, (2,1)=4:2:2, (1,2)=4:4:0,
-    (4,1)=4:1:1, with cb/cr already at their subsampled resolution."""
+    (4,1)=4:1:1, with cb/cr already at their subsampled resolution.
+    precision=12 emits a 12-bit frame (uint16 planes 0..4095, level
+    shift 2048, Pq=1 tables, DC categories to 15)."""
     import struct
 
     import numpy as np
 
-    y = np.asarray(y, dtype="uint8")
+    dtype = "uint8" if precision == 8 else "uint16"
+    y = np.asarray(y, dtype=dtype)
     h, w = y.shape
     sh, sv = luma_sampling
     if (sh, sv) not in ((1, 1), (2, 2), (2, 1), (1, 2), (4, 1)):
@@ -1884,8 +1890,8 @@ def encode_jpeg_progressive(
         samplings = [(1, 1)]
     else:
         ch, cw = -(-h // sv), -(-w // sh)
-        cb = np.asarray(cb, dtype="uint8")
-        cr = np.asarray(cr, dtype="uint8")
+        cb = np.asarray(cb, dtype=dtype)
+        cr = np.asarray(cr, dtype=dtype)
         if cb.shape != (ch, cw) or cr.shape != (ch, cw):
             raise ValueError(
                 f"{luma_sampling} luma needs {ch}x{cw} chroma,"
@@ -1894,11 +1900,14 @@ def encode_jpeg_progressive(
         planes = [y, cb, cr]
         samplings = [(sh, sv), (1, 1), (1, 1)]
     comp_blocks, qy, qc, _, (mcuy, mcux) = _quantize_planes(
-        planes, samplings, quant
+        planes, samplings, quant, precision
     )
     nc = len(planes)
     nid = _noninterleaved_dims(h, w, samplings)
     ri = restart_interval
+    # 12-bit DC needs categories to 15 (with the successive-approximation
+    # point transform the first scan's diffs stay <= 15 bits)
+    dc_table = _PROG_DC if precision == 8 else _FLAT_DC16
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
@@ -1914,14 +1923,23 @@ def encode_jpeg_progressive(
         b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 72, 72)
         + b"\x00\x00"
     )
-    dqt = bytes([0x00]) + bytes(int(v) for v in qy)
-    if nc == 3:
-        dqt += bytes([0x01]) + bytes(int(v) for v in qc)
-    sof = struct.pack(">BHHB", 8, h, w, nc)
+    if precision == 8:
+        dqt = bytes([0x00]) + bytes(int(v) for v in qy)
+        if nc == 3:
+            dqt += bytes([0x01]) + bytes(int(v) for v in qc)
+    else:
+        dqt = bytes([0x10]) + b"".join(
+            struct.pack(">H", int(v)) for v in qy
+        )
+        if nc == 3:
+            dqt += bytes([0x11]) + b"".join(
+                struct.pack(">H", int(v)) for v in qc
+            )
+    sof = struct.pack(">BHHB", precision, h, w, nc)
     for ci, (csh, csv) in enumerate(samplings):
         sof += bytes([ci + 1, (csh << 4) | csv, 0 if ci == 0 else 1])
     dht_body = (
-        bytes([0x00]) + bytes(_PROG_DC[0]) + bytes(_PROG_DC[1])
+        bytes([0x00]) + bytes(dc_table[0]) + bytes(dc_table[1])
         + bytes([0x10]) + bytes(_PROG_AC[0]) + bytes(_PROG_AC[1])
     )
     dri = seg(0xDD, struct.pack(">H", ri)) if ri else b""
@@ -1932,7 +1950,7 @@ def encode_jpeg_progressive(
     # scan script: DC first (Al=1) -> AC first bands (Al=2) ->
     # AC refines (2->1, 1->0) -> DC refine (1->0)
     out += sos(list(range(nc)), 0, 0, 0, 1) + _prog_dc_scan(
-        comp_blocks, samplings, mcuy, mcux, 0, 1, ri
+        comp_blocks, samplings, mcuy, mcux, 0, 1, ri, dc_table
     )
     for ci in range(nc):
         bh, bw = nid[ci]
@@ -1947,7 +1965,7 @@ def encode_jpeg_progressive(
                 comp_blocks[ci], bh, bw, 1, 63, al, ri
             )
     out += sos(list(range(nc)), 0, 0, 1, 0) + _prog_dc_scan(
-        comp_blocks, samplings, mcuy, mcux, 1, 0, ri
+        comp_blocks, samplings, mcuy, mcux, 1, 0, ri, dc_table
     )
     return out + b"\xff\xd9"
 
@@ -2222,10 +2240,6 @@ def decode_jpeg_coefficients(payload: bytes) -> dict:
                 if marker == 0xC0:
                     raise ValueError(
                         "malformed JPEG: baseline (SOF0) is 8-bit only"
-                    )
-                if marker == 0xC2:
-                    raise NotImplementedError(
-                        "12-bit progressive unsupported"
                     )
             elif prec != 8:
                 raise NotImplementedError("8- or 12-bit precision only")

@@ -2908,11 +2908,42 @@ def test_jpeg_12bit_precision_roundtrip():
     bad[i + 1] = 0xC0
     with pytest.raises(ValueError, match="SOF0.*8-bit"):
         M.decode_jpeg_coefficients(bytes(bad))
-    # 12-bit progressive stays pinned
+    # a sequential stream relabeled SOF2 is malformed progressive (its
+    # full-band scan mixes DC and AC), 12-bit or not
     bad2 = bytearray(p)
     bad2[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="12-bit progressive"):
+    with pytest.raises(ValueError, match="mixes DC\\+AC"):
         M.decode_jpeg_coefficients(bytes(bad2))
+
+    # 12-bit PROGRESSIVE: the scan machinery is precision-agnostic —
+    # the successive-approximation script round-trips coefficients
+    # bit-exactly and the pixel decode stays uint16-exact on
+    # block-constant content
+    y12 = rng.integers(0, 4096, (26, 35)).astype("uint16")
+    qt12 = rng.integers(1, 2000, 64).tolist()
+    pp = M.encode_jpeg_progressive(
+        y12, quant=(qt12, qt12), restart_interval=3, precision=12
+    )
+    dp = M.decode_jpeg_coefficients(pp)
+    assert (dp["mode"], dp["precision"]) == ("progressive", 12)
+    gy, gx = dp["grids"][0]
+    m = M._dct_matrix()
+    zz = np.asarray(M._ZIGZAG)
+    pl = np.pad(y12, ((0, gy * 8 - 26), (0, gx * 8 - 35)), mode="edge")
+    co = np.matmul(m, np.matmul(M._to_blocks(pl) - 2048.0, m.T))
+    qn = np.empty(64, dtype="int64")
+    qn[zz] = np.asarray(qt12)
+    want = (
+        (np.sign(co) * np.floor(np.abs(co) / qn.reshape(8, 8) + 0.5))
+        .reshape(gy * gx, 64)[:, zz].astype("int64")
+    )
+    assert (dp["coefs"][0] == want).all()
+    px12 = M.decode_jpeg_pixels(
+        M.encode_jpeg_progressive(img, neutral, neutral, precision=12)
+    )
+    assert px12.dtype == np.uint16
+    for c in range(3):
+        assert (px12[:, :, c] == img).all()
 
 
 def test_jpeg_progressive_refine_adversarial_scan_patterns():
