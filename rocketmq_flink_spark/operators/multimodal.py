@@ -19,9 +19,10 @@ byte unstuffing, dequantize, de-zigzag, IDCT, BT.601 color conversion
 the exactness argument and feature boundary), with 4:2:0 / 4:2:2 /
 4:4:0 / 4:1:1 chroma subsampling, restart intervals, 16-bit DQT
 decode, 12-bit-precision sequential (SOF1 + Pq=1, encode_jpeg_12bit),
-and full PROGRESSIVE (SOF2) multi-scan decode with a progressive
-encoder driving bit-exact round-trip tests (round 7). MP3/video raise
-NotImplementedError behind the same registry slot.
+full PROGRESSIVE (SOF2) multi-scan decode with a progressive encoder
+driving bit-exact round-trip tests, and LOSSLESS (SOF3) Annex H DPCM
+with exact arbitrary-content reconstruction (round 7). MP3/video
+raise NotImplementedError behind the same registry slot.
 Everything Spark-side — schema, partition-preserving mapInPandas,
 Arrow batch shapes, UDF signatures — is real and tested.
 
@@ -1016,9 +1017,14 @@ def encode_jpeg_header_pattern(
 # 2048, Pq=1 tables, flat Huffman tables for the wider DC/AC
 # categories) the round trip is bit-exact like the 8-bit path, with
 # uint16 pixel decode; encode_jpeg_progressive(precision=12) covers the
-# 12-bit progressive combination the same way. Out of scope (raise
-# NotImplementedError, still behind the codec registry): lossless /
-# arithmetic / hierarchical modes, other sampling grids, MP3/video.
+# 12-bit progressive combination the same way. LOSSLESS (SOF3, process
+# 14) is implemented as its own pair (encode_jpeg_lossless /
+# decode_jpeg_lossless): Annex H DPCM, all 7 predictors, 2..16-bit
+# precision, point transform, mod-2^16 difference coding — EXACT
+# reconstruction of arbitrary content, hypothesis-pinned. Out of scope
+# (raise NotImplementedError, still behind the codec registry):
+# arithmetic / hierarchical modes, other sampling grids, lossless
+# restart intervals/subsampling, MP3/video.
 # ---------------------------------------------------------------------------
 
 
@@ -1646,6 +1652,307 @@ _PROG_AC = ([0] * 8 + [255, 1] + [0] * 6, list(range(256)))
 # 12-bit DC needs categories 0..15: 16 codes at length 5 (all 16 at
 # length 4 would assign the forbidden all-ones code)
 _FLAT_DC16 = ([0, 0, 0, 0, 16] + [0] * 11, list(range(16)))
+# lossless difference categories run 0..16 (SSSS=16 = diff 32768)
+_FLAT_DC17 = ([0, 0, 0, 0, 17] + [0] * 11, list(range(17)))
+
+
+def _lossless_predict(p, sel, default):
+    """Vectorized Annex H.1.2 prediction over a FULLY-KNOWN plane (the
+    encoder side): Ra = left, Rb = above, Rc = above-left; the first
+    sample predicts `default` (2^(P-Pt-1)), the rest of the first line
+    predicts Ra, the first column predicts Rb, and everything else uses
+    the selected predictor 1..7."""
+    import numpy as np
+
+    h, w = p.shape
+    ra = np.empty_like(p)
+    rb = np.empty_like(p)
+    rc = np.empty_like(p)
+    ra[:, 1:] = p[:, :-1]
+    rb[1:, :] = p[:-1, :]
+    rc[1:, 1:] = p[:-1, :-1]
+    ra[:, 0] = rb[:, 0] = rc[:, 0] = 0
+    rb[0, :] = rc[0, :] = 0
+    if sel == 1:
+        pred = ra.copy()
+    elif sel == 2:
+        pred = rb.copy()
+    elif sel == 3:
+        pred = rc.copy()
+    elif sel == 4:
+        pred = ra + rb - rc
+    elif sel == 5:
+        pred = ra + ((rb - rc) >> 1)
+    elif sel == 6:
+        pred = rb + ((ra - rc) >> 1)
+    elif sel == 7:
+        pred = (ra + rb) >> 1
+    else:
+        raise ValueError(f"lossless predictor must be 1..7, got {sel}")
+    pred[0, 1:] = p[0, :-1]   # rest of first line: Ra
+    if h > 1:
+        pred[1:, 0] = p[:-1, 0]  # first column below: Rb
+    pred[0, 0] = default
+    return pred
+
+
+def encode_jpeg_lossless(
+    y, cb=None, cr=None, predictor: int = 4, precision: int = 8,
+    point_transform: int = 0,
+) -> bytes:
+    """Encode a LOSSLESS (SOF3, process 14) JPEG: no DCT, no quant —
+    Annex H DPCM with the selected predictor (1..7), differences coded
+    mod 2^16 with DC-style magnitude categories (SSSS 0..16, the 32768
+    wrap carrying no extra bits). precision 2..16 (uint16 planes);
+    point_transform Pt drops Pt low bits before prediction (decoded
+    output is sample << Pt, per H.1). The round trip is EXACT for
+    arbitrary content — the defining property, pinned by a hypothesis
+    sweep. Components (optional 3-component, full resolution) are
+    emitted one non-interleaved scan each. Restart intervals are out of
+    scope for the lossless path."""
+    import struct
+
+    import numpy as np
+
+    if not 2 <= precision <= 16:
+        raise ValueError("lossless precision must be 2..16")
+    if not 0 <= point_transform < precision:
+        raise ValueError("point transform must be 0..precision-1")
+    planes = [np.asarray(y, dtype="int64")]
+    if cb is not None or cr is not None:
+        cb = np.asarray(cb, dtype="int64")
+        cr = np.asarray(cr, dtype="int64")
+        if cb.shape != planes[0].shape or cr.shape != planes[0].shape:
+            raise ValueError("lossless components must share dimensions")
+        planes += [cb, cr]
+    smax = (1 << precision) - 1
+    for p in planes:
+        if p.min(initial=0) < 0 or p.max(initial=0) > smax:
+            raise ValueError(f"sample values exceed {precision}-bit range")
+    h, w = planes[0].shape
+    nc = len(planes)
+    dc_codes = _huff_codes(*_FLAT_DC17)
+    default = 1 << (precision - point_transform - 1)
+
+    scans = []
+    for plane in planes:
+        p = plane >> point_transform
+        pred = _lossless_predict(p, predictor, default)
+        # differences are mod-2^16, mapped to the signed window with
+        # -32768 represented as SSSS=16 / +32768 (no extra bits)
+        diff = ((p - pred + 32768) & 0xFFFF) - 32768
+        wtr = _BitWriter()
+        for d in diff.ravel().tolist():
+            if d == -32768:
+                code, ln = dc_codes[16]
+                wtr.write(code, ln)
+                continue
+            ssss = _magnitude(d)
+            code, ln = dc_codes[ssss]
+            wtr.write(code, ln)
+            if ssss:
+                wtr.write(d if d >= 0 else d + (1 << ssss) - 1, ssss)
+        scans.append(wtr.flush())
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    app0 = (
+        b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 72, 72)
+        + b"\x00\x00"
+    )
+    sof = struct.pack(">BHHB", precision, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])  # 1x1 sampling; Tq unused (=0)
+    dht_body = bytes([0x00]) + bytes(_FLAT_DC17[0]) + bytes(_FLAT_DC17[1])
+    out = (
+        b"\xff\xd8" + seg(0xE0, app0) + seg(0xC3, sof) + seg(0xC4, dht_body)
+    )
+    for ci, scan in enumerate(scans):
+        sos = bytes([1, ci + 1, 0x00])  # one component, Td=0
+        sos += bytes([predictor, 0, point_transform])  # Ss=sel, Se=0, Al=Pt
+        out += seg(0xDA, sos) + scan
+    return out + b"\xff\xd9"
+
+
+def _jpeg_frame_marker(payload: bytes):
+    """Return the stream's SOFn marker byte via a real segment walk
+    (never a raw byte find — marker-like pairs occur inside DQT/DHT
+    bodies), or None when no frame header precedes the first scan."""
+    import struct
+
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):
+            return None
+        if marker in _JPEG_SOF:
+            return marker
+        pos += 2 + struct.unpack_from(">H", payload, pos + 2)[0]
+    return None
+
+
+def decode_jpeg_lossless(payload: bytes) -> dict:
+    """Decode a LOSSLESS (SOF3) JPEG back to its exact samples: Annex H
+    DPCM with per-scan predictor selection and point transform.
+    Returns {"width", "height", "n_components", "precision",
+    "predictor", "point_transform", "planes": [per-component (H, W)
+    int64 sample arrays, already << Pt]}. Raises ValueError for
+    malformed streams; NotImplementedError for subsampled lossless
+    components or restart intervals (the encoder here emits neither)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    huff: dict[tuple[int, int], "_HuffTable"] = {}
+    frame = None
+    precision = 8
+    comps: list[dict] = []
+    planes: dict[int, object] = {}
+    predictor = point_transform = None
+    restart_interval = 0
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("malformed JPEG: lost marker sync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("malformed JPEG: truncated segment header")
+        size = struct.unpack_from(">H", payload, pos + 2)[0]
+        if pos + 2 + size > len(payload):
+            raise ValueError("malformed JPEG: truncated segment")
+        body = payload[pos + 4:pos + 2 + size]
+        if marker == 0xC4:
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1:p + 17])
+                n = sum(bits)
+                if p + 17 + n > len(body) or len(bits) < 16:
+                    raise ValueError("malformed JPEG: short DHT table")
+                huff[(tc, th)] = _HuffTable(bits, list(body[p + 17:p + 17 + n]))
+                p += 17 + n
+        elif marker == 0xDD:
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+            if restart_interval:
+                raise NotImplementedError(
+                    "restart intervals unsupported in the lossless path"
+                )
+        elif marker == 0xC3:
+            precision, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if not 2 <= precision <= 16:
+                raise ValueError("malformed JPEG: bad lossless precision")
+            frame = (h, w, nc)
+            for ci in range(nc):
+                cid, hv, _tq = body[6 + ci * 3:9 + ci * 3]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled lossless components unsupported"
+                    )
+                comps.append(cid)
+        elif marker in (0xC0, 0xC1, 0xC2):
+            raise ValueError(
+                "not a lossless stream: use decode_jpeg_coefficients"
+            )
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("malformed JPEG: SOS before SOF")
+            h, w, nc = frame
+            ns = body[0]
+            if ns != 1:
+                raise NotImplementedError(
+                    "interleaved lossless scans unsupported"
+                )
+            cs, td = body[1], body[2] >> 4
+            sel, _se, al = body[3], body[4], body[5] & 0x0F
+            if cs not in comps:
+                raise ValueError(
+                    "malformed JPEG: scan references unknown component"
+                )
+            if not 1 <= sel <= 7:
+                raise ValueError("malformed JPEG: bad lossless predictor")
+            tab = huff.get((0, td))
+            if tab is None:
+                raise ValueError("malformed JPEG: missing Huffman table")
+            if predictor is None:
+                predictor, point_transform = sel, al
+            start = pos + 2 + size
+            epos = start
+            while True:
+                f = payload.find(b"\xff", epos)
+                if f < 0 or f + 1 >= len(payload):
+                    raise ValueError("malformed JPEG: missing EOI")
+                nxt = payload[f + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                    epos = f + 2
+                    continue
+                break
+            rdr = _BitReader(payload[start:f])
+            default = 1 << (precision - al - 1)
+            smp = [[0] * w for _ in range(h)]
+            for i in range(h):
+                row = smp[i]
+                up = smp[i - 1] if i else None
+                for j in range(w):
+                    ssss = rdr.read_symbol(tab)
+                    if ssss == 16:
+                        d = 32768
+                    elif ssss:
+                        v = rdr.read_bits(ssss)
+                        d = v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+                    else:
+                        d = 0
+                    if i == 0:
+                        pred = row[j - 1] if j else default
+                    elif j == 0:
+                        pred = up[0]
+                    elif sel == 1:
+                        pred = row[j - 1]
+                    elif sel == 2:
+                        pred = up[j]
+                    elif sel == 3:
+                        pred = up[j - 1]
+                    elif sel == 4:
+                        pred = row[j - 1] + up[j] - up[j - 1]
+                    elif sel == 5:
+                        pred = row[j - 1] + ((up[j] - up[j - 1]) >> 1)
+                    elif sel == 6:
+                        pred = up[j] + ((row[j - 1] - up[j - 1]) >> 1)
+                    else:
+                        pred = (row[j - 1] + up[j]) >> 1
+                    # Rx = (Px + diff) mod 2^16 (H.1.2.1) — since the
+                    # encoder's diff satisfies diff = sample - pred
+                    # (mod 2^16) and samples live in 0..2^P-1 < 2^16,
+                    # this IS the exact sample, so the predictors below
+                    # see the same values the encoder predicted from
+                    row[j] = (pred + d) & 0xFFFF
+            planes[cs] = np.asarray(smp, dtype="int64") << al
+            pos = f
+            continue
+        pos += 2 + size
+    if frame is None or not planes:
+        raise ValueError("malformed JPEG: missing SOF or SOS")
+    h, w, nc = frame
+    if len(planes) != nc:
+        raise ValueError("malformed JPEG: missing component scans")
+    return {
+        "width": w, "height": h, "n_components": nc,
+        "precision": precision, "predictor": predictor,
+        "point_transform": point_transform,
+        "planes": [planes[cid] for cid in comps],
+    }
 
 
 def encode_jpeg_12bit(
@@ -2187,12 +2494,17 @@ def decode_jpeg_coefficients(payload: bytes) -> dict:
         if pos + 2 + size > len(payload):
             raise ValueError("malformed JPEG: truncated segment")
         body = payload[pos + 4:pos + 2 + size]
-        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        if marker == 0xC3:
+            raise NotImplementedError(
+                "lossless (SOF3) streams have no DCT coefficients —"
+                " decode with decode_jpeg_lossless / decode_jpeg_pixels"
+            )
+        if marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                       0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "baseline (SOF0), extended-sequential (SOF1, 8-bit), and"
-                " progressive (SOF2) only: lossless/arithmetic/"
-                "hierarchical JPEG modes need a fuller decoder"
+                "baseline (SOF0), extended-sequential (SOF1), and"
+                " progressive (SOF2) only: arithmetic/hierarchical JPEG"
+                " modes need a fuller decoder"
             )
         if marker == 0xDD:
             restart_interval = struct.unpack_from(">H", body, 0)[0]
@@ -2341,6 +2653,16 @@ def decode_jpeg_pixels(payload: bytes):
     boundary."""
     import numpy as np
 
+    if _jpeg_frame_marker(payload) == 0xC3:
+        d = decode_jpeg_lossless(payload)
+        dt = "uint8" if d["precision"] <= 8 else "uint16"
+        pl = [p.astype(dt) for p in d["planes"]]
+        if d["n_components"] == 1:
+            return np.repeat(pl[0][:, :, None], 3, axis=2)
+        if d["n_components"] != 3:
+            raise NotImplementedError("1- or 3-component frames only")
+        # lossless defines no color transform: components stack raw
+        return np.stack(pl, axis=2)
     d = decode_jpeg_coefficients(payload)
     h, w, nc = d["height"], d["width"], d["n_components"]
     hmax = max(s[0] for s in d["sampling"])

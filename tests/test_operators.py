@@ -2946,6 +2946,57 @@ def test_jpeg_12bit_precision_roundtrip():
         assert (px12[:, :, c] == img).all()
 
 
+def test_jpeg_lossless_exact_roundtrip():
+    """Lossless (SOF3, process 14) JPEG: Annex H DPCM — mod-2^16
+    differences with DC-style categories (SSSS 0..16). The defining
+    property is EXACT reconstruction of arbitrary content: all seven
+    predictors, 8/12/16-bit precision, multi-component scans, the
+    first-line/first-column prediction special cases, and the SSSS=16
+    (diff 32768) wrap are all on this path."""
+    import numpy as np
+
+    rng = np.random.default_rng(71)
+    for prec, hi in [(8, 256), (12, 4096), (16, 65536)]:
+        for sel in range(1, 8):
+            img = rng.integers(0, hi, (13, 17)).astype("int64")
+            p = M.encode_jpeg_lossless(img, predictor=sel, precision=prec)
+            d = M.decode_jpeg_lossless(p)
+            assert (d["precision"], d["predictor"]) == (prec, sel)
+            assert (d["planes"][0] == img).all(), (prec, sel)
+    # 16-bit full-range content forces mod-2^16 wraps (|diff| > 32767)
+    img = np.array([[0, 65535, 0, 65535], [65535, 0, 65535, 0]], dtype="int64")
+    d = M.decode_jpeg_lossless(M.encode_jpeg_lossless(img, precision=16))
+    assert (d["planes"][0] == img).all()
+    # 3-component scans + the pixel-path dispatch (no color transform)
+    r = rng.integers(0, 256, (9, 11)).astype("int64")
+    g = rng.integers(0, 256, (9, 11)).astype("int64")
+    b = rng.integers(0, 256, (9, 11)).astype("int64")
+    px = M.decode_jpeg_pixels(M.encode_jpeg_lossless(r, g, b, predictor=7))
+    assert px.dtype == np.uint8
+    for c, want in enumerate([r, g, b]):
+        assert (px[:, :, c] == want).all(), c
+    # point transform drops Pt low bits: decoded output is (s >> Pt) << Pt
+    img = rng.integers(0, 4096, (8, 8)).astype("int64")
+    d = M.decode_jpeg_lossless(
+        M.encode_jpeg_lossless(img, precision=12, point_transform=2)
+    )
+    assert (d["planes"][0] == (img >> 2) << 2).all()
+    # degenerate shapes exercise the first-line/first-column cases alone
+    for shape in [(1, 1), (1, 9), (9, 1)]:
+        img = rng.integers(0, 65536, shape).astype("int64")
+        d = M.decode_jpeg_lossless(M.encode_jpeg_lossless(img, precision=16))
+        assert (d["planes"][0] == img).all(), shape
+    # a DCT stream is not decodable as lossless, and vice versa
+    with pytest.raises(ValueError, match="not a lossless stream"):
+        M.decode_jpeg_lossless(M.encode_jpeg_pattern(5, 16, 16))
+    with pytest.raises(NotImplementedError, match="lossless"):
+        M.decode_jpeg_coefficients(
+            M.encode_jpeg_lossless(np.zeros((4, 4), dtype="int64"))
+        )
+    with pytest.raises(ValueError, match="range"):
+        M.encode_jpeg_lossless(np.full((4, 4), 256, dtype="int64"))
+
+
 def test_jpeg_progressive_refine_adversarial_scan_patterns():
     """Coefficient-level pin of the AC refinement corner cases that
     random content only hits probabilistically: a >15 zero-history run

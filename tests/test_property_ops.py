@@ -2067,3 +2067,27 @@ def test_jpeg_progressive_lossless_property(h, w, seed, gray, layout, rst):
         assert (got[:bh, :bw] == want[:bh, :bw]).all(), f"comp {ci} drifted"
         assert (got[..., 0] == want[..., 0]).all(), f"comp {ci} DC drifted"
         assert (got[bh:, :, 1:] == 0).all() and (got[:, bw:, 1:] == 0).all()
+
+
+@settings(**SETTINGS)
+@given(
+    h=st.integers(1, 32),
+    w=st.integers(1, 32),
+    seed=st.integers(0, 2**31 - 1),
+    sel=st.integers(1, 7),
+    prec=st.sampled_from([8, 12, 16]),
+)
+def test_jpeg_lossless_exact_property(h, w, seed, sel, prec):
+    """Lossless JPEG's defining property over the whole input space:
+    ANY image at ANY supported precision with ANY predictor
+    reconstructs EXACTLY — no planted structure, no tolerance."""
+    import numpy as np
+
+    from rocketmq_flink_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 1 << prec, (h, w)).astype("int64")
+    payload = M.encode_jpeg_lossless(img, predictor=sel, precision=prec)
+    d = M.decode_jpeg_lossless(payload)
+    assert (d["width"], d["height"]) == (w, h)
+    assert (d["planes"][0] == img).all()
