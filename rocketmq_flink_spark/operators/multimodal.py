@@ -12,7 +12,10 @@ media_pixel_features).
 
 Compressed formats: PNG (round 5) is FULLY decoded with the stdlib —
 zlib inflate + all five scanline unfilters (decode_png_pixels), and
-encode_png round-trips real filtered scanlines. Baseline-sequential
+encode_png round-trips real filtered scanlines; round 7 extends the
+profile to 16-bit depth (encode_png16), indexed color
+(encode_png_palette/PLTE), and Adam7 interlacing on every profile,
+all exactness-pinned (sub-byte palette depths stay NotImplemented). Baseline-sequential
 JPEG (round 6) is FULLY decoded too: real Huffman entropy decode with
 byte unstuffing, dequantize, de-zigzag, IDCT, BT.601 color conversion
 (encode_jpeg_baseline / decode_jpeg_pixels — see the codec section for
@@ -798,24 +801,19 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png(pixels) -> bytes:
-    """REAL PNG encoder for an (h, w, 3) uint8 array: filtered
-    scanlines (row y uses filter y % 5 — None/Sub/Up/Average/Paeth,
-    so every decoder filter path gets exercised), zlib-deflated into
-    one IDAT, CRC-stamped chunks."""
-    import struct
-    import zlib
-
+def _png_filter_rows(rows, bpp: int) -> bytes:
+    """Filter a (h, stride) byte matrix into PNG scanline bytes, row y
+    using filter y % 5 (None/Sub/Up/Average/Paeth — every decoder
+    filter path gets exercised). Filtering operates on BYTES with a
+    bpp-byte left offset, exactly as the spec defines for every bit
+    depth."""
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    h, w, ch = px.shape
-    assert ch == 3, "encode_png writes RGB8"
-    bpp = 3
+    h, stride = rows.shape
     raw = bytearray()
-    prev = np.zeros(w * bpp, dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
     for y in range(h):
-        row = px[y].reshape(-1).astype(np.int64)
+        row = rows[y].astype(np.int64)
         f = y % 5
         raw.append(f)
         if f == 0:
@@ -837,60 +835,119 @@ def encode_png(pixels) -> bytes:
                     for a, b, c in zip(left, prev, upleft)
                 ),
                 dtype=np.int64,
-                count=w * bpp,
+                count=stride,
             )
             flt = (row - pr) % 256
         raw += bytes(flt.astype(np.uint8))
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return bytes(raw)
+
+
+# Adam7 pass origins/strides (x0, y0, dx, dy), per the PNG spec — the
+# union of the seven lattices tiles every pixel exactly once
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_sample_bytes(px, depth: int):
+    """(h, w, ch) samples -> (h, w*ch*depth//8) big-endian byte rows."""
+    import numpy as np
+
+    h = px.shape[0]
+    if depth == 8:
+        return np.asarray(px, dtype=np.uint8).reshape(h, -1)
     return (
-        PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        np.ascontiguousarray(np.asarray(px, dtype=">u2"))
+        .view(np.uint8).reshape(h, -1)
+    )
+
+
+def _encode_png_body(px, depth, color, interlace) -> bytes:
+    """Shared IHDR/IDAT assembly for every encode_png* profile."""
+    import struct
+    import zlib
+
+    h, w = px.shape[:2]
+    ch = 1 if px.ndim == 2 else px.shape[2]
+    if px.ndim == 2:
+        px = px.reshape(h, w, 1)
+    bpp = ch * depth // 8
+    if not interlace:
+        raw = _png_filter_rows(_png_sample_bytes(px, depth), bpp)
+    else:
+        raw = b""
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass for small images
+            raw += _png_filter_rows(_png_sample_bytes(sub, depth), bpp)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0
+    )
+    return ihdr, zlib.compress(raw, 6)
+
+
+def encode_png(pixels, interlace: bool = False) -> bytes:
+    """REAL PNG encoder for an (h, w, 3) uint8 array: filtered
+    scanlines (row y uses filter y % 5 — None/Sub/Up/Average/Paeth,
+    so every decoder filter path gets exercised), zlib-deflated into
+    one IDAT, CRC-stamped chunks. interlace=True writes the Adam7
+    seven-pass layout (each pass filtered independently)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    assert px.ndim == 3 and px.shape[2] == 3, "encode_png writes RGB8"
+    ihdr, idat = _encode_png_body(px, 8, 2, interlace)
+    return (
+        PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat)
         + _png_chunk(b"IEND", b"")
     )
 
 
-def decode_png_pixels(payload: bytes):
-    """REAL full PNG decode with the stdlib: IHDR parse (8-bit depth,
-    color types 0/2/6, non-interlaced), IDAT concat + zlib inflate,
-    and all five scanline unfilters. Returns an (h, w, channels) uint8
-    array. Raises ValueError on malformed input, NotImplementedError
-    for PNG features beyond this profile (16-bit, palette, interlace)."""
-    import struct
-    import zlib
-
+def encode_png16(pixels, interlace: bool = False) -> bytes:
+    """16-bit-depth PNG (big-endian samples; filters still operate on
+    bytes with a 2-byte-per-sample left offset, per spec): (h, w) gray
+    or (h, w, 3) RGB uint16 arrays."""
     import numpy as np
 
-    if payload[:8] != PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, w = 8, None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        size = struct.unpack_from(">I", payload, pos)[0]
-        ctype = payload[pos + 4:pos + 8]
-        body = payload[pos + 8:pos + 8 + size]
-        crc = struct.unpack_from(">I", payload, pos + 8 + size)[0]
-        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"malformed PNG: {ctype!r} CRC mismatch")
-        if ctype == b"IHDR":
-            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8 or color not in (0, 2, 6) or interlace:
-                raise NotImplementedError(
-                    "PNG profile beyond 8-bit gray/RGB/RGBA non-interlaced"
-                )
-            ch = _PNG_CHANNELS[color]
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-        pos += 12 + size
-    if w is None or not idat:
-        raise ValueError("malformed PNG: missing IHDR or IDAT")
-    raw = zlib.decompress(bytes(idat))
-    stride = w * ch
+    px = np.asarray(pixels, dtype=np.uint16)
+    color = 0 if px.ndim == 2 else 2
+    if px.ndim == 3 and px.shape[2] != 3:
+        raise ValueError("encode_png16 writes gray or RGB")
+    ihdr, idat = _encode_png_body(px, 16, color, interlace)
+    return (
+        PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(indices, palette, interlace: bool = False) -> bytes:
+    """Indexed-color (type 3) PNG: (h, w) uint8 index array + an
+    (n <= 256, 3) uint8 palette emitted as PLTE."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or len(pal) > 256:
+        raise ValueError("palette must be (n<=256, 3) RGB")
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("index out of palette range")
+    ihdr, idat = _encode_png_body(idx, 8, 3, interlace)
+    return (
+        PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter_rows(raw: bytes, h: int, stride: int, bpp: int):
+    """Undo the five PNG scanline filters over h rows of `stride`
+    bytes (bpp-byte left offset, per spec for every bit depth).
+    Returns an (h, stride) uint8 array."""
+    import numpy as np
+
     if len(raw) != h * (stride + 1):
         raise ValueError("malformed PNG: bad decompressed length")
     out = np.zeros((h, stride), dtype=np.int64)
@@ -907,13 +964,13 @@ def decode_png_pixels(payload: bytes):
         elif f in (1, 3, 4):  # Sub/Average/Paeth: left-dependent, per pixel
             cur = np.zeros(stride, dtype=np.int64)
             for i in range(stride):
-                left = cur[i - ch] if i >= ch else 0
+                left = cur[i - bpp] if i >= bpp else 0
                 if f == 1:
                     cur[i] = (row[i] + left) % 256
                 elif f == 3:
                     cur[i] = (row[i] + (left + prev[i]) // 2) % 256
                 else:
-                    upleft = prev[i - ch] if i >= ch else 0
+                    upleft = prev[i - bpp] if i >= bpp else 0
                     cur[i] = (
                         row[i] + _paeth(int(left), int(prev[i]), int(upleft))
                     ) % 256
@@ -921,7 +978,108 @@ def decode_png_pixels(payload: bytes):
             raise ValueError(f"malformed PNG: filter type {f}")
         out[y] = cur
         prev = cur
-    return out.astype(np.uint8).reshape(h, w, ch)
+    return out.astype(np.uint8)
+
+
+def _png_bytes_to_samples(rows, w: int, ch: int, depth: int):
+    """(h, stride) unfiltered bytes -> (h, w, ch) uint8/uint16 samples
+    (16-bit samples are big-endian byte pairs)."""
+    import numpy as np
+
+    h = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(h, w, ch)
+    return (
+        np.ascontiguousarray(rows).view(">u2").astype(np.uint16)
+        .reshape(h, w, ch)
+    )
+
+
+def decode_png_pixels(payload: bytes):
+    """REAL full PNG decode with the stdlib: IHDR parse, IDAT concat +
+    zlib inflate, all five scanline unfilters, 8- AND 16-bit depths
+    (gray/RGB/RGBA), indexed color (PLTE, 8-bit), and Adam7
+    interlacing — every pass unfiltered independently and scattered
+    back, per spec. Returns (h, w, channels) uint8 (or uint16 at
+    16-bit depth; palette streams come back as expanded (h, w, 3)
+    uint8). Raises ValueError on malformed input, NotImplementedError
+    for sub-byte palette depths."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    plte = None
+    while pos + 8 <= len(payload):
+        size = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + size]
+        crc = struct.unpack_from(">I", payload, pos + 8 + size)[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"malformed PNG: {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if color == 3:
+                if depth != 8:
+                    raise NotImplementedError(
+                        "sub-byte palette depths (1/2/4) unsupported"
+                    )
+            elif color not in (0, 2, 6) or depth not in (8, 16):
+                raise NotImplementedError(
+                    "PNG profile: 8/16-bit gray/RGB/RGBA or 8-bit palette"
+                )
+            if interlace not in (0, 1):
+                raise ValueError("malformed PNG: bad interlace method")
+            ch = 1 if color == 3 else _PNG_CHANNELS[color]
+        elif ctype == b"PLTE":
+            if size % 3:
+                raise ValueError("malformed PNG: PLTE length not *3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if w is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    bpp = ch * depth // 8
+    dtype = np.uint8 if depth == 8 else np.uint16
+    if not interlace:
+        px = _png_bytes_to_samples(
+            _png_unfilter_rows(raw, h, w * bpp, bpp), w, ch, depth
+        )
+    else:
+        px = np.zeros((h, w, ch), dtype=dtype)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            n = ph * (pw * bpp + 1)
+            sub = _png_bytes_to_samples(
+                _png_unfilter_rows(raw[off:off + n], ph, pw * bpp, bpp),
+                pw, ch, depth,
+            )
+            px[y0::dy, x0::dx] = sub
+            off += n
+        if off != len(raw):
+            raise ValueError("malformed PNG: bad decompressed length")
+    if color == 3:
+        if plte is None:
+            raise ValueError("malformed PNG: palette stream missing PLTE")
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("malformed PNG: index out of palette range")
+        return plte[idx]
+    return px
 
 
 def encode_png_pattern(media_id: int, width: int, height: int) -> bytes:

@@ -2347,6 +2347,57 @@ def test_png_full_codec_roundtrip_all_filters():
         assert (rs == want[::2, ::2, :]).all()
 
 
+def test_png_extended_profiles_roundtrip():
+    """The round-7 PNG profile extensions: Adam7 interlacing (seven
+    independently-filtered passes scattered back — the lattice tiling
+    is asserted exact), 16-bit depth (big-endian samples, filters on
+    bytes with the 2-byte-per-sample offset), and indexed color (PLTE),
+    each exact on arbitrary content and in every combination with
+    interlacing. Degenerate sizes force empty passes on both sides."""
+    import numpy as np
+
+    cover = np.zeros((13, 21), dtype=int)
+    for x0, y0, dx, dy in M._ADAM7:
+        cover[y0::dy, x0::dx] += 1
+    assert (cover == 1).all()
+
+    rng = np.random.default_rng(79)
+    for h, w in [(9, 13), (1, 1), (7, 2), (16, 16), (3, 10)]:
+        px = rng.integers(0, 256, (h, w, 3)).astype("uint8")
+        assert (M.decode_png_pixels(M.encode_png(px)) == px).all(), (h, w)
+        assert (
+            M.decode_png_pixels(M.encode_png(px, interlace=True)) == px
+        ).all(), (h, w)
+    for shape in [(9, 13), (9, 13, 3), (1, 1), (5, 1, 3)]:
+        px = rng.integers(0, 65536, shape).astype("uint16")
+        want = px if px.ndim == 3 else px[:, :, None]
+        out = M.decode_png_pixels(M.encode_png16(px))
+        assert out.dtype == np.uint16 and (out == want).all(), shape
+        out = M.decode_png_pixels(M.encode_png16(px, interlace=True))
+        assert (out == want).all(), shape
+    pal = rng.integers(0, 256, (17, 3)).astype("uint8")
+    idx = rng.integers(0, 17, (11, 8)).astype("uint8")
+    assert (M.decode_png_pixels(M.encode_png_palette(idx, pal)) == pal[idx]).all()
+    assert (
+        M.decode_png_pixels(M.encode_png_palette(idx, pal, interlace=True))
+        == pal[idx]
+    ).all()
+    # guards: out-of-palette index, oversize palette, sub-byte depths
+    with pytest.raises(ValueError, match="palette range"):
+        M.encode_png_palette(np.full((2, 2), 17, "uint8"), pal)
+    with pytest.raises(ValueError, match="n<=256"):
+        M.encode_png_palette(idx, np.zeros((257, 3), "uint8"))
+    p = bytearray(M.encode_png_palette(idx, pal))
+    p[24] = 4  # IHDR bit depth -> 4: sub-byte palette stays pinned
+    import struct
+    import zlib
+
+    crc = zlib.crc32(p[12:29]) & 0xFFFFFFFF
+    p[29:33] = struct.pack(">I", crc)
+    with pytest.raises(NotImplementedError, match="sub-byte palette"):
+        M.decode_png_pixels(bytes(p))
+
+
 def test_png_parser_verifies_crc():
     p = bytearray(M.encode_png_pattern(1, 8, 8))
     p[20] ^= 0xFF  # corrupt the IHDR width bytes -> CRC mismatch

@@ -2091,3 +2091,45 @@ def test_jpeg_lossless_exact_property(h, w, seed, sel, prec):
     d = M.decode_jpeg_lossless(payload)
     assert (d["width"], d["height"]) == (w, h)
     assert (d["planes"][0] == img).all()
+
+
+@settings(**SETTINGS)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+    profile=st.sampled_from(["rgb8", "gray16", "rgb16", "palette"]),
+    interlace=st.booleans(),
+)
+def test_png_profiles_lossless_property(h, w, seed, profile, interlace):
+    """PNG is lossless across its whole profile matrix: arbitrary
+    content x {RGB8, gray16, RGB16, indexed} x {plain, Adam7}
+    reconstructs exactly (filters cycle per row, so every unfilter
+    path runs in every pass)."""
+    import numpy as np
+
+    from rocketmq_flink_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    if profile == "rgb8":
+        px = rng.integers(0, 256, (h, w, 3)).astype("uint8")
+        out = M.decode_png_pixels(M.encode_png(px, interlace=interlace))
+        want = px
+    elif profile == "gray16":
+        px = rng.integers(0, 65536, (h, w)).astype("uint16")
+        out = M.decode_png_pixels(M.encode_png16(px, interlace=interlace))
+        want = px[:, :, None]
+    elif profile == "rgb16":
+        px = rng.integers(0, 65536, (h, w, 3)).astype("uint16")
+        out = M.decode_png_pixels(M.encode_png16(px, interlace=interlace))
+        want = px
+    else:
+        n = int(rng.integers(1, 257))
+        pal = rng.integers(0, 256, (n, 3)).astype("uint8")
+        idx = rng.integers(0, n, (h, w)).astype("uint8")
+        out = M.decode_png_pixels(
+            M.encode_png_palette(idx, pal, interlace=interlace)
+        )
+        want = pal[idx]
+    assert out.shape == want.shape
+    assert (out == want).all()
