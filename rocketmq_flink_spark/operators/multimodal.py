@@ -527,7 +527,14 @@ def encode_wav_pattern(
 
 
 def decode_wav_samples(payload: bytes):
-    """REAL PCM16 decode: int16 numpy array of the frames (mono)."""
+    """REAL WAV sample decode, format-aware (the fmt chunk is read, not
+    assumed): PCM (format 1) at 8 (unsigned, returned CENTERED as
+    int16 = v - 128), 16 (int16), 24 (3-byte little-endian signed,
+    returned int32), and 32 bits (int32), plus IEEE float (format 3)
+    at 32/64 bits returned in the float dtype. Returns the raw
+    INTERLEAVED 1-D sample array (channel de-interleaving is the
+    caller's, as before). Raises NotImplementedError for compressed
+    formats (ADPCM/mu-law...)."""
     import struct
 
     import numpy as np
@@ -535,15 +542,109 @@ def decode_wav_samples(payload: bytes):
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos = 12
+    fmt_code = bits = None
+    data = None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
-        if cid == b"data":
-            return np.frombuffer(
-                payload, dtype="<i2", count=size // 2, offset=pos + 8
+        if cid == b"fmt " and size >= 16:
+            fmt_code, _ch, _rate, _bps, _ba, bits = struct.unpack_from(
+                "<HHIIHH", payload, pos + 8
             )
+        elif cid == b"data":
+            data = (pos + 8, size)
         pos += 8 + size + (size & 1)
-    raise ValueError("malformed WAV: no data chunk")
+    if data is None:
+        raise ValueError("malformed WAV: no data chunk")
+    off, size = data
+    if fmt_code is None:
+        # header-less legacy payloads in the fixtures: PCM16, as before
+        fmt_code, bits = 1, 16
+    if fmt_code == 1 and bits == 16:
+        return np.frombuffer(payload, dtype="<i2", count=size // 2, offset=off)
+    if fmt_code == 1 and bits == 8:
+        u = np.frombuffer(payload, dtype="u1", count=size, offset=off)
+        return u.astype(np.int16) - 128  # 8-bit PCM is unsigned, biased
+    if fmt_code == 1 and bits == 24:
+        raw = np.frombuffer(payload, dtype="u1", count=(size // 3) * 3,
+                            offset=off).reshape(-1, 3).astype(np.int64)
+        v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        return np.where(v >= 1 << 23, v - (1 << 24), v).astype(np.int32)
+    if fmt_code == 1 and bits == 32:
+        return np.frombuffer(payload, dtype="<i4", count=size // 4, offset=off)
+    if fmt_code == 3 and bits == 32:
+        return np.frombuffer(payload, dtype="<f4", count=size // 4, offset=off)
+    if fmt_code == 3 and bits == 64:
+        return np.frombuffer(payload, dtype="<f8", count=size // 8, offset=off)
+    raise NotImplementedError(
+        f"WAV format {fmt_code} at {bits} bits: PCM 8/16/24/32 and IEEE"
+        " float 32/64 are supported; compressed formats need codecs"
+    )
+
+
+def encode_wav_samples(samples, sample_rate: int = 8000,
+                       n_channels: int = 1) -> bytes:
+    """Write a REAL WAV data stream from a 1-D interleaved sample
+    array; the format follows the dtype: int16 -> PCM16, int32 ->
+    PCM32, uint8 -> PCM8, float32/float64 -> IEEE float. The
+    decode_wav_samples round trip is exact (PCM8 comes back centered,
+    by that function's contract)."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples)
+    if s.dtype == np.int16:
+        fmt_code, bits, body = 1, 16, s.astype("<i2").tobytes()
+    elif s.dtype == np.uint8:
+        fmt_code, bits, body = 1, 8, s.tobytes()
+    elif s.dtype == np.int32:
+        fmt_code, bits, body = 1, 32, s.astype("<i4").tobytes()
+    elif s.dtype == np.float32:
+        fmt_code, bits, body = 3, 32, s.astype("<f4").tobytes()
+    elif s.dtype == np.float64:
+        fmt_code, bits, body = 3, 64, s.astype("<f8").tobytes()
+    else:
+        raise ValueError(f"unsupported sample dtype {s.dtype}")
+    block_align = n_channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, n_channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    out = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        out += b"\x00"  # RIFF chunks pad to even
+    return b"RIFF" + struct.pack("<I", len(out)) + out
+
+
+def encode_wav_pcm24(samples, sample_rate: int = 8000,
+                     n_channels: int = 1) -> bytes:
+    """24-bit PCM WAV (3-byte little-endian signed samples) from an
+    int32 array within +-2^23."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    if s.min(initial=0) < -(1 << 23) or s.max(initial=0) >= (1 << 23):
+        raise ValueError("24-bit samples must be within +-2^23")
+    u = (s & 0xFFFFFF).astype(np.int64)
+    b = np.empty((len(u), 3), dtype=np.uint8)
+    b[:, 0] = u & 0xFF
+    b[:, 1] = (u >> 8) & 0xFF
+    b[:, 2] = (u >> 16) & 0xFF
+    body = b.tobytes()
+    block_align = n_channels * 3
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * block_align, block_align, 24,
+    )
+    out = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        out += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(out)) + out
 
 
 def encode_ppm_scene(

@@ -2997,6 +2997,49 @@ def test_jpeg_12bit_precision_roundtrip():
         assert (px12[:, :, c] == img).all()
 
 
+def test_wav_format_matrix_roundtrip():
+    """decode_wav_samples now reads the fmt chunk instead of assuming
+    PCM16: PCM 8 (unsigned, returned centered) / 16 / 24 (3-byte
+    little-endian signed) / 32 bits and IEEE float 32/64 all round-trip
+    exactly through the dtype-driven encode_wav_samples /
+    encode_wav_pcm24 writers; compressed formats raise."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(83)
+    s16 = rng.integers(-32768, 32768, 501).astype("int16")
+    assert (M.decode_wav_samples(M.encode_wav_samples(s16, 44100)) == s16).all()
+    u8 = rng.integers(0, 256, 333).astype("uint8")
+    assert (
+        M.decode_wav_samples(M.encode_wav_samples(u8))
+        == u8.astype(np.int16) - 128
+    ).all()
+    s32 = rng.integers(-2**31, 2**31, 200).astype("int32")
+    assert (M.decode_wav_samples(M.encode_wav_samples(s32)) == s32).all()
+    f32 = rng.standard_normal(257).astype("float32")
+    out = M.decode_wav_samples(M.encode_wav_samples(f32))
+    assert out.dtype == np.float32 and (out == f32).all()
+    f64 = rng.standard_normal(100)
+    out = M.decode_wav_samples(M.encode_wav_samples(f64))
+    assert out.dtype == np.float64 and (out == f64).all()
+    s24 = rng.integers(-(1 << 23), 1 << 23, 321).astype("int64")
+    out = M.decode_wav_samples(M.encode_wav_pcm24(s24))
+    assert out.dtype == np.int32 and (out == s24).all()
+    with pytest.raises(ValueError, match=r"2\^23"):
+        M.encode_wav_pcm24(np.array([1 << 23]))
+    # the legacy PCM16 fixture path is unchanged
+    s = M.decode_wav_samples(M.encode_wav_pattern(3, 8000, 400))
+    assert s.dtype == np.int16 and len(s) == 400
+    # a compressed format code (2 = MS ADPCM) is a loud pin, not a
+    # silent misread
+    p = bytearray(M.encode_wav_samples(s16))
+    i = p.find(b"fmt ") + 8
+    p[i:i + 2] = struct.pack("<H", 2)
+    with pytest.raises(NotImplementedError, match="WAV format 2"):
+        M.decode_wav_samples(bytes(p))
+
+
 def test_jpeg_lossless_exact_roundtrip():
     """Lossless (SOF3, process 14) JPEG: Annex H DPCM — mod-2^16
     differences with DC-style categories (SSSS 0..16). The defining
