@@ -4,8 +4,10 @@ Images/audio/video are `binary` columns with a `media_type` tag and a
 metadata map. Decode is REAL for stdlib-parsable containers — BMP /
 WAV / PPM headers are parsed with struct/bytes (parse_media_header),
 and for the raw-dump containers the CONTENT is decoded too: PPM pixels,
-BMP pixels (BGR bottom-up padded rows, top-down variant included) and
-WAV PCM16 samples are exact numpy frombuffer reads, with a genuine
+BMP pixels (24/32bpp BGR(X) bottom-up padded rows, top-down variant,
+8bpp indexed color tables, and BI_RLE8 runs/absolute/escapes — round
+7) and WAV samples (fmt-chunk-aware: PCM 8/16/24/32 + IEEE float
+32/64 — round 7) are exact numpy frombuffer reads, with a genuine
 nearest-neighbor resize re-encoding real pixels (decode_ppm_pixels /
 decode_bmp_pixels / resize_ppm / resize_bmp / decode_wav_samples /
 media_pixel_features).
@@ -146,11 +148,14 @@ def encode_bmp_pixels(px) -> bytes:
 
 
 def decode_bmp_pixels(payload: bytes):
-    """REAL BMP pixel decode: 24bpp uncompressed BITMAPINFOHEADER DIBs,
-    bottom-up (positive height) or top-down (negative), padded rows
+    """REAL BMP pixel decode over the BITMAPINFOHEADER profiles real
+    files use: 24bpp BI_RGB (BGR), 32bpp BI_RGB (BGRX — the pad/alpha
+    byte is dropped), 8bpp indexed with the BGRA color table, and 8bpp
+    BI_RLE8 (encoded runs, absolute mode, EOL/EOB/delta escapes).
+    Bottom-up (positive height) or top-down (negative), padded rows
     stripped. Returns (H, W, 3) RGB uint8. Raises ValueError on a
-    malformed header, NotImplementedError for other bit depths or
-    compressed BMPs."""
+    malformed header, NotImplementedError for other depths/compressions
+    (1/4/16-bit, RLE4, bitfields)."""
     import struct
 
     import numpy as np
@@ -158,23 +163,205 @@ def decode_bmp_pixels(payload: bytes):
     if payload[:2] != b"BM" or len(payload) < 54:
         raise ValueError("not a BMP payload")
     off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
     w, h_signed = struct.unpack_from("<ii", payload, 18)
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if bpp != 24 or compression != 0:
-        raise NotImplementedError(
-            "24bpp uncompressed BMP only (BI_RGB); other depths/RLE "
-            "need a fuller DIB reader"
-        )
+    n_colors = struct.unpack_from("<I", payload, 46)[0]
     h = abs(h_signed)
-    row = _bmp_row_size(w)
-    if off + row * h > len(payload):
-        raise ValueError("malformed BMP: truncated pixel array")
-    arr = np.frombuffer(payload, dtype="uint8", count=row * h, offset=off)
-    rows = arr.reshape(h, row)[:, :w * 3].reshape(h, w, 3)
-    if h_signed > 0:
-        rows = rows[::-1]  # bottom-up storage -> top-down image
-    return rows[:, :, ::-1].copy()  # BGR -> RGB
+    if bpp == 24 and compression == 0:
+        row = _bmp_row_size(w)
+        if off + row * h > len(payload):
+            raise ValueError("malformed BMP: truncated pixel array")
+        arr = np.frombuffer(payload, dtype="uint8", count=row * h, offset=off)
+        rows = arr.reshape(h, row)[:, :w * 3].reshape(h, w, 3)
+        if h_signed > 0:
+            rows = rows[::-1]  # bottom-up storage -> top-down image
+        return rows[:, :, ::-1].copy()  # BGR -> RGB
+    if bpp == 32 and compression == 0:
+        row = w * 4  # 32bpp rows are naturally 4-byte aligned
+        if off + row * h > len(payload):
+            raise ValueError("malformed BMP: truncated pixel array")
+        arr = np.frombuffer(payload, dtype="uint8", count=row * h, offset=off)
+        rows = arr.reshape(h, w, 4)
+        if h_signed > 0:
+            rows = rows[::-1]
+        return rows[:, :, 2::-1].copy()  # BGRX -> RGB, pad byte dropped
+    if bpp == 8 and compression in (0, 1):
+        pal_off = 14 + hdr_size
+        n = n_colors or 256
+        if pal_off + 4 * n > len(payload):
+            raise ValueError("malformed BMP: truncated color table")
+        quads = np.frombuffer(
+            payload, dtype="uint8", count=4 * n, offset=pal_off
+        ).reshape(n, 4)
+        pal = quads[:, 2::-1].copy()  # BGRA quads -> RGB
+        if compression == 0:
+            row = (w + 3) & ~3
+            if off + row * h > len(payload):
+                raise ValueError("malformed BMP: truncated pixel array")
+            idx = np.frombuffer(
+                payload, dtype="uint8", count=row * h, offset=off
+            ).reshape(h, row)[:, :w]
+        else:
+            if h_signed < 0:
+                raise ValueError("malformed BMP: RLE8 must be bottom-up")
+            idx = np.zeros((h, w), dtype="uint8")
+            x = y = 0
+            i = off
+            end = len(payload)
+            while True:
+                if i + 2 > end:
+                    raise ValueError("malformed BMP: truncated RLE8 data")
+                b0, b1 = payload[i], payload[i + 1]
+                i += 2
+                if b0 > 0:  # encoded run
+                    if y >= h or x + b0 > w:
+                        raise ValueError("malformed BMP: RLE8 run overflow")
+                    idx[y, x:x + b0] = b1
+                    x += b0
+                elif b1 == 0:  # end of line
+                    y += 1
+                    x = 0
+                elif b1 == 1:  # end of bitmap
+                    break
+                elif b1 == 2:  # delta: skipped pixels stay index 0
+                    if i + 2 > end:
+                        raise ValueError("malformed BMP: truncated RLE8 delta")
+                    x += payload[i]
+                    y += payload[i + 1]
+                    i += 2
+                else:  # absolute mode: b1 literal indices, word-padded
+                    n_abs = b1
+                    if i + n_abs > end or y >= h or x + n_abs > w:
+                        raise ValueError("malformed BMP: RLE8 run overflow")
+                    idx[y, x:x + n_abs] = np.frombuffer(
+                        payload, dtype="uint8", count=n_abs, offset=i
+                    )
+                    i += n_abs + (n_abs & 1)
+                    x += n_abs
+        if int(idx.max(initial=0)) >= n:
+            raise ValueError("malformed BMP: index out of color table")
+        rows = pal[idx]
+        if h_signed > 0:
+            rows = rows[::-1]
+        return rows.copy()
+    raise NotImplementedError(
+        "BMP profile: 24/32bpp BI_RGB and 8bpp indexed (BI_RGB or"
+        " BI_RLE8); 1/4/16-bit, RLE4, and bitfields need a fuller DIB"
+        " reader"
+    )
+
+
+def encode_bmp_pixels32(px) -> bytes:
+    """32bpp BI_RGB BMP from (H, W, 3) RGB uint8 (pad byte zero,
+    bottom-up rows — no row padding needed at 4 bytes/pixel)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype="uint8")
+    h, w = px.shape[:2]
+    rows = np.zeros((h, w, 4), dtype="uint8")
+    rows[:, :, :3] = px[::-1, :, ::-1]  # RGB -> BGRX, bottom-up
+    body = rows.tobytes()
+    return (
+        b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 32, 0, len(body), 2835, 2835, 0, 0,
+        )
+        + body
+    )
+
+
+def _bmp_indexed_header(w, h, pal, compression, body_len):
+    import struct
+
+    pal_bytes = bytearray()
+    for r, g, b in pal:
+        pal_bytes += bytes([b, g, r, 0])  # BGRA quads
+    off = 14 + 40 + len(pal_bytes)
+    return (
+        b"BM" + struct.pack("<IHHI", off + body_len, 0, 0, off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, compression, body_len,
+            2835, 2835, len(pal), 0,
+        )
+        + bytes(pal_bytes)
+    )
+
+
+def encode_bmp_palette(indices, palette) -> bytes:
+    """8bpp indexed (BI_RGB) BMP: (H, W) uint8 indices + (n <= 256, 3)
+    RGB palette written as BGRA quads, rows bottom-up and 4-byte
+    padded."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype="uint8")
+    pal = np.asarray(palette, dtype="uint8")
+    if pal.ndim != 2 or pal.shape[1] != 3 or len(pal) > 256:
+        raise ValueError("palette must be (n<=256, 3) RGB")
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("index out of palette range")
+    h, w = idx.shape
+    row = (w + 3) & ~3
+    grid = np.zeros((h, row), dtype="uint8")
+    grid[:, :w] = idx[::-1]
+    body = grid.tobytes()
+    return _bmp_indexed_header(w, h, pal, 0, len(body)) + body
+
+
+def encode_bmp_rle8(indices, palette) -> bytes:
+    """8bpp BI_RLE8 BMP: per bottom-up row, maximal runs go out in
+    encoded mode (count, index) and stretches of non-repeating pixels
+    (3+ singleton runs) in absolute mode (word-padded), followed by the
+    end-of-line escape; the stream closes with end-of-bitmap — so the
+    decoder's encoded/absolute/EOL/EOB paths all round-trip."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype="uint8")
+    pal = np.asarray(palette, dtype="uint8")
+    if pal.ndim != 2 or pal.shape[1] != 3 or len(pal) > 256:
+        raise ValueError("palette must be (n<=256, 3) RGB")
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("index out of palette range")
+    h, w = idx.shape
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = idx[y]
+        runs = []  # (count, value)
+        j = 0
+        while j < w:
+            k = j
+            while k < w and row[k] == row[j]:
+                k += 1
+            n = k - j
+            while n > 255:
+                runs.append((255, int(row[j])))
+                n -= 255
+            runs.append((n, int(row[j])))
+            j = k
+        # coalesce stretches of singleton runs into absolute mode
+        i = 0
+        while i < len(runs):
+            if runs[i][0] == 1:
+                lit = []
+                while i < len(runs) and runs[i][0] == 1 and len(lit) < 255:
+                    lit.append(runs[i][1])
+                    i += 1
+                if len(lit) >= 3:
+                    body += bytes([0, len(lit)]) + bytes(lit)
+                    if len(lit) & 1:
+                        body += b"\x00"  # absolute runs pad to words
+                else:
+                    for v in lit:
+                        body += bytes([1, v])
+            else:
+                body += bytes([runs[i][0], runs[i][1]])
+                i += 1
+        body += b"\x00\x00"  # end of line
+    body += b"\x00\x01"  # end of bitmap
+    return _bmp_indexed_header(w, h, pal, 1, len(body)) + bytes(body)
 
 
 def encode_bmp_pattern(media_id: int, width: int, height: int) -> bytes:

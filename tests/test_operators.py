@@ -2443,8 +2443,8 @@ def test_bmp_pixel_codec_roundtrip():
     z = M.decode_bmp_pixels(M.encode_bmp(10, 4))
     assert z.shape == (4, 10, 3) and not z.any()
     bad = bytearray(M.encode_bmp_pattern(1, 4, 4))
-    struct.pack_into("<H", bad, 28, 8)
-    with pytest.raises(NotImplementedError, match="24bpp"):
+    struct.pack_into("<H", bad, 28, 16)  # 16bpp: still out of scope
+    with pytest.raises(NotImplementedError, match="fuller DIB"):
         M.decode_bmp_pixels(bytes(bad))
     with pytest.raises(ValueError, match="truncated"):
         M.decode_bmp_pixels(M.encode_bmp_pattern(1, 8, 8)[:-10])
@@ -2995,6 +2995,56 @@ def test_jpeg_12bit_precision_roundtrip():
     assert px12.dtype == np.uint16
     for c in range(3):
         assert (px12[:, :, c] == img).all()
+
+
+def test_bmp_extended_profiles_roundtrip():
+    """The round-7 BMP profile extensions: 32bpp BI_RGB (BGRX, pad
+    byte dropped), 8bpp indexed with the BGRA color table, and BI_RLE8
+    — encoded runs, absolute mode (word-padded), >255-run splitting,
+    and the EOL/EOB/delta escapes (delta via a hand-built stream, with
+    skipped pixels defined as index 0)."""
+    import numpy as np
+
+    rng = np.random.default_rng(89)
+    for h, w in [(9, 13), (1, 1), (5, 4)]:
+        px = rng.integers(0, 256, (h, w, 3)).astype("uint8")
+        assert (M.decode_bmp_pixels(M.encode_bmp_pixels32(px)) == px).all()
+    pal = rng.integers(0, 256, (19, 3)).astype("uint8")
+    for h, w in [(7, 11), (3, 4), (2, 5)]:
+        idx = rng.integers(0, 19, (h, w)).astype("uint8")
+        assert (
+            M.decode_bmp_pixels(M.encode_bmp_palette(idx, pal)) == pal[idx]
+        ).all(), (h, w)
+    for kind in ["runs", "noise", "flat"]:
+        h, w = 7, 30
+        if kind == "runs":
+            idx = np.repeat(
+                rng.integers(0, 5, (h, 8)), 4, axis=1
+            )[:, :w].astype("uint8")
+        elif kind == "noise":
+            idx = rng.integers(0, 19, (h, w)).astype("uint8")
+        else:
+            idx = np.full((h, w), 7, "uint8")
+        p = M.encode_bmp_rle8(idx, pal)
+        assert (M.decode_bmp_pixels(p) == pal[idx]).all(), kind
+    idx = np.full((2, 600), 3, "uint8")  # run splitting past 255
+    assert (M.decode_bmp_pixels(M.encode_bmp_rle8(idx, pal)) == pal[idx]).all()
+    # delta escape: bottom row sets x=0 to 5, jumps 2 right, sets x=3
+    body = bytes([1, 5, 0, 2, 2, 0, 1, 6, 0, 0, 0, 0, 0, 1])
+    p = M._bmp_indexed_header(4, 2, pal, 1, len(body)) + body
+    want = np.array([[0, 0, 0, 0], [5, 0, 0, 6]], dtype="uint8")
+    assert (M.decode_bmp_pixels(p) == pal[want]).all()
+    # truncated RLE stream is loud
+    full = M.encode_bmp_rle8(np.full((3, 9), 2, "uint8"), pal)
+    with pytest.raises(ValueError, match="RLE8|truncated"):
+        M.decode_bmp_pixels(full[:-6])
+    # unsupported depths stay pinned
+    import struct
+
+    bad = bytearray(M.encode_bmp_pixels32(np.zeros((2, 2, 3), "uint8")))
+    bad[28:30] = struct.pack("<H", 16)
+    with pytest.raises(NotImplementedError, match="16-bit|fuller DIB"):
+        M.decode_bmp_pixels(bytes(bad))
 
 
 def test_wav_format_matrix_roundtrip():
