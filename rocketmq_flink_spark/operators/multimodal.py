@@ -455,13 +455,19 @@ def parse_media_header(payload: bytes) -> dict:
             duration_ms=(data_size // block_align) * 1000 // rate,
         )
         return out
-    if payload[:2] == b"P6":
+    if payload[:1] == b"P" and payload[1:2] in b"2356":
         import re
 
-        m = re.match(rb"P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", payload)
+        m = re.match(
+            rb"P[2356]\s+(?:#[^\n]*\n\s*)*(\d+)\s+(?:#[^\n]*\n\s*)*"
+            rb"(\d+)\s+(?:#[^\n]*\n\s*)*(\d+)\s", payload,
+        )
         if not m:
             raise ValueError("malformed PPM header")
-        out.update(fmt="ppm", width=int(m.group(1)), height=int(m.group(2)))
+        out.update(
+            fmt="ppm", width=int(m.group(1)), height=int(m.group(2)),
+            n_channels=3 if payload[1:2] in b"36" else 1,
+        )
         return out
     if payload[:8] == PNG_SIG:
         import zlib
@@ -674,17 +680,87 @@ def encode_ppm_pattern(media_id: int, width: int, height: int) -> bytes:
 
 
 def decode_ppm_pixels(payload: bytes):
-    """REAL P6 decode: (height, width, 3) uint8 array of the raw pixels."""
+    """REAL netpbm decode across the family: P6 (binary RGB), P5
+    (binary gray), P3/P2 (ASCII RGB/gray), with 16-bit (maxval > 255,
+    big-endian two-byte binary samples) support — returns
+    (height, width, channels) uint8 (uint16 when maxval > 255).
+    Raises ValueError on malformed headers/short data; P1/P4 bitmaps
+    raise NotImplementedError."""
     import re
 
     import numpy as np
 
-    m = re.match(rb"P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if payload[:2] in (b"P1", b"P4"):
+        raise NotImplementedError("netpbm bitmaps (P1/P4) unsupported")
+    m = re.match(
+        rb"(P[2356])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(?:#[^\n]*\n\s*)*(\d+)\s+"
+        rb"(?:#[^\n]*\n\s*)*(\d+)\s", payload,
+    )
     if not m:
         raise ValueError("malformed PPM header")
-    w, h = int(m.group(1)), int(m.group(2))
-    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=m.end())
-    return px.reshape(h, w, 3)
+    magic = m.group(1)
+    w, h = int(m.group(2)), int(m.group(3))
+    maxval = int(m.group(4))
+    if not 0 < maxval < 65536:
+        raise ValueError("malformed PPM: maxval out of range")
+    ch = 3 if magic in (b"P6", b"P3") else 1
+    n = w * h * ch
+    if magic in (b"P6", b"P5"):
+        if maxval > 255:
+            px = np.frombuffer(payload, dtype=">u2", count=n, offset=m.end())
+            px = px.astype(np.uint16)
+        else:
+            px = np.frombuffer(payload, dtype=np.uint8, count=n, offset=m.end())
+        if px.size < n:
+            raise ValueError("malformed PPM: short pixel data")
+    else:  # ASCII samples, whitespace-separated
+        vals = payload[m.end():].split()
+        if len(vals) < n:
+            raise ValueError("malformed PPM: short pixel data")
+        px = np.array([int(v) for v in vals[:n]],
+                      dtype=np.uint16 if maxval > 255 else np.uint8)
+    if int(px.max(initial=0)) > maxval:
+        raise ValueError("malformed PPM: sample exceeds maxval")
+    return px.reshape(h, w, ch)
+
+
+def encode_pgm_pixels(px, maxval: int = 255) -> bytes:
+    """Binary P5 (PGM) from an (h, w) gray array; maxval > 255 writes
+    big-endian two-byte samples."""
+    import numpy as np
+
+    g = np.asarray(px)
+    h, w = g.shape
+    body = (
+        g.astype(">u2").tobytes() if maxval > 255
+        else g.astype(np.uint8).tobytes()
+    )
+    return f"P5\n{w} {h}\n{maxval}\n".encode() + body
+
+
+def encode_ppm_ascii(px, maxval: int = 255, gray: bool = False) -> bytes:
+    """ASCII P3 (RGB) / P2 (gray) netpbm from a sample array."""
+    import numpy as np
+
+    a = np.asarray(px)
+    if gray:
+        h, w = a.shape
+        magic, flat = "P2", a.reshape(-1)
+    else:
+        h, w = a.shape[:2]
+        magic, flat = "P3", a.reshape(-1)
+    body = " ".join(str(int(v)) for v in flat)
+    return f"{magic}\n{w} {h}\n{maxval}\n{body}\n".encode()
+
+
+def encode_ppm_pixels16(px) -> bytes:
+    """Binary P6 with maxval 65535 (big-endian two-byte samples) from
+    an (h, w, 3) uint16 array."""
+    import numpy as np
+
+    a = np.asarray(px, dtype=np.uint16)
+    h, w = a.shape[:2]
+    return f"P6\n{w} {h}\n65535\n".encode() + a.astype(">u2").tobytes()
 
 
 def resize_ppm(payload: bytes, factor: int = 2) -> bytes:

@@ -2997,6 +2997,43 @@ def test_jpeg_12bit_precision_roundtrip():
         assert (px12[:, :, c] == img).all()
 
 
+def test_ppm_family_roundtrip():
+    """decode_ppm_pixels now covers the netpbm family: P6/P5 binary
+    (incl. maxval > 255 -> big-endian two-byte samples, uint16 out),
+    P3/P2 ASCII, comment-tolerant headers, channel-aware
+    parse_media_header; P1/P4 bitmaps and over-maxval samples are loud
+    errors."""
+    import numpy as np
+
+    rng = np.random.default_rng(97)
+    px = rng.integers(0, 256, (6, 7, 3)).astype("uint8")
+    g = rng.integers(0, 256, (5, 9)).astype("uint8")
+    out = M.decode_ppm_pixels(M.encode_pgm_pixels(g))
+    assert out.shape == (5, 9, 1) and (out[:, :, 0] == g).all()
+    g16 = rng.integers(0, 65536, (4, 6)).astype("uint16")
+    out = M.decode_ppm_pixels(M.encode_pgm_pixels(g16, maxval=65535))
+    assert out.dtype == np.uint16 and (out[:, :, 0] == g16).all()
+    c16 = rng.integers(0, 65536, (3, 5, 3)).astype("uint16")
+    out = M.decode_ppm_pixels(M.encode_ppm_pixels16(c16))
+    assert out.dtype == np.uint16 and (out == c16).all()
+    assert (M.decode_ppm_pixels(M.encode_ppm_ascii(px)) == px).all()
+    out = M.decode_ppm_pixels(M.encode_ppm_ascii(g, gray=True))
+    assert (out[:, :, 0] == g).all()
+    # comments between any header tokens are legal netpbm
+    wc = b"P5 #c1\n 9 #c2\n 5 #c3\n 255\n" + g.tobytes()
+    assert (M.decode_ppm_pixels(wc)[:, :, 0] == g).all()
+    for pay, chn in [(M.encode_pgm_pixels(g), 1), (M.encode_ppm_ascii(px), 3)]:
+        hd = M.parse_media_header(pay)
+        assert (hd["fmt"], hd["n_channels"]) == ("ppm", chn)
+    with pytest.raises(NotImplementedError, match="P1/P4"):
+        M.decode_ppm_pixels(b"P4\n2 2\n\x00")
+    with pytest.raises(ValueError):
+        M.decode_ppm_pixels(M.encode_pgm_pixels(g)[:-10])
+    bad = b"P5\n2 1\n100\n" + bytes([150, 3])
+    with pytest.raises(ValueError, match="exceeds maxval"):
+        M.decode_ppm_pixels(bad)
+
+
 def test_bmp_extended_profiles_roundtrip():
     """The round-7 BMP profile extensions: 32bpp BI_RGB (BGRX, pad
     byte dropped), 8bpp indexed with the BGRA color table, and BI_RLE8
