@@ -3257,3 +3257,57 @@ def encode_jpeg_pattern(media_id: int, width: int, height: int) -> bytes:
         return encode_jpeg_420(y, half, half, restart_interval=7)
     neutral = np.full((height, width), 128, dtype="uint8")
     return encode_jpeg_baseline(y, neutral, neutral)
+
+
+def encode_jpeg_pattern_v2(media_id: int, width: int, height: int) -> bytes:
+    """Round-8 unfreeze candidate for the compressed_media_features
+    fixtures: the SAME block-constant luma formula as
+    encode_jpeg_pattern (so the closed-form SQL oracle is unchanged),
+    routed by media_id % 8 through the FULL round-7 codec surface —
+    0: baseline 4:4:4, 1: 4:2:0 + DRI, 2: 4:2:2, 3: 4:4:0, 4: 4:1:1,
+    5: progressive 4:4:4, 6: progressive 4:2:0 + DRI, 7: LOSSLESS
+    (SOF3, predictor 4, components (Y, Y, Y)). Every residue decodes
+    to RGB == (Y, Y, Y) bit-for-bit: block-constant luma is exact
+    under unit quant + box-upsampled neutral chroma for all DCT
+    layouts, progressive shares the baseline coefficients, and
+    lossless is exact by definition. NOT wired into the catalog this
+    round (freeze) — proposed in ROUND7.md; wiring it resets the
+    query's witness status, so it waits for the round-8 window."""
+    import numpy as np
+
+    nby, nbx = (height + 7) // 8, (width + 7) // 8
+    by = np.arange(nby)[:, None]
+    bx = np.arange(nbx)[None, :]
+    blocky = ((media_id * 7 + by * 3 + bx * 5) % 256).astype("uint8")
+    y = np.repeat(np.repeat(blocky, 8, axis=0), 8, axis=1)[:height, :width]
+    r = media_id % 8
+    if r == 7:
+        return encode_jpeg_lossless(
+            y.astype("int64"), y.astype("int64"), y.astype("int64"),
+            predictor=4,
+        )
+    neutral_full = np.full((height, width), 128, dtype="uint8")
+
+    def chroma(sh, sv):
+        return np.full((-(-height // sv), -(-width // sh)), 128, "uint8")
+
+    if r == 0:
+        return encode_jpeg_baseline(y, neutral_full, neutral_full)
+    if r == 1:
+        c = chroma(2, 2)
+        return encode_jpeg_420(y, c, c, restart_interval=7)
+    if r == 2:
+        c = chroma(2, 1)
+        return encode_jpeg_422(y, c, c, restart_interval=5)
+    if r == 3:
+        c = chroma(1, 2)
+        return encode_jpeg_440(y, c, c, restart_interval=4)
+    if r == 4:
+        c = chroma(4, 1)
+        return encode_jpeg_411(y, c, c)
+    if r == 5:
+        return encode_jpeg_progressive(y, neutral_full, neutral_full)
+    c = chroma(2, 2)
+    return encode_jpeg_progressive(
+        y, c, c, luma_sampling=(2, 2), restart_interval=3
+    )

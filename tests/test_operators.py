@@ -3130,6 +3130,40 @@ def test_wav_format_matrix_roundtrip():
         M.decode_wav_samples(bytes(p))
 
 
+def test_jpeg_pattern_v2_all_residues_exact():
+    """The round-8 unfreeze candidate: encode_jpeg_pattern_v2 routes
+    media_id % 8 through baseline 4:4:4 / 4:2:0+DRI / 4:2:2 / 4:4:0 /
+    4:1:1 / progressive 4:4:4 / progressive 4:2:0+DRI / lossless, and
+    EVERY residue must decode to RGB == (Y, Y, Y) under the SAME
+    block-grid formula the compressed_media_features oracle uses — so
+    wiring it into the catalog next round changes only the fixture
+    call, never the oracle SQL."""
+    import numpy as np
+
+    w, h = 88, 72
+    by = np.arange(h // 8)[:, None]
+    bx = np.arange(w // 8)[None, :]
+    for mid in range(16, 24):  # one full residue cycle
+        p = M.encode_jpeg_pattern_v2(mid, w, h)
+        hd = M.parse_media_header(p)
+        assert (hd["fmt"], hd["width"], hd["height"]) == ("jpeg", w, h)
+        px = M.decode_jpeg_pixels(p)
+        want = np.repeat(np.repeat(
+            ((mid * 7 + by * 3 + bx * 5) % 256).astype(np.uint8), 8, 0
+        ), 8, 1)
+        for c in range(3):
+            assert (px[:, :, c] == want).all(), (mid, mid % 8, c)
+    # the eight residues really take eight distinct stream shapes
+    markers = set()
+    for mid in range(16, 24):
+        p = M.encode_jpeg_pattern_v2(mid, w, h)
+        sofm = M._jpeg_frame_marker(p)
+        i = p.find(b"\xff\xc0" if sofm == 0xC0 else bytes([0xFF, sofm]))
+        layout = tuple(p[i + 11 + 3 * c] for c in range(p[i + 9]))
+        markers.add((sofm, layout, p.count(b"\xff\xdd")))
+    assert len(markers) == 8, markers
+
+
 def test_jpeg_lossless_exact_roundtrip():
     """Lossless (SOF3, process 14) JPEG: Annex H DPCM — mod-2^16
     differences with DC-style categories (SSSS 0..16). The defining
