@@ -765,10 +765,29 @@ def encode_ppm_pixels16(px) -> bytes:
 
 def resize_ppm(payload: bytes, factor: int = 2) -> bytes:
     """REAL nearest-neighbor downsample: decode pixels, keep every
-    factor-th row/column, re-encode as P6."""
+    factor-th row/column, re-encode binary (P6 for RGB, P5 for gray)
+    at the SOURCE maxval — 16-bit inputs (maxval > 255) come back as
+    big-endian two-byte samples, not truncated to a lying `255`
+    header (round-8 advisor fix)."""
+    import re
+
+    import numpy as np
+
+    m = re.match(
+        rb"P[2356]\s+(?:#[^\n]*\n\s*)*\d+\s+(?:#[^\n]*\n\s*)*\d+\s+"
+        rb"(?:#[^\n]*\n\s*)*(\d+)\s", payload,
+    )
+    if not m:
+        raise ValueError("malformed PPM header")
+    maxval = int(m.group(1))
     px = decode_ppm_pixels(payload)[::factor, ::factor, :]
-    h, w = px.shape[0], px.shape[1]
-    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+    h, w, ch = px.shape
+    magic = "P6" if ch == 3 else "P5"
+    body = (
+        px.astype(">u2").tobytes() if maxval > 255
+        else px.astype(np.uint8).tobytes()
+    )
+    return f"{magic}\n{w} {h}\n{maxval}\n".encode() + body
 
 
 def encode_wav_pattern(
@@ -867,6 +886,15 @@ def encode_wav_samples(samples, sample_rate: int = 8000,
         fmt_code, bits, body = 3, 32, s.astype("<f4").tobytes()
     elif s.dtype == np.float64:
         fmt_code, bits, body = 3, 64, s.astype("<f8").tobytes()
+    elif s.dtype == np.int64:
+        # plain Python int lists land here via asarray; encodable
+        # whenever the values fit PCM32 (round-8 advisor fix)
+        if (
+            s.min(initial=0) < -(1 << 31)
+            or s.max(initial=0) >= (1 << 31)
+        ):
+            raise ValueError("int64 samples exceed the PCM32 range")
+        fmt_code, bits, body = 1, 32, s.astype("<i4").tobytes()
     else:
         raise ValueError(f"unsupported sample dtype {s.dtype}")
     block_align = n_channels * bits // 8
@@ -1035,7 +1063,7 @@ def media_pixel_features(df: DataFrame, resize_factor: int = 2) -> DataFrame:
                     continue
                 payload = bytes(r.payload)
                 if (
-                    payload[:2] in (b"P6", b"BM")
+                    payload[:2] in (b"P2", b"P3", b"P5", b"P6", b"BM")
                     or payload[:8] == PNG_SIG
                 ):
                     if payload[:8] == PNG_SIG:
@@ -1046,6 +1074,12 @@ def media_pixel_features(df: DataFrame, resize_factor: int = 2) -> DataFrame:
                         fmt, dec, rsz = "ppm", decode_ppm_pixels, resize_ppm
                     px = dec(payload).astype(np.int64)
                     rs = dec(rsz(payload, resize_factor)).astype(np.int64)
+                    if px.shape[2] == 1:
+                        # gray netpbm (P2/P5): replicate like the
+                        # grayscale-JPEG path so the 3-channel feature
+                        # columns stay well-defined (round-8 advisor fix)
+                        px = np.repeat(px, 3, axis=2)
+                        rs = np.repeat(rs, 3, axis=2)
                     row.update(
                         fmt=fmt,
                         width=px.shape[1], height=px.shape[0],
@@ -1069,7 +1103,20 @@ def media_pixel_features(df: DataFrame, resize_factor: int = 2) -> DataFrame:
                         sum_b=int(px[:, :, 2].sum()),
                     )
                 elif payload[:4] == b"RIFF":
-                    s = decode_wav_samples(payload).astype(np.int64)
+                    s = decode_wav_samples(payload)
+                    if np.issubdtype(s.dtype, np.floating):
+                        # IEEE-float WAVs have no exact integer
+                        # sum_sq/peak — fail loudly instead of
+                        # astype-truncating to zeros (round-8
+                        # advisor fix)
+                        raise NotImplementedError(
+                            "media_pixel_features computes exact "
+                            "integer energy features; IEEE-float WAVs "
+                            "(format 3) need a quantization policy — "
+                            "decode them with decode_wav_samples "
+                            "directly"
+                        )
+                    s = s.astype(np.int64)
                     row.update(
                         fmt="wav", n_samples=len(s),
                         sum_sq=int((s * s).sum()),
@@ -1113,7 +1160,14 @@ def audio_frame_energy(df: DataFrame, frame_len: int = 256) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                s = decode_wav_samples(bytes(r.payload)).astype(np.int64)
+                s = decode_wav_samples(bytes(r.payload))
+                if np.issubdtype(s.dtype, np.floating):
+                    raise NotImplementedError(
+                        "audio_frame_energy computes exact integer "
+                        "frame energies; IEEE-float WAVs (format 3) "
+                        "need a quantization policy first"
+                    )
+                s = s.astype(np.int64)
                 for fno, f0 in enumerate(range(0, len(s), frame_len)):
                     fr = s[f0:f0 + frame_len]
                     rows.append(

@@ -3526,3 +3526,62 @@ def test_bm25_ql_shared_toks_stats_equivalence(spark):
         ).collect()
     )
     assert c == d and len(c) > 0
+
+
+def test_round8_advisor_codec_fixes(spark):
+    """Round-8 advisor regressions: (1) IEEE-float WAVs fail LOUDLY in
+    the integer feature extractors instead of astype-truncating
+    0.5 -> 0; (2) resize_ppm preserves the source maxval (16-bit P6
+    no longer re-encodes two-byte samples under a lying `255` header)
+    and the gray netpbm channel count; (3) media_pixel_features routes
+    the whole P2/P3/P5/P6 family with channel-aware replication;
+    (4) encode_wav_samples accepts in-range int64 input."""
+    import numpy as np
+
+    # (2) 16-bit P6: resize round-trips exact uint16 samples
+    rng = np.random.default_rng(88)
+    px16 = rng.integers(0, 65536, (6, 10, 3)).astype(np.uint16)
+    p16 = M.encode_ppm_pixels16(px16)
+    rs = M.decode_ppm_pixels(M.resize_ppm(p16, 2))
+    assert rs.dtype == np.uint16
+    assert (rs == px16[::2, ::2, :]).all()
+    # (2) gray P5 stays gray (P5 out), values exact
+    g = rng.integers(0, 256, (8, 6)).astype(np.uint8)
+    p5 = M.encode_pgm_pixels(g)
+    rp = M.resize_ppm(p5, 2)
+    assert rp[:2] == b"P5"
+    assert (M.decode_ppm_pixels(rp)[:, :, 0] == g[::2, ::2]).all()
+
+    # (4) plain int list -> PCM32
+    vals = [0, 1 << 30, -(1 << 30), 7]
+    out = M.decode_wav_samples(M.encode_wav_samples(np.asarray(vals)))
+    assert out.dtype == np.int32 and list(out) == vals
+    with pytest.raises(ValueError, match="PCM32"):
+        M.encode_wav_samples(np.asarray([1 << 31]))
+
+    # (1)+(3) through the Spark feature extractor
+    f32 = M.encode_wav_samples(
+        np.array([0.5, -0.75, 0.25], dtype=np.float32)
+    )
+    p3 = M.encode_ppm_ascii(
+        rng.integers(0, 256, (4, 5, 3)).astype(np.uint8)
+    )
+    env = spark.createDataFrame(
+        [(1, bytearray(p5)), (2, bytearray(p3))],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r.media_id: r for r in M.media_pixel_features(env).collect()
+    }
+    gsum = int(g.astype(np.int64).sum())
+    assert rows[1].fmt == "ppm"
+    assert rows[1].sum_r == rows[1].sum_g == rows[1].sum_b == gsum
+    assert rows[1].rs_sum_r == int(g[::2, ::2].astype(np.int64).sum())
+    assert rows[2].fmt == "ppm" and rows[2].width == 5
+    bad = spark.createDataFrame(
+        [(9, bytearray(f32))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="quantization policy"):
+        M.media_pixel_features(bad).collect()
+    with pytest.raises(Exception, match="quantization policy"):
+        M.audio_frame_energy(bad).collect()
