@@ -3313,20 +3313,24 @@ def encode_jpeg_pattern(media_id: int, width: int, height: int) -> bytes:
     return encode_jpeg_baseline(y, neutral, neutral)
 
 
-def encode_jpeg_pattern_v2(media_id: int, width: int, height: int) -> bytes:
-    """Round-8 unfreeze candidate for the compressed_media_features
-    fixtures: the SAME block-constant luma formula as
+def encode_jpeg_pattern_v2(
+    media_id: int, width: int, height: int, mode: int | None = None
+) -> bytes:
+    """The round-8 compressed_media_features JPEG fixture (VERDICT r7
+    item 1): the SAME block-constant luma formula as
     encode_jpeg_pattern (so the closed-form SQL oracle is unchanged),
-    routed by media_id % 8 through the FULL round-7 codec surface —
+    routed by `mode` (default media_id % 8) through the FULL round-7
+    codec surface —
     0: baseline 4:4:4, 1: 4:2:0 + DRI, 2: 4:2:2, 3: 4:4:0, 4: 4:1:1,
     5: progressive 4:4:4, 6: progressive 4:2:0 + DRI, 7: LOSSLESS
-    (SOF3, predictor 4, components (Y, Y, Y)). Every residue decodes
+    (SOF3, predictor 4, components (Y, Y, Y)). Every mode decodes
     to RGB == (Y, Y, Y) bit-for-bit: block-constant luma is exact
     under unit quant + box-upsampled neutral chroma for all DCT
     layouts, progressive shares the baseline coefficients, and
-    lossless is exact by definition. NOT wired into the catalog this
-    round (freeze) — proposed in ROUND7.md; wiring it resets the
-    query's witness status, so it waits for the round-8 window."""
+    lossless is exact by definition. The catalog passes an explicit
+    mode of ((media_id - 1) // 2) % 8 because its JPEG ids are all
+    odd — media_id % 8 alone would only ever hit {1, 3, 5, 7} and
+    leave half the router outside the witnessed query."""
     import numpy as np
 
     nby, nbx = (height + 7) // 8, (width + 7) // 8
@@ -3334,7 +3338,7 @@ def encode_jpeg_pattern_v2(media_id: int, width: int, height: int) -> bytes:
     bx = np.arange(nbx)[None, :]
     blocky = ((media_id * 7 + by * 3 + bx * 5) % 256).astype("uint8")
     y = np.repeat(np.repeat(blocky, 8, axis=0), 8, axis=1)[:height, :width]
-    r = media_id % 8
+    r = media_id % 8 if mode is None else mode % 8
     if r == 7:
         return encode_jpeg_lossless(
             y.astype("int64"), y.astype("int64"), y.astype("int64"),

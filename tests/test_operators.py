@@ -3162,6 +3162,18 @@ def test_jpeg_pattern_v2_all_residues_exact():
         layout = tuple(p[i + 11 + 3 * c] for c in range(p[i + 9]))
         markers.add((sofm, layout, p.count(b"\xff\xdd")))
     assert len(markers) == 8, markers
+    # explicit mode (the catalog's odd-id routing, ((id-1)//2) % 8):
+    # the stream follows `mode`, the pixels still follow media_id
+    for mid, mode in [(5, 0), (5, 7), (35, 2)]:
+        p = M.encode_jpeg_pattern_v2(mid, w, h, mode=mode)
+        q = M.encode_jpeg_pattern_v2(mid - mid % 8 + mode, w, h)
+        assert M._jpeg_frame_marker(p) == M._jpeg_frame_marker(q)
+        want = np.repeat(np.repeat(
+            ((mid * 7 + by * 3 + bx * 5) % 256).astype(np.uint8), 8, 0
+        ), 8, 1)
+        px = M.decode_jpeg_pixels(p)
+        for c in range(3):
+            assert (px[:, :, c] == want).all(), (mid, mode, c)
 
 
 def test_jpeg_lossless_exact_roundtrip():

@@ -70,30 +70,62 @@ def test_bench_artifact_tail_carries_headline():
     assert "queries" in full and "queries" not in summary
 
 
-def test_media_anchor_plants_both_jpeg_layouts():
-    """compressed_media_features certifies BOTH JPEG sampling layouts
-    under one oracle formula; pin the planted streams so a refactor
-    can't silently collapse them back to one path."""
-    import struct
-
+def test_media_anchor_plants_all_eight_jpeg_modes():
+    """compressed_media_features (round 8) certifies the ENTIRE JPEG
+    codec surface under one oracle formula: the catalog's 18 odd ids
+    route mode ((id-1)//2) % 8 through encode_jpeg_pattern_v2, and the
+    planted streams must take all eight distinct shapes — pin it so a
+    refactor can't silently collapse the routing back to one path."""
     from rocketmq_flink_spark.operators.multimodal import (
-        encode_jpeg_pattern,
+        _jpeg_frame_marker,
+        encode_jpeg_pattern_v2,
     )
 
-    def sof_luma_hv(p: bytes) -> int:
-        i = p.find(b"\xff\xc0")
-        assert i > 0
-        return p[i + 11]
+    shapes = set()
+    for mid in range(1, 36, 2):  # the catalog's odd ids
+        p = encode_jpeg_pattern_v2(
+            mid, 320 + (mid % 7) * 16, 240 + (mid % 5) * 16,
+            mode=((mid - 1) // 2) % 8,
+        )
+        sofm = _jpeg_frame_marker(p)
+        i = p.find(bytes([0xFF, sofm]))
+        layout = tuple(p[i + 11 + 3 * c] for c in range(p[i + 9]))
+        shapes.add((sofm, layout, p.count(b"\xff\xdd")))
+    assert len(shapes) == 8, shapes
+    # both scan types and the lossless frame are among them
+    sofs = {s[0] for s in shapes}
+    assert sofs == {0xC0, 0xC2, 0xC3}
 
-    p444 = encode_jpeg_pattern(1, 320, 240)   # 1 % 4 != 3
-    p420 = encode_jpeg_pattern(3, 368, 288)   # 3 % 4 == 3
-    assert sof_luma_hv(p444) == 0x11
-    assert sof_luma_hv(p420) == 0x22
-    # the 4:2:0 path also carries the DRI structure: a DRI segment with
-    # the advertised interval and at least one RSTn marker in the scan
-    i = p420.find(b"\xff\xdd")
-    assert i > 0 and struct.unpack_from(">H", p420, i + 4)[0] == 7
-    assert any(
-        bytes([0xFF, 0xD0 + k]) in p420 for k in range(8)
-    )
-    assert b"\xff\xdd" not in p444
+
+def test_witness_rotation_cycles_and_flags_rewrites(monkeypatch):
+    """VERDICT r7 item 2: with every registry query green, the driver's
+    50-query window must CYCLE (stalest witness round first) and any
+    query whose implementation hash differs from the one recorded at
+    its last witness must jump to the head of the window."""
+    import json
+
+    import __spark_entry__ as e
+
+    names = e._ordered_names()
+    assert sorted(names) == sorted(e.REGISTRY)
+    green = e._verified_rounds()
+    stale = e._stale_impl_names(green)
+    head = [n for n in e._PRIORITY_HEAD if n not in green]
+    never = [n for n in e.REGISTRY if n not in green]
+    k = len(never) + len(stale)
+    assert set(names[len(head):k]) >= stale - set(head)
+    # the green non-stale tail is ordered by last witness round, asc
+    tail_rounds = [green[n] for n in names[k:] if n in green]
+    assert tail_rounds == sorted(tail_rounds)
+    # every registry entry has a recorded hash to compare against
+    recorded = json.load(open("tools/witness_hashes.json"))
+    assert set(recorded) == set(e.REGISTRY)
+    # mechanism: corrupting one green query's recorded hash must pull
+    # it to the head of the window
+    some_green = next(n for n in e.REGISTRY if n in green)
+    fake = dict(recorded)
+    fake[some_green] = "rewritten-since-witness"
+    monkeypatch.setattr(e, "_recorded_hashes", lambda: fake)
+    reordered = e._ordered_names()
+    assert some_green in set(reordered[: k + 1])
+    assert reordered.index(some_green) < len(reordered) - len(green) + 1
