@@ -107,12 +107,21 @@ def _read_partition(part: QueueRange):
         # predicate per message when enablePropertyFilter=true; this
         # reader IS the broker side of the local simulation, so the
         # filter runs here, below the DataFrame layer. Compiled once per
-        # partition, evaluated per message like the reference.
-        from rocketmq_flink_spark.functions.sql92 import compile_sql92
+        # partition; evaluated VECTORIZED (map_lookup per referenced
+        # property + numpy column program — functions/sql92.py arrow
+        # backend) with the reference-shaped per-message closure as
+        # fallback.
+        from rocketmq_flink_spark.functions.sql92 import (
+            compile_sql92,
+            compile_sql92_arrow,
+        )
 
-        pred = compile_sql92(part.sql)
-        props_rows = tbl.column("props").to_pylist()
-        mask = pa.array([pred(dict(kvs or [])) for kvs in props_rows])
+        try:
+            mask = compile_sql92_arrow(part.sql).mask(tbl.column("props"))
+        except Exception:  # pragma: no cover - defensive fallback
+            pred = compile_sql92(part.sql)
+            props_rows = tbl.column("props").to_pylist()
+            mask = pa.array([pred(dict(kvs or [])) for kvs in props_rows])
         tbl = tbl.filter(mask)
         if tbl.num_rows == 0:
             return
