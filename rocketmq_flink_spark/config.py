@@ -26,6 +26,7 @@ SOURCE_OPTIONS = {
     "endTime",
     "timeZone",
     "startingOffsets",
+    "endingOffsets",
     "endingTimestamp",
     "partitionDiscoveryIntervalMs",
     "useNewApi",

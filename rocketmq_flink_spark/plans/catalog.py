@@ -21855,3 +21855,267 @@ def trending_parts_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("wow_delta"), "l_partkey")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 anchors (VERDICT r7 item 6): driver-witnessed coverage for three
+# previously tests-only behaviors — W7 offset-snapshot replay, O3 enforced
+# ACL, and W2 per-queue watermarks.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "restart_offsets_replay",
+    """
+    SELECT event_type,
+      CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_epoch1,
+      CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_epoch2,
+      COUNT(*) AS n_total,
+      CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS dup_count,
+      CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def restart_offsets_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 offset-snapshot replay, batch-expressible (the catalog analog
+    of tests/test_restart.py): epoch 1 (even event_ids) is committed,
+    the per-queue latest offsets are snapshotted — exactly what the
+    Structured Streaming offset log persists, and what the reference
+    checkpoints as union state (legacy/RocketMQSourceFunction.java:431-543)
+    — then epoch 2 (odd ids) is committed, and a "restarted" consumer
+    reads run 1 bounded by `endingOffsets=<snapshot>` plus run 2 from
+    `startingOffsets=<snapshot>`. The union must reconstruct the whole
+    table with dup_count == 0 per event_type: the snapshot boundary
+    loses nothing and replays nothing. Scale: the snapshot is
+    per-queue scalars (8 numbers — the same driver-side cost the SS
+    offset log pays); reads, decode, and the agg are fully
+    distributed."""
+    import json as _json
+    import tempfile
+
+    from rocketmq_flink_spark.functions import decode_envelope, encode_rows
+    from rocketmq_flink_spark.sources import register
+    from rocketmq_flink_spark.sources.broker import Broker
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="rocketmq_restart_")
+    ev = _events_typed(spark, sf_dir).select(
+        "event_id", "user_id", "value", "ts", "event_type"
+    )
+
+    def commit(epoch_filter):
+        env = encode_rows(
+            ev.where(epoch_filter),
+            options={
+                "topic": "restart_in",
+                "keyColumns": "event_id",
+                "writeKeysToBody": "true",
+                "isDynamicTag": "true",
+                "dynamicTagColumn": "event_type",
+            },
+            born_ts_col="ts",
+        )
+        (
+            env.write.format("rocketmq")
+            .option("path", root).option("topic", "restart_in")
+            .option("numQueues", "8").mode("append").save()
+        )
+
+    commit(F.col("event_id") % 2 == 0)  # epoch 1
+    broker = Broker(root)
+    snapshot = _json.dumps({
+        str(q): broker.latest_offset("restart_in", q)
+        for q in broker.queues("restart_in")
+    })
+    commit(F.col("event_id") % 2 == 1)  # epoch 2 (post-snapshot)
+
+    def run(run_no: int, **offset_opts) -> DataFrame:
+        env = (
+            spark.read.format("rocketmq")
+            .option("path", root).option("topic", "restart_in")
+            .options(**offset_opts)
+            .load()
+        )
+        return decode_envelope(
+            env,
+            "event_id BIGINT, user_id BIGINT, value DOUBLE, ts TIMESTAMP",
+            metadata_columns=["tags"],
+        ).withColumn("run_no", F.lit(run_no))
+
+    replayed = run(1, endingOffsets=snapshot).unionByName(
+        run(2, startingOffsets=snapshot)
+    )
+    return (
+        replayed.groupBy(F.col("tags").alias("event_type"))
+        .agg(
+            F.sum((F.col("run_no") == 1).cast("long")).alias("n_epoch1"),
+            F.sum((F.col("run_no") == 2).cast("long")).alias("n_epoch2"),
+            F.count(F.lit(1)).alias("n_total"),
+            (F.count(F.lit(1)) - F.countDistinct("event_id"))
+            .cast("long").alias("dup_count"),
+            F.sum("event_id").alias("sum_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "acl_denial_audit",
+    """
+    WITH n AS (SELECT COUNT(*) AS c FROM events WHERE event_id < 200)
+    SELECT principal, op, allowed,
+           CAST(CASE WHEN allowed THEN (SELECT c FROM n) ELSE 0 END
+                AS BIGINT) AS n_rows
+    FROM (VALUES
+      ('producer', 'write', TRUE),
+      ('analyst', 'read', TRUE),
+      ('intruder', 'read', FALSE),
+      ('anonymous', 'read', FALSE),
+      ('intruder', 'write', FALSE),
+      ('analyst_after_denied_write', 'read', TRUE)
+    ) AS t(principal, op, allowed)
+    ORDER BY principal, op
+    """,
+)
+def acl_denial_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 ACL enforcement as a witnessed audit (previously tests-only):
+    the broker gets an accessKey->secretKey ACL (the plain_acl.yml
+    analog; reference AclClientRPCHook wiring,
+    legacy/RocketMQConfig.java:48-49,175-181), a credentialed producer
+    commits a slice of events, then four read/write attempts run with
+    good, wrong, and missing credentials. Every denial must raise
+    BEFORE any data moves (n_rows 0), every grant must see exactly the
+    committed slice, and a denied WRITE must leave the topic byte-for-
+    byte intact — the final re-read proves it. The audit table itself
+    is 6 driver-side rows; the granted reads/writes are distributed."""
+    import tempfile
+
+    from rocketmq_flink_spark.functions import decode_envelope, encode_rows
+    from rocketmq_flink_spark.sources import register
+    from rocketmq_flink_spark.sources.broker import set_acl
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="rocketmq_acl_")
+    set_acl(root, {"producer_key": "ps", "analyst_key": "as"})
+    ev = _events_typed(spark, sf_dir).select(
+        "event_id", "user_id", "value", "ts"
+    ).where(F.col("event_id") < 200)
+    env = encode_rows(
+        ev,
+        options={"topic": "guarded", "keyColumns": "event_id",
+                 "writeKeysToBody": "true"},
+        born_ts_col="ts",
+    )
+
+    def write_as(key, secret):
+        (
+            env.write.format("rocketmq")
+            .option("path", root).option("topic", "guarded")
+            .option("accessKey", key).option("secretKey", secret)
+            .mode("append").save()
+        )
+
+    def read_as(key=None, secret=None) -> int:
+        r = spark.read.format("rocketmq").option("path", root).option(
+            "topic", "guarded"
+        )
+        if key is not None:
+            r = r.option("accessKey", key).option("secretKey", secret)
+        df = r.load()
+        return decode_envelope(
+            df, "event_id BIGINT, user_id BIGINT, value DOUBLE, ts TIMESTAMP"
+        ).count()
+
+    def attempt(fn) -> tuple[bool, int]:
+        try:
+            out = fn()
+            return True, int(out if out is not None else 0)
+        except Exception as exc:  # PermissionError surfaces via Py4J
+            if "ACL rejected" not in str(exc):
+                raise
+            return False, 0
+
+    audit = []
+    ok, _ = attempt(lambda: write_as("producer_key", "ps"))
+    n_granted = read_as("analyst_key", "as")
+    audit.append(("producer", "write", ok, n_granted if ok else 0))
+    audit.append(("analyst", "read", True, n_granted))
+    audit.append(("intruder", "read") + attempt(
+        lambda: read_as("producer_key", "wrong-secret")
+    ))
+    audit.append(("anonymous", "read") + attempt(lambda: read_as()))
+    audit.append(("intruder", "write") + attempt(
+        lambda: write_as("intruder_key", "ps")
+    ))
+    # the denied write must not have changed the topic
+    audit.append((
+        "analyst_after_denied_write", "read", True,
+        read_as("analyst_key", "as"),
+    ))
+    return spark.createDataFrame(
+        audit, "principal string, op string, allowed boolean, n_rows long"
+    ).orderBy("principal", "op")
+
+
+@query(
+    "per_queue_watermark_skew",
+    """
+    WITH q AS (
+      SELECT user_id % 8 AS queue_id, epoch_us(ts) AS us FROM events
+    ),
+    wm AS (
+      SELECT queue_id, COUNT(*) AS n_events,
+             MAX(us) - 300000000 AS wm_q_us
+      FROM q GROUP BY queue_id
+    ),
+    g AS (SELECT MIN(wm_q_us) AS wm_g_us FROM wm)
+    SELECT w.queue_id, w.n_events, w.wm_q_us,
+      (SELECT COUNT(*) FROM q
+       WHERE q.queue_id = w.queue_id AND q.us < w.wm_q_us) AS late_own,
+      (SELECT COUNT(*) FROM q
+       WHERE q.queue_id = w.queue_id
+         AND q.us < (SELECT wm_g_us FROM g)) AS late_global
+    FROM wm w ORDER BY w.queue_id
+    """,
+)
+def per_queue_watermark_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 per-queue watermarks under queue skew (previously pinned only
+    by the Python-model equivalence test): events hash to 8 queues
+    (user_id % 8 — the queue-allocation analog, R6), each queue tracks
+    its own bounded-out-of-orderness watermark max(ts) - 5min
+    (reference WaterMarkPerQueue vs the global WaterMarkForAll,
+    legacy/RocketMQSourceFunction.java watermark wiring), and the
+    report counts each queue's events that fall behind its OWN
+    watermark vs behind the GLOBAL min-across-queues watermark.
+    late_global - late_own is exactly the skew penalty a single global
+    watermark would charge this queue — the number the W2 design
+    removes. Scale: one 8-group agg + one broadcast of the 8 watermark
+    scalars back across events; timestamps compared as epoch micros so
+    the oracle is precision-exact."""
+    ev = _events_typed(spark, sf_dir).select(
+        (F.col("user_id") % 8).alias("queue_id"),
+        F.unix_micros("ts").alias("us"),
+    )
+    wm = ev.groupBy("queue_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.lit(300_000_000)).alias("wm_q_us"),
+    )
+    glob = wm.agg(F.min("wm_q_us").alias("wm_g_us"))
+    late = (
+        ev.join(F.broadcast(wm.select("queue_id", "wm_q_us")), "queue_id")
+        .crossJoin(F.broadcast(glob))
+        .groupBy("queue_id")
+        .agg(
+            F.sum((F.col("us") < F.col("wm_q_us")).cast("long"))
+            .alias("late_own"),
+            F.sum((F.col("us") < F.col("wm_g_us")).cast("long"))
+            .alias("late_global"),
+        )
+    )
+    return (
+        wm.join(late, "queue_id")
+        .select("queue_id", "n_events", "wm_q_us", "late_own", "late_global")
+        .orderBy("queue_id")
+    )

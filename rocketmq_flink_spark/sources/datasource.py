@@ -15,6 +15,7 @@ hash exists only because Flink pins splits to readers).
 Offset surface (reference: RocketMQOptions + RocketMQSourceFunction
 initOffset, legacy/RocketMQSourceFunction.java:330-365):
   startingOffsets = earliest | latest | timestamp:<ms> | {"<queue>": off}
+  endingOffsets   = latest | {"<queue>": off}  (batch replay bound, W7)
   endingTimestamp = <epoch ms>   (bounded read / stopInMs, W6)
   tag             = broker-side tag filter (P1) applied in read()
   maxOffsetsPerTrigger = per-microbatch rate cap across queues
@@ -223,10 +224,16 @@ class RocketMQBatchReader(DataSourceReader):
         broker = Broker(self.root)
         ending_ts = _ending_ts_ms(self.opts)
         start_spec = _starting_offsets_spec(self.opts)
+        # endingOffsets: explicit per-queue bound ({"<queue>": off} /
+        # "latest"), the batch-replay counterpart of startingOffsets —
+        # what a restart replays between two W7 offset-log snapshots
+        ending_spec = self.opts.get("endingOffsets")
         parts = []
         for q in broker.queues(self.topic):
             start = _resolve_start(broker, self.topic, q, start_spec)
-            if ending_ts is not None:
+            if ending_spec:
+                end = _resolve_start(broker, self.topic, q, ending_spec)
+            elif ending_ts is not None:
                 end = broker.offset_for_timestamp(
                     self.topic, q, (ending_ts + 1) * 1000
                 )

@@ -303,3 +303,52 @@ def test_acl_enforced_on_read_and_write(spark, tmp_path):
     # disabling the ACL restores open access
     set_acl(root, {})
     assert read.options(path=root, topic="t_acl").load().count() == 10
+
+
+def test_ending_offsets_snapshot_replay(spark, broker_root):
+    """`endingOffsets` (round 8, W7 batch replay): a per-queue offset
+    snapshot taken between two commits must split the topic exactly —
+    read-to-snapshot returns precisely the first commit, read-from-
+    snapshot precisely the second, with no loss or dup at the
+    boundary."""
+    import json
+
+    topic = "replay_bound"
+    ev = load_tables(spark, SF)["events"].select(
+        "event_id", "user_id", "value", "ts"
+    )
+
+    def commit(cond):
+        env = encode_rows(
+            ev.where(cond),
+            options={"topic": topic, "keyColumns": "event_id",
+                     "writeKeysToBody": "true"},
+            born_ts_col="ts",
+        )
+        env.write.format("rocketmq").option("path", broker_root).option(
+            "topic", topic
+        ).option("numQueues", "4").mode("append").save()
+
+    commit(F.col("event_id") % 3 == 0)
+    b = Broker(broker_root)
+    snap = {str(q): b.latest_offset(topic, q) for q in b.queues(topic)}
+    commit(F.col("event_id") % 3 != 0)
+
+    def ids(**opts):
+        df = (
+            spark.read.format("rocketmq")
+            .option("path", broker_root).option("topic", topic)
+            .options(**opts).load()
+        )
+        dec = decode_envelope(df, EVENT_SCHEMA)
+        return {r.event_id for r in dec.select("event_id").collect()}
+
+    want_all = {r.event_id for r in ev.select("event_id").collect()}
+    first = ids(endingOffsets=json.dumps(snap))
+    second = ids(startingOffsets=json.dumps(snap))
+    assert first == {i for i in want_all if i % 3 == 0}
+    assert second == {i for i in want_all if i % 3 != 0}
+    assert first | second == want_all and not (first & second)
+    # "latest" spec and the "*" wildcard resolve too
+    assert ids(endingOffsets="latest") == want_all
+    assert ids(startingOffsets=json.dumps({"*": 0})) == want_all

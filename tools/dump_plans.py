@@ -136,6 +136,16 @@ AUDIT = [
      "buckets on margin ticks + broadcast offset join + "
      "bucket-partitioned row_number — never a partition-less ntile "
      "over doc-scale margins"),
+    ("per_queue_watermark_skew",
+     "one 8-group agg for the per-queue watermarks, broadcast back "
+     "across events with the global-min scalar — a single events scan "
+     "feeds both lateness counts; no window, no shuffle beyond the "
+     "8-key groupBys (r8 W2 anchor)"),
+    ("restart_offsets_replay",
+     "two bounded broker scans split by the per-queue offset snapshot "
+     "(endingOffsets/startingOffsets), unioned and map-side-combined "
+     "per event_type; snapshot is 8 driver scalars, the SS offset-log "
+     "cost (r8 W7 anchor)"),
 ]
 
 

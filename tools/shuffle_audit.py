@@ -95,6 +95,10 @@ QUERIES = [
     # round 7 rewrites (distributed rank-exact quantile selection)
     "conformal_spend_interval",
     "nb_confidence_margin",
+    # round 8 anchors
+    "restart_offsets_replay",
+    "acl_denial_audit",
+    "per_queue_watermark_skew",
 ]
 
 _UNITS = {"B": 1, "KiB": 1 << 10, "MiB": 1 << 20, "GiB": 1 << 30}
