@@ -21891,7 +21891,12 @@ def restart_offsets_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     loses nothing and replays nothing. Scale: the snapshot is
     per-queue scalars (8 numbers — the same driver-side cost the SS
     offset log pays); reads, decode, and the agg are fully
-    distributed."""
+    distributed. The shuffle ratio (~0.5, SHUFFLE.md) is the exact
+    countDistinct certificate — one (type, id) pair per event, the
+    minimal content-level exactly-once proof; at production scale the
+    cheap tier is offset arithmetic (per-queue counts vs snapshot
+    deltas, zero shuffle) with this content audit run on a sampled
+    topic slice."""
     import json as _json
     import tempfile
 
