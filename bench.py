@@ -237,6 +237,10 @@ EXTRA = [
     "point_in_time_features",
     "event_lateness_profile",
     "compressed_media_features",
+    # round 8
+    "restart_offsets_replay",
+    "acl_denial_audit",
+    "per_queue_watermark_skew",
 ]
 
 
