@@ -365,12 +365,16 @@ class _Side:
     never pays the parse, one only compared as a string never pays
     pd.to_numeric."""
 
-    __slots__ = ("_obj", "valid", "_s", "_num", "_isnum")
+    __slots__ = ("_obj", "valid", "_s", "_num", "_isnum", "lit_isnum")
 
     def __init__(self, filled_obj, valid):
         self._obj = filled_obj  # object ndarray, nulls already ""
         self.valid = valid
         self._s = self._num = self._isnum = None
+        # literal sides record statically whether they are numeric so a
+        # pure string comparison (e.g. color = 'red') never triggers the
+        # ident side's numeric parse at all; None = ident (dynamic)
+        self.lit_isnum: bool | None = None
 
     @property
     def s(self):
@@ -387,15 +391,26 @@ class _Side:
         ).to_numpy("float64")
         isnum = ~np.isnan(num)
         # residual pass: strings pandas rejects but float() accepts
-        # ('nan', 'inf', '1_0', ...) — rare; per-row only on the
-        # residue, preserving exact _as_num semantics (a parsed-NaN
-        # property IS numeric and compares equal to every number,
-        # quirky but faithful)
-        for i in np.flatnonzero(self.valid & ~isnum):
-            nv = _as_num(self._obj[i])
-            if nv is not None:
-                num[i] = nv
-                isnum[i] = True
+        # ('nan', 'inf', '1_0', ...) — per-row only on the residue,
+        # preserving exact _as_num semantics (a parsed-NaN property IS
+        # numeric and compares equal to every number, quirky but
+        # faithful). float() can only succeed on a string containing a
+        # digit or inf/nan, so the residue is pre-filtered with
+        # vectorized substring checks — a pure-string column ('red',
+        # 'blue', ...) never enters the Python loop.
+        cand = self.valid & ~isnum
+        if cand.any():
+            low = np.char.lower(self.s)
+            maybe = np.zeros_like(cand)
+            for tok in "0123456789":
+                maybe |= np.char.find(low, tok) >= 0
+            maybe |= np.char.find(low, "inf") >= 0
+            maybe |= np.char.find(low, "nan") >= 0
+            for i in np.flatnonzero(cand & maybe):
+                nv = _as_num(self._obj[i])
+                if nv is not None:
+                    num[i] = nv
+                    isnum[i] = True
         self._num, self._isnum = num, isnum
 
     @property
@@ -421,6 +436,7 @@ def _lit_side(v, n):
         np.float64(nv if nv is not None else np.nan), n
     )
     side._isnum = np.broadcast_to(np.asarray(nv is not None), n)
+    side.lit_isnum = nv is not None
     return side
 
 
@@ -439,9 +455,13 @@ def _vec_compare(a: _Side, b: _Side):
     """Elementwise _compare: (c in {-1,0,1}, both-defined mask)."""
     import numpy as np
 
+    c_str = (a.s > b.s).astype(np.int8) - (a.s < b.s).astype(np.int8)
+    if a.lit_isnum is False or b.lit_isnum is False:
+        # a non-numeric literal side makes the comparison statically a
+        # string comparison — never touch (or parse) the numeric forms
+        return c_str, a.valid & b.valid
     both_num = a.isnum & b.isnum
     c_num = (a.num > b.num).astype(np.int8) - (a.num < b.num).astype(np.int8)
-    c_str = (a.s > b.s).astype(np.int8) - (a.s < b.s).astype(np.int8)
     return np.where(both_num, c_num, c_str), a.valid & b.valid
 
 

@@ -456,18 +456,11 @@ def parse_media_header(payload: bytes) -> dict:
         )
         return out
     if payload[:1] == b"P" and payload[1:2] in b"2356":
-        import re
-
-        m = re.match(
-            rb"P[2356]\s+(?:#[^\n]*\n\s*)*(\d+)\s+(?:#[^\n]*\n\s*)*"
-            rb"(\d+)\s+(?:#[^\n]*\n\s*)*(\d+)\s", payload,
-        )
-        if not m:
-            raise ValueError("malformed PPM header")
+        _, w, h, _, _ = _netpbm_header(payload)
         # n_channels stays None for the netpbm family: the frozen
         # media_header_features oracle certifies NULL here (decode
         # carries the channel count; see decode_ppm_pixels)
-        out.update(fmt="ppm", width=int(m.group(1)), height=int(m.group(2)))
+        out.update(fmt="ppm", width=w, height=h)
         return out
     if payload[:8] == PNG_SIG:
         import zlib
@@ -679,16 +672,14 @@ def encode_ppm_pattern(media_id: int, width: int, height: int) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode() + px.tobytes()
 
 
-def decode_ppm_pixels(payload: bytes):
-    """REAL netpbm decode across the family: P6 (binary RGB), P5
-    (binary gray), P3/P2 (ASCII RGB/gray), with 16-bit (maxval > 255,
-    big-endian two-byte binary samples) support — returns
-    (height, width, channels) uint8 (uint16 when maxval > 255).
-    Raises ValueError on malformed headers/short data; P1/P4 bitmaps
-    raise NotImplementedError."""
+def _netpbm_header(payload: bytes) -> tuple[bytes, int, int, int, int]:
+    """THE netpbm header grammar (single copy — parse_media_header,
+    decode_ppm_pixels and resize_ppm all route here): magic,
+    comment-tolerant whitespace-separated width/height/maxval. Returns
+    (magic, width, height, maxval, body_offset). Raises ValueError on
+    malformed headers (incl. maxval out of range); P1/P4 bitmaps raise
+    NotImplementedError."""
     import re
-
-    import numpy as np
 
     if payload[:2] in (b"P1", b"P4"):
         raise NotImplementedError("netpbm bitmaps (P1/P4) unsupported")
@@ -698,23 +689,34 @@ def decode_ppm_pixels(payload: bytes):
     )
     if not m:
         raise ValueError("malformed PPM header")
-    magic = m.group(1)
-    w, h = int(m.group(2)), int(m.group(3))
     maxval = int(m.group(4))
     if not 0 < maxval < 65536:
         raise ValueError("malformed PPM: maxval out of range")
+    return m.group(1), int(m.group(2)), int(m.group(3)), maxval, m.end()
+
+
+def decode_ppm_pixels(payload: bytes):
+    """REAL netpbm decode across the family: P6 (binary RGB), P5
+    (binary gray), P3/P2 (ASCII RGB/gray), with 16-bit (maxval > 255,
+    big-endian two-byte binary samples) support — returns
+    (height, width, channels) uint8 (uint16 when maxval > 255).
+    Raises ValueError on malformed headers/short data; P1/P4 bitmaps
+    raise NotImplementedError."""
+    import numpy as np
+
+    magic, w, h, maxval, body = _netpbm_header(payload)
     ch = 3 if magic in (b"P6", b"P3") else 1
     n = w * h * ch
     if magic in (b"P6", b"P5"):
         if maxval > 255:
-            px = np.frombuffer(payload, dtype=">u2", count=n, offset=m.end())
+            px = np.frombuffer(payload, dtype=">u2", count=n, offset=body)
             px = px.astype(np.uint16)
         else:
-            px = np.frombuffer(payload, dtype=np.uint8, count=n, offset=m.end())
+            px = np.frombuffer(payload, dtype=np.uint8, count=n, offset=body)
         if px.size < n:
             raise ValueError("malformed PPM: short pixel data")
     else:  # ASCII samples, whitespace-separated
-        vals = payload[m.end():].split()
+        vals = payload[body:].split()
         if len(vals) < n:
             raise ValueError("malformed PPM: short pixel data")
         px = np.array([int(v) for v in vals[:n]],
@@ -769,17 +771,9 @@ def resize_ppm(payload: bytes, factor: int = 2) -> bytes:
     at the SOURCE maxval — 16-bit inputs (maxval > 255) come back as
     big-endian two-byte samples, not truncated to a lying `255`
     header (round-8 advisor fix)."""
-    import re
-
     import numpy as np
 
-    m = re.match(
-        rb"P[2356]\s+(?:#[^\n]*\n\s*)*\d+\s+(?:#[^\n]*\n\s*)*\d+\s+"
-        rb"(?:#[^\n]*\n\s*)*(\d+)\s", payload,
-    )
-    if not m:
-        raise ValueError("malformed PPM header")
-    maxval = int(m.group(1))
+    maxval = _netpbm_header(payload)[3]
     px = decode_ppm_pixels(payload)[::factor, ::factor, :]
     h, w, ch = px.shape
     magic = "P6" if ch == 3 else "P5"

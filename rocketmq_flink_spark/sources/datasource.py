@@ -120,9 +120,17 @@ def _read_partition(part: QueueRange):
         try:
             mask = compile_sql92_arrow(part.sql).mask(tbl.column("props"))
         except Exception:  # pragma: no cover - defensive fallback
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "vectorized SQL92 filter failed for %r; falling back to "
+                "the per-message closure (slow path)", part.sql,
+                exc_info=True,
+            )
             pred = compile_sql92(part.sql)
             props_rows = tbl.column("props").to_pylist()
-            mask = pa.array([pred(dict(kvs or [])) for kvs in props_rows])
+            mask = pa.array([pred(dict(kvs or []))
+                             for kvs in props_rows])
         tbl = tbl.filter(mask)
         if tbl.num_rows == 0:
             return
@@ -197,6 +205,22 @@ def _resolve_start(broker: Broker, topic: str, queue_id: int, spec: str) -> int:
     raise ValueError(f"invalid startingOffsets: {spec!r}")
 
 
+def _resolve_end(broker: Broker, topic: str, queue_id: int, spec: str) -> int:
+    """endingOffsets bound. Unlike a missing START key (0 = read from
+    the beginning, lossless), a missing END key must default to LATEST
+    — defaulting to 0 would silently drop the queue's entire range."""
+    spec = (spec or "latest").strip()
+    if spec == "latest":
+        return broker.latest_offset(topic, queue_id)
+    if spec.startswith("{"):
+        explicit = json.loads(spec)
+        v = explicit.get(str(queue_id), explicit.get("*"))
+        if v is None:
+            return broker.latest_offset(topic, queue_id)
+        return int(v)
+    raise ValueError(f"invalid endingOffsets: {spec!r}")
+
+
 def _chunk(start: int, end: int, max_records: int):
     lo = start
     while lo < end:
@@ -232,7 +256,7 @@ class RocketMQBatchReader(DataSourceReader):
         for q in broker.queues(self.topic):
             start = _resolve_start(broker, self.topic, q, start_spec)
             if ending_spec:
-                end = _resolve_start(broker, self.topic, q, ending_spec)
+                end = _resolve_end(broker, self.topic, q, ending_spec)
             elif ending_ts is not None:
                 end = broker.offset_for_timestamp(
                     self.topic, q, (ending_ts + 1) * 1000
@@ -264,6 +288,13 @@ class RocketMQStreamReader(DataSourceStreamReader):
         self.topic = self.opts["topic"]
         self.tag = self.opts.get("tag", "*")
         self.sql = _validated_sql(self.opts)
+        if self.opts.get("endingOffsets"):
+            # batch-only bound; streaming past it would silently violate
+            # the contract (Kafka's source rejects this the same way)
+            raise ValueError(
+                "endingOffsets is a batch read option; for a bounded "
+                "stream use trigger(availableNow=True) or endingTimestamp"
+            )
         self.max_records = int(self.opts.get("maxRecordsPerPartition", "500000"))
         self.max_per_trigger = self.opts.get("maxOffsetsPerTrigger")
         self._cursor: dict | None = None  # last end offsets handed to Spark

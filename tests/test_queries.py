@@ -102,8 +102,6 @@ def test_witness_rotation_cycles_and_flags_rewrites(monkeypatch):
     50-query window must CYCLE (stalest witness round first) and any
     query whose implementation hash differs from the one recorded at
     its last witness must jump to the head of the window."""
-    import json
-
     import __spark_entry__ as e
 
     names = e._ordered_names()
@@ -118,7 +116,7 @@ def test_witness_rotation_cycles_and_flags_rewrites(monkeypatch):
     tail_rounds = [green[n] for n in names[k:] if n in green]
     assert tail_rounds == sorted(tail_rounds)
     # every registry entry has a recorded hash to compare against
-    recorded = json.load(open("tools/witness_hashes.json"))
+    recorded = e._recorded_hashes()
     assert set(recorded) == set(e.REGISTRY)
     # mechanism: corrupting one green query's recorded hash must pull
     # it to the head of the window

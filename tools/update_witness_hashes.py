@@ -26,6 +26,10 @@ except (OSError, ValueError):
     recorded = {}
 
 names = sys.argv[1:] or list(entry.REGISTRY)
+unknown = [n for n in names if n not in entry.REGISTRY]
+if unknown:
+    sys.exit(f"unknown query name(s): {unknown} — check the registry "
+             "(rocketmq_flink_spark.plans.catalog.REGISTRY); nothing stamped")
 for name in names:
     recorded[name] = entry._impl_hash(name)
 recorded = {n: h for n, h in sorted(recorded.items()) if n in entry.REGISTRY}
