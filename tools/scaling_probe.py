@@ -94,6 +94,8 @@ QUERIES = [
     "encoding_size_planning",     # global run-count window
     "selectivity_estimation_report",  # r6: literal-stats + 2-pass ntile
     "compressed_media_features",  # r6: spread PNG+JPEG codec hops
+    "restart_offsets_replay",     # r8: snapshot-split replay + distinct
+    "per_queue_watermark_skew",   # r8: 8-group agg + broadcast-back
 ]
 REPS = 3
 
