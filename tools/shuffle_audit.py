@@ -95,6 +95,12 @@ QUERIES = [
     # round 7 rewrites (distributed rank-exact quantile selection)
     "conformal_spend_interval",
     "nb_confidence_margin",
+    # round 8: the remaining top-cost extras, audited
+    "retrieval_model_comparison",
+    "encoding_size_planning",
+    "percolation_robustness",
+    "bfs_hops_copurchase",
+    "hilbert_layout_report",
     # round 8 anchors
     "restart_offsets_replay",
     "acl_denial_audit",
