@@ -176,3 +176,21 @@ def test_arrow_backend_equals_row_backend_on_corpus():
             (i, b, w, g) for i, (b, w, g) in
             enumerate(zip(bags, want, got)) if w != g
         ][:3])
+
+
+def test_arrow_backend_handles_chunked_and_empty_inputs():
+    """The reader hands mask() a ChunkedArray (Arrow tables are
+    chunked); multi-chunk and zero-row inputs must behave exactly like
+    a single chunk."""
+    import pyarrow as pa
+
+    from rocketmq_flink_spark.functions.sql92 import compile_sql92_arrow
+
+    t = pa.map_(pa.string(), pa.string())
+    c1 = pa.array([[("a", "1")], [("a", "x")]], type=t)
+    c2 = pa.array([None, [("a", "2")], []], type=t)
+    chunked = pa.chunked_array([c1, c2])
+    pred = compile_sql92_arrow("a >= 1 OR a = 'x'")
+    assert pred.mask(chunked).to_pylist() == [True, True, False, True, False]
+    empty = pa.chunked_array([pa.array([], type=t)])
+    assert pred.mask(empty).to_pylist() == []
