@@ -30,7 +30,7 @@ tokens with partial aggregation; no shuffle grows with corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rocketmq_flink_spark.operators.retrieval import fp_log2_sql
@@ -129,15 +129,24 @@ def nb_predict(
 ) -> DataFrame:
     """Argmax prediction per test document: (doc, predicted,
     score_ticks). Ties break on the smallest class label (total order
-    — deterministic)."""
+    — deterministic). The argmax is a map-side-combinable
+    max(struct(score, -c)) aggregation, not a doc-partitioned
+    row_number window: same (score desc, c asc) total order, but the
+    shuffle carries one partial-max row per (doc, partition) instead
+    of the full |docs| x |classes| score grid through a sort."""
     sc = nb_scores(test_occ, model, priors, doc_col, bucket_col)
-    w = Window.partitionBy("doc").orderBy(F.desc("score"), "c")
     return (
-        sc.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        sc.groupBy("doc")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("score")).alias("ns"), F.col("c").alias("c")
+                )
+            ).alias("m")
+        )
         .select(
             F.col("doc"),
-            F.col("c").alias("predicted"),
-            F.col("score").alias("score_ticks"),
+            F.col("m.c").alias("predicted"),
+            (-F.col("m.ns")).alias("score_ticks"),
         )
     )

@@ -46,25 +46,43 @@ def pagerank_integer(
     directions); dangling-node mass is simply dropped, as in the
     teleport-only formulation."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionAll(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    # contract: every node has out-degree >= 1, so the node set IS the
+    # out-degree aggregation's key set — deriving it there removes a
+    # union + distinct exchange over 2|E| rows (the deg exchange is
+    # reused by Catalyst for both consumers)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"))
     ed = e.join(deg, "src")
-    if iters >= 8:
-        ed = ed.localCheckpoint(eager=False)
-        nodes = nodes.localCheckpoint(eager=False)
+    # every iteration's plan nests the previous one, so action-time
+    # physical planning re-walks the edge pipeline once per iteration;
+    # cutting the lineage at loop entry makes each round's plan a few
+    # nodes over two leaves (optimization r08 — measured the dominant
+    # per-run cost on the co-purchase graph family)
+    ed = ed.localCheckpoint(eager=False)
+    nodes = nodes.localCheckpoint(eager=False)
     scores = nodes.select("node", F.lit(scale).cast("long").alias("score"))
     base = (15 * scale) // 100
     for i in range(iters):
-        inc = (
-            ed.join(scores, ed["src"] == scores["node"])
-            .select("dst", F.expr("score div deg").alias("contrib"))
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("inc"))
-        )
+        if i == 0:
+            # uniform init: contrib = scale div deg per edge — the
+            # first edges x scores join is an identity lookup, skip it
+            inc = (
+                ed.select(
+                    "dst",
+                    F.expr(f"CAST({scale} AS BIGINT) div deg").alias(
+                        "contrib"
+                    ),
+                )
+                .groupBy("dst")
+                .agg(F.sum("contrib").alias("inc"))
+            )
+        else:
+            inc = (
+                ed.join(scores, ed["src"] == scores["node"])
+                .select("dst", F.expr("score div deg").alias("contrib"))
+                .groupBy("dst")
+                .agg(F.sum("contrib").alias("inc"))
+            )
         scores = nodes.join(
             inc, nodes["node"] == inc["dst"], "left"
         ).select(
@@ -74,8 +92,6 @@ def pagerank_integer(
                 + F.expr("(85 * coalesce(inc, 0L)) div 100")
             ).cast("long").alias("score"),
         )
-        if iters >= 8:
-            scores = scores.localCheckpoint(eager=False)
     return scores
 
 
@@ -101,12 +117,10 @@ def personalized_pagerank(
     (one edges x scores hash join, one map-side-combinable groupBy,
     one node-sized left join); no driver sync."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionAll(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    # same contract as pagerank_integer (every node has out-degree
+    # >= 1): the node set is deg's key set — no union+distinct pass
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"))
     ed = e.join(deg, "src")
     sd = seeds.select(F.col(seed_col).alias("node")).distinct().withColumn(
         "is_seed", F.lit(1)
@@ -114,16 +128,22 @@ def personalized_pagerank(
     nodes = nodes.join(sd, "node", "left").select(
         "node", F.coalesce(F.col("is_seed"), F.lit(0)).alias("is_seed")
     )
-    if iters >= 8:
-        ed = ed.localCheckpoint(eager=False)
-        nodes = nodes.localCheckpoint(eager=False)
+    # same loop-entry lineage cut as pagerank_integer (optimization r08)
+    ed = ed.localCheckpoint(eager=False)
+    nodes = nodes.localCheckpoint(eager=False)
     scores = nodes.select(
         "node", (F.col("is_seed") * scale).cast("long").alias("score")
     )
     base = (15 * scale) // 100
     for _ in range(iters):
+        # zero-score nodes contribute floor(0/deg) = 0 to every
+        # neighbor: dropping them pre-join only turns explicit
+        # sum-of-zeros into an absent group, and the coalesce(inc, 0)
+        # below restores the same score — with a sparse seed set this
+        # keeps the first iterations' join frontier-sized
+        nz = scores.where(F.col("score") > 0)
         inc = (
-            ed.join(scores, ed["src"] == scores["node"])
+            ed.join(nz, ed["src"] == nz["node"])
             .select("dst", F.expr("score div deg").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("inc"))
@@ -137,13 +157,15 @@ def personalized_pagerank(
                 + F.expr("(85 * coalesce(inc, 0L)) div 100")
             ).cast("long").alias("score"),
         )
-        if iters >= 8:
-            scores = scores.localCheckpoint(eager=False)
     return scores
 
 
 def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    assume_canonical: bool = False,
+    with_degree: bool = False,
 ) -> DataFrame:
     """Exact per-node triangle counts over an undirected simple graph
     (input: one row per edge in either/both directions; deduped here).
@@ -160,15 +182,30 @@ def triangle_count(
     sum(deg^2). Returns (node, n_triangles) for every node with at
     least one edge (0 rows cost nothing); the caller aggregates the
     global count as sum/3 if needed.
+
+    assume_canonical: the caller guarantees the input is already one
+    UNIQUE row per undirected edge with src < dst (true for the
+    co-purchase support pairs, which come out of a groupBy(p1, p2)
+    with p1 < p2 by construction) — skips the least/greatest+distinct
+    canonicalization pass, removing a full exchange of the edge list.
+    with_degree: also emit the (canonical-edge) `degree` column the
+    orientation step computes anyway, so callers that need degree
+    don't rebuild the same aggregation and join it back on.
     """
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
+    if assume_canonical:
+        e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
         )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    # e appears three times below (both degree branches + the
+    # orientation join): cut its lineage once (optimization r08)
+    e = e.localCheckpoint(eager=False)
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
@@ -196,6 +233,9 @@ def triangle_count(
         )
         .select("o.u", "o.v")
     )
+    # three consumers (both wedge sides + the closer probe) re-plan the
+    # oriented pipeline per action without this cut (optimization r08)
+    oriented = oriented.localCheckpoint(eager=False)
     w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
     w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
     wedges = w1.join(w2, "u").where(F.col("x") < F.col("y"))
@@ -214,11 +254,16 @@ def triangle_count(
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    return deg.join(per_node, deg["n"] == per_node["n"], "left").select(
+    out_cols = [
         deg["n"].alias("node"),
         F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
             "n_triangles"
         ),
+    ]
+    if with_degree:
+        out_cols.append(deg["d"].alias("degree"))
+    return deg.join(per_node, deg["n"] == per_node["n"], "left").select(
+        *out_cols
     )
 
 
@@ -252,16 +297,29 @@ def label_propagation(
         .unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
     )
+    # loop-entry lineage cut (optimization r08 — see pagerank_integer)
+    e = e.localCheckpoint(eager=False)
     labels = e.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").cast("long").alias("lab")
     )
-    for _ in range(iters):
-        nb = (
-            e.join(labels, e["a"] == labels["node"])
-            .select(F.col("b"), F.col("lab"))
-            .groupBy("b", "lab")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
+    for it in range(iters):
+        if it == 0:
+            # initial label of a node is the node itself, so the first
+            # edges x labels join is an identity lookup: project the
+            # label straight off the edge list (skips the join AND the
+            # distinct-nodes exchange feeding it)
+            nb = (
+                e.select(F.col("b"), F.col("a").cast("long").alias("lab"))
+                .groupBy("b", "lab")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+        else:
+            nb = (
+                e.join(labels, e["a"] == labels["node"])
+                .select(F.col("b"), F.col("lab"))
+                .groupBy("b", "lab")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
         # argmax by (count desc, label asc): max of (c, -lab)
         labels = (
             nb.groupBy("b")
@@ -304,9 +362,13 @@ def bfs_hops(
         .unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
     )
+    # the state ∪ step loop duplicates the edge subplan ~2^max_hops
+    # times in the analyzed plan; one lineage cut keeps planning linear
+    # (optimization r08 — see sssp_bounded)
+    e = e.localCheckpoint(eager=False)
     dist = seeds.select(
         F.col(seed_col).alias("node"), F.lit(0).cast("int").alias("dist")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     for t in range(1, max_hops + 1):
         step = (
             e.join(dist, e["a"] == dist["node"])
@@ -349,9 +411,15 @@ def sssp_bounded(
         F.col(src).alias("a"), F.col(dst).alias("b"),
         F.col(weight).cast("long").alias("w"),
     )
+    # dist_t's plan contains dist_{t-1} twice (state ∪ step), so the
+    # edge subplan is duplicated ~2^rounds times by the horizon — with
+    # a deep edge pipeline (the co-purchase kernel) Catalyst analysis
+    # and per-action physical planning pay that factor. One lineage
+    # cut turns the duplicated subplan into a leaf (optimization r08).
+    e = e.localCheckpoint(eager=False)
     dist = seeds.select(
         F.col(seed_col).alias("node"), F.lit(0).cast("long").alias("dist")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     for _ in range(rounds):
         step = e.join(dist, e["a"] == dist["node"]).select(
             F.col("b").alias("node"),
@@ -390,11 +458,13 @@ def bfs_hops_per_seed(
         .unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
     )
+    # same lineage cut as bfs_hops/sssp_bounded (optimization r08)
+    e = e.localCheckpoint(eager=False)
     dist = seeds.select(
         F.col(seed_col).alias("seed"),
         F.col(seed_col).alias("node"),
         F.lit(0).cast("int").alias("dist"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     for t in range(1, max_hops + 1):
         step = e.join(dist, e["a"] == dist["node"]).select(
             "seed",

@@ -1939,10 +1939,12 @@ def compressed_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel decode are one Arrow hop each; payloads never leave the
     executors."""
     from rocketmq_flink_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        decode_png_pixels,
         encode_jpeg_pattern_v2,
         encode_png_pattern,
-        media_header_features as decode_headers,
-        media_pixel_features,
+        parse_media_header,
+        resize_png,
     )
     from rocketmq_flink_spark.session import spread_for_compute
 
@@ -1956,35 +1958,71 @@ def compressed_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("media_id"))
     )
 
-    def synth(batches):
+    # Fused single Arrow hop (optimization r08, guide §4): the previous
+    # plan fed one synth mapInPandas into TWO decoder hops
+    # (media_header_features + media_pixel_features) and joined them —
+    # every payload was ENCODED twice (once per consumer subtree),
+    # crossed the Arrow boundary twice, and paid a 36-row join. Here
+    # each id is encoded once, header-parsed once and pixel-decoded
+    # once, and the payload never crosses Arrow at all. The header
+    # fields come from the same parse_media_header marker walk and the
+    # pixel sums from the same decode_*_pixels/resize_png calls the two
+    # operators make, so every emitted value is bit-identical.
+    def synth_features(batches):
+        import numpy as np
         import pandas as pd_local
 
         for pdf in batches:
-            payloads = []
+            rows = []
             for mid in pdf["media_id"].astype("int64"):
                 mid = int(mid)
                 if mid % 2 == 0:
-                    payloads.append(encode_png_pattern(
+                    payload = encode_png_pattern(
                         mid, 16 + (mid % 5) * 4, 12 + (mid % 3) * 4
-                    ))
+                    )
+                    px = decode_png_pixels(payload).astype(np.int64)
+                    rs = decode_png_pixels(
+                        resize_png(payload, 2)
+                    ).astype(np.int64)
+                    rs_width, rs_sum_r = rs.shape[1], int(rs[:, :, 0].sum())
                 else:
-                    payloads.append(encode_jpeg_pattern_v2(
+                    payload = encode_jpeg_pattern_v2(
                         mid, 320 + (mid % 7) * 16, 240 + (mid % 5) * 16,
                         mode=((mid - 1) // 2) % 8,
-                    ))
-            yield pd_local.DataFrame({
-                "media_id": pdf["media_id"].astype("int64").values,
-                "payload": payloads,
-            })
+                    )
+                    px = decode_jpeg_pixels(payload).astype(np.int64)
+                    # lossy re-encode resize has no exact oracle: NULL
+                    rs_width, rs_sum_r = None, None
+                h = parse_media_header(payload)
+                rows.append({
+                    "media_id": mid,
+                    "fmt": h["fmt"],
+                    "width": h["width"],
+                    "height": h["height"],
+                    "n_channels": h["n_channels"],
+                    "sum_r": int(px[:, :, 0].sum()),
+                    "sum_g": int(px[:, :, 1].sum()),
+                    "sum_b": int(px[:, :, 2].sum()),
+                    "rs_width": rs_width,
+                    "rs_sum_r": rs_sum_r,
+                })
+            if not rows:
+                continue
+            out = pd_local.DataFrame(rows)
+            for c, dt in (
+                ("width", "Int32"), ("height", "Int32"),
+                ("n_channels", "Int32"), ("rs_width", "Int32"),
+                ("rs_sum_r", "Int64"),
+            ):
+                out[c] = pd_local.array(out[c], dtype=dt)
+            yield out
 
-    env = ids.mapInPandas(synth, "media_id bigint, payload binary")
-    heads = decode_headers(env).select(
-        "media_id", "fmt", "width", "height", "n_channels"
-    )
-    pix = media_pixel_features(env).select(
-        "media_id", "sum_r", "sum_g", "sum_b", "rs_width", "rs_sum_r"
-    )
-    return heads.join(pix, "media_id", "left").orderBy("media_id")
+    return ids.mapInPandas(
+        synth_features,
+        "media_id bigint, fmt string, width int, height int,"
+        " n_channels int, sum_r bigint, sum_g bigint, sum_b bigint,"
+        " rs_width int, rs_sum_r bigint",
+    ).orderBy("media_id")
 
 
 # ---------------------------------------------------------------------------
@@ -9389,16 +9427,14 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s") >= 2)
         .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
     )
-    deg = (
-        sup.select(F.col("src").alias("n"))
-        .unionAll(sup.select(F.col("dst").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("degree"))
+    # support pairs are unique with p1 < p2 by construction, and the
+    # orientation step inside triangle_count computes the same degree
+    # this query used to rebuild and join back on (optimization r08)
+    tc = triangle_count(
+        sup, "src", "dst", assume_canonical=True, with_degree=True
     )
-    tc = triangle_count(sup, "src", "dst")
     return (
-        tc.join(deg, tc["node"] == deg["n"])
-        .select(
+        tc.select(
             F.col("node").alias("part"),
             F.col("n_triangles"),
             F.col("degree").cast("long").alias("degree"),
@@ -10762,6 +10798,14 @@ def _nb_frames(
         ).alias("is_test"),
         (hash60(F.col("tok")) % B).alias("b"),
     )
+    # the normalize + token explode + per-token md5 hash is the
+    # expensive corpus scan, and FIVE downstream subtrees re-evaluate
+    # it inline (train counts, class doc counts, the model's
+    # test-bucket grid, scoring, truth). localCheckpoint materializes
+    # the hashed occurrence stream once per run (4 narrow columns,
+    # executor-local) — the hilbert/conformal discipline, applied to
+    # the shared scan instead of a derived frame (optimization r08).
+    occ = occ.localCheckpoint(eager=False)
     trn = occ.where(~F.col("is_test"))
     tst = occ.where(F.col("is_test"))
     counts, priors = nb_train(trn, B)
@@ -14383,12 +14427,18 @@ def lpa_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s") >= 2)
         .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
     )
+    # THREE consumers read the 4-round LPA labels (both endpoints of
+    # the intra-edge join + the community-mass aggregation); without a
+    # lineage cut each consumer re-plans (and, when exchange reuse
+    # fails across the differently-aliased subtrees, re-RUNS) the whole
+    # propagation — localCheckpoint materializes the node-sized label
+    # table once (optimization r08)
     labels = label_propagation(sup, iters=4).select(
         F.col("node"), F.col("community").alias("lab")
-    )
+    ).localCheckpoint(eager=False)
     e = sup.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
         sup.select(F.col("dst").alias("a"), F.col("src").alias("b"))
-    )
+    ).localCheckpoint(eager=False)
     deg = e.groupBy("a").agg(F.count(F.lit(1)).cast(dec).alias("d"))
     m2 = deg.agg(F.sum("d").cast(dec).alias("m2"))
     l1 = labels.select(F.col("node").alias("a"), F.col("lab").alias("la"))
@@ -16025,6 +16075,16 @@ def percolation_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(hub), F.col("b") == hub["n"], "left_anti")
 
     def components(edges: DataFrame, name: str) -> DataFrame:
+        # The min-label loop references `edges` every round and `lab`
+        # TWICE per round (state ∪ step), so the logical plan doubles
+        # per round — with the full co-purchase kernel as the base,
+        # Catalyst re-analysis cost the DRIVER ~53 s per query build
+        # (measured r08; the bench pays it once per rep). Cutting the
+        # edge lineage once bounds every round's plan at a few nodes:
+        # build drops to ~2 s with bit-identical labels (optimization
+        # r08, guide §3.3 "materialise an intermediate to truncate the
+        # plan").
+        edges = edges.localCheckpoint(eager=False)
         lab = edges.select(F.col("a").alias("node")).distinct().select(
             "node", F.col("node").alias("lab")
         )
@@ -16037,7 +16097,7 @@ def percolation_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("node")
                 .agg(F.min("lab").alias("lab"))
             )
-            if t % 4 == 0:
+            if t % 2 == 0:
                 lab = lab.localCheckpoint(eager=False)
         sz = lab.groupBy("lab").agg(F.count(F.lit(1)).alias("sz"))
         ne = edges.agg(
@@ -17745,16 +17805,13 @@ def local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s") >= 2)
         .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
     )
-    deg = (
-        sup.select(F.col("src").alias("n"))
-        .unionAll(sup.select(F.col("dst").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("degree"))
+    # support pairs are canonical (unique, p1 < p2); degree comes out
+    # of triangle_count's own orientation step (optimization r08)
+    tc = triangle_count(
+        sup, "src", "dst", assume_canonical=True, with_degree=True
     )
-    tc = triangle_count(sup, "src", "dst")
     return (
-        tc.join(deg, tc["node"] == deg["n"])
-        .where(F.col("degree") >= 2)
+        tc.where(F.col("degree") >= 2)
         .select(
             F.col("node").cast("long").alias("part"),
             F.col("degree").cast("long").alias("degree"),
@@ -18488,12 +18545,17 @@ def ppr_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = sup.unionAll(
         sup.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # four consumers (degrees, iteration joins, hub-seed selection,
+    # neighbor exclusion) re-plan the co-purchase kernel per action
+    # without these cuts (optimization r08)
+    e = e.localCheckpoint(eager=False)
     seeds = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
         .orderBy(F.desc("deg"), "src")
         .limit(1)
         .select(F.col("src").alias("node"))
+        .localCheckpoint(eager=False)
     )
     scores = personalized_pagerank(e, seeds, iters=3)
     nbrs = e.join(
@@ -20404,34 +20466,77 @@ def kmeans_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     cents = ivf_centroids(emb, "vec_id", "embedding", n_centroids=32, iters=2)
-    cdf = spark.createDataFrame(
-        [(i, [float(x) for x in cv]) for i, cv in enumerate(cents)],
-        "cid INT, cv ARRAY<DOUBLE>",
-    )
+    # The centroids are already a driver-side list (ivf_centroids
+    # collects them), so the nearest-2 search runs as an ARRAY FOLD
+    # over a 32-entry literal centroid table inside each row — the
+    # previous crossJoin(32) + vec_id-partitioned row_number window
+    # shuffled |n| x 32 distance rows through a sort just to keep two
+    # of them (optimization r08: guide §2.4, remove shuffles
+    # outright). The per-(v, centroid) distance is the identical
+    # sequential zip_with/aggregate double fold, and the running
+    # (best, second) fold over cid-ascending pairs reproduces the
+    # window's (d2, cid) total order exactly: a strictly smaller d2
+    # replaces best (earlier cid wins ties), a tie-or-larger one can
+    # only replace second under strict <.
     e = emb.select(
         "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
     )
-    d2col = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # one JVM-parsed SQL literal (the simhash discipline): 32 x 64
+    # F.lit() Column objects would cost thousands of py4j round trips
+    # per query build (measured +2 s); repr() doubles round-trip
+    # exactly through Spark's literal parser
+    cent_arr = F.expr(
+        "array(" + ",".join(
+            f"named_struct('cid', {i}, 'cv', array("
+            + ",".join(repr(float(x)) + "D" for x in cv) + "))"
+            for i, cv in enumerate(cents)
+        ) + ")"
     )
-    d2 = e.crossJoin(F.broadcast(cdf)).select(
-        "vec_id", "cid", d2col.alias("d2")
+    inf = float("inf")
+
+    def _d2(c):
+        return F.aggregate(
+            F.zip_with(
+                F.col("v"), c["cv"], lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = F.transform(
+        cent_arr,
+        lambda c: F.struct(_d2(c).alias("d2"), c["cid"].alias("cid")),
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    r = d2.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
-    a = r.where(F.col("rn") == 1).select(
-        "vec_id", "cid", F.col("d2").alias("da")
+    best2 = F.aggregate(
+        pairs,
+        F.struct(
+            F.lit(inf).alias("da"),
+            F.lit(-1).alias("ca"),
+            F.lit(inf).alias("db"),
+        ),
+        lambda acc, p: F.when(
+            p["d2"] < acc["da"],
+            F.struct(
+                p["d2"].alias("da"),
+                p["cid"].alias("ca"),
+                acc["da"].alias("db"),
+            ),
+        )
+        .when(
+            p["d2"] < acc["db"],
+            F.struct(
+                acc["da"].alias("da"),
+                acc["ca"].alias("ca"),
+                p["d2"].alias("db"),
+            ),
+        )
+        .otherwise(acc),
     )
-    b = r.where(F.col("rn") == 2).select(
-        F.col("vec_id"), F.col("d2").alias("db")
-    )
-    ab = a.join(b, "vec_id").select(
-        "cid",
+    ab = e.select(best2.alias("m")).select(
+        F.col("m.ca").alias("cid"),
         F.expr(
-            "CAST(CASE WHEN db = 0 THEN 0"
-            " ELSE ROUND(1000000 * (db - da) / db, 0) END AS BIGINT)"
+            "CAST(CASE WHEN m.db = 0 THEN 0"
+            " ELSE ROUND(1000000 * (m.db - m.da) / m.db, 0) END AS BIGINT)"
         ).alias("s_tick"),
     )
     return (
