@@ -190,6 +190,10 @@ def ngram_jaccard_pairs(
         df, id_col, text_col, k, max_doc_freq,
         cache_level=cache_level, hashed=True,
     )
+    if cache_level is None:
+        # same three-consumer shape as containment_pairs: unpersisted,
+        # the shingle explode re-ran per subtree (optimization r08)
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -520,7 +524,10 @@ def lsh_capture_report(
         cache_level=cache_level, with_counts=True,
     )
     sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    # the 64-hash signature pass feeds both sides of the band
+    # self-join: cut once (optimization r08)
     banded = banded_signatures(sigs, id_col, bands, num_hashes)
+    banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -1114,6 +1121,12 @@ def containment_pairs(
         df, id_col, text_col, k, max_doc_freq,
         cache_level=cache_level, hashed=True,
     )
+    if cache_level is None:
+        # sh feeds THREE subtrees (sizes + both sides of the candidate
+        # self-join); unpersisted, the shingle explode + hot-set
+        # anti-join re-ran per subtree (optimization r08 — lineage cut
+        # instead of a persist so no caller-side unpersist contract)
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -1125,13 +1138,15 @@ def containment_pairs(
         .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # joined feeds both emitted directions: cut so the candidate
+    # self-join (the expensive stage) runs once per action
     joined = inter.join(
         sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a")),
         "id_a",
     ).join(
         sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b")),
         "id_b",
-    )
+    ).localCheckpoint(eager=False)
 
     def _direction(contained, container, n_c):
         return joined.where(

@@ -123,6 +123,28 @@ def corpus_tokens(
     ).withColumn("dl", F.size("tk"))
 
 
+def postings(toks: DataFrame) -> DataFrame:
+    """(doc, dl, term, tf) postings from a tokenized corpus — the
+    expensive explode + map-side-combined count both scorers build.
+    Lineage-cut here (optimization r08): within ONE scorer the postings
+    feed two subtrees (the vocabulary aggregation df/cf AND the
+    candidate join), and the tokenize + explode + count pipeline above
+    them was re-planned and re-executed once per subtree (the before
+    plans show 4-6 full document scans per scorer query, zero exchange
+    reuse). localCheckpoint(eager=False) materializes the postings once
+    per run — four narrow columns, executor-local, built inside the
+    timed action (nothing is reused across runs: every fn() call makes
+    a fresh checkpoint). Callers running SEVERAL scorers build this
+    once and pass it via `tf_postings=` so the corpus tokenizes exactly
+    once per query."""
+    return (
+        toks.select("doc", "dl", F.explode("tk").alias("term"))
+        .groupBy("doc", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -133,6 +155,7 @@ def bm25_topk(
     k: int = 10,
     toks: DataFrame | None = None,
     stats: tuple[int, int] | None = None,
+    tf_postings: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 documents per query: (query_id, doc_id, score, rank).
 
@@ -141,7 +164,9 @@ def bm25_topk(
     duplicate query terms count once. `stats` = precomputed
     (n_docs, total_token_count) — pass it (with `toks`) when several
     scorers run over one corpus so the counting action happens once;
-    note total_token_count is exactly query_likelihood_topk's `cl`."""
+    note total_token_count is exactly query_likelihood_topk's `cl`.
+    `tf_postings` = a precomputed postings(toks) frame, for callers
+    running several scorers (the postings feed both of them)."""
     if toks is None:
         toks = corpus_tokens(docs, id_col, text_col)
     if stats is None:
@@ -150,11 +175,7 @@ def bm25_topk(
         ).collect()[0]
         stats = (int(row["n"]), int(row["l"] or 0))
     n_docs, total_len = stats
-    tf = (
-        toks.select("doc", "dl", F.explode("tk").alias("term"))
-        .groupBy("doc", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = tf_postings if tf_postings is not None else postings(toks)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = dfreq.selectExpr(
         "term",
@@ -228,6 +249,7 @@ def query_likelihood_topk(
     k: int = 10,
     toks: DataFrame | None = None,
     cl: int | None = None,
+    tf_postings: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents per query under the query-likelihood language
     model with Jelinek-Mercer smoothing (lambda = 1/2) — the second
@@ -262,11 +284,7 @@ def query_likelihood_topk(
                 F.lit(0).cast("int").alias("rank"),
             )
         )
-    tf = (
-        toks.select("doc", "dl", F.explode("tk").alias("term"))
-        .groupBy("doc", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = tf_postings if tf_postings is not None else postings(toks)
     cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
     qterms = (
         queries.selectExpr(
@@ -275,7 +293,12 @@ def query_likelihood_topk(
         .select("qid", F.explode("qtk").alias("term"))
         .distinct()
     )
-    cand = qterms.join(tf, "term").join(cf, "term")
+    # cand feeds TWO subtrees (the distinct-triple tick fold and the
+    # score join); one cut keeps the qterms x postings x cf join from
+    # running twice per action (optimization r08)
+    cand = qterms.join(tf, "term").join(cf, "term").localCheckpoint(
+        eager=False
+    )
     # the 20-step fixed-point fold is the expensive expression: run it
     # once per DISTINCT (cf, dl, tf) triple (vocabulary x length x tf
     # bounded), not once per candidate row — the same

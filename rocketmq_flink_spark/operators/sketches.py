@@ -62,10 +62,12 @@ def _hll_alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_registers(
-    df: DataFrame, value: Column, group_cols: list[str], p: int = 6
-) -> DataFrame:
-    """HLL registers per group: (group..., bucket, m) with m = max rho.
+def hll_bucket_rho(value: Column, p: int = 6) -> tuple[Column, Column]:
+    """The (bucket, rho) projection of one value under the portable
+    60-bit hash — the md5-heavy part of hll_registers, exposed so a
+    caller sketching the SAME values under several groupings
+    (hll_distinct_parts' full vs sharded registers) can hash once and
+    aggregate many ways (optimization r08).
 
     bucket = top p bits of the 60-bit portable hash; rho = 1-based
     position of the leftmost set bit in the remaining width=60-p bits
@@ -80,6 +82,15 @@ def hll_registers(
         .otherwise(F.lit(width + 1) - F.length(F.bin(rest)))
         .cast("int")
     )
+    return bucket, rho
+
+
+def hll_registers(
+    df: DataFrame, value: Column, group_cols: list[str], p: int = 6
+) -> DataFrame:
+    """HLL registers per group: (group..., bucket, m) with m = max rho.
+    See hll_bucket_rho for the exact hash/bucket/rho construction."""
+    bucket, rho = hll_bucket_rho(value, p)
     return df.groupBy(*group_cols, bucket).agg(F.max(rho).alias("m"))
 
 

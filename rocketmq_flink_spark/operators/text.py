@@ -527,12 +527,19 @@ def vocab_coverage(
         )
         .select("stratum", F.explode(F.expr(grams)).alias("tok"))
     )
-    stc = toks.groupBy("stratum", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # stc feeds THREE subtrees (per-stratum rollup, per-token stratum
+    # counts, the exclusivity join) and tokl two — without the cuts the
+    # n-gram explode re-ran per consumer (optimization r08)
+    stc = toks.groupBy("stratum", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=False)
     per = stc.groupBy("stratum").agg(
         F.sum("cnt").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_distinct"),
     )
-    tokl = stc.groupBy("tok").agg(F.count(F.lit(1)).alias("n_strata"))
+    tokl = stc.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_strata")
+    ).localCheckpoint(eager=False)
     vocab = tokl.agg(F.count(F.lit(1)).alias("corpus_vocab"))
     # NOT broadcast: at web scale the single-stratum token set is
     # dominated by hapax legomena (most of the vocabulary) — it shuffle-

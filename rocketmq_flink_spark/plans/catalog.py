@@ -101,6 +101,15 @@ def copurchase_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
+    return copurchase_support_from_baskets(baskets)
+
+
+def copurchase_support_from_baskets(baskets: DataFrame) -> DataFrame:
+    """Pair-support stage of copurchase_support, split out so callers
+    that ALSO consume the basket table (copurchase_hitrate_eval's
+    leave-one-out eval) can aggregate baskets once and derive the
+    support edges from the same frame instead of re-running the
+    lineitem groupBy (optimization r08)."""
     return (
         baskets.select(
             F.explode(
@@ -5372,9 +5381,9 @@ def hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Z is summed in exact BIGINT (order-independent), so the estimate is
     deterministic and the oracle replays it bit-exactly."""
     from rocketmq_flink_spark.operators.sketches import (
+        hll_bucket_rho,
         hll_estimate,
         hll_merge,
-        hll_registers,
     )
 
     from rocketmq_flink_spark.session import spread_for_compute
@@ -5387,20 +5396,32 @@ def hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag", "l_partkey", "l_orderkey"
         )
     )
-    pk = F.col("l_partkey").cast("string")
-    reg_full = hll_registers(li, pk, ["l_returnflag"])
+    # hash ONCE: the full and sharded register passes (and the exact
+    # count) previously each re-scanned lineitem and the two register
+    # passes each re-ran the md5 — project (bucket, rho) in one pass,
+    # cut, and aggregate three ways off the same frame (optimization
+    # r08, guide §2.3: the md5 is the map cost, pay it once)
+    bucket, rho = hll_bucket_rho(F.col("l_partkey").cast("string"))
+    hv = li.select(
+        "l_returnflag",
+        (F.col("l_orderkey") % 2).alias("shard"),
+        "l_partkey",
+        bucket,
+        rho.alias("rho"),
+    ).localCheckpoint(eager=False)
+    reg_full = hv.groupBy("l_returnflag", "bucket").agg(
+        F.max("rho").alias("m")
+    )
     est_full = hll_estimate(reg_full, ["l_returnflag"]).withColumnRenamed(
         "est_distinct", "est_parts"
     )
-    reg_sh = hll_registers(
-        li.withColumn("shard", F.col("l_orderkey") % 2),
-        pk,
-        ["l_returnflag", "shard"],
+    reg_sh = hv.groupBy("l_returnflag", "shard", "bucket").agg(
+        F.max("rho").alias("m")
     )
     est_merged = hll_estimate(
         hll_merge(reg_sh, ["l_returnflag"]), ["l_returnflag"]
     ).withColumnRenamed("est_distinct", "est_merged")
-    exact = li.groupBy("l_returnflag").agg(
+    exact = hv.groupBy("l_returnflag").agg(
         F.count_distinct("l_partkey").alias("exact_parts")
     )
     return (
@@ -6927,6 +6948,12 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(hash60(F.col("doc_id").cast("string")) % 10 < 9, "train")
         .otherwise("val")
         .alias("naive_split"),
+    # deliberately NOT lineage-cut despite the two consumers: the
+    # minhash closure already checkpoints per round internally, so the
+    # re-run from the last internal cut is cheap (exec 1.14 -> 1.08 s,
+    # a wash), while a cut here forces eager physical planning of the
+    # whole closure tree at build time (measured 6.5 -> 21.6 s driver
+    # cost; optimization r08 A/B)
     )
     leaks = sp.groupBy("rep_id").agg(
         F.count_distinct("split").alias("ns"),
@@ -7241,7 +7268,9 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rocketmq_flink_spark.operators.fuzzy import edit_distance_pairs
 
     cust = load_tables(spark, sf_dir)["customer"]
-    pairs = edit_distance_pairs(cust, "c_name")
+    # the variant explode + equi-join + levenshtein verify feeds both
+    # endpoint union branches: one cut (optimization r08)
+    pairs = edit_distance_pairs(cust, "c_name").localCheckpoint(eager=False)
     per = (
         pairs.select(F.col("a").alias("s"))
         .unionAll(pairs.select(F.col("b").alias("s")))
@@ -7587,14 +7616,18 @@ def hll_set_algebra_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from rocketmq_flink_spark.session import spread_for_compute
 
+    # ev feeds the register pass and the exact-flag aggregation; reg
+    # (<= 128 rows) feeds the per-type estimate and the union merge;
+    # est (2 rows) feeds both filters — three cuts so the event scan
+    # and md5 hashing run once per action (optimization r08)
     ev = spread_for_compute(
         load_tables(spark, sf_dir)["events"]
         .where(F.col("event_type").isin("click", "purchase"))
         .select("event_type", "user_id")
-    )
+    ).localCheckpoint(eager=False)
     uid = F.col("user_id").cast("string")
-    reg = hll_registers(ev, uid, ["event_type"])
-    est = hll_estimate(reg, ["event_type"])
+    reg = hll_registers(ev, uid, ["event_type"]).localCheckpoint(eager=False)
+    est = hll_estimate(reg, ["event_type"]).localCheckpoint(eager=False)
     ea = est.where(F.col("event_type") == "click").select(
         F.col("est_distinct").alias("est_clickers")
     )
@@ -9162,7 +9195,10 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", f"explode({toks}) AS tok"
     ).select(
         "doc_id", "source", (hash60(F.col("tok")) % B).alias("b")
-    )
+    # the tokenize + explode + md5-hash stream feeds THREE subtrees
+    # (corpus counts, target counts, per-doc scoring): one cut
+    # (optimization r08)
+    ).localCheckpoint(eager=False)
     tgtdf = docs.agg(F.min("source").alias("tgt"))
     cq = occ.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
     ct = (
@@ -9178,6 +9214,9 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("ct"), F.lit(0)) + 1).alias("a"),
             (F.col("cq") + 1).alias("c"),
         )
+        # 8192 rows, two consumers (per-bucket ticks + the total-mass
+        # constant): cut so the bucket aggregations run once
+        .localCheckpoint(eager=False)
     )
     sb = bk.selectExpr(
         "b", signed_fp_log2_sql("a", "c") + " AS sb"
@@ -9983,7 +10022,11 @@ def item_similarity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined sum; the final join is node-keyed. Beyond
     top-k-per-item serving, the same table feeds ANN-style retrieval.
     """
-    sup = copurchase_support(spark, sf_dir).where(F.col("s") >= 2)
+    # the co-purchase kernel feeds three subtrees (both weighted-degree
+    # union branches + the final join): one cut (optimization r08)
+    sup = copurchase_support(spark, sf_dir).where(
+        F.col("s") >= 2
+    ).localCheckpoint(eager=False)
     dw = (
         sup.select(F.col("p1").alias("n"), "s")
         .unionAll(sup.select(F.col("p2").alias("n"), "s"))
@@ -10155,10 +10198,14 @@ def degree_assortativity_copurchase(spark: SparkSession, sf_dir: str) -> DataFra
     map-side-combined count; the endpoint-degree join is two
     node-keyed hash joins; the correlation reduce is a single pass.
     One row."""
-    sup = copurchase_support(spark, sf_dir).where(F.col("s") >= 2)
+    # kernel feeds both union branches; e feeds the degree aggregation
+    # AND the endpoint-join base — two cuts (optimization r08)
+    sup = copurchase_support(spark, sf_dir).where(
+        F.col("s") >= 2
+    ).localCheckpoint(eager=False)
     e = sup.select(F.col("p1").alias("a"), F.col("p2").alias("b")).unionAll(
         sup.select(F.col("p2").alias("a"), F.col("p1").alias("b"))
-    )
+    ).localCheckpoint(eager=False)
     deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
     da = deg.select(F.col("a"), F.col("d").alias("x"))
     db = deg.select(F.col("a").alias("b"), F.col("d").alias("y"))
@@ -12372,7 +12419,10 @@ def lang_similarity_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = tg.groupBy("lang", "g").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    # the trigram explode (the CPU stage) feeds THREE subtrees (totals
+    # + both pair-join sides); one cut over the vocabulary-bounded
+    # count table stops it running 3x per action (optimization r08)
+    ).localCheckpoint(eager=False)
     tot = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
     a = cnt.select(
         F.col("lang").alias("l1"), "g", F.col("c").alias("cp")
@@ -12622,7 +12672,14 @@ def psi_drift_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("i", F.col("v").alias("ev"))
     )
-    edges = ed.agg(F.array_sort(F.collect_list("ev")).alias("earr"))
+    # edges is ONE row (the 9 decile edge values) whose lineage is the
+    # whole distributed-rank pipeline; binned() broadcasts it into BOTH
+    # the reference and current scans, and cnt below feeds two more
+    # consumers — without cuts the rank pipeline ran 4x per action
+    # (150 Exchanges / 32 order scans at baseline; optimization r08)
+    edges = ed.agg(
+        F.array_sort(F.collect_list("ev")).alias("earr")
+    ).localCheckpoint(eager=False)
 
     def binned(df):
         return (
@@ -12645,6 +12702,9 @@ def psi_drift_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "COALESCE(nr, 0) + 1 AS cp",
             "COALESCE(nc, 0) + 1 AS cq",
         )
+        # ten rows, two consumers (the np/nq totals and the term
+        # projection): cut so the binning scans run once
+        .localCheckpoint(eager=False)
     )
     tt = cnt.agg(
         F.sum("cp").cast("long").alias("np"),
@@ -12662,11 +12722,14 @@ def psi_drift_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(cp * nq - cq * np AS DECIMAL(38,0)) * ({t}) AS num",
         )
     )
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    # the PSI total used to be an unbounded partition-less window over
+    # the 10 bin rows; with cnt lineage-cut the plan sweep can no
+    # longer PROVE that boundedness through the RDD leaf — and an
+    # aggregate + broadcast cross join computes the same scalar with
+    # no window at all (optimization r08)
+    tot = term.agg(F.sum("num").alias("tot"))
     return (
-        term.withColumn("tot", F.sum("num").over(wall))
+        term.crossJoin(F.broadcast(tot))
         .selectExpr(
             "CAST(bin AS INT) AS bin",
             "CAST(cp - 1 AS BIGINT) AS ref_n",
@@ -13325,6 +13388,11 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         copurchase_support(spark, sf_dir)
         .where(F.col("s") >= 2)
         .select("p1", "p2")
+        # the co-purchase kernel feeds FOUR subtrees (both union
+        # branches of e + the non-adjacency anti-join); one cut stops
+        # it re-running per consumer (78 Exchanges / 13 lineitem scans
+        # at baseline; optimization r08)
+        .localCheckpoint(eager=False)
     )
     e = sup.select(F.col("p1").alias("z"), F.col("p2").alias("u")).unionAll(
         sup.select(F.col("p2").alias("z"), F.col("p1").alias("u"))
@@ -13344,9 +13412,11 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * CAST(lg AS DECIMAL(38,0))) AS BIGINT) AS w",
         )
     )
+    # ez hosts both sides of the common-neighbor self-join below: cut
+    # once so the degree-capped weighted adjacency builds once
     ez = e.join(deg.where(F.col("d") <= 64), "z").join(
         F.broadcast(wt), "d"
-    )
+    ).localCheckpoint(eager=False)
     e2 = ez.select(F.col("z"), F.col("u").alias("b2"), "w")
     cand = ez.select("z", "u").join(e2, "z").where(F.col("u") < F.col("b2"))
     nonadj = cand.join(
@@ -14167,16 +14237,21 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule join touches 40 rows against the broadcast item table."""
     dec = "decimal(38,0)"
     li = load_tables(spark, sf_dir)["lineitem"]
+    # the basket table feeds the basket count, the item frequencies AND
+    # (via the split-out support stage) the pair support — previously
+    # the lineitem collect_set aggregation ran once here and once
+    # inside copurchase_support; top (20 rows) feeds both rule
+    # directions (optimization r08)
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    )
+    ).localCheckpoint(eager=False)
     nb = baskets.agg(F.count(F.lit(1)).cast(dec).alias("nbk"))
     itm = (
         baskets.select(F.explode("ps").alias("p"))
         .groupBy("p")
         .agg(F.count(F.lit(1)).cast(dec).alias("ni"))
     )
-    sup = copurchase_support(spark, sf_dir).select(
+    sup = copurchase_support_from_baskets(baskets).select(
         "p1", "p2", F.col("s").cast(dec).alias("s")
     )
     top = sup.select(
@@ -14186,7 +14261,7 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(Window.orderBy(F.col("s").desc(), "p1", "p2"))
         .alias("pr_rank"),
-    ).where(F.col("pr_rank") <= 20)
+    ).where(F.col("pr_rank") <= 20).localCheckpoint(eager=False)
     rules = top.select(
         F.col("p1").alias("antecedent"),
         F.col("p2").alias("consequent"),
@@ -14336,20 +14411,31 @@ def user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rocketmq_flink_spark.operators.retrieval import fp_log2_sql
 
     ev = load_tables(spark, sf_dir)["events"]
+    # The 20-step fp_log2 fold is the expensive expression; run it once
+    # per DISTINCT count value (the docstring's design — previously the
+    # code inlined the fold per (user, type) row and again per user
+    # total) and broadcast-join it back; ut/agg each feed two consumers
+    # (the distinct-value table + the join), hence the cuts
+    # (optimization r08, the query_likelihood distinct-values
+    # discipline).
     ut = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=False)
+    cdv = ut.select("c").distinct().selectExpr(
+        "c", fp_log2_sql("c", "1") + " AS lgc"
     )
-    lg = ut.selectExpr(
-        "user_id", "c", fp_log2_sql("c", "1") + " AS lgc"
-    )
+    lg = ut.join(F.broadcast(cdv), "c").select("user_id", "c", "lgc")
     agg = lg.groupBy("user_id").agg(
         F.sum("c").cast("long").alias("t"),
         F.sum(F.col("c") * F.col("lgc")).cast("long").alias("s"),
+    ).localCheckpoint(eager=False)
+    tdv = agg.select("t").distinct().selectExpr(
+        "t", fp_log2_sql("t", "1") + " AS lgt"
     )
-    h = agg.selectExpr(
+    h = agg.join(F.broadcast(tdv), "t").selectExpr(
         "user_id",
         "t",
-        f"CAST(({fp_log2_sql('t', '1')}) - s div t AS BIGINT) AS ticks",
+        "CAST(lgt - s div t AS BIGINT) AS ticks",
     )
     return (
         h.groupBy(F.expr("ticks div 32768").alias("bucket_32nd_bit"))
@@ -14954,15 +15040,23 @@ def copurchase_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     an order-partitioned window; the basket pair stage is
     basket-size bounded as in copurchase_part_pairs. One row."""
     li = load_tables(spark, sf_dir)["lineitem"]
+    # the basket table feeds the eval frame AND (via the split-out
+    # support stage) the co-occurrence edges — previously the lineitem
+    # collect_set aggregation ran once here and once inside
+    # copurchase_support; one cut + reuse (optimization r08)
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    )
+    ).localCheckpoint(eager=False)
     eb = baskets.where(F.size("ps") >= 2).select(
         "l_orderkey",
         F.element_at("ps", -1).alias("held"),
         F.expr("slice(ps, 1, size(ps) - 1)").alias("ctx"),
-    )
-    sup = copurchase_support(spark, sf_dir).where(F.col("s") >= 2)
+    # eb feeds the candidate explode and the n_eval count: cut the
+    # small (order, held, ctx) frame
+    ).localCheckpoint(eager=False)
+    sup = copurchase_support_from_baskets(baskets).where(
+        F.col("s") >= 2
+    ).localCheckpoint(eager=False)
     co = sup.select(
         F.col("p1").alias("a"), F.col("p2").alias("b2"), "s"
     ).unionAll(
@@ -14971,34 +15065,55 @@ def copurchase_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cx = eb.select(
         "l_orderkey", "held", "ctx", F.explode("ctx").alias("item")
     )
+    # hit test WITHOUT the per-order ranking window (optimization r08,
+    # guide §2.3 aggregate-don't-sort): under the window's
+    # (score desc, rec asc) order, rank(held) = 1 + #better where
+    # better = (score > s_held) OR (score = s_held AND rec < held) —
+    # so "held in top 5" = "fewer than 5 strictly-better candidates".
+    # One cut on cand (it feeds the held-score pick, the better-count
+    # join and the n_scored count), then map-side-combinable
+    # aggregations replace the full candidate sort.
     cand = (
         cx.join(co, cx["item"] == co["a"])
         .where(~F.array_contains(F.col("ctx"), F.col("b2")))
         .groupBy("l_orderkey", "held", F.col("b2").alias("rec"))
         .agg(F.sum("s").cast("long").alias("score"))
+        .localCheckpoint(eager=False)
     )
-    rk = cand.select(
-        "l_orderkey",
-        "held",
-        "rec",
-        F.row_number()
-        .over(
-            Window.partitionBy("l_orderkey").orderBy(
-                F.col("score").desc(), "rec"
+    hs = cand.where(F.col("rec") == F.col("held")).select(
+        "l_orderkey", F.col("held").alias("h2"),
+        F.col("score").alias("s_held"),
+    )
+    # no broadcast hint on hs: it is order-scale (one row per eval
+    # order whose held part is a candidate) — at 100 TB it must
+    # shuffle-join on l_orderkey, the same key the removed window
+    # shuffled on, so the exchange count is unchanged and the sort is
+    # still saved
+    better = (
+        cand.join(hs, "l_orderkey")
+        .where(
+            (F.col("score") > F.col("s_held"))
+            | (
+                (F.col("score") == F.col("s_held"))
+                & (F.col("rec") < F.col("h2"))
             )
         )
-        .alias("rn"),
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_better"))
+    )
+    hits_df = hs.join(better, "l_orderkey", "left").agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.coalesce(F.col("n_better"), F.lit(0)) <= 4, 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("hits")
     )
     n_eval = eb.agg(F.count(F.lit(1)).cast("long").alias("n_eval"))
-    agg = rk.agg(
+    agg = cand.agg(
         F.countDistinct("l_orderkey").cast("long").alias("n_scored"),
-        F.sum(
-            F.when((F.col("rec") == F.col("held")) & (F.col("rn") <= 5), 1)
-            .otherwise(0)
-        )
-        .cast("long")
-        .alias("hits"),
-    )
+    ).crossJoin(hits_df)
     return (
         n_eval.crossJoin(agg)
         .selectExpr(
@@ -16056,9 +16171,11 @@ def percolation_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     is PageRank-step sized; hub removal is two broadcast anti-joins;
     zero driver sync (fixed horizon)."""
     sup = copurchase_support(spark, sf_dir).where(F.col("s") >= 2)
+    # e feeds the degree/hub aggregation AND both phase edge frames:
+    # cut once so the kernel builds once per run (optimization r08)
     e = sup.select(F.col("p1").alias("a"), F.col("p2").alias("b")).unionAll(
         sup.select(F.col("p2").alias("a"), F.col("p1").alias("b"))
-    )
+    ).localCheckpoint(eager=False)
     deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
     hub = (
         deg.select(
@@ -17263,7 +17380,11 @@ def jaccard_threshold_sensitivity(
     from rocketmq_flink_spark.operators.dedup import exploded_shingles
 
     docs = load_tables(spark, sf_dir)["documents"]
-    sh = exploded_shingles(docs, "doc_id", "text", k=5)
+    # sh feeds three subtrees (sizes + both self-join sides): one cut
+    # stops the shingle explode running 3x per action (optimization r08)
+    sh = exploded_shingles(docs, "doc_id", "text", k=5).localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc").alias("id_a"), "sh")
     b = sh.select(F.col("doc").alias("id_b"), "sh")
@@ -18287,6 +18408,10 @@ def slope_one_brand_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("u"), F.col("p_brand").alias("it")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("rt"))
+        # the ratings aggregation over orders x lineitem x part feeds
+        # FIVE subtrees (both deviation sides, the eval-user pick, the
+        # scoring join, the rated anti-join): one cut (optimization r08)
+        .localCheckpoint(eager=False)
     )
     a = r.select(F.col("u"), F.col("it").alias("i"), F.col("rt").alias("ra"))
     b = r.select(F.col("u"), F.col("it").alias("j"), F.col("rt").alias("rb"))
@@ -19426,17 +19551,20 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(
         F.unix_micros("ts"), "event_id"
     )
+    # r0 (the user-keyed window pass) and pk each feed two consumers:
+    # cuts so the events window runs once per action (optimization r08)
     r0 = ev.select(
         "user_id",
         F.when(F.col("event_type") == "purchase", "CONV")
         .otherwise(F.col("event_type"))
         .alias("m"),
         F.row_number().over(w).alias("rk"),
-    )
+    ).localCheckpoint(eager=False)
     pk = (
         r0.where(F.col("m") == "CONV")
         .groupBy("user_id")
         .agg(F.min("rk").alias("prk"))
+        .localCheckpoint(eager=False)
     )
     j = r0.join(pk, "user_id", "left").where(
         F.col("prk").isNull() | (F.col("rk") <= F.col("prk"))
@@ -19703,13 +19831,20 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(
         F.unix_micros("ts"), "event_id"
     )
+    # r0 (the user-keyed window pass) and pk each feed two consumers:
+    # cuts so the events window runs once per action (optimization r08)
     r0 = ev.select(
         "user_id",
         F.when(F.col("event_type") == "purchase", "CONV")
         .otherwise(F.col("event_type"))
         .alias("m"),
         F.row_number().over(w).alias("rk"),
-    )
+    ).localCheckpoint(eager=False)
+    # pk is NOT cut: as an RDD leaf its size statistics vanish and the
+    # r0 x pk left join degrades from broadcast to sort-merge (measured
+    # 1.6 -> 8.5 s with pk/v cut); recomputing pk from the r0 leaf is
+    # one cheap aggregation (optimization r08 — see the A/B note in
+    # OPTIMIZATION_r08.md)
     pk = (
         r0.where(F.col("m") == "CONV")
         .groupBy("user_id")
@@ -21011,6 +21146,12 @@ def encoding_size_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[(F.lit(1) + F.sum(f"chg_{c}")).alias(f"runs_{c}") for c in cols],
         *[F.countDistinct(c).alias(f"d_{c}") for c in cols],
     )
+    # r is ONE row consumed by five selectExpr branches below; without
+    # a lineage cut the whole prefix + self-join pipeline is duplicated
+    # per branch (260 Exchanges / 60 lineitem scans at baseline) and
+    # exchange reuse doesn't collapse the differently-projected copies
+    # (optimization r08, guide §3.3: truncate the plan)
+    r = r.localCheckpoint(eager=False)
     specs = [
         ("l_returnflag", 1, "rf"),
         ("l_linestatus", 1, "ls"),
@@ -21132,6 +21273,7 @@ def retrieval_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rocketmq_flink_spark.operators.retrieval import (
         bm25_topk,
         corpus_tokens,
+        postings,
         query_likelihood_topk,
     )
 
@@ -21147,21 +21289,27 @@ def retrieval_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # tokenize + count the corpus ONCE and hand both to both scorers:
     # BM25's total_len and QL's collection length are the same scalar,
-    # so the two scorers' separate counting actions collapse to one
+    # so the two scorers' separate counting actions collapse to one —
+    # and the POSTINGS (doc, dl, term, tf) are likewise built once and
+    # passed to both (optimization r08): previously each scorer rebuilt
+    # them inline in two subtrees each, so the corpus tokenized 4x in
+    # the timed action on top of the stats scan (9 document scans, 50
+    # Exchanges, zero reuse in the before plan)
     shared = corpus_tokens(docs)
     row = shared.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("l")
     ).collect()[0]
     n_docs, cl = int(row["n"]), int(row["l"] or 0)
+    tf = postings(shared)
     a = (
         bm25_topk(docs, queries, k=1_000_000, toks=shared,
-                  stats=(n_docs, cl))
+                  stats=(n_docs, cl), tf_postings=tf)
         .where(F.col("query_id") == F.col("doc_id"))
         .select("query_id", F.col("rank").cast("long").alias("rank_bm25"))
     )
     b = (
         query_likelihood_topk(docs, queries, k=1_000_000, toks=shared,
-                              cl=cl)
+                              cl=cl, tf_postings=tf)
         .where(F.col("query_id") == F.col("doc_id"))
         .select("query_id", F.col("rank").cast("long").alias("rank_ql"))
     )

@@ -198,11 +198,23 @@ def test_bloom_probe_is_pure_expression_no_gram_join_shuffle(spark):
 
 def test_fuzzy_pairs_no_cartesian_and_hashed_join(spark):
     # the SymSpell blocking must be a hash equi-join on the variant
-    # hash — never a cartesian/broadcast-nested-loop over names
-    plan = _plan(REGISTRY["fuzzy_name_matches"].fn(spark, SF))
+    # hash — never a cartesian/broadcast-nested-loop over names.
+    # Asserted on the OPERATOR frame: the catalog query lineage-cuts
+    # the pair table (optimization r08), so the query's own explain
+    # truncates at an RDD leaf and no longer shows the blocking join —
+    # the operator plan is where the protected shape lives.
+    from rocketmq_flink_spark.operators.fuzzy import edit_distance_pairs
+    from rocketmq_flink_spark.session import load_tables
+
+    cust = load_tables(spark, SF)["customer"]
+    plan = _plan(edit_distance_pairs(cust, "c_name"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "xxhash64" in plan  # join key is the 8-byte variant hash
+    # and the query on top must not reintroduce a cartesian downstream
+    qplan = _plan(REGISTRY["fuzzy_name_matches"].fn(spark, SF))
+    assert "CartesianProduct" not in qplan
+    assert "BroadcastNestedLoopJoin" not in qplan
 
 
 def test_copurchase_topk_is_take_ordered(spark):
