@@ -291,13 +291,27 @@ def main() -> None:
 
 def output_lines(total, queries, reps, spread, extra, sf) -> list[str]:
     """The bench artifact contract, as a pure (testable) function: the
-    full JSON line first, then a SHORT summary line LAST. The driver
-    stores only the TAIL of stdout, so the giant line can lose its head
-    (and with it the headline value — BENCH_r04/r05 did); the summary
-    line guarantees the stored artifact always retains the gate number.
-    tests/test_queries.py pins both lines parseable with matching
-    headline values."""
+    full JSON line first, then one COMPACT per-query line each, then a
+    summary line LAST. The driver stores only the last ~2000 chars of
+    stdout, so the giant first line can lose its head (BENCH_r04/r05
+    did) and in r08 the per-query map was lost entirely, leaving the
+    driver's PERF comparison blind (n_common=0). Round-9 fix (VERDICT
+    r8 item 1): (a) the summary line now carries the full headline
+    per-query map — 22 queries, well inside the tail budget — so the
+    driver's parsed artifact always has per-query data; (b) every
+    query (headline + extra) additionally gets its own one-line JSON
+    record {"q": name, "s": sec}, emitted in ASCENDING cost order so
+    the most expensive queries sit closest to the end of stdout and
+    survive tail truncation preferentially. tests/test_queries.py pins
+    the contract: every line independently parseable, summary last,
+    matching headline values."""
     extra_total = round(sum(extra.values()), 3)
+    per_query = [
+        json.dumps({"q": n, "s": s}, separators=(",", ":"))
+        for n, s in sorted(
+            list(queries.items()) + list(extra.items()), key=lambda kv: kv[1]
+        )
+    ]
     return [
         json.dumps(
             {
@@ -312,6 +326,7 @@ def output_lines(total, queries, reps, spread, extra, sf) -> list[str]:
                 "sf": sf,
             }
         ),
+        *per_query,
         json.dumps(
             {
                 "metric": "headline_queries_total",
@@ -319,9 +334,11 @@ def output_lines(total, queries, reps, spread, extra, sf) -> list[str]:
                 "unit": "sec",
                 "sf": sf,
                 "reps": reps,
+                "queries": queries,
                 "extra_total": extra_total,
                 "note": "summary of the full line above",
-            }
+            },
+            separators=(",", ":"),
         ),
     ]
 

@@ -42,10 +42,14 @@ def test_entry_contract(spark):
 
 
 def test_bench_artifact_tail_carries_headline():
-    """The bench artifact contract (VERDICT r5 item 2): bench.py's LAST
-    stdout line must be a short parseable JSON summary whose headline
-    value matches the full first line — the driver stores only the tail
-    of stdout, so this is what keeps the gate number in BENCH_r*.json."""
+    """The bench artifact contract (VERDICT r5 item 2 + r8 item 1):
+    bench.py's LAST stdout line must be a parseable JSON summary whose
+    headline value matches the full first line AND carry the headline
+    per-query map (the driver stores only the last ~2000 chars of
+    stdout, and in r08 its PERF comparison ran blind because no
+    surviving line had per-query data). Between the full line and the
+    summary, every query gets a one-line {"q","s"} record in ascending
+    cost order so the expensive ones survive truncation first."""
     import json
 
     import bench
@@ -58,16 +62,33 @@ def test_bench_artifact_tail_carries_headline():
         extra={"x": 2.0, "y": 3.5},
         sf=0.1,
     )
-    assert len(lines) == 2
-    full, summary = (json.loads(line) for line in lines)
+    assert len(lines) == 2 + 3  # full + 3 per-query records + summary
+    full, summary = json.loads(lines[0]), json.loads(lines[-1])
     assert full["metric"] == summary["metric"] == "headline_queries_total"
     assert full["value"] == summary["value"] == 9.579
     assert full["extra_total"] == summary["extra_total"] == 5.5
-    # the summary must stay SHORT (survive tail truncation comfortably)
-    # and self-identifying
-    assert len(lines[1]) < 300
     assert "summary" in summary["note"]
-    assert "queries" in full and "queries" not in summary
+    # the summary carries the headline per-query map (driver-parseable
+    # even when everything before it is truncated away)
+    assert summary["queries"] == full["queries"] == {"q1": 1.0}
+    # per-query records: each independently parseable, ascending cost
+    recs = [json.loads(line) for line in lines[1:-1]]
+    assert recs == [
+        {"q": "q1", "s": 1.0},
+        {"q": "x", "s": 2.0},
+        {"q": "y", "s": 3.5},
+    ]
+    # with the real 22-query headline set the summary stays well inside
+    # the ~2000-char tail the driver stores
+    real = bench.output_lines(
+        total=9.579,
+        queries={n: 1.234 for n in bench.HEADLINE},
+        reps=5,
+        spread={},
+        extra={n: 1.234 for n in bench.EXTRA},
+        sf=0.1,
+    )
+    assert len(real[-1]) < 1200
 
 
 def test_media_anchor_plants_all_eight_jpeg_modes():
