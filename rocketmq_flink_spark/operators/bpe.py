@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from rocketmq_flink_spark.operators.lineage import cut
 from pyspark.sql import types as T
 
 
@@ -211,9 +213,7 @@ def train_bpe(
         # of higher-order aggregate folds, which Catalyst re-analyzes
         # catastrophically slowly if anything downstream recomputes it
         # (measured: 18 s vs ~1 s for the corpus-segmentation report).
-        nxt = vocab.select("w", "c", col.alias("syms")).localCheckpoint(
-            eager=False
-        )
+        nxt = cut(vocab.select("w", "c", col.alias("syms")), big=True)
         if first:
             vocab.unpersist()  # release the char-split cache (v0)
             first = False

@@ -34,6 +34,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from rocketmq_flink_spark.operators.lineage import cut
+
 
 def normalize_text(col: Column) -> Column:
     """Canonical text form for dedup: lowercase, strip punctuation,
@@ -193,7 +195,7 @@ def ngram_jaccard_pairs(
     if cache_level is None:
         # same three-consumer shape as containment_pairs: unpersisted,
         # the shingle explode re-ran per subtree (optimization r08)
-        sh = sh.localCheckpoint(eager=False)
+        sh = cut(sh, big=True)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -527,7 +529,7 @@ def lsh_capture_report(
     # the 64-hash signature pass feeds both sides of the band
     # self-join: cut once (optimization r08)
     banded = banded_signatures(sigs, id_col, bands, num_hashes)
-    banded = banded.localCheckpoint(eager=False)
+    banded = cut(banded, big=True)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -602,8 +604,8 @@ def connected_components(
                 F.col(dst_col).alias("_s"), F.col(src_col).alias("_d")
             )
         )
-        .localCheckpoint(eager=True)
     )
+    sym = cut(sym, big=True, eager=True)
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
     ).cache()
@@ -1126,7 +1128,7 @@ def containment_pairs(
         # self-join); unpersisted, the shingle explode + hot-set
         # anti-join re-ran per subtree (optimization r08 — lineage cut
         # instead of a persist so no caller-side unpersist contract)
-        sh = sh.localCheckpoint(eager=False)
+        sh = cut(sh, big=True)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -1146,7 +1148,8 @@ def containment_pairs(
     ).join(
         sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b")),
         "id_b",
-    ).localCheckpoint(eager=False)
+)
+    joined = cut(joined, big=True)
 
     def _direction(contained, container, n_c):
         return joined.where(

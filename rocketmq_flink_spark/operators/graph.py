@@ -21,14 +21,19 @@ Scale shape per iteration: one hash join edges x scores on src (scores
 is node-sized, edges the big side), one map-side-combinable groupBy on
 dst, one left join back to the node set. No driver synchronization at
 all — the iteration count is fixed, so the whole run is one lazy plan
-of 3k joins... truncated by per-iteration localCheckpoint when `iters`
-is large (default off below 8 iterations, where plain lineage is fine).
+of a few joins per round over two materialized leaves: every iterative
+operator here cuts lineage ONCE at loop entry (operators/lineage.cut —
+the r08 scheme; without it round t's plan nests round t-1's, so
+analysis and per-action physical planning grow ~2^rounds). See
+operators/lineage.py for the multi-node fault-tolerance knobs.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from rocketmq_flink_spark.operators.lineage import cut
 
 SCALE = 1_000_000
 
@@ -44,7 +49,10 @@ def pagerank_integer(
     (node, score) with score in micro-units. Every node must have
     out-degree >= 1 (feed an undirected graph as both edge
     directions); dangling-node mass is simply dropped, as in the
-    teleport-only formulation."""
+    teleport-only formulation. NOTE the node set is derived from the
+    out-degree keys: a contract-violating node with only in-edges is
+    ABSENT from the output (it would otherwise appear with teleport +
+    incoming mass) — silent on violation, by design of the contract."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # contract: every node has out-degree >= 1, so the node set IS the
     # out-degree aggregation's key set — deriving it there removes a
@@ -58,8 +66,8 @@ def pagerank_integer(
     # cutting the lineage at loop entry makes each round's plan a few
     # nodes over two leaves (optimization r08 — measured the dominant
     # per-run cost on the co-purchase graph family)
-    ed = ed.localCheckpoint(eager=False)
-    nodes = nodes.localCheckpoint(eager=False)
+    ed = cut(ed, big=True)
+    nodes = cut(nodes, big=True)
     scores = nodes.select("node", F.lit(scale).cast("long").alias("score"))
     base = (15 * scale) // 100
     for i in range(iters):
@@ -115,7 +123,9 @@ def personalized_pagerank(
     every division floored in BIGINT — bit-deterministic and
     SQL-replayable. Same scale shape per iteration as pagerank_integer
     (one edges x scores hash join, one map-side-combinable groupBy,
-    one node-sized left join); no driver sync."""
+    one node-sized left join); no driver sync. Same node-set contract
+    and caveat as pagerank_integer: nodes without out-edges are absent
+    from the output."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # same contract as pagerank_integer (every node has out-degree
     # >= 1): the node set is deg's key set — no union+distinct pass
@@ -129,8 +139,8 @@ def personalized_pagerank(
         "node", F.coalesce(F.col("is_seed"), F.lit(0)).alias("is_seed")
     )
     # same loop-entry lineage cut as pagerank_integer (optimization r08)
-    ed = ed.localCheckpoint(eager=False)
-    nodes = nodes.localCheckpoint(eager=False)
+    ed = cut(ed, big=True)
+    nodes = cut(nodes, big=True)
     scores = nodes.select(
         "node", (F.col("is_seed") * scale).cast("long").alias("score")
     )
@@ -188,6 +198,9 @@ def triangle_count(
     co-purchase support pairs, which come out of a groupBy(p1, p2)
     with p1 < p2 by construction) — skips the least/greatest+distinct
     canonicalization pass, removing a full exchange of the edge list.
+    The guarantee is TRUSTED: duplicate rows or a >= b rows silently
+    inflate degrees and triangle counts — only set it when the
+    producing plan enforces uniqueness and a < b structurally.
     with_degree: also emit the (canonical-edge) `degree` column the
     orientation step computes anyway, so callers that need degree
     don't rebuild the same aggregation and join it back on.
@@ -205,7 +218,7 @@ def triangle_count(
         )
     # e appears three times below (both degree branches + the
     # orientation join): cut its lineage once (optimization r08)
-    e = e.localCheckpoint(eager=False)
+    e = cut(e, big=True)
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
@@ -235,7 +248,7 @@ def triangle_count(
     )
     # three consumers (both wedge sides + the closer probe) re-plan the
     # oriented pipeline per action without this cut (optimization r08)
-    oriented = oriented.localCheckpoint(eager=False)
+    oriented = cut(oriented, big=True)
     w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
     w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
     wedges = w1.join(w2, "u").where(F.col("x") < F.col("y"))
@@ -298,7 +311,7 @@ def label_propagation(
         .distinct()
     )
     # loop-entry lineage cut (optimization r08 — see pagerank_integer)
-    e = e.localCheckpoint(eager=False)
+    e = cut(e, big=True)
     labels = e.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").cast("long").alias("lab")
     )
@@ -365,10 +378,10 @@ def bfs_hops(
     # the state ∪ step loop duplicates the edge subplan ~2^max_hops
     # times in the analyzed plan; one lineage cut keeps planning linear
     # (optimization r08 — see sssp_bounded)
-    e = e.localCheckpoint(eager=False)
-    dist = seeds.select(
+    e = cut(e, big=True)
+    dist = cut(seeds.select(
         F.col(seed_col).alias("node"), F.lit(0).cast("int").alias("dist")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct())
     for t in range(1, max_hops + 1):
         step = (
             e.join(dist, e["a"] == dist["node"])
@@ -416,10 +429,10 @@ def sssp_bounded(
     # a deep edge pipeline (the co-purchase kernel) Catalyst analysis
     # and per-action physical planning pay that factor. One lineage
     # cut turns the duplicated subplan into a leaf (optimization r08).
-    e = e.localCheckpoint(eager=False)
-    dist = seeds.select(
+    e = cut(e, big=True)
+    dist = cut(seeds.select(
         F.col(seed_col).alias("node"), F.lit(0).cast("long").alias("dist")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct())
     for _ in range(rounds):
         step = e.join(dist, e["a"] == dist["node"]).select(
             F.col("b").alias("node"),
@@ -459,12 +472,12 @@ def bfs_hops_per_seed(
         .distinct()
     )
     # same lineage cut as bfs_hops/sssp_bounded (optimization r08)
-    e = e.localCheckpoint(eager=False)
-    dist = seeds.select(
+    e = cut(e, big=True)
+    dist = cut(seeds.select(
         F.col(seed_col).alias("seed"),
         F.col(seed_col).alias("node"),
         F.lit(0).cast("int").alias("dist"),
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct())
     for t in range(1, max_hops + 1):
         step = e.join(dist, e["a"] == dist["node"]).select(
             "seed",

@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from rocketmq_flink_spark.operators.lineage import cut
+
 FP_BITS = 20
 
 
@@ -123,7 +125,7 @@ def corpus_tokens(
     ).withColumn("dl", F.size("tk"))
 
 
-def postings(toks: DataFrame) -> DataFrame:
+def postings(toks: DataFrame, terms: DataFrame | None = None) -> DataFrame:
     """(doc, dl, term, tf) postings from a tokenized corpus — the
     expensive explode + map-side-combined count both scorers build.
     Lineage-cut here (optimization r08): within ONE scorer the postings
@@ -131,17 +133,25 @@ def postings(toks: DataFrame) -> DataFrame:
     candidate join), and the tokenize + explode + count pipeline above
     them was re-planned and re-executed once per subtree (the before
     plans show 4-6 full document scans per scorer query, zero exchange
-    reuse). localCheckpoint(eager=False) materializes the postings once
-    per run — four narrow columns, executor-local, built inside the
-    timed action (nothing is reused across runs: every fn() call makes
-    a fresh checkpoint). Callers running SEVERAL scorers build this
-    once and pass it via `tf_postings=` so the corpus tokenizes exactly
-    once per query."""
-    return (
-        toks.select("doc", "dl", F.explode("tk").alias("term"))
-        .groupBy("doc", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+    reuse). The lazy cut materializes the postings once per run — four
+    narrow columns, built inside the timed action (nothing is reused
+    across runs: every fn() call makes a fresh checkpoint). Callers
+    running SEVERAL scorers build this once and pass it via
+    `tf_postings=` so the corpus tokenizes exactly once per query.
+
+    terms: optional single-column ("term") frame of the query
+    vocabulary. When given, exploded tokens are pruned to it BEFORE the
+    (doc, dl, term) count (guide §3.2 / §2.3: the scorers only ever
+    consume postings of query terms, so the corpus-wide shuffle shrinks
+    to the panel's postings — per-term tf/df/cf over the survivors are
+    bit-identical to the unpruned aggregate). The term set must be
+    panel-bounded (it broadcasts)."""
+    ex = toks.select("doc", "dl", F.explode("tk").alias("term"))
+    if terms is not None:
+        ex = ex.join(F.broadcast(terms.select("term").distinct()), "term")
+    return cut(
+        ex.groupBy("doc", "dl", "term").agg(F.count(F.lit(1)).alias("tf")),
+        big=True,
     )
 
 
@@ -175,13 +185,6 @@ def bm25_topk(
         ).collect()[0]
         stats = (int(row["n"]), int(row["l"] or 0))
     n_docs, total_len = stats
-    tf = tf_postings if tf_postings is not None else postings(toks)
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = dfreq.selectExpr(
-        "term",
-        fp_log2_sql(f"CAST({2 * n_docs + 2} AS BIGINT)", "(2*df + 1)")
-        + " AS idf_fp",
-    )
     qterms = (
         queries.selectExpr(
             f"{qid_col} AS qid", _tokens(qtext_col) + " AS qtk"
@@ -189,6 +192,31 @@ def bm25_topk(
         .select("qid", F.explode("qtk").alias("term"))
         .distinct()
     )
+    # Prune the postings to the query vocabulary BEFORE the df
+    # aggregation (guide §3.2 semi-join pre-filter): df/idf are only
+    # ever consumed for terms that appear in a query, so aggregating
+    # the full corpus vocabulary shuffles |vocab| groups to feed a
+    # panel-sized join. The query-term set is panel-bounded by module
+    # contract (retrieval panels, not corpus-scale), so it broadcasts;
+    # df for the surviving terms is computed over ALL their postings —
+    # bit-identical to the full-vocabulary aggregate (optimization r09).
+    # Building our own postings pushes the prune below the (doc, dl,
+    # term) count, shrinking that shuffle to the panel's postings too.
+    if tf_postings is not None:
+        tfq = tf_postings.join(
+            F.broadcast(qterms.select("term").distinct()), "term"
+        )
+    else:
+        tfq = postings(toks, terms=qterms)
+    dfreq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # panel-bounded and built from a lineage-cut frame (no Catalyst
+    # size stats): pin the broadcast so the score join never degrades
+    # to sort-merge (the r08 shapley lesson, VERDICT item 4)
+    idf = F.broadcast(dfreq.selectExpr(
+        "term",
+        fp_log2_sql(f"CAST({2 * n_docs + 2} AS BIGINT)", "(2*df + 1)")
+        + " AS idf_fp",
+    ))
     # wtf6 = half_up(22*tf*L * 1e6 / (10*L*tf + 3*L + 9*dl*N)) — the
     # k1=1.2 / b=0.75 saturation multiplied through to integers
     dec = "decimal(38,0)"
@@ -201,7 +229,7 @@ def bm25_topk(
         + F.lit(9 * n_docs).cast(dec) * F.col("dl").cast(dec)
     )
     scored = (
-        qterms.join(tf, "term")
+        qterms.join(tfq, "term")
         .join(idf, "term")
         .withColumn("_num", num)
         .withColumn("_den", den)
@@ -284,8 +312,6 @@ def query_likelihood_topk(
                 F.lit(0).cast("int").alias("rank"),
             )
         )
-    tf = tf_postings if tf_postings is not None else postings(toks)
-    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
     qterms = (
         queries.selectExpr(
             f"{qid_col} AS qid", _tokens(qtext_col) + " AS qtk"
@@ -293,12 +319,22 @@ def query_likelihood_topk(
         .select("qid", F.explode("qtk").alias("term"))
         .distinct()
     )
+    # prune postings to the panel-bounded query vocabulary BEFORE the
+    # collection-frequency aggregation (guide §3.2; see bm25_topk —
+    # cf over the surviving terms sums ALL their postings, so values
+    # are bit-identical to the full-vocabulary aggregate), and pin the
+    # panel-sized cf broadcast (optimization r09)
+    if tf_postings is not None:
+        tfq = tf_postings.join(
+            F.broadcast(qterms.select("term").distinct()), "term"
+        )
+    else:
+        tfq = postings(toks, terms=qterms)
+    cf = F.broadcast(tfq.groupBy("term").agg(F.sum("tf").alias("cf")))
     # cand feeds TWO subtrees (the distinct-triple tick fold and the
     # score join); one cut keeps the qterms x postings x cf join from
     # running twice per action (optimization r08)
-    cand = qterms.join(tf, "term").join(cf, "term").localCheckpoint(
-        eager=False
-    )
+    cand = cut(qterms.join(tfq, "term").join(cf, "term"), big=True)
     # the 20-step fixed-point fold is the expensive expression: run it
     # once per DISTINCT (cf, dl, tf) triple (vocabulary x length x tf
     # bounded), not once per candidate row — the same

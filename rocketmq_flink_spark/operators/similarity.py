@@ -32,6 +32,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from rocketmq_flink_spark.operators.lineage import cut
+
 
 def _dec(col) -> Column:
     # float -> double -> decimal via the engine-stable floor formula:
@@ -1284,7 +1286,7 @@ def kcenter_coreset(
 
     state = c.withColumn("dmin", l2_sq(F.col("v"), center_lit(seed["v"])))
     for rank in range(2, k + 1):
-        state = state.localCheckpoint(eager=False)
+        state = cut(state, big=True)
         nxt = (
             state.orderBy(
                 F.round(F.col("dmin"), 12).desc(), F.col("vid")
@@ -1374,8 +1376,8 @@ def mmr_select(
     state = (
         r.orderBy(F.round(F.col("rd"), 12).asc(), F.col("vid"))
         .limit(pool)
-        .localCheckpoint(eager=False)
     )
+    state = cut(state)
     first = (
         state.orderBy(F.round(F.col("rd"), 12).asc(), F.col("vid"))
         .limit(1)
@@ -1392,7 +1394,7 @@ def mmr_select(
         "dmin", l2_sq(F.col("v"), center_lit(first["v"]))
     )
     for rank in range(2, k + 1):
-        state = state.localCheckpoint(eager=False)
+        state = cut(state)
         nxt = (
             state.withColumn("gain", F.col("dmin") - F.col("rd"))
             .orderBy(F.round(F.col("gain"), 12).desc(), F.col("vid"))
@@ -1467,8 +1469,8 @@ def facility_location_select(
         .orderBy("_h", "vid")
         .limit(pool)
         .select(F.col("vid").alias("cand"), F.col("v").alias("cv"))
-        .localCheckpoint(eager=False)
     )
+    pool_df = cut(pool_df)
 
     def center_lit(vec) -> Column:
         return F.array(
@@ -1517,7 +1519,8 @@ def facility_location_select(
                     F.col("best"),
                     dot_dec(F.col("v"), center_lit(cv)).cast(acc_t),
                 ),
-            ).localCheckpoint(eager=False)
+            )
+            state = cut(state, big=True)
     return corpus.sparkSession.createDataFrame(
         chosen, "rank INT, vec_id BIGINT, coverage_gain DOUBLE"
     )

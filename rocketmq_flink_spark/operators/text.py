@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from rocketmq_flink_spark.operators.lineage import cut
+
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 # Order matters: ties broken by list order (documented, deterministic).
 STOPWORDS = {
@@ -530,16 +532,16 @@ def vocab_coverage(
     # stc feeds THREE subtrees (per-stratum rollup, per-token stratum
     # counts, the exclusivity join) and tokl two — without the cuts the
     # n-gram explode re-ran per consumer (optimization r08)
-    stc = toks.groupBy("stratum", "tok").agg(
+    stc = cut(toks.groupBy("stratum", "tok").agg(
         F.count(F.lit(1)).alias("cnt")
-    ).localCheckpoint(eager=False)
+    ), big=True)
     per = stc.groupBy("stratum").agg(
         F.sum("cnt").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_distinct"),
     )
-    tokl = stc.groupBy("tok").agg(
+    tokl = cut(stc.groupBy("tok").agg(
         F.count(F.lit(1)).alias("n_strata")
-    ).localCheckpoint(eager=False)
+    ), big=True)
     vocab = tokl.agg(F.count(F.lit(1)).alias("corpus_vocab"))
     # NOT broadcast: at web scale the single-stratum token set is
     # dominated by hapax legomena (most of the vocabulary) — it shuffle-

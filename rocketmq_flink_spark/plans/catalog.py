@@ -26,7 +26,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from rocketmq_flink_spark.operators.lineage import cut
 from rocketmq_flink_spark.session import load_tables
+
+
+def _cut_big(df: DataFrame) -> DataFrame:
+    """Lineage cut for a frame whose materialized size grows with
+    the input corpus (operators/lineage.py: honors the
+    SPARK_GRAFT_CUT_BIG_LEVEL storage-level knob)."""
+    return cut(df, big=True)
 
 FD = "\x01"
 
@@ -5396,27 +5404,33 @@ def hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag", "l_partkey", "l_orderkey"
         )
     )
-    # hash ONCE: the full and sharded register passes (and the exact
-    # count) previously each re-scanned lineitem and the two register
-    # passes each re-ran the md5 — project (bucket, rho) in one pass,
-    # cut, and aggregate three ways off the same frame (optimization
-    # r08, guide §2.3: the md5 is the map cost, pay it once)
-    bucket, rho = hll_bucket_rho(F.col("l_partkey").cast("string"))
-    hv = li.select(
+    # One full pass, everything downstream key-deduplicated
+    # (optimization r09, guide §2.3/§2.4; r08 hashed once but still ran
+    # THREE corpus-width aggregations off the cut frame):
+    # 1. dedup to the distinct (flag, shard, partkey) triples — one
+    #    map-side-combinable aggregate, the only corpus-width pass;
+    # 2. md5-hash only the SURVIVING keys (≈5x fewer hash evaluations
+    #    than per-row hashing at sf0.1);
+    # 3. sharded registers from the deduped frame; FULL registers by
+    #    register merge (max over shards) — LOSSLESS by the HLL merge
+    #    property, so est_parts is bit-identical to sketching the
+    #    unsharded stream; the exact count re-dedups only across the 2
+    #    shards of already-distinct triples.
+    dk = li.groupBy(
         "l_returnflag",
         (F.col("l_orderkey") % 2).alias("shard"),
         "l_partkey",
-        bucket,
-        rho.alias("rho"),
-    ).localCheckpoint(eager=False)
-    reg_full = hv.groupBy("l_returnflag", "bucket").agg(
-        F.max("rho").alias("m")
-    )
-    est_full = hll_estimate(reg_full, ["l_returnflag"]).withColumnRenamed(
-        "est_distinct", "est_parts"
-    )
+    ).agg(F.count(F.lit(1)).alias("_n")).drop("_n")
+    bucket, rho = hll_bucket_rho(F.col("l_partkey").cast("string"))
+    hv = dk.select(
+        "l_returnflag", "shard", "l_partkey", bucket, rho.alias("rho")
+    ).transform(_cut_big)
     reg_sh = hv.groupBy("l_returnflag", "shard", "bucket").agg(
         F.max("rho").alias("m")
+    ).transform(cut)  # <= |flags| * 2 * 64 rows, two consumers
+    reg_full = hll_merge(reg_sh, ["l_returnflag"])
+    est_full = hll_estimate(reg_full, ["l_returnflag"]).withColumnRenamed(
+        "est_distinct", "est_parts"
     )
     est_merged = hll_estimate(
         hll_merge(reg_sh, ["l_returnflag"]), ["l_returnflag"]
@@ -5875,7 +5889,7 @@ def zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select(
         "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber", "zkey"
-    ).localCheckpoint(eager=False)
+    ).transform(_cut_big)
     from rocketmq_flink_spark.operators.ranking import distributed_ntile
 
     def tiled(name: str, src: DataFrame, bucket_col: str, *order,
@@ -7275,7 +7289,7 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_tables(spark, sf_dir)["customer"]
     # the variant explode + equi-join + levenshtein verify feeds both
     # endpoint union branches: one cut (optimization r08)
-    pairs = edit_distance_pairs(cust, "c_name").localCheckpoint(eager=False)
+    pairs = edit_distance_pairs(cust, "c_name").transform(_cut_big)
     per = (
         pairs.select(F.col("a").alias("s"))
         .unionAll(pairs.select(F.col("b").alias("s")))
@@ -7629,10 +7643,10 @@ def hll_set_algebra_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir)["events"]
         .where(F.col("event_type").isin("click", "purchase"))
         .select("event_type", "user_id")
-    ).localCheckpoint(eager=False)
+    ).transform(_cut_big)
     uid = F.col("user_id").cast("string")
-    reg = hll_registers(ev, uid, ["event_type"]).localCheckpoint(eager=False)
-    est = hll_estimate(reg, ["event_type"]).localCheckpoint(eager=False)
+    reg = hll_registers(ev, uid, ["event_type"]).transform(cut)
+    est = hll_estimate(reg, ["event_type"]).transform(cut)
     ea = est.where(F.col("event_type") == "click").select(
         F.col("est_distinct").alias("est_clickers")
     )
@@ -9203,7 +9217,7 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the tokenize + explode + md5-hash stream feeds THREE subtrees
     # (corpus counts, target counts, per-doc scoring): one cut
     # (optimization r08)
-    ).localCheckpoint(eager=False)
+    ).transform(_cut_big)
     tgtdf = docs.agg(F.min("source").alias("tgt"))
     cq = occ.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
     ct = (
@@ -9221,7 +9235,7 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # 8192 rows, two consumers (per-bucket ticks + the total-mass
         # constant): cut so the bucket aggregations run once
-        .localCheckpoint(eager=False)
+        .transform(cut)
     )
     sb = bk.selectExpr(
         "b", signed_fp_log2_sql("a", "c") + " AS sb"
@@ -10031,7 +10045,7 @@ def item_similarity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # union branches + the final join): one cut (optimization r08)
     sup = copurchase_support(spark, sf_dir).where(
         F.col("s") >= 2
-    ).localCheckpoint(eager=False)
+    ).transform(_cut_big)
     dw = (
         sup.select(F.col("p1").alias("n"), "s")
         .unionAll(sup.select(F.col("p2").alias("n"), "s"))
@@ -10207,10 +10221,10 @@ def degree_assortativity_copurchase(spark: SparkSession, sf_dir: str) -> DataFra
     # AND the endpoint-join base — two cuts (optimization r08)
     sup = copurchase_support(spark, sf_dir).where(
         F.col("s") >= 2
-    ).localCheckpoint(eager=False)
+    ).transform(_cut_big)
     e = sup.select(F.col("p1").alias("a"), F.col("p2").alias("b")).unionAll(
         sup.select(F.col("p2").alias("a"), F.col("p1").alias("b"))
-    ).localCheckpoint(eager=False)
+    ).transform(_cut_big)
     deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
     da = deg.select(F.col("a"), F.col("d").alias("x"))
     db = deg.select(F.col("a").alias("b"), F.col("d").alias("y"))
@@ -10857,7 +10871,7 @@ def _nb_frames(
     # the hashed occurrence stream once per run (4 narrow columns,
     # executor-local) — the hilbert/conformal discipline, applied to
     # the shared scan instead of a derived frame (optimization r08).
-    occ = occ.localCheckpoint(eager=False)
+    occ = occ.transform(_cut_big)
     trn = occ.where(~F.col("is_test"))
     tst = occ.where(F.col("is_test"))
     counts, priors = nb_train(trn, B)
@@ -10902,7 +10916,7 @@ def nb_confidence_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONCE (tiny: 4 columns x test docs) so the broadcast-scored NB
     # pipeline isn't re-evaluated per pass — the hilbert_layout_report
     # discipline
-    top2 = top2.localCheckpoint(eager=False)
+    top2 = top2.transform(_cut_big)
     qt = distributed_ntile(
         top2, ["margin", "doc"], "margin", tiles=4, out="quartile"
     )
@@ -11909,10 +11923,10 @@ def kcore_peeling_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s") >= 2)
         .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
     )
-    e = (
+    e = cut(
         sup.selectExpr("src AS a", "dst AS b2")
-        .unionAll(sup.selectExpr("dst AS a", "src AS b2"))
-        .localCheckpoint()
+        .unionAll(sup.selectExpr("dst AS a", "src AS b2")),
+        big=True, eager=True,
     )
     stats = []
     for t in range(1, 9):
@@ -11929,8 +11943,8 @@ def kcore_peeling_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b2") == F.col("node2"),
                 "left_semi",
             )
-            .localCheckpoint()
         )
+        e = cut(e, big=True, eager=True)
         stats.append(
             e.agg(
                 F.countDistinct("a").cast("long").alias("n_nodes"),
@@ -12427,7 +12441,7 @@ def lang_similarity_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the trigram explode (the CPU stage) feeds THREE subtrees (totals
     # + both pair-join sides); one cut over the vocabulary-bounded
     # count table stops it running 3x per action (optimization r08)
-    ).localCheckpoint(eager=False)
+    ).transform(cut)
     tot = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
     a = cnt.select(
         F.col("lang").alias("l1"), "g", F.col("c").alias("cp")
@@ -12684,7 +12698,7 @@ def psi_drift_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (150 Exchanges / 32 order scans at baseline; optimization r08)
     edges = ed.agg(
         F.array_sort(F.collect_list("ev")).alias("earr")
-    ).localCheckpoint(eager=False)
+    ).transform(cut)
 
     def binned(df):
         return (
@@ -12709,7 +12723,7 @@ def psi_drift_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # ten rows, two consumers (the np/nq totals and the term
         # projection): cut so the binning scans run once
-        .localCheckpoint(eager=False)
+        .transform(cut)
     )
     tt = cnt.agg(
         F.sum("cp").cast("long").alias("np"),
@@ -13397,7 +13411,7 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         # branches of e + the non-adjacency anti-join); one cut stops
         # it re-running per consumer (78 Exchanges / 13 lineitem scans
         # at baseline; optimization r08)
-        .localCheckpoint(eager=False)
+        .transform(_cut_big)
     )
     e = sup.select(F.col("p1").alias("z"), F.col("p2").alias("u")).unionAll(
         sup.select(F.col("p2").alias("z"), F.col("p1").alias("u"))
@@ -13421,7 +13435,7 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once so the degree-capped weighted adjacency builds once
     ez = e.join(deg.where(F.col("d") <= 64), "z").join(
         F.broadcast(wt), "d"
-    ).localCheckpoint(eager=False)
+    ).transform(_cut_big)
     e2 = ez.select(F.col("z"), F.col("u").alias("b2"), "w")
     cand = ez.select("z", "u").join(e2, "z").where(F.col("u") < F.col("b2"))
     nonadj = cand.join(
@@ -14249,7 +14263,7 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directions (optimization r08)
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    ).localCheckpoint(eager=False)
+    ).transform(_cut_big)
     nb = baskets.agg(F.count(F.lit(1)).cast(dec).alias("nbk"))
     itm = (
         baskets.select(F.explode("ps").alias("p"))
@@ -14266,7 +14280,7 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(Window.orderBy(F.col("s").desc(), "p1", "p2"))
         .alias("pr_rank"),
-    ).where(F.col("pr_rank") <= 20).localCheckpoint(eager=False)
+    ).where(F.col("pr_rank") <= 20).transform(cut)
     rules = top.select(
         F.col("p1").alias("antecedent"),
         F.col("p2").alias("consequent"),
@@ -14425,7 +14439,7 @@ def user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discipline).
     ut = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    ).localCheckpoint(eager=False)
+    ).transform(_cut_big)
     cdv = ut.select("c").distinct().selectExpr(
         "c", fp_log2_sql("c", "1") + " AS lgc"
     )
@@ -14433,7 +14447,7 @@ def user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = lg.groupBy("user_id").agg(
         F.sum("c").cast("long").alias("t"),
         F.sum(F.col("c") * F.col("lgc")).cast("long").alias("s"),
-    ).localCheckpoint(eager=False)
+    ).transform(_cut_big)
     tdv = agg.select("t").distinct().selectExpr(
         "t", fp_log2_sql("t", "1") + " AS lgt"
     )
@@ -14526,10 +14540,10 @@ def lpa_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table once (optimization r08)
     labels = label_propagation(sup, iters=4).select(
         F.col("node"), F.col("community").alias("lab")
-    ).localCheckpoint(eager=False)
+    ).transform(_cut_big)
     e = sup.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
         sup.select(F.col("dst").alias("a"), F.col("src").alias("b"))
-    ).localCheckpoint(eager=False)
+    ).transform(_cut_big)
     deg = e.groupBy("a").agg(F.count(F.lit(1)).cast(dec).alias("d"))
     m2 = deg.agg(F.sum("d").cast(dec).alias("m2"))
     l1 = labels.select(F.col("node").alias("a"), F.col("lab").alias("la"))
@@ -15051,17 +15065,17 @@ def copurchase_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # copurchase_support; one cut + reuse (optimization r08)
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    ).localCheckpoint(eager=False)
+    ).transform(_cut_big)
     eb = baskets.where(F.size("ps") >= 2).select(
         "l_orderkey",
         F.element_at("ps", -1).alias("held"),
         F.expr("slice(ps, 1, size(ps) - 1)").alias("ctx"),
     # eb feeds the candidate explode and the n_eval count: cut the
     # small (order, held, ctx) frame
-    ).localCheckpoint(eager=False)
+    ).transform(_cut_big)
     sup = copurchase_support_from_baskets(baskets).where(
         F.col("s") >= 2
-    ).localCheckpoint(eager=False)
+    ).transform(_cut_big)
     co = sup.select(
         F.col("p1").alias("a"), F.col("p2").alias("b2"), "s"
     ).unionAll(
@@ -15083,7 +15097,7 @@ def copurchase_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(~F.array_contains(F.col("ctx"), F.col("b2")))
         .groupBy("l_orderkey", "held", F.col("b2").alias("rec"))
         .agg(F.sum("s").cast("long").alias("score"))
-        .localCheckpoint(eager=False)
+        .transform(_cut_big)
     )
     hs = cand.where(F.col("rec") == F.col("held")).select(
         "l_orderkey", F.col("held").alias("h2"),
@@ -16180,7 +16194,7 @@ def percolation_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cut once so the kernel builds once per run (optimization r08)
     e = sup.select(F.col("p1").alias("a"), F.col("p2").alias("b")).unionAll(
         sup.select(F.col("p2").alias("a"), F.col("p1").alias("b"))
-    ).localCheckpoint(eager=False)
+    ).transform(_cut_big)
     deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
     hub = (
         deg.select(
@@ -16206,7 +16220,7 @@ def percolation_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
         # build drops to ~2 s with bit-identical labels (optimization
         # r08, guide §3.3 "materialise an intermediate to truncate the
         # plan").
-        edges = edges.localCheckpoint(eager=False)
+        edges = edges.transform(_cut_big)
         lab = edges.select(F.col("a").alias("node")).distinct().select(
             "node", F.col("node").alias("lab")
         )
@@ -16220,7 +16234,7 @@ def percolation_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.min("lab").alias("lab"))
             )
             if t % 2 == 0:
-                lab = lab.localCheckpoint(eager=False)
+                lab = lab.transform(_cut_big)
         sz = lab.groupBy("lab").agg(F.count(F.lit(1)).alias("sz"))
         ne = edges.agg(
             F.expr("CAST(COUNT(*) div 2 AS BIGINT)").alias("n_edges")
@@ -16308,7 +16322,7 @@ def markov_stationary_eventtypes(
         F.count(F.lit(1)).cast("long").alias("c")
     )
     rs = m.groupBy("t1").agg(F.sum("c").cast("long").alias("r"))
-    mm = m.join(rs, "t1").localCheckpoint(eager=False)
+    mm = m.join(rs, "t1").transform(cut)
     tt = m.select(F.col("t1").alias("t")).distinct()
     nt = tt.agg(F.count(F.lit(1)).alias("k"))
     v = tt.crossJoin(F.broadcast(nt)).selectExpr(
@@ -16322,7 +16336,7 @@ def markov_stationary_eventtypes(
             .agg(F.sum("contrib").cast("long").alias("v"))
         )
         if i % 8 == 0:
-            v = v.localCheckpoint(eager=False)
+            v = v.transform(cut)
     return (
         v.join(rs, v["t"] == rs["t1"])
         .selectExpr(
@@ -17387,9 +17401,7 @@ def jaccard_threshold_sensitivity(
     docs = load_tables(spark, sf_dir)["documents"]
     # sh feeds three subtrees (sizes + both self-join sides): one cut
     # stops the shingle explode running 3x per action (optimization r08)
-    sh = exploded_shingles(docs, "doc_id", "text", k=5).localCheckpoint(
-        eager=False
-    )
+    sh = _cut_big(exploded_shingles(docs, "doc_id", "text", k=5))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc").alias("id_a"), "sh")
     b = sh.select(F.col("doc").alias("id_b"), "sh")
@@ -18416,7 +18428,7 @@ def slope_one_brand_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the ratings aggregation over orders x lineitem x part feeds
         # FIVE subtrees (both deviation sides, the eval-user pick, the
         # scoring join, the rated anti-join): one cut (optimization r08)
-        .localCheckpoint(eager=False)
+        .transform(_cut_big)
     )
     a = r.select(F.col("u"), F.col("it").alias("i"), F.col("rt").alias("ra"))
     b = r.select(F.col("u"), F.col("it").alias("j"), F.col("rt").alias("rb"))
@@ -18678,14 +18690,14 @@ def ppr_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four consumers (degrees, iteration joins, hub-seed selection,
     # neighbor exclusion) re-plan the co-purchase kernel per action
     # without these cuts (optimization r08)
-    e = e.localCheckpoint(eager=False)
+    e = e.transform(_cut_big)
     seeds = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
         .orderBy(F.desc("deg"), "src")
         .limit(1)
         .select(F.col("src").alias("node"))
-        .localCheckpoint(eager=False)
+        .transform(cut)
     )
     scores = personalized_pagerank(e, seeds, iters=3)
     nbrs = e.join(
@@ -18806,7 +18818,7 @@ def hilbert_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         order=8,
     ).select(
         "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber", "hkey"
-    ).localCheckpoint(eager=False)
+    ).transform(_cut_big)
     zb = base.withColumn(
         "zkey",
         F.expr(
@@ -18818,7 +18830,7 @@ def hilbert_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select(
         "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber", "zkey"
-    ).localCheckpoint(eager=False)
+    ).transform(_cut_big)
 
     from rocketmq_flink_spark.operators.ranking import distributed_ntile
 
@@ -19092,9 +19104,16 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     small = {"part", "supplier", "customer", "nation", "region"}
     # row totals stay IN the plan (crossJoin of 1-row aggregates), not
-    # driver-side .count() actions — the report is one lazy job
+    # driver-side .count() actions — the report is one lazy job. Each
+    # 1-row total is lineage-CUT (optimization r09): lineitem/orders
+    # totals feed 3 checks each, and without the cut every consuming
+    # crossJoin re-ran the full-table count per check (the r08
+    # encoding_size_planning pattern); bounded frame, broadcast pinned
+    # at every use below.
     totals = {
-        name: t[name].agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        name: cut(
+            t[name].agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        )
         for name in {c[1] for c in _RI_FOREIGN_KEYS}
         | {c[1] for c in _RI_UNIQUE_KEYS}
     }
@@ -19564,12 +19583,12 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("event_type"))
         .alias("m"),
         F.row_number().over(w).alias("rk"),
-    ).localCheckpoint(eager=False)
+    ).transform(_cut_big)
     pk = (
         r0.where(F.col("m") == "CONV")
         .groupBy("user_id")
         .agg(F.min("rk").alias("prk"))
-        .localCheckpoint(eager=False)
+        .transform(_cut_big)
     )
     j = r0.join(pk, "user_id", "left").where(
         F.col("prk").isNull() | (F.col("rk") <= F.col("prk"))
@@ -19844,7 +19863,7 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("event_type"))
         .alias("m"),
         F.row_number().over(w).alias("rk"),
-    ).localCheckpoint(eager=False)
+    ).transform(_cut_big)
     # pk is NOT cut: as an RDD leaf its size statistics vanish and the
     # r0 x pk left join degrades from broadcast to sort-merge (measured
     # 1.6 -> 8.5 s with pk/v cut); recomputing pk from the r0 leaf is
@@ -20282,25 +20301,58 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     outs = []
     for label, lt, lk, rt, rk in _JOINCARD_SPECS:
-        ls = t[lt].agg(
-            F.count(F.lit(1)).cast("long").alias("n_left"),
-            F.countDistinct(lk).cast("long").alias("ndv_left"),
-        )
-        rs = t[rt].agg(
-            F.count(F.lit(1)).cast("long").alias("n_right"),
-            F.countDistinct(rk).cast("long").alias("ndv_right"),
-        )
+        # ONE pass per (table, key): the per-key count table is the
+        # sufficient statistic for everything this spec reports —
+        # n = sum(c) (all rows, incl. NULL keys, = COUNT(*)),
+        # ndv = count of non-NULL groups (= COUNT(DISTINCT k)), and the
+        # exact join size from the count-product join. r5..r8 ran a
+        # separate count+countDistinct scan per side on top of the
+        # groupBy (lineitem 6 scans/spec-set -> 3; optimization r09,
+        # guide §2.4: the countDistinct shuffle was a second exchange
+        # over the same key). Cut: each count table feeds the stats agg
+        # AND the join.
         lc = t[lt].groupBy(F.col(lk).alias("k")).agg(
             F.count(F.lit(1)).alias("c1")
+        ).transform(_cut_big)
+        ls = lc.agg(
+            F.sum("c1").cast("long").alias("n_left"),
+            F.count(F.col("k")).cast("long").alias("ndv_left"),
         )
-        rc = t[rt].groupBy(F.col(rk).alias("k")).agg(
-            F.count(F.lit(1)).alias("c2")
-        )
-        act = lc.join(rc, "k").agg(
-            F.coalesce(F.sum(F.col("c1") * F.col("c2")), F.lit(0))
-            .cast("long")
-            .alias("actual_rows")
-        )
+        if (lt, lk) == (rt, rk):
+            # self-join spec: both count tables are identical, so the
+            # key-matched count-product sum is just sum(c^2) — no join
+            rs = lc.agg(
+                F.sum("c1").cast("long").alias("n_right"),
+                F.count(F.col("k")).cast("long").alias("ndv_right"),
+            )
+            # NULL-key groups never match in the equi-join being
+            # estimated, so exclude them from the squared-count sum
+            act = lc.agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("k").isNotNull(),
+                            F.col("c1") * F.col("c1"),
+                        )
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("actual_rows")
+            )
+        else:
+            rc = t[rt].groupBy(F.col(rk).alias("k")).agg(
+                F.count(F.lit(1)).alias("c2")
+            ).transform(_cut_big)
+            rs = rc.agg(
+                F.sum("c2").cast("long").alias("n_right"),
+                F.count(F.col("k")).cast("long").alias("ndv_right"),
+            )
+            act = lc.join(rc, "k").agg(
+                F.coalesce(F.sum(F.col("c1") * F.col("c2")), F.lit(0))
+                .cast("long")
+                .alias("actual_rows")
+            )
         outs.append(
             ls.crossJoin(F.broadcast(rs))
             .crossJoin(F.broadcast(act))
@@ -20927,7 +20979,7 @@ def conformal_spend_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounds + main prefix passes, the test-coverage half, the final
     # join); localCheckpoint materializes the events aggregate once —
     # tiny: three columns x users
-    r = r.localCheckpoint(eager=False)
+    r = r.transform(_cut_big)
     from rocketmq_flink_spark.operators.ranking import distributed_prefix
 
     # Rank-exact quantile over the distinct-residual histogram: the
@@ -21156,7 +21208,7 @@ def encoding_size_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per branch (260 Exchanges / 60 lineitem scans at baseline) and
     # exchange reuse doesn't collapse the differently-projected copies
     # (optimization r08, guide §3.3: truncate the plan)
-    r = r.localCheckpoint(eager=False)
+    r = r.transform(cut)
     specs = [
         ("l_returnflag", 1, "rf"),
         ("l_linestatus", 1, "ls"),
@@ -21305,7 +21357,15 @@ def retrieval_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("l")
     ).collect()[0]
     n_docs, cl = int(row["n"]), int(row["l"] or 0)
-    tf = postings(shared)
+    # both scorers consume the SAME query panel, so the shared postings
+    # are pruned to its term set before the (doc, dl, term) count —
+    # guide §3.2/§2.3, see operators/retrieval.postings (optimization
+    # r09); per-term tf/df/cf of surviving terms are unchanged
+    qts = queries.selectExpr(
+        "explode(filter(split(" + normalize_sql("qtext")
+        + ", '\\\\s+'), x -> x <> '')) AS term"
+    ).distinct()
+    tf = postings(shared, terms=qts)
     a = (
         bm25_topk(docs, queries, k=1_000_000, toks=shared,
                   stats=(n_docs, cl), tf_postings=tf)
