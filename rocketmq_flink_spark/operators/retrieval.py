@@ -185,7 +185,12 @@ def bm25_topk(
         ).collect()[0]
         stats = (int(row["n"]), int(row["l"] or 0))
     n_docs, total_len = stats
-    qterms = (
+    # qterms feeds TWO subtrees (the postings prune and the candidate
+    # join): cut once so the query-panel tokenize pipeline runs once
+    # per action, and broadcast-pin every use (panel-bounded by module
+    # contract; the cut leaf has no Catalyst size stats — the r08
+    # shapley lesson, VERDICT item 4)
+    qterms = cut(
         queries.selectExpr(
             f"{qid_col} AS qid", _tokens(qtext_col) + " AS qtk"
         )
@@ -196,12 +201,11 @@ def bm25_topk(
     # aggregation (guide §3.2 semi-join pre-filter): df/idf are only
     # ever consumed for terms that appear in a query, so aggregating
     # the full corpus vocabulary shuffles |vocab| groups to feed a
-    # panel-sized join. The query-term set is panel-bounded by module
-    # contract (retrieval panels, not corpus-scale), so it broadcasts;
-    # df for the surviving terms is computed over ALL their postings —
-    # bit-identical to the full-vocabulary aggregate (optimization r09).
-    # Building our own postings pushes the prune below the (doc, dl,
-    # term) count, shrinking that shuffle to the panel's postings too.
+    # panel-sized join. df for the surviving terms is computed over ALL
+    # their postings — bit-identical to the full-vocabulary aggregate
+    # (optimization r09). Building our own postings pushes the prune
+    # below the (doc, dl, term) count, shrinking that shuffle to the
+    # panel's postings too.
     if tf_postings is not None:
         tfq = tf_postings.join(
             F.broadcast(qterms.select("term").distinct()), "term"
@@ -229,7 +233,7 @@ def bm25_topk(
         + F.lit(9 * n_docs).cast(dec) * F.col("dl").cast(dec)
     )
     scored = (
-        qterms.join(tfq, "term")
+        tfq.join(F.broadcast(qterms), "term")
         .join(idf, "term")
         .withColumn("_num", num)
         .withColumn("_den", den)
@@ -312,7 +316,9 @@ def query_likelihood_topk(
                 F.lit(0).cast("int").alias("rank"),
             )
         )
-    qterms = (
+    # qterms feeds the prune and the candidate join: one cut,
+    # broadcast-pinned uses (see bm25_topk; optimization r09)
+    qterms = cut(
         queries.selectExpr(
             f"{qid_col} AS qid", _tokens(qtext_col) + " AS qtk"
         )
@@ -334,7 +340,9 @@ def query_likelihood_topk(
     # cand feeds TWO subtrees (the distinct-triple tick fold and the
     # score join); one cut keeps the qterms x postings x cf join from
     # running twice per action (optimization r08)
-    cand = cut(qterms.join(tfq, "term").join(cf, "term"), big=True)
+    cand = cut(
+        tfq.join(F.broadcast(qterms), "term").join(cf, "term"), big=True
+    )
     # the 20-step fixed-point fold is the expensive expression: run it
     # once per DISTINCT (cf, dl, tf) triple (vocabulary x length x tf
     # bounded), not once per candidate row — the same
