@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rocketmq_flink_spark.operators.lineage import cut
 from rocketmq_flink_spark.operators.retrieval import fp_log2_sql
 
 
@@ -57,10 +58,18 @@ def nb_train(
         F.col(class_col).alias("c"),
         F.col(bucket_col).alias("b"),
     )
-    cnt = occ.groupBy("c", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    # cnt is the ONE corpus-width training aggregation; it feeds the
+    # per-class totals AND the model grid join, and `counts` is itself
+    # consumed twice by nb_model_ticks — without cuts each consumer
+    # re-ran the train pass over the occurrence stream (18 occurrence
+    # re-reads / 48 Exchanges in the nb_auc plan). Both frames are
+    # model-bounded (<= B * |classes| rows), so the cuts are cheap and
+    # every join against them is broadcast-pinned (cut leaves carry no
+    # size statistics — optimization r09, VERDICT r8 items 4/7).
+    cnt = cut(occ.groupBy("c", "b").agg(F.count(F.lit(1)).alias("cnt")))
     tot = cnt.groupBy("c").agg(F.sum("cnt").cast("long").alias("tot"))
-    counts = cnt.join(tot, "c")
-    nd = (
+    counts = cut(cnt.join(F.broadcast(tot), "c"))
+    nd = cut(
         occ.select("doc", "c")
         .distinct()
         .groupBy("c")
@@ -86,7 +95,7 @@ def nb_model_ticks(
     cls = counts.select("c", "tot").distinct()
     grid = test_buckets.select("b").distinct().crossJoin(F.broadcast(cls))
     filled = grid.join(
-        counts.select("c", "b", "cnt"), ["c", "b"], "left"
+        F.broadcast(counts.select("c", "b", "cnt")), ["c", "b"], "left"
     ).selectExpr(
         "c",
         "b",

@@ -18806,20 +18806,23 @@ def hilbert_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_partkey").alias("pmax"), F.max("l_suppkey").alias("smax")
     )
     base = li.crossJoin(F.broadcast(mx))
-    # The 8-layer Hilbert rotation walk is a chained projection whose
-    # expressions double per layer if Catalyst collapses them into a
-    # downstream consumer — and the distributed ntile reads the key in
-    # several passes. localCheckpoint materializes the SAMPLED keyed
-    # rows once (tiny: 1-in-8 of four int columns), so the curve key is
-    # evaluated exactly once and the collapse chain is cut.
-    hb = hilbert_cols(
+    # ONE keyed frame carrying BOTH curve keys (the 8-layer Hilbert
+    # rotation walk and the Morton interleave are each evaluated exactly
+    # once over the 1-in-8 sample, and the cut stops Catalyst collapsing
+    # the chained projection into every consumer — r08), then ONE
+    # unified ntile pipeline over the 3-layout union (optimization r09,
+    # guide §2.4: r08 ran the distributed-ntile machinery — stats pass,
+    # bucket totals, offsets self-join + broadcast, bucket-partitioned
+    # window — once PER LAYOUT, 37 driver jobs per run; unioning
+    # (layout, skey) first runs each of those stages once, partitioned
+    # by layout). Positions — and therefore ntile buckets and spans —
+    # are invariant to the internal range bucketing, which is monotone
+    # in skey per layout, so the result is bit-identical.
+    keyed = hilbert_cols(
         base.withColumn("hx", F.expr(scale_sql("l_partkey", "pmax", 8)))
         .withColumn("hy", F.expr(scale_sql("l_suppkey", "smax", 8))),
         order=8,
-    ).select(
-        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber", "hkey"
-    ).transform(_cut_big)
-    zb = base.withColumn(
+    ).withColumn(
         "zkey",
         F.expr(
             morton_expr_sql(
@@ -18829,35 +18832,66 @@ def hilbert_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).select(
-        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber", "zkey"
+        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber",
+        "hkey", "zkey",
     ).transform(_cut_big)
 
-    from rocketmq_flink_spark.operators.ranking import distributed_ntile
-
-    def tiled(name, src, bucket_col, *order, domain=None):
-        # hkey/zkey live in the statically-known 16-bit curve domain —
-        # skipping the stats pass saves one evaluation of the unrolled
-        # Hilbert rotation / Morton interleave expression per branch
-        return distributed_ntile(
-            src, list(order), bucket_col, 32, domain=domain
-        ).select(
+    def arm(name, key):
+        return keyed.select(
             F.lit(name).alias("layout"),
-            "l_partkey",
-            "l_suppkey",
-            "bucket",
+            F.col(key).cast("long").alias("skey"),
+            "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber",
         )
 
     lay = (
-        tiled("hilbert", hb, "hkey",
-              "hkey", "l_orderkey", "l_linenumber",
-              domain=(0, (1 << 16) - 1))
-        .unionAll(tiled("zorder", zb, "zkey",
-                        "zkey", "l_orderkey", "l_linenumber",
-                        domain=(0, (1 << 16) - 1)))
-        .unionAll(
-            tiled("partkey", li, "l_partkey",
-                  "l_partkey", "l_orderkey", "l_linenumber")
+        arm("hilbert", "hkey")
+        .unionAll(arm("zorder", "zkey"))
+        .unionAll(arm("partkey", "l_partkey"))
+    )
+    # per-layout key bounds + row count in one tiny broadcast agg; the
+    # linear range bucket is deterministic in the data (replayable, no
+    # sampling), exactly the distributed_prefix scheme
+    st = lay.groupBy("layout").agg(
+        F.min("skey").alias("_lo"),
+        F.max("skey").alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    b = lay.join(F.broadcast(st), "layout").withColumn(
+        "_bkt",
+        F.expr("CAST((skey - _lo) DIV ((_hi - _lo) DIV 64 + 1) AS INT)"),
+    )
+    tot = b.groupBy("layout", "_bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("_bn")
+    )
+    prev = tot.select(
+        F.col("layout").alias("_l2"),
+        F.col("_bkt").alias("_b2"),
+        "_bn",
+    )
+    off = (
+        tot.select("layout", "_bkt")
+        .join(
+            prev,
+            (F.col("_l2") == F.col("layout"))
+            & (F.col("_b2") < F.col("_bkt")),
+            "left",
         )
+        .groupBy("layout", "_bkt")
+        .agg(F.coalesce(F.sum("_bn"), F.lit(0)).alias("_off"))
+    )
+    w = Window.partitionBy("layout", "_bkt").orderBy(
+        "skey", "l_orderkey", "l_linenumber"
+    )
+    from rocketmq_flink_spark.operators.ranking import ntile_from_pos_sql
+
+    pos = b.join(F.broadcast(off), ["layout", "_bkt"]).withColumn(
+        "_pos", (F.col("_off") + F.row_number().over(w)).cast("long")
+    )
+    lay = pos.select(
+        "layout",
+        "l_partkey",
+        "l_suppkey",
+        F.expr(ntile_from_pos_sql("_pos", "_n", 32)).alias("bucket"),
     )
     spans = lay.groupBy("layout", "bucket").agg(
         (F.max("l_partkey") - F.min("l_partkey")).alias("part_span"),
