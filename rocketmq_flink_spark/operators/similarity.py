@@ -394,13 +394,22 @@ def embedding_near_dups(
     pairs are dist2 = 0 by identity; cross-group pairs inherit the rep
     distance exactly, because members equal their rep bit-for-bit)."""
     v = df.select(id_col, vec_col)
-    groups = v.groupBy(vec_col).agg(F.min(id_col).alias("rep"))
-    members = v.join(groups, vec_col).select(
-        "rep", F.col(id_col).alias("m")
+    # groups (distinct-vector shuffle of the full embedding payload)
+    # feeds members AND reps; members feeds FOUR subtrees (ma, mb, both
+    # intra sides); the banded reps (the Python hyperplane hash) feed
+    # both self-join sides — without cuts each consumer re-ran the
+    # whole upstream pipeline (40 parquet scans / 36 Exchanges in the
+    # sf0.1 plan; optimization r09, guide §3.3)
+    groups = cut(v.groupBy(vec_col).agg(F.min(id_col).alias("rep")),
+                 big=True)
+    members = cut(
+        v.join(groups, vec_col).select("rep", F.col(id_col).alias("m")),
+        big=True,
     )
     reps = groups.select(F.col("rep").alias(id_col), vec_col)
-    b = _explode_bands(
-        lsh_bucketed(reps, vec_col, dim, num_planes=64)
+    b = cut(
+        _explode_bands(lsh_bucketed(reps, vec_col, dim, num_planes=64)),
+        big=True,
     )
     a1 = b.select(
         "band_idx", "band_val",

@@ -20167,12 +20167,15 @@ def selectivity_estimation_report(spark: SparkSession, sf_dir: str) -> DataFrame
     'local-relation theta join for true counts' variant measured
     SLOWER (0.72 vs 0.43 s branch-level) and is dead; the conditional
     aggregation replaced it."""
-    o = load_tables(spark, sf_dir)["orders"].select(
+    # o feeds the equi-width histogram, the distributed ntile's two
+    # passes, the true-count scan AND the build-time stats collect —
+    # one cut, one orders scan (optimization r09)
+    o = _cut_big(load_tables(spark, sf_dir)["orders"].select(
         F.expr(
             "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
         ).alias("v"),
         "o_orderkey",
-    )
+    ))
     st = o.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.min("v").alias("mn"),
@@ -21818,11 +21821,15 @@ def event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.partitionBy(F.expr("user_id % 4")).orderBy(
         F.unix_micros("ts"), "event_id"
     )
-    q = ev.select(
+    # the per-queue position window feeds distributed_prefix's three
+    # passes (bounds, bucket totals, hwm window): one cut stops the
+    # events scan + queue window re-running per pass (12 scans / 18
+    # Window nodes in the before plan — optimization r09)
+    q = _cut_big(ev.select(
         F.unix_micros("ts").alias("ts_us"),
         F.expr("user_id % 4").alias("que"),
         F.row_number().over(wq).alias("pos"),
-    )
+    ))
     from rocketmq_flink_spark.operators.ranking import distributed_prefix
 
     a = distributed_prefix(
