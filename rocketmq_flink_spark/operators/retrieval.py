@@ -356,7 +356,11 @@ def query_likelihood_topk(
         + " AS tick",
     )
     scored = (
-        cand.join(ticks, ["cf", "dl", "tf"])
+        # ticks is value-bounded (distinct (cf, dl, tf) triples of the
+        # panel's postings) but derives from a cut frame with no size
+        # stats — pin the broadcast so the re-attach join never falls
+        # back to sort-merge (optimization r09, VERDICT r8 item 4)
+        cand.join(F.broadcast(ticks), ["cf", "dl", "tf"])
         .groupBy("qid", "doc")
         .agg(F.sum("tick").cast("long").alias("score_ticks"))
     )

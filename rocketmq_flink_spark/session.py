@@ -41,6 +41,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch sizing (guide §4.2), measured on a 100k-message
+        # fixed-width decode (24-byte bodies, min-of-5): 10k (default)
+        # 0.333 s, 50k 0.296 s, 200k 0.290 s — narrow envelope rows
+        # amortize per-batch overhead, so raise the default; 50k keeps
+        # per-batch memory bounded for the KB-payload media paths
+        # (which are panel-sized anyway). Optimization r09, VERDICT r8
+        # item 9.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # events.parquet stores ts as TIMESTAMP(NANOS); Spark reads it as
         # LongType nanos under this flag (load_tables converts to

@@ -79,3 +79,63 @@ def test_cut_uses_reliable_checkpoint_dir_when_set(spark, tmp_path):
         # reset so later tests get the executor-local default again
         sc._jsc.sc().setCheckpointDir(None)
         assert sc.getCheckpointDir() is None
+
+
+SF = "/root/testdata/sf0.01"
+
+
+def _executed(spark, name):
+    from rocketmq_flink_spark.plans.catalog import REGISTRY
+
+    return (
+        REGISTRY[name]
+        .fn(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_scorer_stat_joins_stay_broadcast(spark):
+    """The r09 postings prune builds idf/cf from lineage-cut frames
+    (no Catalyst size stats): the explicit broadcast pins must keep the
+    candidate/score joins hash joins — a silent fallback to sort-merge
+    is the r08 shapley failure mode."""
+    for name in ("bm25_search_docs", "query_likelihood_search"):
+        plan = _executed(spark, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_nb_model_frames_cut_without_smj(spark):
+    """nb_train's cut model frames (cnt/counts/nd) are joined only via
+    pinned broadcasts — and the occurrence stream must no longer be
+    re-read once per model consumer (the r08 plan held 18 leaf reads)."""
+    plan = _executed(spark, "nb_auc_eval")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan ExistingRDD") <= 14
+
+
+def test_embedding_near_dups_single_pipeline(spark):
+    """groups/members/banded are cut once: the executed plan reads the
+    materialized leaves, never re-running the distinct-vector shuffle
+    per consumer (40 parquet scans in the r08 plan)."""
+    plan = _executed(spark, "embedding_near_dups")
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hilbert_single_unified_window(spark):
+    """The three layout arms share ONE bucket-partitioned window pass
+    (r08 ran the full ntile machinery per layout)."""
+    plan = _executed(spark, "hilbert_layout_report")
+    assert plan.count("Window") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_join_cardinality_no_count_distinct_scans(spark):
+    """Stats derive from the per-key count tables: no separate
+    count+countDistinct expand pass remains."""
+    plan = _executed(spark, "join_cardinality_estimate")
+    assert "Expand" not in plan
